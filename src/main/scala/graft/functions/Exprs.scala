@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure `Column` expression library — everything stays inside whole-stage
+  * codegen (no Scala UDFs anywhere; SURVEY §2.7).
+  */
+object Exprs {
+
+  /** ISO-8601 `PT#H#M` duration → total minutes.
+    *
+    * Semantics match the reference UDF `duration_to_minutes`
+    * (`/root/reference/mnt/airflow/dags/scripts/transformToSilver.py:19-28`):
+    * no-match → null, missing H or M group → 0 for that group.
+    * Expressed as composed built-ins so the whole plan codegens; a native
+    * Catalyst `Expression` variant lives in [[graft.plans.DurationToMinutes]].
+    */
+  def durationToMinutes(c: Column): Column = {
+    val matched = c.rlike("^PT(\\d+H)?(\\d+M)?$")
+    val h = coalesce(nullif(regexp_extract(c, "^PT(\\d+)H", 1), lit("")).cast("int"), lit(0))
+    val m = coalesce(nullif(regexp_extract(c, "(\\d+)M$", 1), lit("")).cast("int"), lit(0))
+    when(c.isNull || !matched, lit(null).cast("int")).otherwise(h * 60 + m)
+  }
+
+  /** `"a||b||c"` packed list → array; null → empty array (reference
+    * `transformToSilver.py:56-60`). */
+  def splitPacked(c: Column, delim: String = "\\|\\|"): Column =
+    when(c.isNull, array().cast("array<string>")).otherwise(split(c, delim))
+
+  /** Scrub dirty int-array elements: `'None'/'null'/null/''` → 0
+    * (reference `transformToSilver.py:83-90`). */
+  def scrubIntArray(arr: Column): Column =
+    transform(arr, x =>
+      when(x.isNull || trim(x).isin("None", "null", ""), lit(0))
+        .otherwise(trim(x).cast("int")))
+
+  /** Per-element ISO string → timestamp (reference intent at
+    * `transformToSilver.py:78-80`; the UDF-by-name there cannot run). */
+  def isoArrayToTs(arr: Column): Column =
+    transform(arr, x => x.cast("timestamp"))
+
+  // ---------------------------------------------------------------------
+  // Hashing / text primitives shared by the dedup + text-analysis operators.
+  // All are hex-string based (md5) so a SQL oracle can reproduce them
+  // bit-for-bit; fixed-width lowercase hex compares lexicographically in
+  // numeric order, so `min` over hex == numeric minhash.
+  // ---------------------------------------------------------------------
+
+  /** Stable 64-bit-equivalent hash as a 16-char hex string. */
+  def hash16(c: Column): Column = substring(md5(c), 1, 16)
+
+  /** Whitespace tokens of lower-cased text; empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Distinct whitespace tokens. */
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Consecutive word n-gram shingles (space-joined), distinct.
+    * Documents shorter than n words yield the whole text as one shingle. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(grams)
+  }
+}

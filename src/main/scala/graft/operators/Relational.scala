@@ -1,0 +1,411 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator suite — every scan/filter/join/aggregate/window
+  * capability from SURVEY §2 (§2.1-§2.6), expressed on the driver's TPC-H-ish
+  * tables so the DuckDB oracle can check it.
+  *
+  * Scale notes baked in: dimension joins are `broadcast()` (nation/region/
+  * customer are tiny vs lineitem); aggregates are built-ins (partial agg
+  * before shuffle); filters/projections are declarative so Catalyst pushes
+  * them into the parquet scan; no collect-to-driver anywhere.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A3-style grouped multi-agg (reference updateToGold.py:39-40); TPC-H Q1 shape.
+    QueryDef.sql("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 2).as("avg_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            count(lit(1)).as("n"))
+    },
+
+    // A4-style single-agg group (reference updateToGold.py:52).
+    QueryDef.sql("q02_avg_by_status",
+      """SELECT l_linestatus, round(avg(l_quantity), 2) AS avg_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir).groupBy("l_linestatus")
+          .agg(round(avg("l_quantity"), 2).as("avg_qty"), count(lit(1)).as("n"))
+    },
+
+    // A1/A2 scalar watermark aggregates (reference ingestToBronze.py:61,
+    // transformToSilver.py:102) — the only collect-to-driver the engine allows.
+    QueryDef.sql("q03_minmax_watermark",
+      "SELECT max(l_orderkey) AS max_key, min(l_orderkey) AS min_key, count(*) AS n FROM lineitem") {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .agg(max("l_orderkey").as("max_key"), min("l_orderkey").as("min_key"),
+            count(lit(1)).as("n"))
+    },
+
+    // A5 distinct (reference loadToWarehouse.py:27,53,66).
+    QueryDef.sql("q04_distinct_flags",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") {
+      (s, dir) => Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // P6 column-to-column conjunctive quality filter (transformToSilver.py:53).
+    QueryDef.sql("q05_quality_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |FROM lineitem WHERE l_discount <= l_tax AND l_quantity >= 30""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_discount") <= col("l_tax") && col("l_quantity") >= 30)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    },
+
+    // P9 range predicate, pushed to the parquet scan (ingestToBronze.py:63-71).
+    QueryDef.sql("q06_range_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey").between(1000, 2000))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // P1/F2 derived date-part columns (ingestToBronze.py:79-81).
+    QueryDef.sql("q07_date_parts",
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr
+        |FROM orders""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+    },
+
+    // F5 when/otherwise conditional bucketing.
+    QueryDef.sql("q08_case_bucket",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'big' END AS bucket,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .withColumn("bucket",
+            when(col("o_totalprice") < 50000, "small")
+              .when(col("o_totalprice") < 150000, "mid")
+              .otherwise("big"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    // J1 anti-join — the reference's right-outer-join-as-anti-join
+    // (loadToWarehouse.py:31-32) done right: explicit left_anti, no
+    // null-filter on an outer join, broadcastable by AQE.
+    QueryDef.sql("q09_anti_join",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .select("c_custkey")
+    },
+
+    // Semi-join (EXISTS) — companion to J1.
+    QueryDef.sql("q10_semi_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+    },
+
+    // Star-schema join (SURVEY §2.3: implied by the reference's dimensional
+    // model, shipped first-class here). Dims broadcast; fact never shuffles
+    // for the joins — only the final agg shuffles on the (small) group keys.
+    QueryDef.sql("q11_star_revenue",
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+    },
+
+    // §2.5 gap-filler: window ranking (top-3 spenders per nation).
+    // Rank on the ROUNDED measure + key tiebreak so ordering is engine-stable.
+    QueryDef.sql("q12_window_rank",
+      """WITH spend AS (
+        |  SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS spent
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey, c_custkey)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey, spent,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |                 ORDER BY spent DESC, c_custkey) AS rk FROM spend)
+        |WHERE rk <= 3""".stripMargin) {
+      (s, dir) =>
+        val spend = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_nationkey", "c_custkey")
+          .agg(round(sum("o_totalprice"), 2).as("spent"))
+        val w = Window.partitionBy("c_nationkey").orderBy(col("spent").desc, col("c_custkey"))
+        spend.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+            col("spent"), col("rk").cast("long").as("rk"))
+    },
+
+    // §2.5 gap-filler: global top-k with deterministic tiebreak.
+    QueryDef.sql("q13_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "o_totalprice")
+    },
+
+    // §2.5 gap-filler: set operations (EXCEPT / INTERSECT).
+    QueryDef.sql("q14_set_ops",
+      """SELECT 'except' AS op, c_custkey AS key FROM
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+        |   EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey AS key FROM
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+        |   INTERSECT SELECT o_custkey FROM orders)""".stripMargin) {
+      (s, dir) =>
+        val rich = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+        val buyers = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+        rich.except(buyers).withColumn("op", lit("except"))
+          .unionByName(rich.intersect(buyers).withColumn("op", lit("intersect")))
+          .select(col("op"), col("c_custkey").as("key"))
+    },
+
+    // F3 trim + string function battery (transformToSilver.py:44-46).
+    QueryDef.sql("q15_string_funcs",
+      """SELECT p_partkey,
+        |       upper(substr(p_name, 1, 5)) AS name5,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       trim(concat('  ', p_brand, '  ')) AS brand_trim,
+        |       replace(p_type, ' ', '_') AS type_us
+        |FROM part""".stripMargin) {
+      (s, dir) =>
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"))
+    },
+
+    // F4/F9/F10/F11 split/size/array_distinct/element_at
+    // (transformToSilver.py:59, updateToGold.py:31,38).
+    QueryDef.sql("q16_split_arrays",
+      """SELECT p_partkey,
+        |       CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+        |       string_split(p_type, ' ')[1] AS first_word,
+        |       string_split(p_type, ' ')[-1] AS last_word,
+        |       CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_uniq_name_words
+        |FROM part""".stripMargin) {
+      (s, dir) =>
+        val words = split(col("p_type"), " ")
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          size(words).cast("long").as("n_words"),
+          element_at(words, 1).as("first_word"),
+          element_at(words, -1).as("last_word"),
+          size(array_distinct(split(col("p_name"), " "))).cast("long").as("n_uniq_name_words"))
+    },
+
+    // F12 explode (loadToWarehouse.py:27,49,62).
+    QueryDef.sql("q17_explode_tokens",
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        |FROM part WHERE p_partkey <= 200""".stripMargin) {
+      (s, dir) =>
+        Tables.part(s, dir).filter(col("p_partkey") <= 200)
+          .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))
+    },
+
+    // Exact-money aggregation via decimal (SURVEY §7.4 risk 3).
+    QueryDef.sql("q18_agg_decimal",
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).groupBy("o_orderpriority")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+            count(lit(1)).as("n"))
+    },
+
+    // F17/F18 dim-date enrichment semantics, Spark-4-correct (SURVEY F17:
+    // the reference's 2.4-era 'DD'/'u' patterns are replaced by native fns).
+    QueryDef.sql("q19_date_dim",
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+        |       monthname(o_orderdate) AS month_name,
+        |       dayname(o_orderdate) AS day_name,
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+        |FROM orders""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).select(
+          col("o_orderdate").cast("date").as("d"),
+          date_format(col("o_orderdate"), "MMMM").as("month_name"),
+          date_format(col("o_orderdate"), "EEEE").as("day_name"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"))
+          .distinct()
+    },
+
+    // U1 ISO-8601 duration parse — the reference's one real UDF, as a pure
+    // codegen expression. Durations synthesized from lineitem columns so the
+    // oracle can compute expected minutes arithmetically.
+    QueryDef.sql("q20_duration_parse",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_linenumber % 3 = 0
+        |              THEN CAST(CAST(l_quantity AS INT) * 60 + (l_linenumber * 7) AS INT)
+        |            WHEN l_linenumber % 3 = 1
+        |              THEN CAST(l_linenumber * 9 AS INT)
+        |            ELSE NULL END AS minutes
+        |FROM lineitem WHERE l_orderkey <= 5000""".stripMargin) {
+      (s, dir) =>
+        val dur = when(col("l_linenumber") % 3 === 0,
+          concat(lit("PT"), col("l_quantity").cast("int"), lit("H"),
+            col("l_linenumber") * 7, lit("M")))
+          .when(col("l_linenumber") % 3 === 1,
+            concat(lit("PT"), col("l_linenumber") * 9, lit("M")))
+          .otherwise(lit("not-a-duration"))
+        Tables.lineitem(s, dir).filter(col("l_orderkey") <= 5000)
+          .withColumn("dur", dur)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Exprs.durationToMinutes(col("dur")).as("minutes"))
+    },
+
+    // Exact distinct-count aggregation (beyond the reference's surface;
+    // approx_count_distinct is the 100 TB path, exercised in tests).
+    QueryDef.sql("q21_count_distinct",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).groupBy("o_orderpriority")
+          .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n"))
+    },
+
+    // Event-time tumbling-window aggregate (batch form of the streaming
+    // façade in graft.streaming; grouped as strings for oracle parity).
+    QueryDef.sql("q22_events_hourly",
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hr, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    // Window lag: inter-event gap per user, in exact integer microseconds.
+    QueryDef.sql("q23_events_gaps",
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(gap_us) AS n_gaps,
+        |       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+        |FROM g GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .groupBy("event_type")
+          .agg(count("gap_us").as("n_gaps"), sum("gap_us").cast("long").as("total_gap_us"))
+    },
+
+    // Sessionization: 30-minute-gap rule via cumulative window sum — the
+    // scalable (single shuffle on user_id) batch sessionizer.
+    QueryDef.sql("q24_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM marked GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess", when(col("gap_us") > 1800000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg((lit(1) + sum("new_sess")).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+    },
+
+    // As-of join (point-in-time): each purchase matched to the same user's
+    // most recent prior 'view'. Composed scalably as union + running
+    // last_value over one user_id shuffle — no cross/range join blowup.
+    QueryDef.sql("q25_asof_join",
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        |         event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |filled AS (
+        |  SELECT *, last_value(view_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM tagged)
+        |SELECT event_id AS purchase_id, last_view_id
+        |FROM filled WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("view_id", when(col("event_type") === "view", col("event_id")))
+          .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("last_view_id"))
+    }
+  )
+}
