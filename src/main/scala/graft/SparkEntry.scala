@@ -13,11 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    operators.Relational.defs ++
-      operators.Dedup.defs ++
-      operators.Similarity.defs ++
-      operators.TextAnalysis.defs ++
-      operators.Multimodal.defs
+    operators.Relational.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,7 +21,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events fixture writes INT64 TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses by default. With `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in [[Sessions]]) the column arrives as a nanos `long`; convert to
+    * a micros timestamp (integral `div` — a double divide would lose
+    * precision above 2^53 ns) so downstream queries see a real timestamp
+    * with exactly the semantics the DuckDB oracle gets reading the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

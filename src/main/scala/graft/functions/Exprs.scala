@@ -13,8 +13,7 @@ object Exprs {
     * Semantics match the reference UDF `duration_to_minutes`
     * (`/root/reference/mnt/airflow/dags/scripts/transformToSilver.py:19-28`):
     * no-match → null, missing H or M group → 0 for that group.
-    * Expressed as composed built-ins so the whole plan codegens; a native
-    * Catalyst `Expression` variant lives in [[graft.plans.DurationToMinutes]].
+    * Expressed as composed built-ins so the whole plan codegens.
     */
   def durationToMinutes(c: Column): Column = {
     val matched = c.rlike("^PT(\\d+H)?(\\d+M)?$")

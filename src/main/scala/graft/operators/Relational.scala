@@ -159,7 +159,10 @@ object Relational {
       (s, dir) =>
         Tables.lineitem(s, dir)
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          // customer scales with sf (~15M rows at sf100) — no broadcast hint;
+          // AQE picks broadcast at small sf and SMJ at scale. Only the
+          // fixed-cardinality dims (nation=25, region=5) are hinted.
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
@@ -184,8 +187,18 @@ object Relational {
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .groupBy("c_nationkey", "c_custkey")
           .agg(round(sum("o_totalprice"), 2).as("spent"))
-        val w = Window.partitionBy("c_nationkey").orderBy(col("spent").desc, col("c_custkey"))
-        spend.withColumn("rk", row_number().over(w))
+        // Two-phase top-k: nationkey has ~25 distinct values, so a single
+        // window over it runs 25 giant single-task partitions at scale.
+        // Phase 1 ranks within (nation, salt) buckets — full parallelism —
+        // and keeps each bucket's top-3; phase 2 re-ranks the surviving
+        // 3*64 rows per nation. Any global top-3 row is top-3 in its own
+        // bucket, so the result is identical to the one-shot window.
+        val pre = Window.partitionBy(col("c_nationkey"), pmod(col("c_custkey"), lit(64)))
+          .orderBy(col("spent").desc, col("c_custkey"))
+        val fin = Window.partitionBy("c_nationkey").orderBy(col("spent").desc, col("c_custkey"))
+        spend.withColumn("prk", row_number().over(pre))
+          .filter(col("prk") <= 3)
+          .withColumn("rk", row_number().over(fin))
           .filter(col("rk") <= 3)
           .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
             col("spent"), col("rk").cast("long").as("rk"))
@@ -302,14 +315,16 @@ object Relational {
     QueryDef.sql("q20_duration_parse",
       """SELECT l_orderkey, l_linenumber,
         |       CASE WHEN l_linenumber % 3 = 0
-        |              THEN CAST(CAST(l_quantity AS INT) * 60 + (l_linenumber * 7) AS INT)
+        |              THEN CAST(CAST(floor(l_quantity) AS INT) * 60 + (l_linenumber * 7) AS INT)
         |            WHEN l_linenumber % 3 = 1
         |              THEN CAST(l_linenumber * 9 AS INT)
         |            ELSE NULL END AS minutes
         |FROM lineitem WHERE l_orderkey <= 5000""".stripMargin) {
       (s, dir) =>
+        // floor() on both sides pins the double→int cast: DuckDB rounds
+        // half-away-from-zero on numeric→int, Spark (ANSI off) truncates.
         val dur = when(col("l_linenumber") % 3 === 0,
-          concat(lit("PT"), col("l_quantity").cast("int"), lit("H"),
+          concat(lit("PT"), floor(col("l_quantity")).cast("int"), lit("H"),
             col("l_linenumber") * 7, lit("M")))
           .when(col("l_linenumber") % 3 === 1,
             concat(lit("PT"), col("l_linenumber") * 9, lit("M")))
