@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Exprs, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the LLM-training-pipeline surface: exact content dedup, MinHash+LSH
+  * near-dup candidate generation, verified n-gram Jaccard, SimHash
+  * signatures, and embedding-cosine near-dup via random-hyperplane LSH.
+  *
+  * Scale design (the point, per the 100 TB posture):
+  *   - nothing is ever all-pairs: candidate pairs come only from joining
+  *     within (band, signature) LSH buckets, so work is proportional to
+  *     actual collisions, not N^2;
+  *   - every hash is derived from `md5` hex (fixed-width lowercase hex
+  *     compares lexicographically in numeric order, so `array_min` over hex
+  *     == numeric minhash) — bit-for-bit reproducible by the SQL oracle;
+  *   - signatures/buckets are computed in a single projection pass over the
+  *     corpus (no shuffle until the bucket join), and the bucket join
+  *     shuffles on high-cardinality (band, key) — skew only if a bucket is
+  *     degenerate, which banding parameters (b=4, r=2) bound.
+  *
+  * Reference knows only exact row identity (max(index) watermarking,
+  * `/root/reference/mnt/airflow/dags/scripts/ingestToBronze.py:61`); the
+  * near-dup family is the capability extension the north-star asks for.
+  */
+object Dedup {
+
+  private val K = 8 // minhash functions
+  private val B = 4 // LSH bands (rows per band r = K/B = 2)
+
+  /** doc_id + distinct bigram shingles of the lower-cased text. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Exprs.wordShingles(Exprs.tokens(col("text")), 2).as("sh"))
+
+  /** The K salted minhashes of the `sh` shingle column. */
+  private def minhashes: Seq[Column] =
+    (0 until K).map(j =>
+      array_min(transform(col("sh"), x =>
+        substring(md5(concat(lit(s"$j:"), x)), 1, 16))))
+
+  /** (doc_id, band, bkey): one row per band; bkey concatenates the band's
+    * r minhashes. Docs agreeing on any full band collide. */
+  private def banded(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes
+    shingled(s, dir).select(
+      col("doc_id"),
+      posexplode(array((0 until B).map(b => concat(mh(2 * b), mh(2 * b + 1))): _*))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band. */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val bd = banded(s, dir)
+    bd.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bd.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  // Oracle CTE fragments mirroring the Spark expressions above.
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+  private val shCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(t)-1, 1)+1),
+      |           i -> array_to_string(t[i:i+1], ' '))) AS sh
+      |  FROM toks)""".stripMargin
+  private val candCte =
+    s"""sig AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(range(0, $K), j ->
+       |           list_min(list_transform(sh, s -> substr(md5(j || ':' || s), 1, 16)))) AS mh
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sh, b, mh[2*b+1] || mh[2*b+2] AS bkey
+       |  FROM sig, unnest(range(0, $B)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: group by content hash, keep-first. One shuffle on the
+    // hash (high cardinality — perfectly parallel at any scale).
+    QueryDef.sql("d01_exact_dedup",
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    },
+
+    // MinHash + LSH banding: candidate near-dup pairs without any
+    // all-pairs comparison (k=8 minhashes, 4 bands of 2).
+    QueryDef.sql("d02_minhash_lsh",
+      s"""WITH $toksCte,
+         |$shCte,
+         |$candCte
+         |SELECT id_a, id_b FROM cand""".stripMargin) {
+      (s, dir) => candidates(s, dir)
+    },
+
+    // Verified near-dup: exact bigram-shingle Jaccard computed ONLY on the
+    // LSH candidates (integer set sizes — engine-exact arithmetic).
+    QueryDef.sql("d03_lsh_jaccard",
+      s"""WITH $toksCte,
+         |$shCte,
+         |$candCte
+         |SELECT c.id_a, c.id_b,
+         |       round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)), 4) AS jac
+         |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+         |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= 0.05""".stripMargin) {
+      (s, dir) =>
+        val sh = shingled(s, dir)
+        val jac = size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b")))
+        candidates(s, dir)
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .filter(jac >= 0.05)
+          .select(col("id_a"), col("id_b"), round(jac, 4).as("jac"))
+    },
+
+    // SimHash: 16-bit per-document signature by per-bit token majority vote.
+    // A pure projection (no shuffle at all) — the cheapest near-dup sieve.
+    QueryDef.sql("d04_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS dt
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+        |         CASE WHEN 2*len(list_filter(dt, t -> substr(md5(i || ':' || t), 1, 1) >= '8')) > len(dt)
+        |              THEN 1<<i ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM toks""".stripMargin) {
+      (s, dir) =>
+        val bits = (0 until 16).map(i =>
+          when(lit(2) * size(filter(col("dt"), t =>
+            substring(md5(concat(lit(s"$i:"), t)), 1, 1) >= "8")) > size(col("dt")),
+            lit(1L << i)).otherwise(lit(0L)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.distinctTokens(col("text")).as("dt"))
+          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    },
+
+    // Embedding near-dup: random-hyperplane sign LSH (8 planes, md5-derived
+    // ±1 coefficients so the oracle reproduces them), then exact cosine only
+    // within buckets. At 100 TB this is the path: bucket join, never N^2.
+    QueryDef.sql("d05_embedding_neardup",
+      """WITH sig AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
+        |             embedding[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
+        |           THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
+        |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val sig = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("embedding"),
+          VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
+        val cosr = VectorOps.cosineR(col("ea"), col("eb"))
+        sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+          .join(sig.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb")),
+            Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(cosr >= 0.1)
+          .select(col("id_a"), col("id_b"), cosr.as("cos"))
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: opaque `binary` payloads with typed
+  * metadata, joint text⋈vector analytics, and a batch frame-extraction
+  * path shaped like a real media decoder.
+  *
+  * The container has no image/audio codecs, so the payload here is the
+  * document text encoded as bytes and the "decoder" is a deterministic
+  * fake (fixed-size frames + md5 checksums) — but the Spark-side plumbing
+  * is the real thing: binary columns flow through scans/projections as
+  * opaque bytes, metadata is extracted with codegen'd expressions, and the
+  * per-frame path runs as typed `mapPartitions` batches exactly where a
+  * JNI/FFmpeg/pillow call would sit on a real cluster (one decoder init
+  * per partition, streaming over rows — never per-row setup).
+  */
+object Multimodal {
+
+  /** A row carrying an opaque media payload. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  /** One decoded "frame": `frame_idx`-th 256-byte chunk of the payload. */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Long, checksum: String)
+
+  private val FrameSize = 256
+
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(hexDigits(b >>> 4)).append(hexDigits(b & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The stubbed decode: in a real pipeline this partition-batch loop is
+    * where the codec runs (`???` boundary). Here it chunks the payload into
+    * fixed frames and checksums each — deterministic, oracle-checkable. */
+  def extractFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
+    implicit val enc: Encoder[Frame] = Encoders.product[Frame]
+    media.mapPartitions { rows =>
+      // One digest instance per partition — the "decoder init" slot.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = math.max((n + FrameSize - 1) / FrameSize, 1)
+        (0 until nFrames).iterator.map { f =>
+          val lo = f * FrameSize
+          val hi = math.min(lo + FrameSize, n)
+          val chunk = java.util.Arrays.copyOfRange(r.payload, lo, hi)
+          md.reset()
+          // Checksum over the UPPERCASE hex rendering so a SQL oracle
+          // (which cannot md5 raw blobs) reproduces it: md5(hex(frame)).
+          val digest = md.digest(toHex(chunk).getBytes("US-ASCII"))
+          Frame(r.doc_id, f.toLong, (hi - lo).toLong, toHex(digest).toLowerCase)
+        }
+      }
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Joint text ⋈ embedding analytics: per (lang, label) corpus stats.
+    // At scale this is the canonical shuffle join on the shared id
+    // (both sides can be bucketed on it to make the join shuffle-free).
+    QueryDef.sql("m01_joint_stats",
+      """SELECT d.lang, e.label, count(*) AS n,
+        |       avg(d.n_chars) AS avg_chars,
+        |       avg(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS avg_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang, e.label""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+          .groupBy("lang", "label")
+          .agg(count(lit(1)).as("n"),
+            avg("n_chars").as("avg_chars"),
+            avg(VectorOps.norm(col("embedding"))).as("avg_norm"))
+    },
+
+    // Binary-column metadata: payload as opaque bytes; length, leading
+    // "magic" bytes, content checksum — all codegen'd expressions, the
+    // binary never leaves the JVM row format.
+    QueryDef.sql("m02_binary_meta",
+      """SELECT doc_id,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |       substr(upper(hex(text::BLOB)), 1, 8) AS magic4,
+        |       md5(upper(hex(text::BLOB))) AS checksum,
+        |       CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val bin = col("text").cast("binary")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          substring(upper(hex(bin)), 1, 8).as("magic4"),
+          md5(upper(hex(bin))).as("checksum"),
+          ceil(length(bin) / lit(256.0)).cast("long").as("n_frames"))
+    },
+
+    // Frame extraction through the typed mapPartitions decode path.
+    QueryDef.sql("m03_frame_extract",
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(len(fh) / 2 AS BIGINT) AS frame_bytes,
+        |       md5(fh) AS checksum
+        |FROM (
+        |  SELECT doc_id, f,
+        |         substr(upper(hex(text::BLOB)), CAST(f * 512 + 1 AS BIGINT), 512) AS fh
+        |  FROM documents,
+        |       unnest(range(0, greatest(CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT), 1))) AS u(f))""".stripMargin) {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        extractFrames(media).toDF()
+      }
+    }
+  )
+}

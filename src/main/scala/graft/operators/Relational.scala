@@ -421,6 +421,67 @@ object Relational {
           .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
           .filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("last_view_id"))
+    },
+
+    // Semi-structured extraction: JSON props column → typed value, then agg
+    // (the `events.props` column is a JSON object per row).
+    QueryDef.sql("q26_json_extract",
+      """SELECT event_type,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+            count(lit(1)).as("n"))
+    },
+
+    // F13/F14 arrays_zip + struct field access (reference dim_airline
+    // construction, loadToWarehouse.py:48-53): zip parallel arrays into
+    // array<struct>, explode, read struct fields.
+    QueryDef.sql("q27_zip_struct",
+      """SELECT p_partkey, word, CAST(length(word) AS BIGINT) AS wlen
+        |FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        |      FROM part WHERE p_partkey <= 100)""".stripMargin) {
+      (s, dir) =>
+        val words = split(col("p_name"), " ")
+        val lens = transform(words, w => length(w).cast("long"))
+        Tables.part(s, dir).filter(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            explode(arrays_zip(words.as("w"), lens.as("wlen"))).as("z"))
+          .select(col("p_partkey"), col("z.w").as("word"), col("z.wlen").as("wlen"))
+    },
+
+    // P3/P4/P5 schema-reflective projection (reference transformToSilver
+    // .py:93-94 prefix drop; loadToWarehouse.py:72-74 non-array fact
+    // projection): add temp/array columns, then drop by prefix, drop
+    // arrays by schema type, drop one explicitly.
+    QueryDef.sql("q28_schema_projection",
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part""".stripMargin) {
+      (s, dir) =>
+        val widened = Tables.part(s, dir)
+          .withColumn("tmp_words", split(col("p_name"), " "))
+          .withColumn("tmp_flag", lit(1))
+          .withColumn("extra_arr", array(col("p_partkey")))
+        val noPrefix = widened.drop(widened.columns.filter(_.startsWith("tmp_")): _*)
+        val nonArray = noPrefix.select(noPrefix.schema.fields
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          .map(f => col(f.name)): _*)
+        nonArray.drop("p_retailprice")
+    },
+
+    // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
+    // "today" driver-side; ours pins it as a parameter for determinism).
+    QueryDef.sql("q29_asof_filter",
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate <= DATE '1995-06-17'
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") <= to_date(lit("1995-06-17")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }
   )
 }
