@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bronze stage: raw source → partitioned parquet datalake layer, with an
+  * incremental `max(index)` watermark (reference `ingestToBronze.py`).
+  *
+  * The reference loops 1M-row JDBC chunks through the driver; here the
+  * incremental unit is one distributed job over `index > watermark` — the
+  * chunk loop existed only to bound driver memory, which a distributed
+  * write does not need (SURVEY §3.3). The watermark read (A1) is the one
+  * collect-to-driver the engine allows: a scalar from a partial+final agg.
+  */
+object Bronze {
+
+  /** A1: current high-water mark of the bronze layer, if it exists. */
+  def watermark(spark: SparkSession, bronzePath: String): Option[Long] =
+    if (!Sources.pathExists(spark, bronzePath)) None
+    else spark.read.parquet(bronzePath)
+      .agg(max("index")).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+
+  /** Derive the `year/month/day` partition columns from `searchDate`
+    * (`ingestToBronze.py:79-81`). Kept as a pure function for tests. */
+  def withPartitionColumns(raw: DataFrame): DataFrame = {
+    val d = to_date(col("searchDate"), "yyyy-MM-dd")
+    raw.withColumn("year", year(d))
+      .withColumn("month", month(d))
+      .withColumn("day", dayofmonth(d))
+  }
+
+  /** Ingest rows of `source` above the current watermark into the bronze
+    * layer (S3: partitioned append). Returns the new watermark, or the old
+    * one when the batch is empty (A6 loop guard, `ingestToBronze.py:76`).
+    * Append is safe against replays because the watermark filter makes the
+    * batch disjoint from existing data. */
+  def run(spark: SparkSession, source: DataFrame, bronzePath: String): Option[Long] = {
+    val wm = watermark(spark, bronzePath)
+    val batch = wm.fold(source)(w => source.filter(col("index") > w))
+    if (batch.isEmpty) wm
+    else {
+      withPartitionColumns(batch)
+        .write
+        .partitionBy("year", "month", "day")
+        .mode("append")
+        .parquet(bronzePath)
+      watermark(spark, bronzePath)
+    }
+  }
+}

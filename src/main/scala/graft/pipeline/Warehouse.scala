@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Warehouse stage: star schema — three dims + one fact (reference
+  * `loadToWarehouse.py:27-78`, intent corrected per SURVEY §2.7: the
+  * reference's dim build referenced nonexistent columns and an outer-join
+  * null-filter; ours uses explicit anti-joins and the silver arrays that
+  * actually exist).
+  *
+  * Scale posture: dims are tiny and incremental (anti-join on the new
+  * batch's distinct keys — J1); the fact table is an append of non-array
+  * silver columns partitioned by date parts. Star queries then broadcast
+  * the dims (see Relational q11).
+  */
+object Warehouse {
+
+  /** Distinct calendar dates present in the batch — the reference's
+    * columnar union `explode(array_distinct(array(searchDate, flightDate)))`
+    * (`loadToWarehouse.py:27`), kept because it unions without a second
+    * scan of silver. */
+  def batchDates(silver: DataFrame): DataFrame =
+    silver.select(explode(array_distinct(array(col("searchDate"), col("flightDate"))))
+      .as("day")).distinct()
+
+  /** J1: dates not yet in the dim. The reference spelled this as a
+    * right-outer join + null filter (`loadToWarehouse.py:31-32`); the
+    * explicit anti-join is the intent and skips the null-scan. */
+  def newDates(batch: DataFrame, existing: Option[DataFrame]): DataFrame =
+    existing.fold(batch)(ex => batch.join(ex.select("day"), Seq("day"), "left_anti"))
+
+  /** F17-F19 enrichment, Spark-4-correct (no 2.4 `DD`/`u` patterns —
+    * SURVEY §2.6 F17): ISO day-of-week, native month/day names. */
+  def enrichDates(dates: DataFrame): DataFrame =
+    dates.select(
+      col("day"),
+      year(col("day")).as("year"),
+      month(col("day")).as("month"),
+      dayofmonth(col("day")).as("dayOfMonth"),
+      quarter(col("day")).as("quarter"),
+      date_format(col("day"), "MMMM").as("month_name"),
+      (weekday(col("day")) + 1).as("day_of_week_number"),
+      date_format(col("day"), "EEEE").as("day_of_week_name"))
+
+  /** dim_airline rows in the batch: F13 `arrays_zip` + F12 explode + F14
+    * struct access + A5 distinct (`loadToWarehouse.py:48-53`). */
+  def batchAirlines(silver: DataFrame): DataFrame =
+    silver.select(explode(arrays_zip(
+        col("airlineCodeArray").as("code"), col("airlineNameArray").as("name"))).as("z"))
+      .select(col("z.code").as("code"), col("z.name").as("name"))
+      .distinct()
+
+  /** dim_airport rows: the reference zips `airportCodeArray`/
+    * `airportNameArray`, which never exist (`loadToWarehouse.py:61`);
+    * the documented intent is the arrival+departure code arrays, which
+    * carry no display name — `name` mirrors `code` until a name source
+    * exists (divergence recorded per SURVEY §7.4 risk 1). */
+  def batchAirports(silver: DataFrame): DataFrame =
+    silver.select(explode(col("arrivalAirportArray")).as("code"))
+      .unionByName(silver.select(explode(col("departureAirportArray")).as("code")))
+      .distinct()
+      .select(col("code"), col("code").as("name"))
+
+  /** P5: the fact table — every non-array silver column plus
+    * `count_segments` (F9) (`loadToWarehouse.py:72-74`). */
+  def fact(silver: DataFrame): DataFrame = {
+    val withCount = silver.withColumn("count_segments", size(col("airlineCodeArray")))
+    withCount.select(withCount.schema.fields
+      .filterNot(_.dataType.isInstanceOf[ArrayType])
+      .map(f => col(f.name)): _*)
+  }
+
+  private def dimAppend(
+      spark: SparkSession, batch: DataFrame, table: String, path: String,
+      keyCols: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    val existing =
+      if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
+    val fresh = existing.fold(batch)(ex =>
+      batch.join(ex.select(keyCols.map(col): _*), keyCols, "left_anti"))
+    val w0 = fresh.write.option("path", path).mode("append")
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    w.saveAsTable(table)
+  }
+
+  /** Build/refresh the star schema from the silver layer.
+    *
+    * Dims are incremental appends guarded by anti-joins (idempotent:
+    * re-running the same batch adds nothing). The fact table is
+    * full-overwrite here for idempotence; the 100 TB upgrade is
+    * watermark-append like bronze/silver, since fact rows are immutable. */
+  def run(spark: SparkSession, silverPath: String, warehousePath: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS warehouse")
+    val silver = spark.read.parquet(silverPath)
+
+    // dim_date: partitioned by (year, month) — partitioning a dim by its
+    // PK day would mean one file per row at scale, so the reference's
+    // year/month/day layout is deliberately coarsened.
+    val existingDates =
+      if (spark.catalog.tableExists("warehouse.dim_date"))
+        Some(spark.table("warehouse.dim_date"))
+      else None
+    val freshDates = enrichDates(newDates(batchDates(silver), existingDates))
+    val dw0 = freshDates.write
+      .option("path", s"$warehousePath/dim_date").mode("append")
+      .partitionBy("year", "month")
+    dw0.saveAsTable("warehouse.dim_date")
+
+    dimAppend(spark, batchAirlines(silver), "warehouse.dim_airline",
+      s"$warehousePath/dim_airline", Seq("code"))
+    dimAppend(spark, batchAirports(silver), "warehouse.dim_airport",
+      s"$warehousePath/dim_airport", Seq("code"))
+
+    fact(silver).write
+      .partitionBy("year", "month", "day")
+      .option("path", s"$warehousePath/fact_flight_activites")
+      .mode("overwrite")
+      .saveAsTable("warehouse.fact_flight_activites")
+  }
+}
