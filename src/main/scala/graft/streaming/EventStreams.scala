@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming façade (SURVEY §2.8).
+  *
+  * The reference's only "streaming" is a driver-side chunk loop over
+  * `index` ranges with append writes (`ingestToBronze.py:59-87`) — at-least
+  * -once, resume via `max(index)`. The Spark-native equivalents here are:
+  *
+  *   - [[relayAvailableNow]]: checkpointed file-source → sink relay with
+  *     `Trigger.AvailableNow` — the exactly-once version of the reference's
+  *     incremental batch loop (checkpoint replaces the watermark query);
+  *   - [[hourlyCounts]]: watermarked event-time tumbling-window aggregate —
+  *     the streaming form of batch query q22;
+  *   - [[sessionize]]: per-user session assembly via
+  *     `flatMapGroupsWithState` with event-time timeout — the streaming
+  *     form of batch query q24's 30-minute-gap sessionizer.
+  *
+  * Scale posture: state is keyed by high-cardinality `user_id` (even
+  * distribution), watermarks bound state size, and every aggregate is a
+  * built-in (partial-agg before shuffle). State store count follows
+  * `spark.sql.shuffle.partitions`.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  val SessionGapMinutes = 30L
+  private val GapUs = SessionGapMinutes * 60L * 1000000L
+
+  implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Event-time tumbling-window counts per type: watermark bounds late
+    * data (and state), window+groupBy is a standard streaming hash agg. */
+  def hourlyCounts(events: Dataset[Event], watermarkDelay: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap sessionization with explicit state: one `SessionState`
+    * per user, closed + emitted when the event-time watermark passes
+    * `last event + gap`. Exactly the q24 batch semantics, incrementally. */
+  def sessionize(events: Dataset[Event], watermarkDelay: String = "10 minutes"): Dataset[Session] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          def emit(st: SessionState): Session =
+            Session(userId, new Timestamp(st.startUs / 1000L),
+              new Timestamp(st.lastUs / 1000L), st.nEvents)
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            // Watermark passed last-event + gap: the session is final.
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = toUs(e.ts)
+              cur match {
+                case Some(st) if us - st.lastUs <= GapUs =>
+                  cur = Some(st.copy(lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1))
+                case Some(st) =>
+                  closed ::= emit(st)
+                  cur = Some(SessionState(us, us, 1L))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + SessionGapMinutes * 60L * 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+
+  /** Checkpointed file-relay with `Trigger.AvailableNow`: reads whatever
+    * files exist, processes them exactly once (offsets in the checkpoint),
+    * and stops — re-running picks up only NEW files. `foreachBatch` gives
+    * the sink side the same partitioned-append shape as the batch bronze
+    * stage. Returns after the trigger drains. */
+  def relayAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      checkpointDir: String)(writeBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) => writeBatch(df, id) }
+      .start()
+    q.awaitTermination()
+  }
+}

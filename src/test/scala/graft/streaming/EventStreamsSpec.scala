@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Long): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourlyCounts: watermarked tumbling window aggregates by type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDS())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "view", 2.5),
+        Event(3, ts(70), 2, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("view", 2L, 3.5), ("click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-minute gap closes sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart → one session
+      input.addData(Event(1, ts(0), 1, "view", 0), Event(2, ts(10), 1, "click", 0))
+      q.processAllAvailable()
+      // 2 hours later: a new event for user 1 → closes the first session
+      // in-batch; also pushes the watermark far past session-1 + gap.
+      input.addData(Event(3, ts(120), 1, "view", 0))
+      q.processAllAvailable()
+      // one more batch so the event-time timeout for the second session
+      // (timeout = 150 min < watermark 175 min) can fire.
+      input.addData(Event(4, ts(180), 2, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(300), 2, "view", 0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(sessions.contains((1L, ts(0), ts(10), 2L)), s"got $sessions")
+      assert(sessions.contains((1L, ts(120), ts(120), 1L)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("relayAvailableNow: exactly-once file relay, incremental on re-run") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+
+    spark.range(0, 100).select(col("id"), (col("id") * 1.5).as("v"))
+      .write.mode("overwrite").parquet(src)
+    EventStreams.relayAvailableNow(spark, src, schema, ckpt) { (df, _) =>
+      df.write.mode("append").parquet(out)
+    }
+    assert(spark.read.parquet(out).count() === 100)
+
+    // re-run with no new files: checkpoint makes it a no-op
+    EventStreams.relayAvailableNow(spark, src, schema, ckpt) { (df, _) =>
+      df.write.mode("append").parquet(out)
+    }
+    assert(spark.read.parquet(out).count() === 100)
+
+    // add a new file: only it is relayed
+    spark.range(100, 120).select(col("id"), (col("id") * 1.5).as("v"))
+      .write.mode("append").parquet(src)
+    EventStreams.relayAvailableNow(spark, src, schema, ckpt) { (df, _) =>
+      df.write.mode("append").parquet(out)
+    }
+    assert(spark.read.parquet(out).count() === 120)
+  }
+}
