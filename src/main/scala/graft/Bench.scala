@@ -21,7 +21,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop sink, not count(): count() lets Catalyst prune every unused
+        // column, so projection-only queries would be timed at ~zero cost.
+        // The noop DSv2 writer consumes every row in full.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failures ::= name; false

@@ -57,11 +57,21 @@ object Exprs {
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /** Consecutive word n-gram shingles (space-joined), distinct.
-    * Documents shorter than n words yield the whole text as one shingle. */
+    * Documents shorter than n words yield the whole text as one shingle.
+    *
+    * Built as a zip_with chain over k-shifted copies of the token array,
+    * NOT as `transform(sequence, i => element_at(toks, i+k))`: higher-order
+    * functions evaluate interpreted, and any non-lambda-variable expression
+    * inside the lambda body is re-evaluated per element — the element_at
+    * form recomputes the whole tokenization per gram, O(L²) per document.
+    * zip_with evaluates each input array once. Trailing partial grams from
+    * zip_with's null-padding are dropped by the final slice (and for docs
+    * shorter than n, that same padding yields the whole-text shingle). */
   def wordShingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(grams)
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1))))
   }
 }

@@ -26,23 +26,33 @@ object VectorOps {
     * stable across engines (double low-bit drift never flips a rank). */
   def cosineR(a: Column, b: Column, p: Int = 6): Column = round(cosine(a, b), p)
 
-  /** Signed projection of `v` onto pseudo-random hyperplane `p` whose ±1
-    * coefficient for 0-based dim `d` is the sign bit of `md5("p:d")` —
-    * deterministic and reproducible by a SQL oracle (no RNG state). */
-  def hyperplaneDot(v: Column, p: Int): Column =
+  /** ±1 coefficients of pseudo-random hyperplane `p` for dims 0..dim-1:
+    * +1 iff the first hex digit of `md5("p:d")` is >= '8' (the hash's top
+    * bit). Computed driver-side once — deterministic, no RNG state — and
+    * reproducible by a SQL oracle evaluating the same md5 expression.
+    * Shipping the plane as an array literal keeps the per-row work to a
+    * zip_with/aggregate fold (no per-element hashing on the data path). */
+  def hyperplane(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val top = md.digest(s"$p:$d".getBytes("UTF-8"))(0) & 0xff
+      md.reset()
+      if ((top >>> 4) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** Signed projection of `v` (length `dim`) onto hyperplane `p`. */
+  def hyperplaneDot(v: Column, p: Int, dim: Int): Column =
     aggregate(
-      transform(sequence(lit(1), size(v)), dd =>
-        element_at(v, dd).cast("double") *
-          when(substring(md5(concat(lit(s"$p:"), (dd - lit(1)).cast("string"))), 1, 1) >= "8",
-            lit(1.0)).otherwise(lit(-1.0))),
+      zip_with(v, typedLit(hyperplane(p, dim)), (x, h) => x.cast("double") * h),
       lit(0.0), (acc, x) => acc + x)
 
   /** Random-hyperplane sign-LSH bucket id in [0, 2^planes): bit `p` set iff
     * the projection onto plane `p` is positive. Near-identical vectors land
     * in the same bucket with high probability, so near-dup / ANN joins can
     * shuffle on the bucket instead of going all-pairs. */
-  def hyperplaneBucket(v: Column, planes: Int): Column =
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column =
     (0 until planes)
-      .map(p => when(hyperplaneDot(v, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .map(p => when(hyperplaneDot(v, p, dim) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 }

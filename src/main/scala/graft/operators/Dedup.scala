@@ -37,30 +37,55 @@ object Dedup {
       col("doc_id"),
       Exprs.wordShingles(Exprs.tokens(col("text")), 2).as("sh"))
 
-  /** The K salted minhashes of the `sh` shingle column. */
-  private def minhashes: Seq[Column] =
-    (0 until K).map(j =>
-      array_min(transform(col("sh"), x =>
-        substring(md5(concat(lit(s"$j:"), x)), 1, 16))))
+  /** (doc_id, mh0..mh7): the K minhash signature, computed the
+    * codegen-friendly way — explode shingles, TWO md5 projections per
+    * shingle (salts 0/1), and K `min` aggregates over 8-hex (32-bit)
+    * slices of them. Spark's higher-order functions evaluate interpreted
+    * (outside whole-stage codegen), so a per-element `transform(md5)` ×K
+    * costs K interpreted hash passes; this shape keeps every md5 inside
+    * one codegen'd projection and rides the partial-aggregation path
+    * (per-partition mins before the doc_id shuffle). */
+  private def minhashed(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Exprs.wordShingles(Exprs.tokens(col("text")), 2)).as("sh1"))
+      .select(col("doc_id"),
+        md5(concat(lit("0:"), col("sh1"))).as("h0"),
+        md5(concat(lit("1:"), col("sh1"))).as("h1"))
+    val aggs = (0 until K).map { j =>
+      val src = if (j < 4) col("h0") else col("h1")
+      min(substring(src, 8 * (j % 4) + 1, 8)).as(s"mh$j")
+    }
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** (doc_id, band, bkey): one row per band; bkey concatenates the band's
     * r minhashes. Docs agreeing on any full band collide. */
-  private def banded(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes
-    shingled(s, dir).select(
+  private def banded(s: SparkSession, dir: String): DataFrame =
+    minhashed(s, dir).select(
       col("doc_id"),
-      posexplode(array((0 until B).map(b => concat(mh(2 * b), mh(2 * b + 1))): _*))
+      posexplode(array((0 until B).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "bkey")))
-  }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing at least one band. */
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band.
+    * Pairs are expanded inside each (band, bkey) bucket from one
+    * collect_list — the signature pass runs ONCE (a self-join would
+    * recompute it for both sides). Bucket contents are bounded by the
+    * banding parameters; a degenerate mega-bucket (e.g. a boilerplate
+    * shingle set shared by millions of docs) would need a cap or a
+    * bucket-salted join — flagged, not needed at this corpus shape. */
   private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val bd = banded(s, dir)
-    bd.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-      .join(bd.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
-        Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val ids = col("ids")
+    val pairs = flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    banded(s, dir)
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -80,7 +105,7 @@ object Dedup {
     s"""sig AS (
        |  SELECT doc_id, sh,
        |         list_transform(range(0, $K), j ->
-       |           list_min(list_transform(sh, s -> substr(md5(j || ':' || s), 1, 16)))) AS mh
+       |           list_min(list_transform(sh, s -> substr(md5((j // 4) || ':' || s), 1 + 8 * (j % 4), 8)))) AS mh
        |  FROM sh),
        |bands AS (
        |  SELECT doc_id, sh, b, mh[2*b+1] || mh[2*b+2] AS bkey

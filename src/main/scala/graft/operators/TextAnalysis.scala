@@ -156,12 +156,24 @@ object TextAnalysis {
          |  FROM toks)
          |SELECT gram, count(*) AS df FROM (SELECT doc_id, unnest(sh) AS gram FROM sh)
          |GROUP BY gram ORDER BY df DESC, gram LIMIT 20""".stripMargin) {
-      (s, dir) =>
+      (s, dir) => {
+        // Bigrams via posexplode + window lead instead of a per-row HOF:
+        // everything after the explode is codegen'd, and the one shuffle
+        // (on high-cardinality doc_id) also serves the per-doc distinct.
+        // A lone pos=0 row with no successor is a 1-token doc, whose
+        // "shingle" is the whole text (wordShingles' short-doc rule).
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
         Tables.documents(s, dir)
-          .select(explode(Exprs.wordShingles(Exprs.tokens(col("text")), 2)).as("gram"))
+          .select(col("doc_id"), posexplode(Exprs.tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .filter(col("nxt").isNotNull || col("pos") === 0)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+          .distinct()
           .groupBy("gram").agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("gram"))
           .limit(20)
+      }
     }
   )
 }

@@ -31,15 +31,15 @@ class VectorOpsSpec extends SparkSpec {
   test("hyperplaneBucket is deterministic and within [0, 2^planes)") {
     val vecs = (0 until 20).map(i => Tuple1(Seq.tabulate(8)(d => (i * 31 + d * 7 % 13 - 6).toFloat)))
     val df = vecs.toDF("v")
-    val b1 = df.select(VectorOps.hyperplaneBucket(col("v"), 4).as("b"))
+    val b1 = df.select(VectorOps.hyperplaneBucket(col("v"), 4, dim = 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
-    val b2 = df.select(VectorOps.hyperplaneBucket(col("v"), 4).as("b"))
+    val b2 = df.select(VectorOps.hyperplaneBucket(col("v"), 4, dim = 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(b1 === b2)
     assert(b1.forall(b => b >= 0 && b < 16))
     // scaling a vector by a positive constant never changes its bucket
     val scaled = vecs.map { case Tuple1(v) => Tuple1(v.map(_ * 3.0f)) }.toDF("v")
-    val b3 = scaled.select(VectorOps.hyperplaneBucket(col("v"), 4).as("b"))
+    val b3 = scaled.select(VectorOps.hyperplaneBucket(col("v"), 4, dim = 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(b3 === b1)
   }
