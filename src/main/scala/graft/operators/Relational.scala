@@ -471,6 +471,30 @@ object Relational {
         nonArray.drop("p_retailprice")
     },
 
+    // U1 again through the NATIVE Catalyst expression (graft.plans.
+    // DurationToMinutes, doGenCode) instead of the composed regexp form —
+    // both stay under the correctness gate.
+    QueryDef.sql("q30_duration_native",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_linenumber % 3 = 0
+        |              THEN CAST(CAST(floor(l_quantity) AS INT) * 60 + (l_linenumber * 7) AS INT)
+        |            WHEN l_linenumber % 3 = 1
+        |              THEN CAST(l_linenumber * 9 AS INT)
+        |            ELSE NULL END AS minutes
+        |FROM lineitem WHERE l_orderkey <= 5000""".stripMargin) {
+      (s, dir) =>
+        val dur = when(col("l_linenumber") % 3 === 0,
+          concat(lit("PT"), floor(col("l_quantity")).cast("int"), lit("H"),
+            col("l_linenumber") * 7, lit("M")))
+          .when(col("l_linenumber") % 3 === 1,
+            concat(lit("PT"), col("l_linenumber") * 9, lit("M")))
+          .otherwise(lit("not-a-duration"))
+        Tables.lineitem(s, dir).filter(col("l_orderkey") <= 5000)
+          .withColumn("dur", dur)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            graft.plans.DurationToMinutes(col("dur")).as("minutes"))
+    },
+
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
     // "today" driver-side; ours pins it as a parameter for determinism).
     QueryDef.sql("q29_asof_filter",

@@ -174,6 +174,23 @@ object TextAnalysis {
           .orderBy(col("df").desc, col("gram"))
           .limit(20)
       }
+    },
+
+    // BPE-ish subword counting: a tokenizer-shaped regex (letter runs,
+    // digit runs, single non-space symbols) — the standard pre-tokenizer
+    // split a byte-pair encoder sees, as a codegen'd regexp count.
+    QueryDef.sql("t07_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |       CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vowel_runs
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiou]+"), lit(0))).cast("long").as("n_vowel_runs"))
     }
   )
 }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-API bridge: Spark 4 `Column` wraps a `ColumnNode`, and the
+  * Expression↔Column converters live `private[sql]` in
+  * `org.apache.spark.sql.classic.ExpressionUtils` — this nested-package
+  * object re-exports just the two conversions a library defining custom
+  * Catalyst expressions needs (the standard extension-point technique;
+  * the alternative, registering every expression as a SQL function, works
+  * only on sessions built with our extensions installed). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
