@@ -495,6 +495,23 @@ object Relational {
             graft.plans.DurationToMinutes(col("dur")).as("minutes"))
     },
 
+    // P7 array-expression FILTER (reference updateToGold.py:31's
+    // size(array_distinct(...)) predicate shape): keep only documents with
+    // heavy token repetition, then aggregate per language.
+    QueryDef.sql("q31_array_filter",
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT lang, count(*) AS n
+        |FROM toks WHERE len(list_distinct(t)) * 2 < len(t)
+        |GROUP BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"), graft.functions.Exprs.tokens(col("text")).as("t"))
+          .filter(size(array_distinct(col("t"))) * 2 < size(col("t")))
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+    },
+
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
     // "today" driver-side; ours pins it as a parameter for determinism).
     QueryDef.sql("q29_asof_filter",
