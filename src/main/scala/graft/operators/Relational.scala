@@ -512,6 +512,17 @@ object Relational {
           .groupBy("lang").agg(count(lit(1)).as("n"))
     },
 
+    // Approximate distinct-count (HyperLogLog++): the 100 TB form of q21 —
+    // fixed-size sketches, partial-merge before the shuffle, ~2% error.
+    // No SQL oracle (DuckDB's sketch differs); the driver records rows,
+    // and the ScalaTest suite asserts <5% error vs the exact count.
+    QueryDef.noOracle("q32_approx_distinct") {
+      (s, dir) =>
+        Tables.orders(s, dir).groupBy("o_orderpriority")
+          .agg(approx_count_distinct("o_custkey", 0.02).as("approx_cust"),
+            count(lit(1)).as("n"))
+    },
+
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
     // "today" driver-side; ours pins it as a parameter for determinism).
     QueryDef.sql("q29_asof_filter",

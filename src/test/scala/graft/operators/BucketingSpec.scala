@@ -1,0 +1,33 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without any shuffle exchange") {
+    val root = Files.createTempDirectory("graft-bucket").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+
+    val fact = spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+
+    Bucketing.writeBucketed(fact, "bkt.fact", s"$root/fact", "k", buckets = 8)
+    Bucketing.writeBucketed(dim, "bkt.dim", s"$root/dim", "k", buckets = 8)
+
+    // bucketed scans need the bucketing-aware planner path (on by default);
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "bkt.fact", "bkt.dim", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected a co-located join with no shuffle, got:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}

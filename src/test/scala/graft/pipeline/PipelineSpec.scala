@@ -148,6 +148,18 @@ class PipelineSpec extends SparkSpec {
     assert(goldAfter === goldBefore)
   }
 
+  test("partition pruning: a year/month predicate reaches the bronze scan") {
+    firstRun
+    val q = spark.read.parquet(paths.bronze)
+      .filter(col("year") === 2022 && col("month") === 4)
+      .select("index")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(month#") ,
+      s"expected partition filters in:\n$plan")
+    val expected = model.count(_.searchDate.startsWith("2022-04"))
+    assert(q.count() === expected.toLong)
+  }
+
   test("incremental: a grown source appends only the new rows") {
     firstRun
     // a second fixture epoch: same schema, indexes 200-219

@@ -58,6 +58,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window aggregation matches the batch events query") {
+    // The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts as
+    // a nanos long (legacy conf is set in SparkSpec via Sessions parity)
+    // and convert exactly as Tables.events does for the batch side.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("q22_events_hourly")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // the file stream source wants a directory, so stage the single file
+    val staged = Files.createTempDirectory("graft-events")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .writeStream.format("memory").queryName("stream_hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_hourly")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("relayAvailableNow: exactly-once file relay, incremental on re-run") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/src"
