@@ -65,6 +65,29 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stand-in "feature extractor": 16-bin histogram of the
+    * payload's high nibbles, normalized — the shape (fixed-length
+    * `array<double>` per item, batch iteration, per-partition init) is
+    * exactly what a real embedding/feature model invocation has. */
+  final case class Features(doc_id: Long, features: Seq[Double])
+
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[Features] = {
+    implicit val enc: Encoder[Features] = Encoders.product[Features]
+    media.mapPartitions { rows =>
+      // per-partition "model load" slot
+      rows.map { r =>
+        val bins = new Array[Double](16)
+        var i = 0
+        while (i < r.payload.length) {
+          bins((r.payload(i) & 0xff) >>> 4) += 1.0
+          i += 1
+        }
+        val n = math.max(r.payload.length, 1).toDouble
+        Features(r.doc_id, bins.map(_ / n).toSeq)
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Joint text ⋈ embedding analytics: per (lang, label) corpus stats.
@@ -122,6 +145,21 @@ object Multimodal {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaRow]
         extractFrames(media).toDF()
+      }
+    },
+
+    // Feature extraction through the same batch-decode path; rows-only
+    // driver check (no SQL oracle for the histogram), golden-tested in
+    // MultimodalSpec.
+    QueryDef.noOracle("m04_feature_extract") {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        extractFeatures(media).toDF()
+          .select(col("doc_id"), round(element_at(col("features"), 7), 6).as("bin6"),
+            size(col("features")).cast("long").as("n_bins"))
       }
     }
   )

@@ -88,6 +88,60 @@ object Similarity {
           .limit(10)
     },
 
+    // IVF probe — the centroid-quantizer ANN path: assign every vector to
+    // its nearest centroid (coarse quantizer = per-label means here; a
+    // k-means fit slots into the same shape), then the query scans ONLY
+    // its own centroid's inverted list (~1/nlist of the corpus). The
+    // centroid table is tiny and broadcast; assignment is one pass.
+    QueryDef.sql("s05_ivf_probe", {
+      val cos = cosSql("a", "q")
+      val vcCos =
+        """round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |cm AS (SELECT label, dim, avg(v) AS mean FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT label, list(mean ORDER BY dim) AS cvec FROM cm GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS clabel, $vcCos AS ccos
+         |  FROM embeddings e, cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, clabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |q AS (SELECT vec_id, embedding, clabel FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, $cos AS cos
+         |FROM assigned a, q WHERE a.clabel = q.clabel AND a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb
+          .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+            x => x.getField("mean")).as("cvec"))
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("clabel"),
+            VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("vec_id", "embedding", "clabel")
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("clabel"), col("embedding").as("qe"))
+        assigned.join(broadcast(q), Seq("clabel"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
+    },
+
     // Per-label centroids, one row per (label, dim): the building block of
     // IVF partitioning / cluster-based retrieval. posexplode + one hash agg.
     QueryDef.sql("s04_label_centroids",

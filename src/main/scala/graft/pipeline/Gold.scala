@@ -48,17 +48,37 @@ object Gold {
     spark.sql("CREATE DATABASE IF NOT EXISTS gold")
     val silver = spark.read.parquet(silverPath)
 
-    revenueAndSeatsByMonth(silver, asOf)
-      .write
-      .partitionBy("month")
-      .option("path", s"$goldPath/revenue_n_seat_remain_ym")
-      .mode("overwrite")
-      .saveAsTable("gold.revenue_n_seat_remain_ym")
+    writeTable(spark, revenueAndSeatsByMonth(silver, asOf),
+      "gold.revenue_n_seat_remain_ym", s"$goldPath/revenue_n_seat_remain_ym",
+      partitionCols = Seq("month"))
+    writeTable(spark, fareBasisAvgDuration(silver),
+      "gold.fbc_travel_duration_relation", s"$goldPath/fbc_travel_duration_relation",
+      partitionCols = Nil)
+  }
 
-    fareBasisAvgDuration(silver)
-      .write
-      .option("path", s"$goldPath/fbc_travel_duration_relation")
-      .mode("overwrite")
-      .saveAsTable("gold.fbc_travel_duration_relation")
+  /** First run: `saveAsTable`. Subsequent runs: `insertInto` with DYNAMIC
+    * partition overwrite — only the partitions present in this batch are
+    * rewritten, so at 100 TB a daily refresh touches one month's files,
+    * not the whole table, with the same retry-idempotence. */
+  private def writeTable(
+      spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      table: String, path: String, partitionCols: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val w0 = df.write.option("path", path).mode("overwrite")
+      val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+      w.saveAsTable(table)
+    } else {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        // insertInto matches columns by POSITION: align to the table schema
+        // (partition columns land last in catalog order).
+        df.select(spark.table(table).columns.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 }

@@ -23,6 +23,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2).checksum === md5HexOfHex(payload.slice(512, 600)))
   }
 
+  test("extractFeatures: normalized high-nibble histogram") {
+    implicit val enc = Encoders.product[MediaRow]
+    // 0x00..0x0F once each → one count in bin 0..0 ... all 16 values have
+    // high nibble 0 → bin0 = 16/16 = 1.0
+    val lowNibbles = Array.tabulate[Byte](16)(_.toByte)
+    val ds = spark.createDataset(Seq(MediaRow(1L, lowNibbles), MediaRow(2L, Array[Byte](0x70, 0x7F, 0x10))))
+    val out = Multimodal.extractFeatures(ds).collect().map(f => f.doc_id -> f.features).toMap
+    assert(out(1L)(0) === 1.0 && out(1L).sum === 1.0)
+    assert(out(2L)(7) === 2.0 / 3.0 && out(2L)(1) === 1.0 / 3.0)
+    assert(out(2L).size === 16)
+  }
+
   test("extractFrames yields one empty frame for an empty payload") {
     implicit val enc = Encoders.product[MediaRow]
     val ds = spark.createDataset(Seq(MediaRow(1L, Array.emptyByteArray)))
