@@ -523,6 +523,33 @@ object Relational {
             count(lit(1)).as("n"))
     },
 
+    // Exact interpolated percentiles per group (both engines use the
+    // same linear-interpolation definition; approx sketches are q32's job).
+    QueryDef.sql("q33_percentiles",
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir).groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("p50"),
+            percentile(col("value"), lit(0.95)).as("p95"),
+            count(lit(1)).as("n"))
+    },
+
+    // Grouping sets: ROLLUP subtotals + grand total (absent from the
+    // reference; the natural "trend report" shape its gold tables feed).
+    QueryDef.sql("q34_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
     // "today" driver-side; ours pins it as a parameter for determinism).
     QueryDef.sql("q29_asof_filter",
