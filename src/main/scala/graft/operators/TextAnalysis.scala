@@ -122,7 +122,7 @@ object TextAnalysis {
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            substring(md5(concat_ws(" ", Exprs.tokens(col("text")))), 1, 16).as("fp"))
+            Exprs.hash16(concat_ws(" ", Exprs.tokens(col("text")))).as("fp"))
     },
 
     // Winnowing-style signature: concat of the 4 smallest bigram-shingle
@@ -142,7 +142,7 @@ object TextAnalysis {
           .select(col("doc_id"), Exprs.wordShingles(Exprs.tokens(col("text")), 2).as("sh"))
           .select(col("doc_id"),
             concat_ws("", slice(array_sort(transform(col("sh"), x =>
-              substring(md5(x), 1, 16))), 1, 4)).as("sig"))
+              Exprs.hash16(x))), 1, 4)).as("sig"))
     },
 
     // N-gram document frequency: top-20 bigrams by number of documents
