@@ -42,7 +42,13 @@ object Bronze {
     val batch = wm.fold(source)(w => source.filter(col("index") > w))
     if (batch.isEmpty) wm
     else {
+      // Repartition by the partition columns before the partitioned write:
+      // otherwise every one of the N shuffle/input partitions writes a
+      // file into every (year,month,day) directory — N× the file count,
+      // the classic small-files problem at scale. One shuffle keyed by
+      // the layout ≈ one file per partition per batch.
       withPartitionColumns(batch)
+        .repartition(col("year"), col("month"), col("day"))
         .write
         .partitionBy("year", "month", "day")
         .mode("append")

@@ -59,7 +59,10 @@ object Silver {
     else {
       transform(batch).createOrReplaceTempView("silver_batch")
       val out = spark.sql("SELECT * FROM silver_batch")
-      out.write
+      out
+        // file-count control: see Bronze.run
+        .repartition(col("year"), col("month"), col("day"))
+        .write
         .partitionBy("year", "month", "day")
         .mode("append")
         .parquet(silverPath)

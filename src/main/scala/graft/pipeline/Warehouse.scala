@@ -72,6 +72,26 @@ object Warehouse {
       .map(f => col(f.name)): _*)
   }
 
+  /** The star query the warehouse exists for (implied by the reference's
+    * dimensional model, SURVEY §2.3, never executed there): fact joined to
+    * broadcast dims — revenue and volume by month name and origin airport.
+    * At scale: the fact side never shuffles for these joins; only the
+    * final aggregate shuffles, on small group keys. */
+  def starRevenue(spark: SparkSession): DataFrame = {
+    // rename dim keys up front: the fact carries its own `day` partition
+    // column, and unambiguous names beat dataframe-tagged references
+    val dimDate = spark.table("warehouse.dim_date")
+      .select(col("day").as("dim_day"), col("month_name"))
+    val dimAirport = spark.table("warehouse.dim_airport")
+      .select(col("code"), col("name").as("airport_name"))
+    spark.table("warehouse.fact_flight_activites")
+      .join(broadcast(dimDate), col("flightDate") === col("dim_day"))
+      .join(broadcast(dimAirport), col("startingAirport") === col("code"))
+      .groupBy("month_name", "code")
+      .agg(round(sum("totalFare"), 2).as("total_fare"),
+        count(lit(1)).as("n_itineraries"))
+  }
+
   private def dimAppend(
       spark: SparkSession, batch: DataFrame, table: String, path: String,
       keyCols: Seq[String], partitionCols: Seq[String] = Nil): Unit = {

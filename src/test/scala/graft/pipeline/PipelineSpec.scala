@@ -148,6 +148,16 @@ class PipelineSpec extends SparkSpec {
     assert(goldAfter === goldBefore)
   }
 
+  test("star query: fact joins broadcast dims and matches silver totals") {
+    firstRun
+    val star = Warehouse.starRevenue(spark)
+    val plan = star.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$plan")
+    // every silver row lands in exactly one (month_name, airport) cell
+    val total = star.agg(sum("n_itineraries")).head().getLong(0)
+    assert(total === spark.read.parquet(paths.silver).count())
+  }
+
   test("partition pruning: a year/month predicate reaches the bronze scan") {
     firstRun
     val q = spark.read.parquet(paths.bronze)
