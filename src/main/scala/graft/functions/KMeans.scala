@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an `array<float>` embedding column —
+  * the quantizer an IVF index actually trains (operators.Similarity s05
+  * uses label means as a stand-in; this is the unsupervised fit).
+  *
+  * Iteration shape is the scale-correct one: centroids live on the driver
+  * (k × dim doubles — trivially small), ship to executors as array
+  * literals, the corpus makes ONE pass per iteration computing nearest
+  * centroids, and new means come back through a partial-aggregated
+  * groupBy. Nothing corpus-sized ever reaches the driver.
+  *
+  * Determinism: init = the k lowest-vec_id vectors, ties on distance break
+  * to the lowest cluster index, fixed iteration count — same input, same
+  * model, no RNG.
+  */
+object KMeans {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+
+    /** Column: index of this row's nearest centroid (squared L2, ties →
+      * lowest index). */
+    def clusterOf(v: Column): Column = {
+      val dists = array(centroids.map(c => sqDist(v, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    /** Column: squared distance from `v` to its nearest centroid. */
+    def nearestDist(v: Column): Column =
+      array_min(array(centroids.map(c => sqDist(v, c)): _*))
+
+    private def sqDist(v: Column, c: Array[Double]): Column =
+      aggregate(
+        zip_with(v, typedLit(c.toSeq), (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Fit on `emb` (columns: id, vec array<float>). One corpus pass per
+    * iteration + one tiny collect of (cluster, dim) means. */
+  def fit(emb: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
+    val init = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var model = Model(init)
+    for (_ <- 0 until iters) {
+      val assigned = emb.select(
+        model.clusterOf(col(vecCol)).as("cluster"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      val means = assigned
+        .groupBy("cluster", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // empty clusters keep their previous centroid
+      model = Model(Array.tabulate(k)(c => means.get(c).map(_.toArray)
+        .getOrElse(model.centroids(c))))
+    }
+    model
+  }
+
+  /** Per-cluster sizes + inertia (sum of squared distances to the
+    * assigned centroid) — the fit-quality summary. */
+  def summarize(emb: DataFrame, vecCol: String, model: Model): DataFrame =
+    emb.select(
+      model.clusterOf(col(vecCol)).as("cluster"),
+      model.nearestDist(col(vecCol)).as("d2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
+}

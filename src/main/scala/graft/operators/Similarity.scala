@@ -142,6 +142,18 @@ object Similarity {
       }
     },
 
+    // The unsupervised IVF fit: deterministic Lloyd's k-means (see
+    // graft.functions.KMeans — broadcast centroids, one corpus pass per
+    // iteration). Rows-only driver check (iterative model, no SQL
+    // oracle); convergence and recovery are asserted in KMeansSpec.
+    QueryDef.noOracle("s06_kmeans_ivf_fit") {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3)
+        graft.functions.KMeans.summarize(emb, "embedding", model)
+      }
+    },
+
     // Per-label centroids, one row per (label, dim): the building block of
     // IVF partitioning / cluster-based retrieval. posexplode + one hash agg.
     QueryDef.sql("s04_label_centroids",
