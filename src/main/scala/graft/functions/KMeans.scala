@@ -42,6 +42,32 @@ object KMeans {
         lit(0.0), (acc, x) => acc + x)
   }
 
+  /** (id, cluster, d2): squared distance of every vector to every
+    * centroid — as explode + broadcast join + codegen'd aggregation, NOT
+    * per-row HOF lambdas (interpreted, and k× slower than codegen; the
+    * join form is also the shape that distributes at corpus scale: a
+    * matrix product expressed as joins). */
+  private def distances(emb: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (v, d) => (ci, d, v) }
+    }.toSeq.toDF("cluster", "dim", "c")
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(broadcast(centDf), Seq("dim"))
+      .groupBy("id", "cluster")
+      .agg(sum((col("x").cast("double") - col("c")) * (col("x").cast("double") - col("c")))
+        .as("d2"))
+  }
+
+  /** (id, cluster, d2): each vector's nearest centroid, ties to the
+    * lowest cluster index (min over (d2, cluster) structs). */
+  private def assign(emb: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
+    distances(emb, vecCol, idCol, model)
+      .groupBy("id")
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("id"), col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+
   /** Fit on `emb` (columns: id, vec array<float>). One corpus pass per
     * iteration + one tiny collect of (cluster, dim) means. */
   def fit(emb: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
@@ -50,10 +76,10 @@ object KMeans {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var model = Model(init)
     for (_ <- 0 until iters) {
-      val assigned = emb.select(
-        model.clusterOf(col(vecCol)).as("cluster"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      val means = assigned
+      val a = assign(emb, vecCol, idCol, model).select("id", "cluster")
+      val means = emb
+        .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .join(a, Seq("id"))
         .groupBy("cluster", "dim")
         .agg(avg(col("x").cast("double")).as("m"))
         .collect()
@@ -70,10 +96,8 @@ object KMeans {
 
   /** Per-cluster sizes + inertia (sum of squared distances to the
     * assigned centroid) — the fit-quality summary. */
-  def summarize(emb: DataFrame, vecCol: String, model: Model): DataFrame =
-    emb.select(
-      model.clusterOf(col(vecCol)).as("cluster"),
-      model.nearestDist(col(vecCol)).as("d2"))
+  def summarize(emb: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
+    assign(emb, vecCol, idCol, model)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
 }

@@ -150,7 +150,7 @@ object Similarity {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3)
-        graft.functions.KMeans.summarize(emb, "embedding", model)
+        graft.functions.KMeans.summarize(emb, "embedding", "vec_id", model)
       }
     },
 

@@ -10,7 +10,7 @@ class KMeansSpec extends SparkSpec {
   private def inertia(iters: Int): (Double, Long) = {
     val emb = Tables.embeddings(spark, dir)
     val model = KMeans.fit(emb, "embedding", "vec_id", k = 4, iters = iters)
-    val s = KMeans.summarize(emb, "embedding", model)
+    val s = KMeans.summarize(emb, "embedding", "vec_id", model)
     val row = s.agg(sum("inertia"), sum("n")).head()
     (row.getDouble(0), row.getLong(1))
   }
