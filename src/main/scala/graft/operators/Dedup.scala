@@ -158,25 +158,38 @@ object Dedup {
           .select(col("id_a"), col("id_b"), round(jac, 4).as("jac"))
     },
 
-    // SimHash: 16-bit per-document signature by per-bit token majority vote.
-    // A pure projection (no shuffle at all) — the cheapest near-dup sieve.
-    QueryDef.sql("d04_simhash",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS dt
-        |  FROM documents)
-        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
-        |         CASE WHEN 2*len(list_filter(dt, t -> substr(md5(i || ':' || t), 1, 1) >= '8')) > len(dt)
-        |              THEN 1<<i ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM toks""".stripMargin) {
+    // SimHash: 16-bit per-document signature by per-bit token majority
+    // vote. Bit i of a token = hex digit i of its single md5 (>= '8' ⇔
+    // top bit set); doc bit i = majority over distinct tokens. Same
+    // codegen shape as the minhash: explode tokens, ONE md5 projection,
+    // 16 conditional sums in a partial-aggregated groupBy.
+    QueryDef.sql("d04_simhash", {
+      val bitSums = (0 until 16).map(i =>
+        s"sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS b$i").mkString(",\n        |         ")
+      val sig = (0 until 16).map(i => s"CASE WHEN 2*b$i > n THEN 1<<$i ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS dt
+         |  FROM documents),
+         |ex AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(dt) AS t FROM toks)),
+         |bits AS (
+         |  SELECT doc_id, count(*) AS n,
+         |         $bitSums
+         |  FROM ex GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits""".stripMargin
+    }) {
       (s, dir) =>
-        val bits = (0 until 16).map(i =>
-          when(lit(2) * size(filter(col("dt"), t =>
-            substring(md5(concat(lit(s"$i:"), t)), 1, 1) >= "8")) > size(col("dt")),
-            lit(1L << i)).otherwise(lit(0L)))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), Exprs.distinctTokens(col("text")).as("dt"))
-          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        val ex = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.distinctTokens(col("text"))).as("t"))
+          .select(col("doc_id"), md5(col("t")).as("h"))
+        val sums = (0 until 16).map(i =>
+          sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(0)).as(s"b$i"))
+        val sig = (0 until 16)
+          .map(i => when(lit(2) * col(s"b$i") > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        ex.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("doc_id"), sig.as("simhash"))
     },
 
     // Embedding near-dup: random-hyperplane sign LSH (8 planes, md5-derived

@@ -523,6 +523,28 @@ object Relational {
             count(lit(1)).as("n"))
     },
 
+    // Correlated scalar subquery (TPC-H Q17 shape), through the engine's
+    // SQL path over temp views (S7): small-quantity outliers per part.
+    // Catalyst decorrelates this into an aggregate + join automatically.
+    QueryDef.sql("q35_corr_subquery",
+      """SELECT l.l_partkey, count(*) AS n_small,
+        |       round(sum(l.l_extendedprice), 2) AS small_revenue
+        |FROM lineitem l
+        |WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l.l_partkey""".stripMargin) {
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql(
+          """SELECT l.l_partkey, count(*) AS n_small,
+            |       round(sum(l.l_extendedprice), 2) AS small_revenue
+            |FROM lineitem_v l
+            |WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+            |                      FROM lineitem_v l2 WHERE l2.l_partkey = l.l_partkey)
+            |GROUP BY l.l_partkey""".stripMargin)
+      }
+    },
+
     // Exact interpolated percentiles per group (both engines use the
     // same linear-interpolation definition; approx sketches are q32's job).
     QueryDef.sql("q33_percentiles",
