@@ -114,6 +114,39 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Connected components over an undirected edge list by min-label
+    * propagation: every vertex repeatedly adopts the smallest label in its
+    * neighborhood. Converges in graph-diameter iterations; near-dup
+    * clusters are shallow (dozens of hops at the extreme), so a small
+    * fixed bound suffices — and each iteration is one self-contained
+    * shuffle on the vertex id, the scalable shape (this is how you apply
+    * "keep one per near-dup cluster" to a corpus; GraphFrames does the
+    * same loop with more machinery). */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nbrLabels = sym
+        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .select(col("id"), col("nbr_label").as("label"))
+      val next = labels.unionByName(nbrLabels)
+        .groupBy("id").agg(min("label").as("label"))
+      // truncate lineage each round: without this the logical plan doubles
+      // per iteration (analysis time blows up long before data size does).
+      // At cluster scale use checkpoint() to reliable storage instead.
+      val mat = next.localCheckpoint(true)
+      converged = mat.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = mat
+      iter += 1
+    }
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: group by content hash, keep-first. One shuffle on the
@@ -190,6 +223,36 @@ object Dedup {
         ex.groupBy("doc_id")
           .agg(count(lit(1)).as("n"), sums: _*)
           .select(col("doc_id"), sig.as("simhash"))
+    },
+
+    // APPLIED exact dedup: materialize the deduped corpus (keep-first per
+    // content hash) — the operation a training pipeline actually runs.
+    QueryDef.sql("d06_dedup_apply",
+      """SELECT lang, count(*) AS n_kept FROM (
+        |  SELECT lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 GROUP BY lang""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    }
+    },
+
+    // APPLIED near-dup dedup: cluster the verified candidate pairs into
+    // connected components (iterative min-label propagation) and report
+    // cluster sizes. Rows-only driver check (iterative graph algorithm);
+    // the component logic is unit-tested on known graphs.
+    QueryDef.noOracle("d07_neardup_components") {
+      (s, dir) => {
+        val pairs = candidates(s, dir)
+        connectedComponents(pairs)
+          .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      }
     },
 
     // Embedding near-dup: random-hyperplane sign LSH (8 planes, md5-derived
