@@ -123,8 +123,12 @@ object Dedup {
     * "keep one per near-dup cluster" to a corpus; GraphFrames does the
     * same loop with more machinery). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once: it is referenced every iteration,
+    // and an unmaterialized lineage would recompute the (possibly
+    // expensive) edge derivation per round
     val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var iter = 0
