@@ -423,6 +423,36 @@ object Relational {
           .select(col("event_id").as("purchase_id"), col("last_view_id"))
     },
 
+    // The general two-table as-of join (operators.TemporalJoins.asofJoin):
+    // purchases matched to the same user's latest view at-or-before the
+    // purchase time. Right side pre-deduped per (user, ts) so tie order
+    // is total; single shuffle on user_id, never pairs-then-filter.
+    QueryDef.sql("q36_asof_general",
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS vid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS vid, event_id, 1 AS src
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, vid, CAST(NULL AS BIGINT) AS event_id, 0 AS src FROM v),
+        |f AS (
+        |  SELECT *, last_value(vid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, last_view_id FROM f WHERE src = 1""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        TemporalJoins.asofJoin(purchases, views, "user_id", "ts", "ts")
+          .select(col("event_id").as("purchase_id"), col("asof.vid").as("last_view_id"))
+      }
+    },
+
     // Semi-structured extraction: JSON props column → typed value, then agg
     // (the `events.props` column is a JSON object per row).
     QueryDef.sql("q26_json_extract",

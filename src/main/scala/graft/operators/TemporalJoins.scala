@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** General-purpose temporal joins, built to avoid the two classic
+  * blowups: a point-in-time (as-of) join that never expands to
+  * pairs-then-filter, and a range join that banding-buckets instead of
+  * cross-joining.
+  *
+  * The reference has no temporal joins at all; these are the operators a
+  * 100 TB event store actually needs (attribute purchases to sessions,
+  * join metrics to maintenance windows, …).
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the latest right row with the
+    * same `key` and `rightTime <= leftTime` (inclusive), or null if none.
+    *
+    * Single shuffle on `key` (union both sides, one window pass): work is
+    * O((|L|+|R|) log) per key partition, never |L|×|R|. Right rows sort
+    * before left rows on timestamp ties, so a tie matches. The matched
+    * right row arrives as one struct column `asofCol` (null = no match).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, asofCol: String = "asof"): DataFrame = {
+    val lStructT = StructType(left.schema.fields)
+    val rStructT = StructType(right.schema.filterNot(_.name == key).toArray)
+
+    val l = left.select(
+      col(key), col(leftTime).as("__t"),
+      lit(null).cast(rStructT).as("__rval"),
+      struct(left.columns.map(col): _*).as("__lrow"),
+      lit(1).as("__src"))
+    val r = right.select(
+      col(key), col(rightTime).as("__t"),
+      struct(right.columns.filterNot(_ == key).map(col): _*).as("__rval"),
+      lit(null).cast(lStructT).as("__lrow"),
+      lit(0).as("__src"))
+
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lCols = left.columns.map(c => col(s"__lrow.$c").as(c))
+    l.unionByName(r)
+      .withColumn(asofCol, last(col("__rval"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(lCols :+ col(asofCol): _*)
+  }
+
+  /** Range join: pair every point with every interval (same `key`) that
+    * contains it (`start <= point < end`), via banding: intervals explode
+    * into the fixed-width buckets they overlap, points hash to their one
+    * bucket, and the join runs on (key, bucket) + a residual predicate.
+    * Work scales with actual overlaps (× interval span / bucketWidth),
+    * not |points| × |intervals|. Pick `bucketWidth` near the typical
+    * interval length. */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame, key: String,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+    val i = intervals.withColumn("__b",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        // end is exclusive: a bucket is covered only if start of the
+        // bucket < end, i.e. last bucket = floor((end-1)/width)
+        floor((col(endCol) - 1) / bucketWidth))))
+    p.join(i, Seq(key, "__b"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin attaches the latest right row at or before each left time") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 25L, "t2"), (1L, 5L, "t0"), (2L, 50L, "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 20L, 102.0), (2L, 60L, 200.0))
+      .toDF("key", "qts", "px")
+
+    val out = TemporalJoins.asofJoin(trades, quotes, "key", "ts", "qts")
+      .select(col("trade"), col("asof.px").as("px"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    assert(out === Map(
+      "t0" -> None,          // no quote at or before ts=5
+      "t1" -> Some(101.0),   // tie: quote at ts=10 matches (inclusive)
+      "t2" -> Some(102.0),   // latest of 8/10/20
+      "t3" -> None))         // key 2's only quote is later
+  }
+
+  test("rangeJoin equals the naive cross-join filter") {
+    val points = (0L until 300L).map(i => (i % 3, i * 7 % 500)).toDF("key", "t")
+    val intervals = Seq(
+      (0L, 0L, 100L, "a"), (0L, 90L, 200L, "b"), (1L, 50L, 60L, "c"),
+      (2L, 400L, 500L, "d"), (0L, 450L, 455L, "e"))
+      .toDF("key", "s", "e", "tag")
+
+    val banded = TemporalJoins.rangeJoin(points, intervals, "key", "t", "s", "e",
+      bucketWidth = 64)
+      .select("key", "t", "tag")
+    val naive = points.join(intervals, "key")
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("key", "t", "tag")
+
+    assert(banded.count() === naive.count())
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+    assert(banded.count() > 0)
+  }
+}
