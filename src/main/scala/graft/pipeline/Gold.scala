@@ -46,6 +46,11 @@ object Gold {
     * reference's Hive-metastore pattern on Spark's built-in catalog). */
   def run(spark: SparkSession, silverPath: String, goldPath: String, asOf: Date): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS gold")
+    // Both aggregates scan silver; the reference persist()s the frame
+    // between them (updateToGold.py:46,55). Deliberately NOT cached here:
+    // each aggregate prunes to a different narrow column set at the scan
+    // (cheaper than materializing the full width), and at 100 TB caching
+    // the layer would evict everything else for a one-shot reuse.
     val silver = spark.read.parquet(silverPath)
 
     writeTable(spark, revenueAndSeatsByMonth(silver, asOf),
