@@ -26,6 +26,27 @@ class TemporalJoinsSpec extends SparkSpec {
       "t3" -> None))         // key 2's only quote is later
   }
 
+  test("asofJoin equals the naive max-time formulation on generated data") {
+    // deterministic pseudo-random frames; right times unique per key
+    val left = (0 until 400).map(i => ((i % 7).toLong, (i * 13 % 211).toLong, i.toLong))
+      .toDF("key", "lt", "lid")
+    val right = (0 until 150).map(i => ((i % 7).toLong, (i * 29 % 199).toLong, (1000 + i).toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, rt)
+      .toDF("key", "rt", "rid")
+
+    val fast = TemporalJoins.asofJoin(left, right, "key", "lt", "rt")
+      .select(col("lid"), col("asof.rid").as("rid"))
+
+    val best = left.join(right, Seq("key"))
+      .filter(col("rt") <= col("lt"))
+      .groupBy("lid").agg(max(struct(col("rt"), col("rid"))).as("m"))
+      .select(col("lid"), col("m.rid").as("rid"))
+    val naive = left.select("lid").join(best, Seq("lid"), "left")
+
+    assert(fast.count() === left.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
   test("rangeJoin equals the naive cross-join filter") {
     val points = (0L until 300L).map(i => (i % 3, i * 7 % 500)).toDF("key", "t")
     val intervals = Seq(
