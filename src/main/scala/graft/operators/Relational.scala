@@ -187,19 +187,11 @@ object Relational {
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .groupBy("c_nationkey", "c_custkey")
           .agg(round(sum("o_totalprice"), 2).as("spent"))
-        // Two-phase top-k: nationkey has ~25 distinct values, so a single
-        // window over it runs 25 giant single-task partitions at scale.
-        // Phase 1 ranks within (nation, salt) buckets — full parallelism —
-        // and keeps each bucket's top-3; phase 2 re-ranks the surviving
-        // 3*64 rows per nation. Any global top-3 row is top-3 in its own
-        // bucket, so the result is identical to the one-shot window.
-        val pre = Window.partitionBy(col("c_nationkey"), pmod(col("c_custkey"), lit(64)))
-          .orderBy(col("spent").desc, col("c_custkey"))
-        val fin = Window.partitionBy("c_nationkey").orderBy(col("spent").desc, col("c_custkey"))
-        spend.withColumn("prk", row_number().over(pre))
-          .filter(col("prk") <= 3)
-          .withColumn("rk", row_number().over(fin))
-          .filter(col("rk") <= 3)
+        // Low-cardinality window keys (25 nations) → the salted two-phase
+        // top-k operator (see TopK for the scale rationale + equivalence).
+        TopK.topKPerKey(spend, Seq("c_nationkey"),
+          Seq(col("spent").desc, col("c_custkey")), k = 3,
+          saltExpr = col("c_custkey"))
           .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
             col("spent"), col("rk").cast("long").as("rk"))
     },

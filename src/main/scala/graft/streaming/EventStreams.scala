@@ -98,6 +98,30 @@ object EventStreams {
           }
       }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's views within the preceding `maxGap`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict state for rows too old to ever match — without the
+    * interval bound a stream-stream join's state grows forever. */
+  def viewPurchaseJoin(
+      views: Dataset[Event], purchases: Dataset[Event],
+      watermarkDelay: String = "10 minutes", maxGapMinutes: Int = 30): DataFrame = {
+    val v = views.toDF()
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val p = purchases.toDF()
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(v, expr(
+      s"""v_user = p_user AND
+         |view_ts <= purchase_ts AND
+         |view_ts >= purchase_ts - INTERVAL $maxGapMinutes MINUTES""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Checkpointed file-relay with `Trigger.AvailableNow`: reads whatever
     * files exist, processes them exactly once (offsets in the checkpoint),
     * and stops — re-running picks up only NEW files. `foreachBatch` gives

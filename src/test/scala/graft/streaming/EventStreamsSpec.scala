@@ -58,6 +58,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.viewPurchaseJoin(views.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("vp_join").outputMode("append").start()
+    try {
+      views.addData(
+        Event(1, ts(0), 1, "view", 0),    // 40 min before purchase: too old
+        Event(2, ts(25), 1, "view", 0),   // within 30 min: matches
+        Event(3, ts(35), 1, "view", 0),   // 5 min before: matches
+        Event(4, ts(10), 2, "view", 0))   // other user
+      purchases.addData(Event(10, ts(40), 1, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("vp_join")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((10L, 2L), (10L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming window aggregation matches the batch events query") {
     // The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts as
     // a nanos long (legacy conf is set in SparkSpec via Sessions parity)
