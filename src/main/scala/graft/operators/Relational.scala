@@ -445,6 +445,43 @@ object Relational {
       }
     },
 
+    // TPC-H Q5 shape: local-supplier revenue — the join graph touches two
+    // fact FKs (custkey via orders, suppkey direct) plus an equality
+    // BETWEEN dimensions (customer and supplier share a nation). Only
+    // nation is broadcast-hinted; customer/supplier scale with sf.
+    QueryDef.sql("q37_local_supplier",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // HAVING-clause aggregation (TPC-H Q4 flavor): only groups above a
+    // volume threshold survive — the filter runs post-aggregation.
+    QueryDef.sql("q38_having",
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 25""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .filter(col("n_orders") >= 25)
+    },
+
     // Semi-structured extraction: JSON props column → typed value, then agg
     // (the `events.props` column is a JSON object per row).
     QueryDef.sql("q26_json_extract",

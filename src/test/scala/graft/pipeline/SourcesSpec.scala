@@ -40,6 +40,20 @@ class SourcesSpec extends SparkSpec {
     assert(slice.count() === 50)
   }
 
+  test("csv: malformed rows surface as nulls, not failures (PERMISSIVE)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("bad.csv"),
+      "index,legId,searchDate\n" +       // header missing most columns
+        "0,leg0,2022-04-16\n" +
+        "not-a-long,leg1,2022-04-17\n")  // unparseable index
+    val df = Sources.csv(spark, dir.toString)
+    val rows = df.select("index", "legId", "totalFare").collect()
+    assert(rows.length === 2)
+    assert(rows.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      === Set(Some(0L), None))
+    assert(rows.forall(_.isNullAt(2)), "absent columns arrive as nulls")
+  }
+
   test("pathExists distinguishes present and absent paths") {
     val p = Files.createTempDirectory("graft-probe")
     assert(Sources.pathExists(spark, p.toString))
