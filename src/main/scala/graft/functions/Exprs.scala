@@ -72,6 +72,10 @@ object Exprs {
       zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
         (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1))))
+    val grams = array_distinct(slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1))))
+    // Zero tokens (empty/whitespace-only text) → the single empty shingle,
+    // matching the SQL-oracle formulation (array_to_string over an empty
+    // slice yields ''); null toks stay null on both sides.
+    when(size(toks) === 0, array(lit(""))).otherwise(grams)
   }
 }

@@ -74,6 +74,8 @@ object KMeans {
     val init = emb.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(init.length == k,
+      s"k-means needs at least k=$k vectors, corpus has ${init.length}")
     var model = Model(init)
     for (_ <- 0 until iters) {
       val a = assign(emb, vecCol, idCol, model).select("id", "cluster")

@@ -122,7 +122,7 @@ object Dedup {
     * shuffle on the vertex id, the scalable shape (this is how you apply
     * "keep one per near-dup cluster" to a corpus; GraphFrames does the
     * same loop with more machinery). */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the edge list once: it is referenced every iteration,
     // and an unmaterialized lineage would recompute the (possibly
     // expensive) edge derivation per round
@@ -148,6 +148,11 @@ object Dedup {
       labels = mat
       iter += 1
     }
+    // Silent non-convergence would report one component as several —
+    // wrong answers, not slow ones. The check is already computed.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds the bound); raise maxIters")
     labels
   }
 
@@ -278,17 +283,26 @@ object Dedup {
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.1""".stripMargin) {
-      (s, dir) =>
+      (s, dir) => {
+        // signature pass runs ONCE: pairs expand from a per-bucket
+        // collect_list (a self-join would recompute the 8 hyperplane
+        // projections for both sides — same reasoning as candidates())
         val sig = Tables.embeddings(s, dir).select(
           col("vec_id"), col("embedding"),
           VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
-        val cosr = VectorOps.cosineR(col("ea"), col("eb"))
-        sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-          .join(sig.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb")),
-            Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
+        val vs = col("vs")
+        val pairs = flatten(transform(vs, (a, i) =>
+          transform(slice(vs, i + lit(2), greatest(size(vs) - i - 1, lit(0))),
+            b => struct(a.getField("vec_id").as("id_a"), b.getField("vec_id").as("id_b"),
+              a.getField("embedding").as("ea"), b.getField("embedding").as("eb")))))
+        val cosr = VectorOps.cosineR(col("p.ea"), col("p.eb"))
+        sig.groupBy("bucket")
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+          .filter(size(vs) > 1)
+          .select(explode(pairs).as("p"))
           .filter(cosr >= 0.1)
-          .select(col("id_a"), col("id_b"), cosr.as("cos"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
+      }
     }
   )
 }

@@ -95,18 +95,20 @@ object Multimodal {
     // (both sides can be bucketed on it to make the join shuffle-free).
     QueryDef.sql("m01_joint_stats",
       """SELECT d.lang, e.label, count(*) AS n,
-        |       avg(d.n_chars) AS avg_chars,
-        |       avg(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS avg_norm
+        |       round(avg(d.n_chars), 6) AS avg_chars,
+        |       round(avg(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS avg_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang, e.label""".stripMargin) {
       (s, dir) =>
+        // averages rounded at the edge: summation order differs between
+        // engines, and a bit-exact comparator would flag the fp noise
         Tables.documents(s, dir)
           .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
           .groupBy("lang", "label")
           .agg(count(lit(1)).as("n"),
-            avg("n_chars").as("avg_chars"),
-            avg(VectorOps.norm(col("embedding"))).as("avg_norm"))
+            round(avg("n_chars"), 6).as("avg_chars"),
+            round(avg(VectorOps.norm(col("embedding"))), 6).as("avg_norm"))
     },
 
     // Binary-column metadata: payload as opaque bytes; length, leading

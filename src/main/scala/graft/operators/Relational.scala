@@ -567,7 +567,11 @@ object Relational {
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("lang"), graft.functions.Exprs.tokens(col("text")).as("t"))
-          .filter(size(array_distinct(col("t"))) * 2 < size(col("t")))
+          // null guard mirrors SQL three-valued logic: size(null) is -1 in
+          // Spark (legacy), which would otherwise pass the < comparison
+          // that a SQL NULL fails
+          .filter(col("t").isNotNull &&
+            size(array_distinct(col("t"))) * 2 < size(col("t")))
           .groupBy("lang").agg(count(lit(1)).as("n"))
     },
 
@@ -608,14 +612,16 @@ object Relational {
     // same linear-interpolation definition; approx sketches are q32's job).
     QueryDef.sql("q33_percentiles",
       """SELECT event_type,
-        |       quantile_cont(value, 0.5) AS p50,
-        |       quantile_cont(value, 0.95) AS p95,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) {
       (s, dir) =>
+        // rounded at the edge: the two engines interpolate with
+        // differently-ordered arithmetic (1-ulp drift)
         Tables.events(s, dir).groupBy("event_type")
-          .agg(percentile(col("value"), lit(0.5)).as("p50"),
-            percentile(col("value"), lit(0.95)).as("p95"),
+          .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("value"), lit(0.95)), 6).as("p95"),
             count(lit(1)).as("n"))
     },
 

@@ -157,7 +157,7 @@ object Similarity {
     // Per-label centroids, one row per (label, dim): the building block of
     // IVF partitioning / cluster-based retrieval. posexplode + one hash agg.
     QueryDef.sql("s04_label_centroids",
-      """SELECT label, dim, avg(v) AS mean_v FROM (
+      """SELECT label, dim, round(avg(v), 6) AS mean_v FROM (
         |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
         |         unnest(embedding)::DOUBLE AS v
         |  FROM embeddings) GROUP BY label, dim""".stripMargin) {
@@ -165,7 +165,7 @@ object Similarity {
         Tables.embeddings(s, dir)
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("label", "dim")
-          .agg(avg(col("v").cast("double")).as("mean_v"))
+          .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
     }
   )
 }

@@ -35,11 +35,15 @@ object TemporalJoins {
       lit(null).cast(rStructT).as("__rval"),
       struct(left.columns.map(col): _*).as("__lrow"),
       lit(1).as("__src"))
-    val r = right.select(
-      col(key), col(rightTime).as("__t"),
-      struct(right.columns.filterNot(_ == key).map(col): _*).as("__rval"),
-      lit(null).cast(lStructT).as("__lrow"),
-      lit(0).as("__src"))
+    // Determinism: several right rows on the same (key, time) would make
+    // the window's tie order run-dependent; reduce them to one row first
+    // (max of the value struct — field-order comparison, deterministic).
+    val r = right
+      .groupBy(col(key), col(rightTime).as("__t"))
+      .agg(max(struct(right.columns.filterNot(_ == key).map(col): _*)).as("__rval"))
+      .select(col(key), col("__t"), col("__rval"),
+        lit(null).cast(lStructT).as("__lrow"),
+        lit(0).as("__src"))
 
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, -1)

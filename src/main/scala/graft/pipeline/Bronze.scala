@@ -40,7 +40,14 @@ object Bronze {
   def run(spark: SparkSession, source: DataFrame, bronzePath: String): Option[Long] = {
     val wm = watermark(spark, bronzePath)
     val batch = wm.fold(source)(w => source.filter(col("index") > w))
-    if (batch.isEmpty) wm
+    // New watermark = max(old, batch max): one aggregate over the BATCH.
+    // Re-reading the whole layer after the write would scan the full
+    // history on every incremental run — linear-in-history waste.
+    val batchMax = batch.agg(max("index")).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+    if (batchMax.isEmpty) wm
     else {
       // Repartition by the partition columns before the partitioned write:
       // otherwise every one of the N shuffle/input partitions writes a
@@ -53,7 +60,7 @@ object Bronze {
         .partitionBy("year", "month", "day")
         .mode("append")
         .parquet(bronzePath)
-      watermark(spark, bronzePath)
+      Some(math.max(wm.getOrElse(Long.MinValue), batchMax.get))
     }
   }
 }

@@ -55,7 +55,12 @@ object Silver {
       }
     val bronze = spark.read.parquet(bronzePath)
     val batch = wmHi.fold(bronze)(w => bronze.filter(col("index") > w))
-    if (batch.isEmpty) wmHi
+    // batch max, not a post-write full-layer rescan (see Bronze.run)
+    val batchMax = batch.agg(max("index")).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+    if (batchMax.isEmpty) wmHi
     else {
       transform(batch).createOrReplaceTempView("silver_batch")
       val out = spark.sql("SELECT * FROM silver_batch")
@@ -67,10 +72,7 @@ object Silver {
         .mode("append")
         .parquet(silverPath)
       spark.catalog.dropTempView("silver_batch")
-      spark.read.parquet(silverPath).agg(max("index")).collect()(0) match {
-        case r if r.isNullAt(0) => None
-        case r => Some(r.getLong(0))
-      }
+      Some(math.max(wmHi.getOrElse(Long.MinValue), batchMax.get))
     }
   }
 }

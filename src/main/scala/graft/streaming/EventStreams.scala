@@ -92,7 +92,13 @@ object EventStreams {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastUs / 1000L + SessionGapMinutes * 60L * 1000L)
+              // A straggler group's last event can be so late that
+              // lastEvent+gap sits BEHIND the current watermark, and
+              // setTimeoutTimestamp throws on that (killing the whole
+              // query); clamp forward so the session closes on the next
+              // watermark advance instead.
+              val want = st.lastUs / 1000L + SessionGapMinutes * 60L * 1000L
+              state.setTimeoutTimestamp(math.max(want, state.getCurrentWatermarkMs() + 1L))
             }
             closed.reverse.iterator
           }

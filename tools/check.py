@@ -59,7 +59,16 @@ def main(sfdir, outdir, only):
             continue
         o = odf[ocols].values.tolist()
         s = sdf[scols].values.tolist()
-        key = lambda r: tuple(str(norm(x)) for x in r)
+
+        def skey(x):
+            # Sort floats on a rounded rendering: exact float strings would
+            # let sub-tolerance fp noise order the two frames differently
+            # and misalign the row-wise compare.
+            v = norm(x)
+            if isinstance(v, float):
+                return f"{v:.6e}"
+            return str(v)
+        key = lambda r: tuple(skey(x) for x in r)
         o.sort(key=key); s.sort(key=key)
         if len(o) != len(s):
             print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
