@@ -49,9 +49,17 @@ object Exprs {
   /** Stable 64-bit-equivalent hash as a 16-char hex string. */
   def hash16(c: Column): Column = substring(md5(c), 1, 16)
 
-  /** Whitespace tokens of lower-cased text; empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  /** Whitespace tokens of lower-cased text; empties dropped.
+    *
+    * After `trim`, `split` on `\s+` can produce an empty token ONLY for
+    * the empty string (separator runs are consumed whole, so no interior
+    * or leading/trailing empties survive) — so the empty-element cleanup
+    * is a single codegen'd `when`, not a per-element `filter` lambda
+    * (HOFs evaluate interpreted; this sits under every text query). */
+  def tokens(text: Column): Column = {
+    val t = lower(trim(text))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   /** Distinct whitespace tokens. */
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
