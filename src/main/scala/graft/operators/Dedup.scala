@@ -258,7 +258,9 @@ object Dedup {
     QueryDef.noOracle("d07_neardup_components") {
       (s, dir) => {
         val pairs = candidates(s, dir)
-        connectedComponents(pairs)
+        // generous bound: the loop exits on convergence, so extra headroom
+        // costs nothing when (as usual) the diameter is small
+        connectedComponents(pairs, maxIters = 50)
           .groupBy("label").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       }
