@@ -88,6 +88,22 @@ object Multimodal {
     }
   }
 
+  /** Deterministic "resize": keep every `step`-th byte of the payload —
+    * the 1-D stand-in for image downsampling, through the same batch
+    * decode path (real resize swaps the byte picker for a codec call). */
+  def resizePayloads(media: Dataset[MediaRow], step: Int): Dataset[MediaRow] = {
+    require(step > 0)
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte]((r.payload.length + step - 1) / step)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * step); i += 1 }
+        MediaRow(r.doc_id, out)
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Joint text ⋈ embedding analytics: per (lang, label) corpus stats.
@@ -147,6 +163,30 @@ object Multimodal {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaRow]
         extractFrames(media).toDF()
+      }
+    },
+
+    // "Resize" (every-4th-byte downsample) through the batch decode path,
+    // verified byte-for-byte by the oracle over the hex rendering.
+    QueryDef.sql("m05_resize",
+      """SELECT doc_id,
+        |       CAST(len(rh) / 2 AS BIGINT) AS n_bytes,
+        |       md5(rh) AS checksum
+        |FROM (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           range(0, CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT)),
+        |           i -> substr(upper(hex(text::BLOB)), CAST(i * 8 + 1 AS BIGINT), 2)), '') AS rh
+        |  FROM documents)""".stripMargin) {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        resizePayloads(media, step = 4).toDF()
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(upper(hex(col("payload")))).as("checksum"))
       }
     },
 

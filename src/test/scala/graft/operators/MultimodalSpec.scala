@@ -35,6 +35,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).size === 16)
   }
 
+  test("resizePayloads keeps every step-th byte") {
+    implicit val enc = Encoders.product[MediaRow]
+    val ds = spark.createDataset(Seq(MediaRow(1L, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8))))
+    val out = Multimodal.resizePayloads(ds, step = 4).collect().head
+    assert(out.payload.toSeq === Seq[Byte](0, 4, 8))
+  }
+
   test("extractFrames yields one empty frame for an empty payload") {
     implicit val enc = Encoders.product[MediaRow]
     val ds = spark.createDataset(Seq(MediaRow(1L, Array.emptyByteArray)))
