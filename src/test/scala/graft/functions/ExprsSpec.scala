@@ -97,6 +97,22 @@ class ExprsSpec extends SparkSpec {
     assert(one === Seq("word"))
   }
 
+  test("wordShingles matches a sliding-window model on random token lists (property)") {
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(97, 122).map(_.toChar).flatMap(c => Gen.choose(1, 4).map(n => c.toString * n)))
+    val prop = Prop.forAll(tokGen) { toks =>
+      val text = toks.mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Exprs.wordShingles(Exprs.tokens(col("t")), 2)).head().getSeq[String](0)
+      val model =
+        if (toks.size < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      got == model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hash16 is a 16-char lowercase hex prefix of md5") {
     val Row(h: String, full: String) = Seq("abc").toDF("s")
       .select(Exprs.hash16(col("s")), md5(col("s"))).head()
