@@ -266,6 +266,24 @@ object Dedup {
       }
     },
 
+    // APPLIED near-dup dedup with quality priority: within each connected
+    // component keep the longest document (ties → lowest doc_id); docs in
+    // no component keep themselves. Rows-only (component labels are
+    // iterative); the selection rule itself is deterministic.
+    QueryDef.noOracle("d08_cluster_quality_pick") {
+      (s, dir) => {
+        val comp = connectedComponents(candidates(s, dir), maxIters = 50)
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        docs.join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+          .withColumn("label", coalesce(col("label"), col("doc_id")))
+          .groupBy("label")
+          // min over (-n_chars, doc_id) = max length, tie → lowest id
+          .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("m"),
+            count(lit(1)).as("cluster_size"))
+          .select(col("label"), col("m.doc_id").as("kept_id"), col("cluster_size"))
+      }
+    },
+
     // Embedding near-dup: random-hyperplane sign LSH (8 planes, md5-derived
     // ±1 coefficients so the oracle reproduces them), then exact cosine only
     // within buckets. At 100 TB this is the path: bucket join, never N^2.

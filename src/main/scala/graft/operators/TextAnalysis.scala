@@ -176,6 +176,27 @@ object TextAnalysis {
       }
     },
 
+    // Deterministic train/val/test assignment by content-stable hash —
+    // the production-correct form of dataset splitting: reproducible
+    // across runs/retries/partitionings (an RNG sample is none of those),
+    // and any engine can re-derive membership. ~75/12.5/12.5 via the
+    // first hex digit of a salted md5.
+    QueryDef.sql("t08_hash_split",
+      """SELECT lang,
+        |       CASE WHEN substr(md5('split:' || doc_id), 1, 1) <= 'b' THEN 'train'
+        |            WHEN substr(md5('split:' || doc_id), 1, 1) <= 'd' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        val h1 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      }
+    },
+
     // BPE-ish subword counting: a tokenizer-shaped regex (letter runs,
     // digit runs, single non-space symbols) — the standard pre-tokenizer
     // split a byte-pair encoder sees, as a codegen'd regexp count.
