@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.SourceProbes.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Exprs, VectorOps}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` / `embeddings` tables —
@@ -14,13 +15,19 @@ import org.apache.spark.sql.functions._
   *   - nothing is ever all-pairs: candidate pairs come only from joining
   *     within (band, signature) LSH buckets, so work is proportional to
   *     actual collisions, not N^2;
+  *   - degenerate mega-buckets (boilerplate corpora: millions of docs
+  *     sharing one shingle set and thus one signature) are CAPPED at
+  *     [[MaxBucketSize]] — oversized buckets never pair-expand, and the
+  *     drop is surfaced as a named `observe` metric in the same pass
+  *     (zero extra jobs). The cap is part of the operator's SPEC: the SQL
+  *     oracle applies the identical bound, so capped and oracle outputs
+  *     agree at every scale, not just while no bucket happens to overflow;
   *   - every hash is derived from `md5` hex (fixed-width lowercase hex
   *     compares lexicographically in numeric order, so `array_min` over hex
   *     == numeric minhash) — bit-for-bit reproducible by the SQL oracle;
   *   - signatures/buckets are computed in a single projection pass over the
   *     corpus (no shuffle until the bucket join), and the bucket join
-  *     shuffles on high-cardinality (band, key) — skew only if a bucket is
-  *     degenerate, which banding parameters (b=4, r=2) bound.
+  *     shuffles on high-cardinality (band, key).
   *
   * Reference knows only exact row identity (max(index) watermarking,
   * `/root/reference/mnt/airflow/dags/scripts/ingestToBronze.py:61`); the
@@ -31,24 +38,35 @@ object Dedup {
   private val K = 8 // minhash functions
   private val B = 4 // LSH bands (rows per band r = K/B = 2)
 
+  /** Degenerate-LSH-bucket guard: a (band, key) bucket holding more than
+    * this many rows is dropped from pair expansion instead of exploding
+    * O(n²) pairs out of one executor-resident `collect_list`. A bucket
+    * this size is not "near-duplicate content" in any useful sense — it is
+    * boilerplate/empty-document collapse, which exact dedup (d01/d06)
+    * already handles at O(n). Oversized buckets are counted in the
+    * `lsh_bucket_guard` / `embedding_bucket_guard` observed metrics so the
+    * drop is visible to operators, and the oracle SQL applies the same
+    * bound (the cap is the spec, not an approximation of it). */
+  private[operators] val MaxBucketSize = 1000
+
   /** doc_id + distinct bigram shingles of the lower-cased text. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+  private[operators] def shingled(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       Exprs.wordShingles(Exprs.tokens(col("text")), 2).as("sh"))
 
-  /** (doc_id, mh0..mh7): the K minhash signature, computed the
-    * codegen-friendly way — explode shingles, TWO md5 projections per
-    * shingle (salts 0/1), and K `min` aggregates over 8-hex (32-bit)
-    * slices of them. Spark's higher-order functions evaluate interpreted
-    * (outside whole-stage codegen), so a per-element `transform(md5)` ×K
-    * costs K interpreted hash passes; this shape keeps every md5 inside
-    * one codegen'd projection and rides the partial-aggregation path
-    * (per-partition mins before the doc_id shuffle). */
-  private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(Exprs.wordShingles(Exprs.tokens(col("text")), 2)).as("sh1"))
+  /** (doc_id, mh0..mh7) from a (doc_id, sh) input: the K minhash
+    * signature, computed the codegen-friendly way — explode shingles, TWO
+    * md5 projections per shingle (salts 0/1), and K `min` aggregates over
+    * 8-hex (32-bit) slices of them. Spark's higher-order functions evaluate
+    * interpreted (outside whole-stage codegen), so a per-element
+    * `transform(md5)` ×K costs K interpreted hash passes; this shape keeps
+    * every md5 inside one codegen'd projection and rides the
+    * partial-aggregation path (per-partition mins before the doc_id
+    * shuffle). */
+  private def minhashedFrom(sh: DataFrame): DataFrame = {
+    val ex = sh
+      .select(col("doc_id"), explode(col("sh")).as("sh1"))
       .select(col("doc_id"),
         md5(concat(lit("0:"), col("sh1"))).as("h0"),
         md5(concat(lit("1:"), col("sh1"))).as("h1"))
@@ -61,32 +79,70 @@ object Dedup {
 
   /** (doc_id, band, bkey): one row per band; bkey concatenates the band's
     * r minhashes. Docs agreeing on any full band collide. */
-  private def banded(s: SparkSession, dir: String): DataFrame =
-    minhashed(s, dir).select(
+  private def bandedFrom(mh: DataFrame): DataFrame =
+    mh.select(
       col("doc_id"),
       posexplode(array((0 until B).map(b =>
         concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "bkey")))
 
-  /** Distinct candidate pairs (id_a < id_b) sharing at least one band.
-    * Pairs are expanded inside each (band, bkey) bucket from one
-    * collect_list — the signature pass runs ONCE (a self-join would
-    * recompute it for both sides). Bucket contents are bounded by the
-    * banding parameters; a degenerate mega-bucket (e.g. a boilerplate
-    * shingle set shared by millions of docs) would need a cap or a
-    * bucket-salted join — flagged, not needed at this corpus shape. */
-  private def candidates(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band,
+    * from a (doc_id, sh) shingle input. Pairs are expanded inside each
+    * (band, bkey) bucket from one collect_list — the signature pass runs
+    * ONCE (a self-join would recompute it for both sides). The windowed
+    * per-bucket count runs in the same shuffle as the collect (window
+    * partitioning == grouping keys, so Catalyst reuses the exchange), lets
+    * the guard drop oversized buckets BEFORE any list is built (the window
+    * buffer spills; a collect_list value cannot), and feeds the observed
+    * drop metrics. */
+  private[operators] def candidatesFrom(sh: DataFrame): DataFrame = {
     val ids = col("ids")
     val pairs = flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
         b => struct(a.as("id_a"), b.as("id_b")))))
-    banded(s, dir)
+    bandedFrom(minhashedFrom(sh))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .observe("lsh_bucket_guard",
+        coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("rows_in_dropped_buckets"),
+        coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+      .filter(col("bn").between(2, MaxBucketSize))
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(ids) > 1)
       .select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+  }
+
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFrom(shingled(Tables.documents(s, dir)))
+
+  /** Embedding near-dup pairs: random-hyperplane sign LSH buckets, exact
+    * cosine only within buckets, with the same mega-bucket guard as
+    * [[candidatesFrom]] (an all-identical embedding corpus collapses into
+    * one bucket; the guard keeps that O(n), observable, and spec'd). */
+  private[operators] def embeddingPairs(emb: DataFrame): DataFrame = {
+    val sig = emb.select(
+      col("vec_id"), col("embedding"),
+      VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
+    val vs = col("vs")
+    val pairs = flatten(transform(vs, (a, i) =>
+      transform(slice(vs, i + lit(2), greatest(size(vs) - i - 1, lit(0))),
+        b => struct(a.getField("vec_id").as("id_a"), b.getField("vec_id").as("id_b"),
+          a.getField("embedding").as("ea"), b.getField("embedding").as("eb")))))
+    val cosr = VectorOps.cosineR(col("p.ea"), col("p.eb"))
+    sig
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .observe("embedding_bucket_guard",
+        coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("rows_in_dropped_buckets"),
+        coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+      .filter(col("bn").between(2, MaxBucketSize))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(explode(pairs).as("p"))
+      .filter(cosr >= 0.1)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
   }
 
   // Oracle CTE fragments mirroring the Spark expressions above.
@@ -101,6 +157,8 @@ object Dedup {
       |         list_distinct(list_transform(range(1, greatest(len(t)-1, 1)+1),
       |           i -> array_to_string(t[i:i+1], ' '))) AS sh
       |  FROM toks)""".stripMargin
+  // The bsz/cand tail applies the SAME MaxBucketSize bound as the Spark
+  // side — capped semantics are the operator contract at every scale.
   private val candCte =
     s"""sig AS (
        |  SELECT doc_id, sh,
@@ -110,9 +168,24 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, sh, b, mh[2*b+1] || mh[2*b+2] AS bkey
        |  FROM sig, unnest(range(0, $B)) AS u(b)),
+       |bsz AS (SELECT b, bkey, count(*) AS bn FROM bands GROUP BY b, bkey),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM bands a
+       |  JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.bn <= $MaxBucketSize)""".stripMargin
+  // Connected components of the candidate graph as a recursive transitive
+  // closure: label(v) = min id reachable from v. Fine at oracle scale
+  // (closure is quadratic in component size); the Spark side is the
+  // scalable iterative form.
+  private val componentsCte =
+    """sym AS (SELECT id_a AS id, id_b AS nbr FROM cand
+      |        UNION ALL SELECT id_b, id_a FROM cand),
+      |reach AS (
+      |  SELECT DISTINCT id, id AS r FROM sym
+      |  UNION
+      |  SELECT s.id, reach.r FROM sym s JOIN reach ON reach.id = s.nbr),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
 
   /** Connected components over an undirected edge list by min-label
     * propagation: every vertex repeatedly adopts the smallest label in its
@@ -123,11 +196,13 @@ object Dedup {
     * "keep one per near-dup cluster" to a corpus; GraphFrames does the
     * same loop with more machinery). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the edge list once: it is referenced every iteration,
-    // and an unmaterialized lineage would recompute the (possibly
-    // expensive) edge derivation per round
-    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    // materialize the (possibly expensive) edge derivation ONCE: the
+    // symmetric union below references it twice, and every iteration
+    // re-reads it — without this the whole LSH pipeline would re-execute
+    // 2 + 2·iters times inside a single components call
+    val e = edges.localCheckpoint(true)
+    val sym = e.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(e.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -180,7 +255,9 @@ object Dedup {
     },
 
     // Verified near-dup: exact bigram-shingle Jaccard computed ONLY on the
-    // LSH candidates (integer set sizes — engine-exact arithmetic).
+    // LSH candidates (integer set sizes — engine-exact arithmetic). The
+    // shingle pass is checkpointed: candidates + both join sides read it,
+    // so without materialization the tokenizer would run 3x per query.
     QueryDef.sql("d03_lsh_jaccard",
       s"""WITH $toksCte,
          |$shCte,
@@ -190,10 +267,10 @@ object Dedup {
          |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
          |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= 0.05""".stripMargin) {
       (s, dir) =>
-        val sh = shingled(s, dir)
+        val sh = shingled(Tables.documents(s, dir)).localCheckpoint(true)
         val jac = size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b")))
-        candidates(s, dir)
+        candidatesFrom(sh)
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
           .filter(jac >= 0.05)
@@ -251,11 +328,17 @@ object Dedup {
     }
     },
 
-    // APPLIED near-dup dedup: cluster the verified candidate pairs into
+    // APPLIED near-dup dedup: cluster the (capped) candidate pairs into
     // connected components (iterative min-label propagation) and report
-    // cluster sizes. Rows-only driver check (iterative graph algorithm);
-    // the component logic is unit-tested on known graphs.
-    QueryDef.noOracle("d07_neardup_components") {
+    // the cluster-size histogram. Oracle: recursive transitive closure
+    // over the same capped candidate edges.
+    QueryDef.sql("d07_neardup_components",
+      s"""WITH RECURSIVE $toksCte,
+         |$shCte,
+         |$candCte,
+         |$componentsCte,
+         |sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY label)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin) {
       (s, dir) => {
         val pairs = candidates(s, dir)
         // generous bound: the loop exits on convergence, so extra headroom
@@ -268,9 +351,22 @@ object Dedup {
 
     // APPLIED near-dup dedup with quality priority: within each connected
     // component keep the longest document (ties → lowest doc_id); docs in
-    // no component keep themselves. Rows-only (component labels are
-    // iterative); the selection rule itself is deterministic.
-    QueryDef.noOracle("d08_cluster_quality_pick") {
+    // no component keep themselves. Oracle: same recursive closure, then
+    // a windowed pick over all documents left-joined to their labels.
+    QueryDef.sql("d08_cluster_quality_pick",
+      s"""WITH RECURSIVE $toksCte,
+         |$shCte,
+         |$candCte,
+         |$componentsCte,
+         |lab AS (
+         |  SELECT d.doc_id, d.n_chars, coalesce(l.label, d.doc_id) AS label
+         |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         |ranked AS (
+         |  SELECT label, doc_id,
+         |         count(*) OVER (PARTITION BY label) AS cluster_size,
+         |         row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM lab)
+         |SELECT label, doc_id AS kept_id, cluster_size FROM ranked WHERE rk = 1""".stripMargin) {
       (s, dir) => {
         val comp = connectedComponents(candidates(s, dir), maxIters = 50)
         val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
@@ -286,43 +382,28 @@ object Dedup {
 
     // Embedding near-dup: random-hyperplane sign LSH (8 planes, md5-derived
     // ±1 coefficients so the oracle reproduces them), then exact cosine only
-    // within buckets. At 100 TB this is the path: bucket join, never N^2.
+    // within buckets. At 100 TB this is the path: bucket join, never N^2 —
+    // and the same per-bucket cap as the shingle LSH (mirrored in the
+    // oracle's bsz bound).
     QueryDef.sql("d05_embedding_neardup",
-      """WITH sig AS (
+      s"""WITH sig AS (
         |  SELECT vec_id, embedding,
         |    CAST(list_sum(list_transform(range(0, 8), p ->
         |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
         |             embedding[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
         |           THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |bsz AS (SELECT bucket, count(*) AS bn FROM sig GROUP BY bucket)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN bsz s ON s.bucket = a.bucket AND s.bn <= $MaxBucketSize
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.1""".stripMargin) {
-      (s, dir) => {
-        // signature pass runs ONCE: pairs expand from a per-bucket
-        // collect_list (a self-join would recompute the 8 hyperplane
-        // projections for both sides — same reasoning as candidates())
-        val sig = Tables.embeddings(s, dir).select(
-          col("vec_id"), col("embedding"),
-          VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
-        val vs = col("vs")
-        val pairs = flatten(transform(vs, (a, i) =>
-          transform(slice(vs, i + lit(2), greatest(size(vs) - i - 1, lit(0))),
-            b => struct(a.getField("vec_id").as("id_a"), b.getField("vec_id").as("id_b"),
-              a.getField("embedding").as("ea"), b.getField("embedding").as("eb")))))
-        val cosr = VectorOps.cosineR(col("p.ea"), col("p.eb"))
-        sig.groupBy("bucket")
-          .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-          .filter(size(vs) > 1)
-          .select(explode(pairs).as("p"))
-          .filter(cosr >= 0.1)
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
-      }
+      (s, dir) => embeddingPairs(Tables.embeddings(s, dir))
     }
   )
 }

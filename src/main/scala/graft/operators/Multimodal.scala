@@ -190,17 +190,33 @@ object Multimodal {
       }
     },
 
-    // Feature extraction through the same batch-decode path; rows-only
-    // driver check (no SQL oracle for the histogram), golden-tested in
-    // MultimodalSpec.
-    QueryDef.noOracle("m04_feature_extract") {
+    // Feature extraction through the same batch-decode path. The 16-bin
+    // high-nibble histogram IS SQL-expressible over the hex rendering
+    // (nibble j of the payload = hex char 2j+1), so the oracle recomputes
+    // three probe bins exactly: bin value = count(nibble == digit) / n,
+    // an integer/integer division both engines perform in doubles.
+    QueryDef.sql("m04_feature_extract", {
+      def bin(d: Char, alias: String) =
+        s"round(len(list_filter(range(0, CAST(octet_length(text::BLOB) AS BIGINT)), " +
+          s"j -> substr(upper(hex(text::BLOB)), CAST(2*j+1 AS BIGINT), 1) = '$d')) " +
+          s"/ greatest(octet_length(text::BLOB), 1), 6) AS $alias"
+      s"""SELECT doc_id,
+         |       ${bin('0', "bin0")},
+         |       ${bin('6', "bin6")},
+         |       ${bin('F', "bin15")},
+         |       CAST(16 AS BIGINT) AS n_bins
+         |FROM documents""".stripMargin
+    }) {
       (s, dir) => {
         implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
         val media = Tables.documents(s, dir)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaRow]
         extractFeatures(media).toDF()
-          .select(col("doc_id"), round(element_at(col("features"), 7), 6).as("bin6"),
+          .select(col("doc_id"),
+            round(element_at(col("features"), 1), 6).as("bin0"),
+            round(element_at(col("features"), 7), 6).as("bin6"),
+            round(element_at(col("features"), 16), 6).as("bin15"),
             size(col("features")).cast("long").as("n_bins"))
       }
     }

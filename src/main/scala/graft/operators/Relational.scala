@@ -486,7 +486,7 @@ object Relational {
     // (the `events.props` column is a JSON object per row).
     QueryDef.sql("q26_json_extract",
       """SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) {
       (s, dir) =>

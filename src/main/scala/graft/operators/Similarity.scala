@@ -126,12 +126,17 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
             x => x.getField("mean")).as("cvec"))
         val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+        // assignment is referenced twice below (query-vector lookup + probe
+        // side); materialize it once — this is literally the IVF index
+        // build, the thing a real ANN deployment persists. Without the
+        // checkpoint the full corpus×centroid scoring pass executes twice.
         val assigned = emb.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("clabel"),
             VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select("vec_id", "embedding", "clabel")
+          .localCheckpoint(true)
         val q = assigned.filter(col("vec_id") === 0)
           .select(col("clabel"), col("embedding").as("qe"))
         assigned.join(broadcast(q), Seq("clabel"))

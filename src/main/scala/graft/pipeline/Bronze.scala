@@ -52,10 +52,15 @@ object Bronze {
       // Repartition by the partition columns before the partitioned write:
       // otherwise every one of the N shuffle/input partitions writes a
       // file into every (year,month,day) directory — N× the file count,
-      // the classic small-files problem at scale. One shuffle keyed by
-      // the layout ≈ one file per partition per batch.
+      // the classic small-files problem at scale. But keying on the layout
+      // ALONE funnels a typical incremental batch (one day of data) through
+      // a single shuffle partition / single writer task — the whole batch
+      // serialized through one core. The intra-day salt fans each day out
+      // over up to [[Pipeline.FilesPerDay]] writer tasks while keeping the
+      // per-day file count bounded by the same constant.
       withPartitionColumns(batch)
-        .repartition(col("year"), col("month"), col("day"))
+        .repartition(col("year"), col("month"), col("day"),
+          pmod(hash(col("index")), lit(Pipeline.FilesPerDay)))
         .write
         .partitionBy("year", "month", "day")
         .mode("append")

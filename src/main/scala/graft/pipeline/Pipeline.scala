@@ -13,6 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pipeline {
 
+  /** Writer fan-out per (year,month,day) partition for bronze/silver
+    * appends: a one-day incremental batch hash-salted over this many
+    * shuffle partitions writes with this much parallelism AND produces at
+    * most this many files per day per batch. 8 balances the two at the
+    * target batch sizes; a cluster deployment would size it to
+    * batch_bytes / desired_file_bytes. */
+  val FilesPerDay = 8
+
   final case class Paths(bronze: String, silver: String, gold: String, warehouse: String)
 
   object Paths {

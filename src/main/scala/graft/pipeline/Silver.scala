@@ -65,8 +65,9 @@ object Silver {
       transform(batch).createOrReplaceTempView("silver_batch")
       val out = spark.sql("SELECT * FROM silver_batch")
       out
-        // file-count control: see Bronze.run
-        .repartition(col("year"), col("month"), col("day"))
+        // file-count control + intra-day write parallelism: see Bronze.run
+        .repartition(col("year"), col("month"), col("day"),
+          pmod(hash(col("index")), lit(Pipeline.FilesPerDay)))
         .write
         .partitionBy("year", "month", "day")
         .mode("append")

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The degenerate-LSH-bucket guard (VERDICT r2 #2): a boilerplate corpus
+  * collapses into one (band, key) — or one hyperplane — bucket, and an
+  * unguarded `collect_list` + pair expansion is O(n²) in that bucket. The
+  * guard must (a) drop oversized buckets BEFORE any list materializes,
+  * (b) leave normal buckets' output untouched, and (c) surface the drop
+  * through the named `observe` metrics.
+  */
+class DedupGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingle LSH: mega-bucket is dropped, sub-cap buckets still pair") {
+    val boiler = (0 until 2400).map(i =>
+      (10000L + i, "the quick brown fox jumps over the lazy dog"))
+    // 5 identical docs of OTHER text: same signature in every band, a
+    // bucket of 5 << MaxBucketSize — must still yield all C(5,2) pairs.
+    val small = (0 until 5).map(i => (i.toLong, "pack my box with five dozen liquor jugs"))
+    val docs = (boiler ++ small).toDF("doc_id", "text")
+
+    val cand = Dedup.candidatesFrom(Dedup.shingled(docs))
+    val rows = cand.collect()
+
+    assert(!rows.exists(r => r.getLong(0) >= 10000L || r.getLong(1) >= 10000L),
+      "no pair may come from the over-cap boilerplate bucket")
+    assert(rows.length === 10, "the 5 identical sub-cap docs pair C(5,2) ways")
+
+    val m = cand.queryExecution.observedMetrics("lsh_bucket_guard")
+    // every one of the B=4 band rows of each boilerplate doc sat in an
+    // over-cap bucket
+    assert(m.getAs[Long]("rows_in_dropped_buckets") === 2400L * 4)
+    assert(m.getAs[Long]("max_bucket_rows") === 2400L)
+  }
+
+  test("embedding LSH: mega-bucket is dropped, sub-cap buckets still pair") {
+    val dim = 64
+    val v = Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f)
+    val negV = v.map(-_) // opposite sign pattern on every plane → disjoint bucket
+    val mega = (0 until 1500).map(i => (10000L + i, v.toSeq))
+    val small = (0 until 4).map(i => (i.toLong, negV.toSeq))
+    val emb = (mega ++ small).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) AS embedding")
+
+    val pairs = Dedup.embeddingPairs(emb)
+    val rows = pairs.collect()
+
+    assert(!rows.exists(r => r.getLong(0) >= 10000L || r.getLong(1) >= 10000L),
+      "no pair may come from the over-cap bucket")
+    assert(rows.length === 6, "the 4 identical sub-cap vectors pair C(4,2) ways")
+    assert(rows.forall(_.getDouble(2) === 1.0), "identical vectors: cosine 1")
+
+    val m = pairs.queryExecution.observedMetrics("embedding_bucket_guard")
+    assert(m.getAs[Long]("rows_in_dropped_buckets") === 1500L)
+    assert(m.getAs[Long]("max_bucket_rows") === 1500L)
+  }
+}

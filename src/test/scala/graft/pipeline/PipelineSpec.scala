@@ -170,6 +170,32 @@ class PipelineSpec extends SparkSpec {
     assert(q.count() === expected.toLong)
   }
 
+  test("partitioned writes: per-day file count bounded, intra-day salt fans out") {
+    firstRun
+    import scala.jdk.CollectionConverters._
+    // every (year,month,day) leaf holds at most FilesPerDay parquet files
+    // per batch (the salt bounds files AND writer tasks at once)
+    for (layer <- Seq(paths.bronze, paths.silver)) {
+      val dayDirs = Files.walk(java.nio.file.Paths.get(layer)).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("day="))
+        .toList
+      assert(dayDirs.nonEmpty, s"no day partitions under $layer")
+      dayDirs.foreach { d =>
+        val n = Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        assert(n >= 1 && n <= Pipeline.FilesPerDay,
+          s"$d has $n files, want 1..${Pipeline.FilesPerDay}")
+      }
+    }
+    // the salt genuinely spreads a ONE-day batch over multiple writer
+    // tasks (pre-AQE; tiny test batches may legitimately coalesce back)
+    val spread = spark.read.parquet(paths.bronze)
+      .filter(col("year") === 2022 && col("month") === 4 && col("day") === 16)
+      .select(pmod(hash(col("index")), lit(Pipeline.FilesPerDay)).as("salt"))
+      .distinct().count()
+    assert(spread > 1, "single-day batch must hash to >1 salt bucket")
+  }
+
   test("incremental: a grown source appends only the new rows") {
     firstRun
     // a second fixture epoch: same schema, indexes 200-219
