@@ -209,17 +209,34 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      // One shuffle per iteration. The convergence signal rides the SAME
+      // aggregation instead of a separate join+count job: the old label is
+      // carried through the union as the `keep`-tagged row (each id has
+      // exactly one), re-extracted by min(when(keep, label)), and the
+      // changed-row count comes out as an `observe` metric of the
+      // checkpoint action itself — iterations cost one job, not two.
       val nbrLabels = sym
         .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .select(col("id"), col("nbr_label").as("label"))
-      val next = labels.unionByName(nbrLabels)
-        .groupBy("id").agg(min("label").as("label"))
+      val next = labels.withColumn("keep", lit(true))
+        .unionByName(nbrLabels.withColumn("keep", lit(false)))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          min(when(col("keep"), col("label"))).as("old"))
+        .observe(s"cc_iter_$iter",
+          coalesce(sum(when(col("label") =!= col("old"), lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("changed"))
       // truncate lineage each round: without this the logical plan doubles
       // per iteration (analysis time blows up long before data size does).
       // At cluster scale use checkpoint() to reliable storage instead.
-      val mat = next.localCheckpoint(true)
-      converged = mat.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      // The metric is read off the PRE-checkpoint dataset: localCheckpoint
+      // returns a fresh LogicalRDD plan that no longer carries the
+      // CollectMetrics node, but it executes `run`'s physical plan, whose
+      // accumulator holds the merged value once the eager job finishes.
+      val run = next.select("id", "label")
+      val mat = run.localCheckpoint(true)
+      converged = run.queryExecution.observedMetrics(s"cc_iter_$iter")
+        .getAs[Long]("changed") == 0L
       labels = mat
       iter += 1
     }
