@@ -128,6 +128,22 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Streaming exact dedup — the ingest-time form of the batch d01/d06
+    * operators: key each document by its content hash and emit only the
+    * first arrival, with `dropDuplicatesWithinWatermark` so the
+    * dedup-state store is BOUNDED by the watermark horizon instead of
+    * growing with corpus size (plain `dropDuplicates` on an unbounded
+    * stream keeps every key forever — the state-blowup anti-pattern).
+    * Within the horizon the semantics match the batch keep-first; docs
+    * re-arriving later than the horizon are the accepted trade-off every
+    * windowed streaming dedup makes. Input must carry an event-time `ts`
+    * and a `text` column; emits the input rows minus in-horizon dups. */
+  def dedupDocs(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Checkpointed file-relay with `Trigger.AvailableNow`: reads whatever
     * files exist, processes them exactly once (offsets in the checkpoint),
     * and stops — re-running picks up only NEW files. `foreachBatch` gives

@@ -79,6 +79,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocs: streaming keep-first by content hash across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupDocs(
+      input.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_docs").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "aaa"), (2L, ts(1), "bbb"))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon is dropped;
+      // fresh content passes
+      input.addData((3L, ts(2), "aaa"), (4L, ts(3), "ccc"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming window aggregation matches the batch events query") {
     // The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts as
     // a nanos long (legacy conf is set in SparkSpec via Sessions parity)
