@@ -147,6 +147,80 @@ object Similarity {
       }
     },
 
+    // IVF multi-probe — the recall knob every production IVF index has:
+    // the query scans its TOP-2 nearest centroids' inverted lists instead
+    // of one (a vector near a Voronoi boundary lives in one cell while
+    // its neighbors sit in the adjacent one; single-probe misses them).
+    // nprobe=2 doubles the scanned fraction (~2/nlist of the corpus) for
+    // a large recall jump — the centroid ranking itself is a tiny
+    // broadcast-side sort, so the plan shape stays: broadcast centroid
+    // table, one assignment pass, probe join on the centroid label.
+    QueryDef.sql("s07_ivf_multiprobe", {
+      val cos = cosSql("a", "q")
+      val vcCos =
+        """round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      val qcCos =
+        """round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |cm AS (SELECT label, dim, avg(v) AS mean FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT label, list(mean ORDER BY dim) AS cvec FROM cm GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.label AS clabel, $vcCos AS ccos
+         |  FROM embeddings e, cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, clabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         |top2 AS (
+         |  SELECT c.label AS clabel FROM cent c, q
+         |  ORDER BY $qcCos DESC, c.label LIMIT 2)
+         |SELECT a.vec_id, $cos AS cos
+         |FROM assigned a JOIN top2 t ON a.clabel = t.clabel, q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb
+          .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+            x => x.getField("mean")).as("cvec"))
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("clabel"),
+            VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("vec_id", "embedding", "clabel")
+          .localCheckpoint(true)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        // rank the (tiny, broadcast) centroid table against the query and
+        // keep nprobe=2 labels — rounded cosine + label tiebreak keeps the
+        // selection deterministic across engines
+        val top2 = cent.crossJoin(broadcast(q))
+          .select(col("clabel"), VectorOps.cosineR(col("cvec"), col("qe")).as("qcos"))
+          .orderBy(col("qcos").desc, col("clabel"))
+          .limit(2)
+          .select("clabel")
+        assigned.join(broadcast(top2), Seq("clabel"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
+    },
+
     // The unsupervised IVF fit: deterministic Lloyd's k-means (see
     // graft.functions.KMeans — broadcast centroids, one corpus pass per
     // iteration). Rows-only driver check (iterative model, no SQL
@@ -156,6 +230,39 @@ object Similarity {
         val emb = Tables.embeddings(s, dir)
         val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3)
         graft.functions.KMeans.summarize(emb, "embedding", "vec_id", model)
+      }
+    },
+
+    // Batched kNN — the retrieval workload as it actually runs: a BATCH
+    // of query vectors, top-k per query in one job (per-query driver
+    // round-trips are the anti-pattern). Queries broadcast (the batch is
+    // small by definition), the corpus streams through one codegen'd
+    // scan scoring all queries, and the per-query top-k runs through the
+    // salted two-phase TopK operator: with query_id a LOW-cardinality
+    // key, a naive one-shot window would funnel the whole corpus through
+    // |batch| tasks at scale.
+    QueryDef.sql("s08_batch_knn", {
+      val cos = cosSql("e", "q")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk, cos FROM (
+         |  SELECT q.query_id, e.vec_id, $cos AS cos,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY $cos DESC, e.vec_id) AS rk
+         |  FROM embeddings e, q WHERE e.vec_id >= 5)
+         |WHERE rk <= 3""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val scored = emb.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(q))
+          .select(col("query_id"), col("vec_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+        TopK.topKPerKey(scored, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), k = 3,
+            saltExpr = hash(col("vec_id")))
+          .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cos"))
       }
     },
 
