@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
@@ -33,6 +35,56 @@ object Similarity {
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
        |             embedding[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
        |           THEN 1<<p ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Per-label mean centroids (clabel, cvec: array<double>) — the coarse
+    * quantizer both IVF probes share. Checkpointed eagerly: the table is
+    * tiny (nlist rows) but its lineage is a full corpus aggregation, and
+    * the probes reference it from more than one side of their plans. */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("cvec"))
+      .localCheckpoint(true)
+
+  /** Nearest-centroid assignment (vec_id, embedding, clabel): one
+    * broadcast-centroid scoring pass over the corpus, materialized — this
+    * is the IVF index build, the thing a real ANN deployment persists.
+    * Without the checkpoint every plan that references the assignment
+    * twice would run the corpus×centroid scoring twice. */
+  private def ivfAssigned(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("clabel"),
+        VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "clabel")
+      .localCheckpoint(true)
+  }
+
+  /** Shared oracle CTE chain mirroring [[labelCentroids]] + [[ivfAssigned]]:
+    * dims/cm/cent build the per-label mean centroids, scored/assigned pick
+    * each vector's nearest centroid (rounded cosine, label tiebreak). */
+  private val ivfCtes = {
+    val vcCos =
+      """round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+    s"""dims AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |cm AS (SELECT label, dim, avg(v) AS mean FROM dims GROUP BY 1, 2),
+       |cent AS (SELECT label, list(mean ORDER BY dim) AS cvec FROM cm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.label AS clabel, $vcCos AS ccos
+       |  FROM embeddings e, cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
+       |    FROM scored) WHERE rk = 1)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -95,48 +147,15 @@ object Similarity {
     // centroid table is tiny and broadcast; assignment is one pass.
     QueryDef.sql("s05_ivf_probe", {
       val cos = cosSql("a", "q")
-      val vcCos =
-        """round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]))
-          |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
-          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
-      s"""WITH dims AS (
-         |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
-         |  FROM embeddings),
-         |cm AS (SELECT label, dim, avg(v) AS mean FROM dims GROUP BY 1, 2),
-         |cent AS (SELECT label, list(mean ORDER BY dim) AS cvec FROM cm GROUP BY label),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.label AS clabel, $vcCos AS ccos
-         |  FROM embeddings e, cent c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, clabel FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
-         |    FROM scored) WHERE rk = 1),
+      s"""WITH $ivfCtes,
          |q AS (SELECT vec_id, embedding, clabel FROM assigned WHERE vec_id = 0)
          |SELECT a.vec_id, $cos AS cos
          |FROM assigned a, q WHERE a.clabel = q.clabel AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
     }) {
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, dir)
-        val cent = emb
-          .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
-          .groupBy("clabel")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-            x => x.getField("mean")).as("cvec"))
-        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
-        // assignment is referenced twice below (query-vector lookup + probe
-        // side); materialize it once — this is literally the IVF index
-        // build, the thing a real ANN deployment persists. Without the
-        // checkpoint the full corpus×centroid scoring pass executes twice.
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("clabel"),
-            VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select("vec_id", "embedding", "clabel")
-          .localCheckpoint(true)
+        val assigned = ivfAssigned(emb, labelCentroids(emb))
         val q = assigned.filter(col("vec_id") === 0)
           .select(col("clabel"), col("embedding").as("qe"))
         assigned.join(broadcast(q), Seq("clabel"))
@@ -157,26 +176,11 @@ object Similarity {
     // table, one assignment pass, probe join on the centroid label.
     QueryDef.sql("s07_ivf_multiprobe", {
       val cos = cosSql("a", "q")
-      val vcCos =
-        """round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]))
-          |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
-          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
       val qcCos =
         """round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.cvec[i]))
           |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
           |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
-      s"""WITH dims AS (
-         |  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
-         |  FROM embeddings),
-         |cm AS (SELECT label, dim, avg(v) AS mean FROM dims GROUP BY 1, 2),
-         |cent AS (SELECT label, list(mean ORDER BY dim) AS cvec FROM cm GROUP BY label),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.label AS clabel, $vcCos AS ccos
-         |  FROM embeddings e, cent c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, clabel FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
-         |    FROM scored) WHERE rk = 1),
+      s"""WITH $ivfCtes,
          |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
          |top2 AS (
          |  SELECT c.label AS clabel FROM cent c, q
@@ -187,26 +191,13 @@ object Similarity {
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
     }) {
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, dir)
-        val cent = emb
-          .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
-          .groupBy("clabel")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-            x => x.getField("mean")).as("cvec"))
-        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("clabel"),
-            VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select("vec_id", "embedding", "clabel")
-          .localCheckpoint(true)
+        val cent = labelCentroids(emb) // checkpointed: reused by top2 AND assignment
+        val assigned = ivfAssigned(emb, cent)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        // rank the (tiny, broadcast) centroid table against the query and
-        // keep nprobe=2 labels — rounded cosine + label tiebreak keeps the
-        // selection deterministic across engines
+        // rank the (tiny, checkpointed) centroid table against the query
+        // and keep nprobe=2 labels — rounded cosine + label tiebreak keeps
+        // the selection deterministic across engines
         val top2 = cent.crossJoin(broadcast(q))
           .select(col("clabel"), VectorOps.cosineR(col("cvec"), col("qe")).as("qcos"))
           .orderBy(col("qcos").desc, col("clabel"))

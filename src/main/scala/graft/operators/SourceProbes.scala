@@ -19,7 +19,12 @@ object SourceProbes {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
-      val db = java.nio.file.Files.createTempDirectory("graft-derby-rt").resolve("db")
+      // fixed location, reused (table overwritten) across invocations — a
+      // fresh createTempDirectory per call would accumulate one Derby
+      // database per Verify/Bench run and pin each in the embedded engine
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-derby-rt")
+      java.nio.file.Files.createDirectories(base)
+      val db = base.resolve("db")
       Tables.nation(s, dir)
         .write.format("jdbc")
         .option("url", s"jdbc:derby:$db;create=true")

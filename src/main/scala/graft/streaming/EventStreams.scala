@@ -143,6 +143,7 @@ object EventStreams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash") // helper key — emit the caller's schema unchanged
 
   /** Checkpointed file-relay with `Trigger.AvailableNow`: reads whatever
     * files exist, processes them exactly once (offsets in the checkpoint),

@@ -176,13 +176,16 @@ class PipelineSpec extends SparkSpec {
     // every (year,month,day) leaf holds at most FilesPerDay parquet files
     // per batch (the salt bounds files AND writer tasks at once)
     for (layer <- Seq(paths.bronze, paths.silver)) {
-      val dayDirs = Files.walk(java.nio.file.Paths.get(layer)).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("day="))
-        .toList
+      val dayDirs = scala.util.Using.resource(Files.walk(java.nio.file.Paths.get(layer))) {
+        _.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("day="))
+          .toList
+      }
       assert(dayDirs.nonEmpty, s"no day partitions under $layer")
       dayDirs.foreach { d =>
-        val n = Files.list(d).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet"))
+        val n = scala.util.Using.resource(Files.list(d)) {
+          _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        }
         assert(n >= 1 && n <= Pipeline.FilesPerDay,
           s"$d has $n files, want 1..${Pipeline.FilesPerDay}")
       }
