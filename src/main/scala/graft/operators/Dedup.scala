@@ -145,12 +145,14 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
   }
 
-  // Oracle CTE fragments mirroring the Spark expressions above.
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id,
-      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-      |  FROM documents)""".stripMargin
+  // Oracle CTE fragments mirroring the Spark expressions above. `src`
+  // parameterizes the corpus the shingles come from (the full table for
+  // d02/d03/d07/d08; the exact-deduped subset for d09).
+  private def toksCte(src: String = "documents") =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM $src)""".stripMargin
   private val shCte =
     """sh AS (
       |  SELECT doc_id,
@@ -264,7 +266,7 @@ object Dedup {
     // MinHash + LSH banding: candidate near-dup pairs without any
     // all-pairs comparison (k=8 minhashes, 4 bands of 2).
     QueryDef.sql("d02_minhash_lsh",
-      s"""WITH $toksCte,
+      s"""WITH ${toksCte()},
          |$shCte,
          |$candCte
          |SELECT id_a, id_b FROM cand""".stripMargin) {
@@ -276,7 +278,7 @@ object Dedup {
     // shingle pass is checkpointed: candidates + both join sides read it,
     // so without materialization the tokenizer would run 3x per query.
     QueryDef.sql("d03_lsh_jaccard",
-      s"""WITH $toksCte,
+      s"""WITH ${toksCte()},
          |$shCte,
          |$candCte
          |SELECT c.id_a, c.id_b,
@@ -350,7 +352,7 @@ object Dedup {
     // the cluster-size histogram. Oracle: recursive transitive closure
     // over the same capped candidate edges.
     QueryDef.sql("d07_neardup_components",
-      s"""WITH RECURSIVE $toksCte,
+      s"""WITH RECURSIVE ${toksCte()},
          |$shCte,
          |$candCte,
          |$componentsCte,
@@ -371,7 +373,7 @@ object Dedup {
     // no component keep themselves. Oracle: same recursive closure, then
     // a windowed pick over all documents left-joined to their labels.
     QueryDef.sql("d08_cluster_quality_pick",
-      s"""WITH RECURSIVE $toksCte,
+      s"""WITH RECURSIVE ${toksCte()},
          |$shCte,
          |$candCte,
          |$componentsCte,
@@ -421,6 +423,63 @@ object Dedup {
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.1""".stripMargin) {
       (s, dir) => embeddingPairs(Tables.embeddings(s, dir))
+    },
+
+    // The COMPOSED corpus-prep pipeline — what a training-data job runs
+    // end-to-end, as ONE declarative query: (1) exact dedup keep-first by
+    // content hash, (2) near-dup components over the exact-deduped subset
+    // with the longest-doc-per-cluster pick, (3) a minimum-length quality
+    // gate, (4) per-language counts of what survives. Every stage reuses
+    // the individually-oracled operators above; the oracle chains the same
+    // proven CTE fragments over the `kept` subset.
+    QueryDef.sql("d09_corpus_prep",
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT doc_id, text, lang, n_chars FROM (
+         |    SELECT doc_id, text, lang, n_chars,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |${toksCte("kept")},
+         |$shCte,
+         |$candCte,
+         |$componentsCte,
+         |lab AS (
+         |  SELECT k.doc_id, k.n_chars, k.lang, coalesce(l.label, k.doc_id) AS label
+         |  FROM kept k LEFT JOIN labels l ON l.id = k.doc_id),
+         |pick AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id) AS rk
+         |    FROM lab) WHERE rk = 1),
+         |final AS (
+         |  SELECT p.lang FROM pick p JOIN toks t ON t.doc_id = p.doc_id
+         |  WHERE len(t.t) >= 5)
+         |SELECT lang, count(*) AS n_kept FROM final GROUP BY lang""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // (1) exact keep-first — one shuffle on the content hash
+        val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val kept = docs
+          .withColumn("rn", row_number().over(wExact))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text", "lang", "n_chars")
+        // (2) near-dup cluster pick on the smaller deduped corpus (running
+        // LSH after exact dedup is the standard order: it shrinks the
+        // shingle pass AND removes the worst bucket-collapse source).
+        // Checkpointed: shingles feed candidates and the quality gate.
+        val sh = shingled(kept).localCheckpoint(true)
+        val comp = connectedComponents(candidatesFrom(sh), maxIters = 50)
+        val picked = kept
+          .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+          .withColumn("label", coalesce(col("label"), col("doc_id")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("label").orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk") === 1)
+        // (3) quality gate: integer token count — engine-exact
+        picked
+          .filter(size(Exprs.tokens(col("text"))) >= 5)
+          // (4) per-language survivor counts
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      }
     }
   )
 }
