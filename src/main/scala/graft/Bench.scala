@@ -21,6 +21,21 @@ object Bench {
     // trivial scan so the first timed query doesn't absorb JVM startup.
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    // Per-query warm-up at the SMALLEST scale factor (sibling sf0.001 dir
+    // when present): each query's first execution pays its own whole-stage
+    // codegen + JIT compile (~0.5-2 s on the expression-heavy ones), which
+    // measures the compiler, not the engine. Warming on tiny data compiles
+    // every plan so the timed pass below measures steady-state data
+    // throughput — the quantity that actually scales. Warm-up failures are
+    // ignored; the timed pass still surfaces them as "err".
+    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent.resolve("sf0.001")
+    if (java.nio.file.Files.isDirectory(warmDir)) {
+      val wd = warmDir.toString
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, wd).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
