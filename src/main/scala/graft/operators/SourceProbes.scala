@@ -24,6 +24,10 @@ object SourceProbes {
       // database per Verify/Bench run and pin each in the embedded engine
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-derby-rt")
       java.nio.file.Files.createDirectories(base)
+      // keep Derby's engine log out of the process working directory
+      // (no-op if the embedded engine already booted with another target)
+      if (sys.props.get("derby.stream.error.file").isEmpty)
+        System.setProperty("derby.stream.error.file", base.resolve("derby.log").toString)
       val db = base.resolve("db")
       Tables.nation(s, dir)
         .write.format("jdbc")

@@ -10,6 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * test JVM), warehouse + metastore in a temp dir so `saveAsTable` works
   * against the built-in catalog without touching the repo tree. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // route the embedded Derby engine log (SourcesSpec, jdbc_roundtrip) to
+  // tmp instead of the forked test JVM's working directory (the repo
+  // root); runs at suite construction, before any Derby boot
+  if (sys.props.get("derby.stream.error.file").isEmpty)
+    System.setProperty("derby.stream.error.file",
+      s"${sys.props("java.io.tmpdir")}/graft-derby-test.log")
+
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites; JVM exit cleans up
 }
