@@ -21,20 +21,18 @@ object Bench {
     // trivial scan so the first timed query doesn't absorb JVM startup.
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
-    // Per-query warm-up at the SMALLEST scale factor (sibling sf0.001 dir
-    // when present): each query's first execution pays its own whole-stage
-    // codegen + JIT compile (~0.5-2 s on the expression-heavy ones), which
-    // measures the compiler, not the engine. Warming on tiny data compiles
-    // every plan so the timed pass below measures steady-state data
-    // throughput — the quantity that actually scales. Warm-up failures are
-    // ignored; the timed pass still surfaces them as "err".
-    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent.resolve("sf0.001")
-    if (java.nio.file.Files.isDirectory(warmDir)) {
-      val wd = warmDir.toString
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, wd).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
+    // Untimed per-query warm-up pass over the SAME data directory: each
+    // query's first execution pays its own whole-stage-codegen + JIT
+    // compile (~0.5-2 s on the expression-heavy ones), which measures the
+    // compiler, not the engine. Warming on the timed directory itself (not
+    // a smaller SF) guarantees the compiled plans are identical — join
+    // strategies and AQE stage shapes depend on input sizes, so a
+    // small-scale warm-up could compile different codegen than the timed
+    // pass executes. Warm-up failures are ignored; the timed pass still
+    // surfaces them as "err".
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -189,6 +189,17 @@ object Dedup {
       |  SELECT s.id, reach.r FROM sym s JOIN reach ON reach.id = s.nbr),
       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
 
+  /** Longest-document-per-cluster pick over a (label, n_chars, doc_id, …)
+    * frame: min over struct(-n_chars, doc_id, carry…) = max length, tie →
+    * lowest doc_id (doc_id is unique, so carried fields never order). A
+    * partial-aggregable one-pass groupBy — no per-cluster sort — shared by
+    * d08 and d09 so the pick rule lives in exactly one place. */
+  private def pickLongestPerLabel(lab: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    lab.groupBy("label")
+      .agg(min(struct(Seq((-col("n_chars")).as("neg"), col("doc_id")) ++ carry.map(col): _*))
+        .as("m"),
+        count(lit(1)).as("cluster_size"))
+
   /** Connected components over an undirected edge list by min-label
     * propagation: every vertex repeatedly adopts the smallest label in its
     * neighborhood. Converges in graph-diameter iterations; near-dup
@@ -389,12 +400,10 @@ object Dedup {
       (s, dir) => {
         val comp = connectedComponents(candidates(s, dir), maxIters = 50)
         val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
-        docs.join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        val lab = docs
+          .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
           .withColumn("label", coalesce(col("label"), col("doc_id")))
-          .groupBy("label")
-          // min over (-n_chars, doc_id) = max length, tie → lowest id
-          .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("m"),
-            count(lit(1)).as("cluster_size"))
+        pickLongestPerLabel(lab)
           .select(col("label"), col("m.doc_id").as("kept_id"), col("cluster_size"))
       }
     },
@@ -456,29 +465,28 @@ object Dedup {
          |SELECT lang, count(*) AS n_kept FROM final GROUP BY lang""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // (1) exact keep-first — one shuffle on the content hash
+        // (1) exact keep-first — one shuffle on the content hash.
+        // Checkpointed: the deduped corpus feeds BOTH the shingle/LSH
+        // pass and the cluster-pick join, and its lineage (full scan +
+        // md5 window) must not execute twice.
         val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
         val kept = docs
           .withColumn("rn", row_number().over(wExact))
           .filter(col("rn") === 1)
           .select("doc_id", "text", "lang", "n_chars")
+          .localCheckpoint(true)
         // (2) near-dup cluster pick on the smaller deduped corpus (running
         // LSH after exact dedup is the standard order: it shrinks the
-        // shingle pass AND removes the worst bucket-collapse source).
-        // Checkpointed: shingles feed candidates and the quality gate.
-        val sh = shingled(kept).localCheckpoint(true)
-        val comp = connectedComponents(candidatesFrom(sh), maxIters = 50)
-        val picked = kept
+        // shingle pass AND removes the worst bucket-collapse source)
+        val comp = connectedComponents(candidatesFrom(shingled(kept)), maxIters = 50)
+        val lab = kept
           .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
           .withColumn("label", coalesce(col("label"), col("doc_id")))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("label").orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rk") === 1)
-        // (3) quality gate: integer token count — engine-exact
-        picked
-          .filter(size(Exprs.tokens(col("text"))) >= 5)
+        pickLongestPerLabel(lab, carry = Seq("lang", "text"))
+          // (3) quality gate: integer token count — engine-exact
+          .filter(size(Exprs.tokens(col("m.text"))) >= 5)
           // (4) per-language survivor counts
-          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .groupBy(col("m.lang").as("lang")).agg(count(lit(1)).as("n_kept"))
       }
     }
   )

@@ -17,18 +17,29 @@ object SourceProbes {
 
   private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
 
+  /** One Derby database directory per JVM, removed at exit. Embedded
+    * Derby permits only ONE booting JVM per database directory, so a
+    * fixed shared path would make concurrent Bench/Verify processes fail
+    * with XSDB6; a fresh directory per *invocation* would leak one
+    * database per call. Per-process + shutdown-hook cleanup avoids both.
+    * The table is overwritten on each invocation within the JVM. */
+  private lazy val dbDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-derby-rt")
+    // keep Derby's engine log out of the process working directory
+    if (sys.props.get("derby.stream.error.file").isEmpty)
+      System.setProperty("derby.stream.error.file", d.resolve("derby.log").toString)
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(d.toFile)
+    }
+    d
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
-      // fixed location, reused (table overwritten) across invocations — a
-      // fresh createTempDirectory per call would accumulate one Derby
-      // database per Verify/Bench run and pin each in the embedded engine
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-derby-rt")
-      java.nio.file.Files.createDirectories(base)
-      // keep Derby's engine log out of the process working directory
-      // (no-op if the embedded engine already booted with another target)
-      if (sys.props.get("derby.stream.error.file").isEmpty)
-        System.setProperty("derby.stream.error.file", base.resolve("derby.log").toString)
-      val db = base.resolve("db")
+      val db = dbDir.resolve("db")
       Tables.nation(s, dir)
         .write.format("jdbc")
         .option("url", s"jdbc:derby:$db;create=true")

@@ -140,10 +140,12 @@ object EventStreams {
     * and a `text` column; emits the input rows minus in-horizon dups. */
   def dedupDocs(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col("text")))
+      // collision-proof internal name: a caller-supplied content_hash
+      // column must survive untouched
+      .withColumn("__graft_content_hash", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
-      .drop("content_hash") // helper key — emit the caller's schema unchanged
+      .dropDuplicatesWithinWatermark("__graft_content_hash")
+      .drop("__graft_content_hash")
 
   /** Checkpointed file-relay with `Trigger.AvailableNow`: reads whatever
     * files exist, processes them exactly once (offsets in the checkpoint),
