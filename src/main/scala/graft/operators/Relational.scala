@@ -637,6 +637,36 @@ object Relational {
           .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     },
 
+    // CUBE — the full grouping-set lattice (rollup's sibling): every
+    // combination of the two keys including both partials. Same expanded
+    // partial-agg execution as rollup; one shuffle.
+    QueryDef.sql("q39_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    // PIVOT — long→wide reshaping with an EXPLICIT value list: Spark's
+    // pivot without declared values runs a driver-side distinct scan to
+    // discover columns (two jobs, nondeterministic column order at scale);
+    // pinning the list keeps it one hash-agg pass. The oracle is the
+    // equivalent conditional aggregation.
+    QueryDef.sql("q40_pivot",
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum("l_quantity"), 2))
+    },
+
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
     // "today" driver-side; ours pins it as a parameter for determinism).
     QueryDef.sql("q29_asof_filter",
