@@ -190,6 +190,33 @@ object Multimodal {
       }
     },
 
+    // Frame SAMPLING — the keyframe-style path a video pipeline runs:
+    // decode, keep every 4th frame. The filter composes onto the typed
+    // decode output and prunes BEFORE any downstream feature work; on a
+    // real codec the sampler would push into the decoder (seek-to-frame)
+    // — the operator contract (doc, sampled frame set, checksums) is the
+    // same and is what the oracle pins.
+    QueryDef.sql("m06_frame_sample",
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(len(fh) / 2 AS BIGINT) AS frame_bytes,
+        |       md5(fh) AS checksum
+        |FROM (
+        |  SELECT doc_id, f,
+        |         substr(upper(hex(text::BLOB)), CAST(f * 512 + 1 AS BIGINT), 512) AS fh
+        |  FROM documents,
+        |       unnest(range(0, greatest(CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT), 1))) AS u(f))
+        |WHERE f % 4 = 0""".stripMargin) {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        // column predicate, not a typed lambda: the lambda form would
+        // deserialize every Frame just to test the modulus
+        extractFrames(media).toDF().filter(col("frame_idx") % 4 === 0)
+      }
+    },
+
     // Feature extraction through the same batch-decode path. The 16-bin
     // high-nibble histogram IS SQL-expressible over the hex rendering
     // (nibble j of the payload = hex char 2j+1), so the oracle recomputes
