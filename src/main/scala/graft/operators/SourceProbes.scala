@@ -2,29 +2,40 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.pipeline.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit, min}
 
-/** Driver-visible gate for the S1 JDBC range-partitioned scan
-  * (`graft.pipeline.Sources.jdbcPartitioned`): the harness has no external
-  * database, so the probe round-trips the `nation` table through the
-  * embedded Derby that ships with Spark — write over JDBC, read back with
-  * a 4-way range-partitioned scan (each task issues its own bounded
-  * query, the distributed form of the reference's single-connection
-  * `index BETWEEN` loop, `ingestToBronze.py:43-49`). Rows-only driver
-  * check (the JDBC sink is a side effect DuckDB cannot see); the same
-  * path's values/partitioning are asserted in `SourcesSpec`.
+/** Driver-visible gates for the source/sink formats beyond parquet/CSV:
+  *
+  *   - `jdbc_roundtrip` — the S1 JDBC range-partitioned scan
+  *     (`graft.pipeline.Sources.jdbcPartitioned`): the harness has no
+  *     external database, so the probe round-trips the `nation` table
+  *     through the embedded Derby that ships with Spark — write over
+  *     JDBC, read back with a 4-way range-partitioned scan (each task
+  *     issues its own bounded query, the distributed form of the
+  *     reference's single-connection `index BETWEEN` loop,
+  *     `ingestToBronze.py:43-49`). Rows-only (the JDBC sink is a side
+  *     effect DuckDB cannot see); values/partitioning asserted in
+  *     `SourcesSpec`.
+  *   - `src01_json_roundtrip` / `src02_orc_roundtrip` — the other two
+  *     file formats Spark ships natively, written and read back, then
+  *     aggregated. These ARE hash-gated: a lossless roundtrip yields the
+  *     same rows, so the oracle computes the identical aggregate straight
+  *     from the parquet table.
   */
 object SourceProbes {
 
   private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
 
-  /** One Derby database directory per JVM, removed at exit. Embedded
-    * Derby permits only ONE booting JVM per database directory, so a
-    * fixed shared path would make concurrent Bench/Verify processes fail
-    * with XSDB6; a fresh directory per *invocation* would leak one
-    * database per call. Per-process + shutdown-hook cleanup avoids both.
-    * The table is overwritten on each invocation within the JVM. */
-  private lazy val dbDir: java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory("graft-derby-rt")
+  /** One probe workspace per JVM, removed at exit. For Derby this is
+    * load-bearing: embedded Derby permits only ONE booting JVM per
+    * database directory, so a fixed shared path would make concurrent
+    * Bench/Verify processes fail with XSDB6, while a fresh directory per
+    * *invocation* would leak one database per call. Per-process +
+    * shutdown-hook cleanup avoids both; outputs are overwritten on each
+    * invocation within the JVM. */
+  private lazy val workDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-source-probes")
     // keep Derby's engine log out of the process working directory
     if (sys.props.get("derby.stream.error.file").isEmpty)
       System.setProperty("derby.stream.error.file", d.resolve("derby.log").toString)
@@ -37,9 +48,38 @@ object SourceProbes {
     d
   }
 
+  /** Aggregate used by the format roundtrips: stable, typed, computable
+    * by the oracle directly from the parquet table. */
+  private def regionSummary(df: DataFrame): DataFrame =
+    df.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+
+  private val roundtripOracle =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // JSON source: write the table as JSON lines, read it back with a
+    // DECLARED schema (no inference scan — the schema is the contract,
+    // same posture as the CSV loader), aggregate.
+    QueryDef.sql("src01_json_roundtrip", roundtripOracle) { (s, dir) =>
+      val out = workDir.resolve("nation_json").toString
+      val nation = Tables.nation(s, dir)
+      nation.write.mode("overwrite").json(out)
+      regionSummary(s.read.schema(nation.schema).json(out))
+    },
+
+    // ORC source/sink: the other columnar format Spark ships natively.
+    QueryDef.sql("src02_orc_roundtrip", roundtripOracle) { (s, dir) =>
+      val out = workDir.resolve("nation_orc").toString
+      val nation = Tables.nation(s, dir)
+      nation.write.mode("overwrite").orc(out)
+      regionSummary(s.read.orc(out))
+    },
+
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
-      val db = dbDir.resolve("db")
+      val db = workDir.resolve("db")
       Tables.nation(s, dir)
         .write.format("jdbc")
         .option("url", s"jdbc:derby:$db;create=true")
