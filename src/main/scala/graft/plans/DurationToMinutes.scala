@@ -80,5 +80,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("duration_to_minutes"),
       new ExpressionInfo(classOf[DurationToMinutes].getName, "duration_to_minutes"),
       (children: Seq[Expression]) => DurationToMinutes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+      (children: Seq[Expression]) => VectorNorm(children.head)))
+    // planes/dim must be integer literals — the plane matrix is built at
+    // plan time, not per row
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bucket: $what must be an INT literal, got $other")
+        }
+        HyperplaneBucket(children.head,
+          intLit(children(1), "planes"), intLit(children(2), "dim"))
+      }))
   }
 }
