@@ -1,12 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Failures are reported per-query ("err") and make
   * the process exit nonzero — a round where queries crash must never look
   * like a (fast) successful bench.
   */
 object Bench {
+
+  /** Timed passes per query; the reported figure is the median. Single-run
+    * timings on local[32] carry ±0.2 s of scheduler/GC noise — enough to
+    * make round-over-round deltas on sub-second queries unattributable.
+    * The median of three kills outliers in either direction while keeping
+    * bench wall time bounded (3× the timed pass; the warm-up amortizes). */
+  private val TimedPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,8 +29,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer caches, scheduler) on a
     // trivial scan so the first timed query doesn't absorb JVM startup.
+    // NonFatal only: an OOM or JVM-fatal error here would corrupt every
+    // subsequent measurement — let it crash the run instead.
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
     // Untimed per-query warm-up pass over the SAME data directory: each
     // query's first execution pays its own whole-stage-codegen + JIT
     // compile (~0.5-2 s on the expression-heavy ones), which measures the
@@ -32,27 +44,30 @@ object Bench {
     // surfaces them as "err".
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        // noop sink, not count(): count() lets Catalyst prune every unused
-        // column, so projection-only queries would be timed at ~zero cost.
-        // The noop DSv2 writer consumes every row in full.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      // noop sink, not count(): count() lets Catalyst prune every unused
+      // column, so projection-only queries would be timed at ~zero cost.
+      // The noop DSv2 writer consumes every row in full.
+      val times = (1 to TimedPasses).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failures ::= name; false
+          None
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec.toString else "\"err\"")
+      }.takeWhile(_.isDefined).flatten.toSeq // a failed pass aborts the query
+      if (times.size < TimedPasses) failures ::= name
+      val median = times.sorted.drop(times.size / 2).headOption
+      name -> (if (times.size == TimedPasses) median.get.toString else "\"err\"")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.startsWith("\"") => v.toDouble }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

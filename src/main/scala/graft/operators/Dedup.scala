@@ -102,9 +102,12 @@ object Dedup {
         b => struct(a.as("id_a"), b.as("id_b")))))
     bandedFrom(minhashedFrom(sh))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      // the metric counts over-cap rows only: singleton buckets (bn = 1)
+      // are also filtered below, but a lone row can never form a pair, so
+      // excluding them loses no candidates and isn't a "drop"
       .observe("lsh_bucket_guard",
         coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
-          .as("rows_in_dropped_buckets"),
+          .as("rows_in_overflow_buckets"),
         coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
       .filter(col("bn").between(2, MaxBucketSize))
       .groupBy("band", "bkey")
@@ -135,7 +138,7 @@ object Dedup {
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
       .observe("embedding_bucket_guard",
         coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
-          .as("rows_in_dropped_buckets"),
+          .as("rows_in_overflow_buckets"),
         coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
       .filter(col("bn").between(2, MaxBucketSize))
       .groupBy("bucket")
@@ -248,8 +251,12 @@ object Dedup {
       // accumulator holds the merged value once the eager job finishes.
       val run = next.select("id", "label")
       val mat = run.localCheckpoint(true)
-      converged = run.queryExecution.observedMetrics(s"cc_iter_$iter")
-        .getAs[Long]("changed") == 0L
+      // .get, not apply: if the CollectMetrics node is ever pruned from the
+      // executed plan (empty edge list folded to an empty relation, or a
+      // future AQE change), an absent metric means zero rows changed —
+      // converged — not a NoSuchElementException mid-loop.
+      converged = run.queryExecution.observedMetrics.get(s"cc_iter_$iter")
+        .map(_.getAs[Long]("changed")).getOrElse(0L) == 0L
       labels = mat
       iter += 1
     }
@@ -479,12 +486,18 @@ object Dedup {
         // LSH after exact dedup is the standard order: it shrinks the
         // shingle pass AND removes the worst bucket-collapse source)
         val comp = connectedComponents(candidatesFrom(shingled(kept)), maxIters = 50)
+        // token counts are computed BEFORE the pick so the full text never
+        // enters the aggregation buffer or the pick shuffle: the gate only
+        // needs the count, and tokenizing is a codegen'd projection while
+        // shuffling every surviving text is real bytes at corpus scale
         val lab = kept
           .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
           .withColumn("label", coalesce(col("label"), col("doc_id")))
-        pickLongestPerLabel(lab, carry = Seq("lang", "text"))
+          .withColumn("n_tokens", size(Exprs.tokens(col("text"))))
+          .select("label", "n_chars", "doc_id", "lang", "n_tokens")
+        pickLongestPerLabel(lab, carry = Seq("lang", "n_tokens"))
           // (3) quality gate: integer token count — engine-exact
-          .filter(size(Exprs.tokens(col("m.text"))) >= 5)
+          .filter(col("m.n_tokens") >= 5)
           // (4) per-language survivor counts
           .groupBy(col("m.lang").as("lang")).agg(count(lit(1)).as("n_kept"))
       }

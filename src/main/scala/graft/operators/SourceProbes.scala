@@ -40,6 +40,13 @@ object SourceProbes {
     if (sys.props.get("derby.stream.error.file").isEmpty)
       System.setProperty("derby.stream.error.file", d.resolve("derby.log").toString)
     sys.addShutdownHook {
+      // Quiesce the Derby engine BEFORE deleting: with the engine still
+      // booted, its background writer / db.lck can race the recursive
+      // delete and leave stray files. A successful full-engine shutdown
+      // SIGNALS via SQLException (XJ015) — that's the expected path; any
+      // exception also covers "engine never booted".
+      try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
       }

@@ -30,7 +30,7 @@ class DedupGuardSpec extends SparkSpec {
     val m = cand.queryExecution.observedMetrics("lsh_bucket_guard")
     // every one of the B=4 band rows of each boilerplate doc sat in an
     // over-cap bucket
-    assert(m.getAs[Long]("rows_in_dropped_buckets") === 2400L * 4)
+    assert(m.getAs[Long]("rows_in_overflow_buckets") === 2400L * 4)
     assert(m.getAs[Long]("max_bucket_rows") === 2400L)
   }
 
@@ -52,7 +52,7 @@ class DedupGuardSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) === 1.0), "identical vectors: cosine 1")
 
     val m = pairs.queryExecution.observedMetrics("embedding_bucket_guard")
-    assert(m.getAs[Long]("rows_in_dropped_buckets") === 1500L)
+    assert(m.getAs[Long]("rows_in_overflow_buckets") === 1500L)
     assert(m.getAs[Long]("max_bucket_rows") === 1500L)
   }
 }
