@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Exprs
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Core relational operator suite — every scan/filter/join/aggregate/window
   * capability from SURVEY §2 (§2.1-§2.6), expressed on the driver's TPC-H-ish
@@ -665,6 +666,44 @@ object Relational {
           .groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("F", "O"))
           .agg(round(sum("l_quantity"), 2))
+    },
+
+    // Schema-typed JSON extraction: ONE `from_json(schema)` parse per row
+    // yields a struct feeding every downstream use (here a derived group
+    // key AND an aggregate) — the scalable form for multi-key payloads.
+    // q26's `get_json_object` re-parses the document once PER KEY, so a
+    // 10-field extraction pays 10 parses; this pays one. The declared
+    // schema is the contract (no inference scan), same posture as the
+    // CSV/JSON loaders.
+    QueryDef.sql("q41_json_struct",
+      """SELECT event_type,
+        |       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_decile,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type, k_decile""".stripMargin) {
+      (s, dir) => {
+        val propsSchema = StructType(Seq(StructField("k", LongType)))
+        Tables.events(s, dir)
+          .withColumn("p", from_json(col("props"), propsSchema))
+          .groupBy(col("event_type"),
+            floor(col("p.k") / 10).cast("long").as("k_decile"))
+          .agg(sum(col("p.k")).as("sum_k"), count(lit(1)).as("n"))
+      }
+    },
+
+    // Approximate percentiles — the 100 TB quantile path: a fixed-size
+    // mergeable sketch (partial-agg + merge, no per-group value
+    // buffering), the quantile sibling of q32's HLL. q33 (exact
+    // `percentile`) buffers every group value on one reducer; this never
+    // does. Rows-only: sketch outputs are engine-specific, so there is no
+    // cross-engine oracle — `ApproxPercentileSpec` asserts the rank-error
+    // bound against the exact values instead.
+    QueryDef.noOracle("q42_approx_percentiles") { (s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+          count(lit(1)).as("n"))
     },
 
     // P8 as-of date-literal filter (reference updateToGold.py:35 freezes
