@@ -717,6 +717,32 @@ object Relational {
           .filter(col("o_orderdate") <= to_date(lit("1995-06-17")))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    // q36's purchase-attribution semantics through the NATIVE as-of join
+    // (graft.plans.AsOfJoinExec — custom logical node + Strategy +
+    // sorted-merge physical operator): each side shuffles once on its own
+    // key, no union materialization, no window state. The oracle is
+    // DuckDB's own ASOF LEFT JOIN — an independent native implementation
+    // of the same operator. Right side pre-aggregated to one row per
+    // (user_id, ts) so tie order can't make the result run-dependent.
+    QueryDef.sql("q43_asof_native",
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS vid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, v.vid AS last_view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        graft.plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "ts")
+          .select(col("event_id").as("purchase_id"), col("vid").as("last_view_id"))
+      }
     }
   )
 }

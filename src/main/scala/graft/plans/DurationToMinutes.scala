@@ -76,6 +76,9 @@ object DurationToMinutes {
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (logical node [[AsOfJoinPlan]] → physical [[AsOfJoinExec]]).
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("duration_to_minutes"),
       new ExpressionInfo(classOf[DurationToMinutes].getName, "duration_to_minutes"),

@@ -1,0 +1,134 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of join attaches the latest right row at or before each left time") {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 25L, "t2"), (1L, 5L, "t0"), (2L, 50L, "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 20L, 102.0), (2L, 60L, 200.0))
+      .toDF("key", "ts", "px")
+
+    val out = AsOf.join(trades, quotes, Seq("key"), "ts", "ts")
+      .select(col("trade"), col("px"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    assert(out === Map(
+      "t0" -> None,          // no quote at or before ts=5
+      "t1" -> Some(101.0),   // tie: quote at ts=10 matches (inclusive)
+      "t2" -> Some(102.0),   // latest of 8/10/20
+      "t3" -> None))         // key 2's only quote is later
+  }
+
+  test("native as-of join equals the composed window form on generated data") {
+    val left = (0 until 400).map(i => ((i % 7).toLong, (i * 13 % 211).toLong, i.toLong))
+      .toDF("key", "lt", "lid")
+    val right = (0 until 150).map(i => ((i % 7).toLong, (i * 29 % 199).toLong, (1000 + i).toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, rt)
+      .toDF("key", "rt", "rid")
+
+    val native = AsOf.join(left, right, Seq("key"), "lt", "rt")
+      .select(col("lid"), col("rid"))
+    val composed = graft.operators.TemporalJoins
+      .asofJoin(left, right, "key", "lt", "rt")
+      .select(col("lid"), col("asof.rid").as("rid"))
+
+    assert(native.count() === left.count())
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("null keys and null times never match; rows survive left-outer") {
+    val left = Seq(
+      (Option(1L), Option(10L), "a"),
+      (Option.empty[Long], Option(10L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nulltime"),
+      (Option(1L), Option(30L), "b"))
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(5L), "r5"),
+      (Option.empty[Long], Option(1L), "rnullkey"),
+      (Option(1L), Option.empty[Long], "rnulltime"),
+      (Option(1L), Option(20L), "r20"))
+      .toDF("key", "t", "v")
+
+    val out = AsOf.join(left, right, Seq("key"), "t", "t")
+      .select(col("tag"), col("v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+
+    assert(out === Map(
+      "a" -> Some("r5"),
+      "nullkey" -> None,     // null key joins nothing
+      "nulltime" -> None,    // null left time matches nothing
+      "b" -> Some("r20")))   // null-key / null-time right rows skipped
+  }
+
+  test("multi-column keys join on all columns") {
+    val left = Seq((1L, "x", 10L, "l1"), (1L, "y", 10L, "l2"), (2L, "x", 10L, "l3"))
+      .toDF("k1", "k2", "t", "tag")
+    val right = Seq((1L, "x", 5L, "rx"), (1L, "y", 5L, "ry"), (2L, "z", 5L, "rz"))
+      .toDF("k1", "k2", "t", "v")
+
+    val out = AsOf.join(left, right, Seq("k1", "k2"), "t", "t")
+      .select(col("tag"), col("v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+
+    assert(out === Map("l1" -> Some("rx"), "l2" -> Some("ry"), "l3" -> None))
+  }
+
+  test("plan: AsOfJoinExec with one exchange per side; downstream agg reuses the layout") {
+    val left = (0 until 1000).map(i => ((i % 13).toLong, i.toLong, i * 2.0)).toDF("key", "t", "x")
+    val right = (0 until 500).map(i => ((i % 13).toLong, i.toLong, i * 3.0)).toDF("key", "t", "y")
+
+    // aggregate on the join key AFTER the as-of join: outputPartitioning
+    // passes the left hash layout through, so no third exchange appears
+    val agg = AsOf.join(left, right, Seq("key"), "t", "t")
+      .groupBy("key").agg(sum("y").as("sy"))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan text
+    try {
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"native exec missing from plan:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(agg.count() === 13)
+  }
+
+  test("self-join: both sides from the same DataFrame (shared exprIds) dedup cleanly") {
+    // q43's shape — purchases as-of-joined to views of the SAME events
+    // relation. Without right-side re-aliasing, column pruning sees one
+    // exprId on both children and empties the right side.
+    val ev = Seq(
+      (1L, 10L, "view", 100L), (1L, 20L, "purchase", 101L),
+      (1L, 15L, "view", 102L), (2L, 5L, "purchase", 103L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+
+    val out = AsOf.join(purchases, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("vid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(out === Map(101L -> Some(102L), 103L -> None))
+  }
+
+  test("type mismatches and missing columns fail fast") {
+    val l = Seq((1L, 10L)).toDF("key", "t")
+    val r = Seq((1, 5L)).toDF("key", "t") // Int key vs Long key
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r.withColumnRenamed("key", "nope"), Seq("key"), "t", "t")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("key"), "t", "t")
+    }
+  }
+}
