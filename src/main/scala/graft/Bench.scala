@@ -46,6 +46,20 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () }
     }
+    // Fixed-cost canary (round 6, after the unattributable fleet-wide r5
+    // drift): a data-independent, plan-stable pure-codegen aggregate.
+    // Its plan can never change with engine code, so round-over-round
+    // movement on "canary" measures the ENVIRONMENT (CPU contention, JIT,
+    // GC, thermal), giving every future bench a drift baseline to
+    // normalize against. Same median-of-3 protocol as the queries.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm-up, untimed
+    val canary = (1 to TimedPasses).map(_ => canaryOnce()).sorted.apply(TimedPasses / 2)
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune every unused
@@ -67,7 +81,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.startsWith("\"") => v.toDouble }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -31,8 +31,11 @@ object Sessions {
   }
 
   /** Apply graft runtime confs to an externally-built session (Verify/Bench
-    * build their own to honor the driver contract). */
+    * build their own to honor the driver contract). This is also where the
+    * as-of planner strategy lands on sessions built without
+    * [[graft.plans.GraftExtensions]] — session setup, not the query path. */
   def tune(spark: SparkSession): SparkSession = {
+    graft.plans.AsOf.ensureInstalled(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

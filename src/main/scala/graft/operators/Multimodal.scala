@@ -104,27 +104,49 @@ object Multimodal {
     }
   }
 
+  /** m01/m07 share one oracle: same logical query, two physical layouts. */
+  private val jointStatsOracle =
+    """SELECT d.lang, e.label, count(*) AS n,
+      |       round(avg(d.n_chars), 6) AS avg_chars,
+      |       round(avg(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS avg_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.lang, e.label""".stripMargin
+
+  private def jointStats(docs: org.apache.spark.sql.DataFrame,
+                         embs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.join(embs, col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"),
+        // averages rounded at the edge: summation order differs between
+        // engines, and a bit-exact comparator would flag the fp noise
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg(VectorOps.norm(col("embedding"))), 6).as("avg_norm"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Joint text ⋈ embedding analytics: per (lang, label) corpus stats.
     // At scale this is the canonical shuffle join on the shared id
-    // (both sides can be bucketed on it to make the join shuffle-free).
-    QueryDef.sql("m01_joint_stats",
-      """SELECT d.lang, e.label, count(*) AS n,
-        |       round(avg(d.n_chars), 6) AS avg_chars,
-        |       round(avg(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS avg_norm
-        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY d.lang, e.label""".stripMargin) {
+    // (both sides can be bucketed on it to make the join shuffle-free —
+    // m07 below is exactly that).
+    QueryDef.sql("m01_joint_stats", jointStatsOracle) {
       (s, dir) =>
-        // averages rounded at the edge: summation order differs between
-        // engines, and a bit-exact comparator would flag the fp noise
-        Tables.documents(s, dir)
-          .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
-          .groupBy("lang", "label")
-          .agg(count(lit(1)).as("n"),
-            round(avg("n_chars"), 6).as("avg_chars"),
-            round(avg(VectorOps.norm(col("embedding"))), 6).as("avg_norm"))
+        jointStats(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    },
+
+    // The SAME joint query over the bucketed layout
+    // (operators.Bucketing.llmTables): documents bucket-sorted by doc_id,
+    // embeddings by vec_id, equal bucket counts — the doc_id = vec_id
+    // join plans with ZERO Exchange on either side (plan-asserted in
+    // BucketingSpec). The layout is written once per (session, source)
+    // and reused; at 100 TB that write is the amortized shuffle and every
+    // downstream dedup/ANN join rides it. Oracle: identical to m01 —
+    // layout must never change results.
+    QueryDef.sql("m07_joint_stats_bucketed", jointStatsOracle) {
+      (s, dir) => {
+        val (docs, embs) = Bucketing.llmTables(s, dir)
+        jointStats(docs, embs)
+      }
     },
 
     // Binary-column metadata: payload as opaque bytes; length, leading

@@ -726,6 +726,9 @@ object Relational {
     // DuckDB's own ASOF LEFT JOIN — an independent native implementation
     // of the same operator. Right side pre-aggregated to one row per
     // (user_id, ts) so tie order can't make the result run-dependent.
+    // hint("merge") pins the sorted-merge form: this query encodes the
+    // big-right case (at 100 TB the views side is NOT broadcastable, even
+    // though its small-SF size estimate is) — the tiny-right case is q44.
     QueryDef.sql("q43_asof_native",
       """WITH v AS (
         |  SELECT user_id, ts, max(event_id) AS vid
@@ -736,12 +739,86 @@ object Relational {
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) {
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        // repartition by user_id BEFORE the (user_id, ts) dedup agg:
+        // HashPartitioning(user_id) satisfies the agg's clustering on
+        // {user_id, ts} (subset rule) AND the as-of join's distribution
+        // on user_id — the right side pays ONE exchange, not two.
         val views = ev.filter(col("event_type") === "view")
+          .repartition(col("user_id"))
           .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select("user_id", "ts", "event_id")
-        graft.plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "ts")
+        graft.plans.AsOf.join(purchases, views.hint("merge"), Seq("user_id"), "ts", "ts")
           .select(col("event_id").as("purchase_id"), col("vid").as("last_view_id"))
+      }
+    },
+
+    // BROADCAST as-of join (graft.plans.BroadcastAsOfJoinExec): every
+    // event calibrated against a TINY per-type monthly reference that only
+    // becomes available at month end (cal ts = next month start, so
+    // month-1 events have no match — real as-of semantics, not a
+    // same-bucket lookup). The 100 TB plan: the event side is never
+    // shuffled or sorted — the calibration table broadcasts and each
+    // partition binary-searches it; the only exchange in the whole query
+    // is the final small groupBy. Oracle: DuckDB's own ASOF LEFT JOIN,
+    // which picks the same small-build shape.
+    QueryDef.sql("q44_asof_broadcast",
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('month', ts) + INTERVAL 1 MONTH AS ts,
+        |         round(avg(value), 6) AS cal
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_type, count(*) AS n, count(c.cal) AS n_matched,
+        |       round(sum(c.cal), 4) AS cal_sum
+        |FROM events e ASOF LEFT JOIN c
+        |  ON e.event_type = c.event_type AND e.ts >= c.ts
+        |GROUP BY e.event_type""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cal = ev
+          .groupBy(col("event_type"),
+            expr("date_trunc('month', ts) + INTERVAL '1' MONTH").as("ts"))
+          .agg(round(avg("value"), 6).as("cal"))
+        graft.plans.AsOf.join(
+            ev.select("event_type", "ts", "event_id", "value"), broadcast(cal),
+            Seq("event_type"), "ts", "ts")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), count(col("cal")).as("n_matched"),
+            round(sum("cal"), 4).as("cal_sum"))
+      }
+    },
+
+    // Banded range join (operators.TemporalJoins.rangeJoin): events
+    // attributed to per-type observation windows (1-day windows every 2
+    // days from each type's first event). The banding join buckets
+    // intervals instead of cross-joining — work scales with overlaps,
+    // never |points|×|intervals| — and the round-6 guard drops degenerate
+    // whole-timeline intervals with the drop observable. Oracle: DuckDB's
+    // native inequality join, the semantic ground truth.
+    QueryDef.sql("q45_range_join",
+      """WITH b AS (SELECT event_type AS key, epoch_us(min(ts)) AS t0
+        |           FROM events GROUP BY 1),
+        |iv AS (SELECT key, CAST(i AS BIGINT) AS i,
+        |              t0 + CAST(i AS BIGINT)*172800000000 AS s,
+        |              t0 + CAST(i AS BIGINT)*172800000000 + 86400000000 AS e
+        |       FROM b, range(0, 5) t(i)),
+        |p AS (SELECT event_type AS key, epoch_us(ts) AS t FROM events)
+        |SELECT p.key, iv.i, count(*) AS n
+        |FROM p JOIN iv ON p.key = iv.key AND p.t >= iv.s AND p.t < iv.e
+        |GROUP BY p.key, iv.i""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val day = 86400000000L // 1 day in microseconds
+        val b = ev.groupBy(col("event_type").as("key"))
+          .agg(unix_micros(min("ts")).as("t0"))
+        val iv = b
+          .select(col("key"), explode(sequence(lit(0L), lit(4L))).as("i"), col("t0"))
+          .select(col("key"), col("i"),
+            (col("t0") + col("i") * lit(2 * day)).as("s"),
+            (col("t0") + col("i") * lit(2 * day) + lit(day)).as("e"))
+        val p = ev.select(col("event_type").as("key"),
+          unix_micros(col("ts")).as("t"))
+        TemporalJoins.rangeJoin(p, iv, "key", "t", "s", "e", bucketWidth = day)
+          .groupBy("key", "i").agg(count(lit(1)).as("n"))
       }
     }
   )

@@ -54,24 +54,55 @@ object TemporalJoins {
       .select(lCols :+ col(asofCol): _*)
   }
 
+  /** An interval spanning more than this many buckets is dropped from the
+    * banding join (and surfaced via the `range_join_guard` observe
+    * metric). Same contract style as `Dedup.MaxBucketSize`: a degenerate
+    * input (one interval covering the whole timeline with a fine
+    * `bucketWidth`) would otherwise explode into span/bucketWidth rows —
+    * unbounded amplification from a single row. Callers joining genuinely
+    * huge intervals should raise `bucketWidth` (buckets near the typical
+    * interval length keep amplification ~1-2×), or raise the cap
+    * explicitly. */
+  val MaxBucketsPerInterval: Long = 4096L
+
   /** Range join: pair every point with every interval (same `key`) that
     * contains it (`start <= point < end`), via banding: intervals explode
     * into the fixed-width buckets they overlap, points hash to their one
     * bucket, and the join runs on (key, bucket) + a residual predicate.
     * Work scales with actual overlaps (× interval span / bucketWidth),
     * not |points| × |intervals|. Pick `bucketWidth` near the typical
-    * interval length. */
+    * interval length.
+    *
+    * Guard contract: intervals spanning more than `maxBucketsPerInterval`
+    * buckets are DROPPED (not exploded), with the drop and the total
+    * banding expansion observable on the result's `range_join_guard`
+    * metric (`intervals_over_cap`, `exploded_rows`). Empty intervals
+    * (`end <= start`) match nothing by definition and are skipped
+    * before the explode. */
   def rangeJoin(
       points: DataFrame, intervals: DataFrame, key: String,
       pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = MaxBucketsPerInterval): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val p = points.withColumn("__b", floor(col(pointCol) / bucketWidth))
-    val i = intervals.withColumn("__b",
-      explode(sequence(floor(col(startCol) / bucketWidth),
-        // end is exclusive: a bucket is covered only if start of the
-        // bucket < end, i.e. last bucket = floor((end-1)/width)
-        floor((col(endCol) - 1) / bucketWidth))))
+    // end is exclusive: a bucket is covered only if start of the bucket
+    // < end, i.e. last bucket = floor((end-1)/width)
+    val lastB = floor((col(endCol) - 1) / bucketWidth)
+    val firstB = floor(col(startCol) / bucketWidth)
+    val i = intervals
+      .withColumn("__nb",
+        when(col(endCol) > col(startCol), lastB - firstB + 1).otherwise(lit(0L)))
+      .observe("range_join_guard",
+        coalesce(sum(when(col("__nb") > maxBucketsPerInterval, 1L).otherwise(0L)),
+          lit(0L)).as("intervals_over_cap"),
+        coalesce(sum(when(col("__nb").between(1L, maxBucketsPerInterval), col("__nb"))),
+          lit(0L)).as("exploded_rows"),
+        coalesce(max(col("__nb")), lit(0L)).as("max_interval_buckets"))
+      .filter(col("__nb").between(1L, maxBucketsPerInterval))
+      .withColumn("__b", explode(sequence(firstB, lastB)))
+      .drop("__nb")
     p.join(i, Seq(key, "__b"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__b")

@@ -53,15 +53,18 @@ object Warehouse {
       .distinct()
 
   /** dim_airport rows: the reference zips `airportCodeArray`/
-    * `airportNameArray`, which never exist (`loadToWarehouse.py:61`);
-    * the documented intent is the arrival+departure code arrays, which
-    * carry no display name — `name` mirrors `code` until a name source
-    * exists (divergence recorded per SURVEY §7.4 risk 1). */
+    * `airportNameArray`, which never exist (`loadToWarehouse.py:61`) —
+    * the feed carries no airport display names. The intent (codes from
+    * the arrival+departure arrays, with a display name) is realized by
+    * joining the conformed [[AirportRef]] reference dim (broadcast —
+    * it's a few thousand rows worldwide); unknown codes keep the code as
+    * their name, so `name` is never null. */
   def batchAirports(silver: DataFrame): DataFrame =
     silver.select(explode(col("arrivalAirportArray")).as("code"))
       .unionByName(silver.select(explode(col("departureAirportArray")).as("code")))
       .distinct()
-      .select(col("code"), col("code").as("name"))
+      .join(broadcast(AirportRef.df(silver.sparkSession)), Seq("code"), "left")
+      .select(col("code"), coalesce(col("ref_name"), col("code")).as("name"))
 
   /** P5: the fact table — every non-array silver column plus
     * `count_segments` (F9) (`loadToWarehouse.py:72-74`). */

@@ -4,10 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BaseOrdering, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, BROADCAST, LogicalPlan, Project, ResolvedHint, SHUFFLE_MERGE}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.internal.SQLConf
 
 /** Native as-of join: the whole-operator extension tier (SURVEY §7.3 (c)) —
   * a custom logical node, a planner `Strategy`, and a physical operator
@@ -44,7 +45,8 @@ import org.apache.spark.sql.graft.Bridge
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], leftTime: Attribute,
-    rightKeys: Seq[Attribute], rightTime: Attribute) extends BinaryNode {
+    rightKeys: Seq[Attribute], rightTime: Attribute,
+    broadcastRight: Boolean = false, forceMerge: Boolean = false) extends BinaryNode {
 
   /** Right columns carried to the output: everything but the join keys and
     * the time column (recomputed from `right.output`, so generic column
@@ -65,13 +67,23 @@ object AsOfJoinPlan {
       rightKeys.exists(_.exprId == a.exprId) || a.exprId == rightTime.exprId)
 }
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; everything else falls
-  * through to the built-in strategies. */
+/** Plans [[AsOfJoinPlan]]: [[BroadcastAsOfJoinExec]] when the right side
+  * is explicitly hinted (`broadcast(right)`) or its size estimate is under
+  * `spark.sql.autoBroadcastJoinThreshold` — the same size rule the
+  * built-in join selection applies — else the shuffle-merge
+  * [[AsOfJoinExec]]. Everything else falls through to the built-in
+  * strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
-      AsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
-        planLater(j.left), planLater(j.right)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val small = threshold >= 0 && j.right.stats.sizeInBytes <= threshold
+      if (!j.forceMerge && (j.broadcastRight || small))
+        BroadcastAsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
+          planLater(j.left), planLater(j.right)) :: Nil
+      else
+        AsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
+          planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -179,13 +191,118 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast as-of join — the scale-right plan when the right side is
+  * tiny (a rates table, a calibration dim): the left side is NOT
+  * shuffled or sorted at all (at 100 TB that is the entire cost of the
+  * merge form), the right side broadcasts once, and each left partition
+  * streams through a per-key binary search over the sorted right rows.
+  * DuckDB's ASOF join (the q43/q44 oracle) plans exactly this shape when
+  * the build side is small.
+  *
+  * Same semantics as [[AsOfJoinExec]]: latest `rightTime <= leftTime`
+  * per equal key, ties at equal time match, null keys/times never match,
+  * left-outer nulls. Left partitioning/ordering pass straight through —
+  * the operator adds no exchange anywhere.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Attribute], leftTime: Attribute,
+    rightKeys: Seq[Attribute], rightTime: Attribute,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  private def rightValues: Seq[Attribute] =
+    AsOfJoinPlan.rightValues(right.output, rightKeys, rightTime)
+
+  override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val lTime = leftTime
+    val rKeys = rightKeys; val rTime = rightTime
+    val rVals = rightValues
+    val keyTypes = lKeys.map(_.dataType)
+    val timeType = lTime.dataType
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val rValProj = UnsafeProjection.create(rVals, rOut)
+      val timeOrd: BaseOrdering = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // Key → right rows as (time, values) sorted by time. Built per
+      // partition from the executor-local broadcast value: O(R log R) on a
+      // side already bounded by the broadcast threshold. Null key/time
+      // rows can never match, so they never enter the index.
+      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTimeProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty
+            grouped.put(k.copy(), buf)
+          }
+          buf += ((t.copy(), rValProj(r).copy()))
+        }
+      }
+      val pairOrd: Ordering[(UnsafeRow, UnsafeRow)] =
+        (a: (UnsafeRow, UnsafeRow), b: (UnsafeRow, UnsafeRow)) => timeOrd.compare(a._1, b._1)
+      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]](grouped.size())
+      grouped.forEach { (k, buf) => index.put(k, buf.sortInPlace()(pairOrd).toArray) }
+
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      // nullable binding for the same reason as the merge exec
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rVals.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rVals.length)
+      val joined = new JoinedRow
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        var hit: InternalRow = null
+        if (!lKey.anyNull && !lTimeRow.isNullAt(0)) {
+          val arr = index.get(lKey)
+          if (arr != null) {
+            // greatest right time <= left time
+            var lo = 0; var hi = arr.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(arr(mid)._1, lTimeRow) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) hit = arr(ans)._2
+          }
+        }
+        resultProj(joined(lRow, if (hit != null) hit else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the native as-of join. */
 object AsOf {
 
   /** Install the planner strategy on sessions not built with
-    * [[GraftExtensions]] (e.g. a driver-owned session). Idempotent; a
-    * duplicate of the injected strategy is harmless — the planner takes
-    * the first candidate plan and both produce the same one. */
+    * [[GraftExtensions]]. Driver-owned-session entry points call this
+    * once at session setup ([[graft.Sessions.tune]]) — deliberately NOT
+    * called from [[join]]: mutating `experimental.extraStrategies` from
+    * inside a column-API call would be session-global state sneaking in
+    * on the query path. Idempotent; a duplicate of the injected strategy
+    * is harmless — the planner takes the first candidate plan and both
+    * produce the same one. */
   def ensureInstalled(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -195,11 +312,18 @@ object AsOf {
     * with equal `keys` and the greatest `rightTime <= leftTime`
     * (left-outer: nulls when none). Key columns must have identical
     * names/types on both sides; `right`'s key and time columns are not
-    * duplicated into the output. */
+    * duplicated into the output.
+    *
+    * Passing `broadcast(right)` pins the broadcast physical form (left
+    * side untouched — no shuffle, no sort); otherwise
+    * [[AsOfJoinStrategy]] picks broadcast vs shuffle-merge by the right
+    * side's size estimate, like built-in join selection.
+    *
+    * The planner strategy must be installed on the session
+    * ([[GraftExtensions]], or [[ensureInstalled]] at session setup). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    ensureInstalled(spark)
     val lPlan = left.queryExecution.analyzed
     // Self-join dedup (what the analyzer's DeduplicateRelations does for
     // built-in Join nodes): if both sides descend from the same relation
@@ -207,7 +331,19 @@ object AsOf {
     // columns inside one node breaks every exprId-keyed rule (column
     // pruning silently emptied the right child). Re-alias the whole right
     // output so its exprIds are fresh.
-    val rPlanRaw = right.queryExecution.analyzed
+    // A top-level hint on the right side pins the physical form:
+    // `broadcast(right)` → broadcast exec; `right.hint("merge")` → the
+    // shuffle-merge exec even when the size estimate is broadcastable
+    // (the scale-out encoding when the small estimate won't hold in
+    // production). The hint node itself is consumed here (it would
+    // otherwise sit meaninglessly inside our custom node).
+    val (rPlanRaw, rHinted, rMerge) = right.queryExecution.analyzed match {
+      case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) =>
+        (child, true, false)
+      case ResolvedHint(child, hints) if hints.strategy.contains(SHUFFLE_MERGE) =>
+        (child, false, true)
+      case p => (p, false, false)
+    }
     val rPlan: LogicalPlan =
       if (lPlan.outputSet.intersect(rPlanRaw.outputSet).isEmpty) rPlanRaw
       else Project(rPlanRaw.output.map(a => Alias(a, a.name)(qualifier = a.qualifier)), rPlanRaw)
@@ -228,6 +364,7 @@ object AsOf {
       s"as-of join: time type mismatch: ${lt.dataType.sql} vs ${rt.dataType.sql}")
     require(RowOrdering.isOrderable(lt.dataType),
       s"as-of join: time type ${lt.dataType.sql} is not orderable")
-    Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt))
+    Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt,
+      broadcastRight = rHinted, forceMerge = rMerge))
   }
 }

@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Round-6 plan audit: the new as-of/range/bucketed queries. */
+object PlanAuditR6 {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8", "plan-audit-r6")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q43_asof_native", "q44_asof_broadcast", "q45_range_join",
+        "m07_joint_stats_bucketed")) {
+      println(s"===== $name =====")
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize so AQE final plans are shown
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -30,4 +30,31 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() === 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("LLM bucketed layout: the m01 join plans with zero shuffle on either side") {
+    val dir = "/root/testdata/sf0.001"
+    val (docs, embs) = Bucketing.llmTables(spark, dir, buckets = 4)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = docs.join(embs, col("doc_id") === col("vec_id"))
+        .groupBy("lang", "label").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the ONLY hash exchange is the final groupBy's — the join itself
+      // reads both sides co-located from the bucketed layout
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 1,
+        s"expected the join to be exchange-free (1 agg exchange only), got $exchanges:\n$plan")
+
+      // layout must not change results: same rows as the plain parquet join
+      val plain = graft.Tables.documents(spark, dir)
+        .join(graft.Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+        .groupBy("lang", "label").agg(count(lit(1)).as("n"))
+      assert(joined.collect().toSet === plain.collect().toSet)
+
+      // cached: second ask returns the registered tables without rewriting
+      val (docs2, _) = Bucketing.llmTables(spark, dir, buckets = 4)
+      assert(docs2.count() === docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

@@ -65,4 +65,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
     assert(banded.count() > 0)
   }
+
+  test("rangeJoin guard: an interval spanning over the cap is dropped and observable") {
+    val points = (0L until 200L).map(i => (0L, i * 5)).toDF("key", "t")
+    val intervals = Seq(
+      (0L, 10L, 50L, "ok"),          // 40/8 → 6 buckets, kept
+      (0L, 0L, 10000L, "degenerate"),// 10000/8 → 1250 buckets > cap, dropped
+      (0L, 30L, 30L, "empty"),       // end <= start: matches nothing, skipped
+      (0L, 600L, 580L, "inverted"))  // end < start: skipped, no explode blowup
+      .toDF("key", "s", "e", "tag")
+
+    val out = TemporalJoins.rangeJoin(points, intervals, "key", "t", "s", "e",
+      bucketWidth = 8, maxBucketsPerInterval = 64)
+      .select("t", "tag")
+    val rows = out.collect()
+
+    // only the sub-cap interval contributes matches: t in [10, 50)
+    assert(rows.forall(_.getString(1) == "ok"))
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      (0L until 200L).map(_ * 5).filter(t => t >= 10 && t < 50).sorted)
+
+    val m = out.queryExecution.observedMetrics("range_join_guard")
+    assert(m.getAs[Long]("intervals_over_cap") === 1L)
+    assert(m.getAs[Long]("max_interval_buckets") === 1250L)
+    assert(m.getAs[Long]("exploded_rows") === 6L) // only "ok" explodes
+  }
 }

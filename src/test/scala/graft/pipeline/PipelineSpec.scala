@@ -110,6 +110,16 @@ class PipelineSpec extends SparkSpec {
     assert(dimAirline.collect().map(_.getAs[String]("code")).toSet ===
       cleanRows.flatMap(_.airlineCodes).toSet)
 
+    val dimAirport = spark.table("warehouse.dim_airport")
+    assert(dimAirport.count() === dimAirport.select("code").distinct().count())
+    val airportNames = dimAirport.collect()
+      .map(r => r.getAs[String]("code") -> r.getAs[String]("name")).toMap
+    // real display names from the AirportRef reference dim, not code echoes
+    assert(airportNames("LGA") === "LaGuardia Airport")
+    assert(airportNames("ORD") === "Chicago O'Hare International Airport")
+    assert(airportNames.forall { case (c, n) => n != null && n != c },
+      s"every fixture code should resolve to a real name: $airportNames")
+
     val fact = spark.table("warehouse.fact_flight_activites")
     assert(fact.count() === cleanRows.size.toLong)
     assert(fact.columns.contains("count_segments"))
