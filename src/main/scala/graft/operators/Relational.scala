@@ -820,6 +820,55 @@ object Relational {
         TemporalJoins.rangeJoin(p, iv, "key", "t", "s", "e", bucketWidth = day)
           .groupBy("key", "i").agg(count(lit(1)).as("n"))
       }
+    },
+
+    // As-of join with TOLERANCE (pandas merge_asof semantics): a
+    // purchase is attributed to the latest prior view only if that view
+    // is at most 1 hour old — an older view yields NULL, never a
+    // fallback. The oracle post-filters DuckDB's ASOF match by the same
+    // staleness bound, which is semantically identical because as-of
+    // already picks the LATEST qualifying row.
+    QueryDef.sql("q46_asof_tolerance",
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS vid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        |            THEN v.vid END AS last_view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        graft.plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "ts",
+            tolerance = Some(3600000000L)) // 1 hour in micros
+          .select(col("event_id").as("purchase_id"), col("vid").as("last_view_id"))
+      }
+    },
+
+    // Salted skew join (operators.Skew.saltedJoin): the big side gets a
+    // uniform salt, the small side replicates once per salt value, and a
+    // single hot key fans out over `salt` reducers instead of pinning one
+    // — the mitigation when AQE's skew splitting can't apply. Salting
+    // must never change results: the oracle is the PLAIN join.
+    QueryDef.sql("q47_skew_salted",
+      """SELECT s_nationkey, count(*) AS n,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin) {
+      (s, dir) => {
+        val small = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        // floor() pins the numeric→int conversion on both engines
+        // (DuckDB rounds casts, Spark truncates — q20's lesson)
+        Skew.saltedJoin(Tables.lineitem(s, dir), small, "l_suppkey", salt = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity"))).as("sum_qty"))
+      }
     }
   )
 }

@@ -46,6 +46,7 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], leftTime: Attribute,
     rightKeys: Seq[Attribute], rightTime: Attribute,
+    tolerance: Option[Long] = None,
     broadcastRight: Boolean = false, forceMerge: Boolean = false) extends BinaryNode {
 
   /** Right columns carried to the output: everything but the join keys and
@@ -65,6 +66,29 @@ object AsOfJoinPlan {
       rightOutput: Seq[Attribute], rightKeys: Seq[Attribute], rightTime: Attribute): Seq[Attribute] =
     rightOutput.filterNot(a =>
       rightKeys.exists(_.exprId == a.exprId) || a.exprId == rightTime.exprId)
+
+  /** Time types a `tolerance` can be applied to: those with a total
+    * order realized by a single integral value — timestamps (micros),
+    * dates (days), and the integral primitives. The tolerance is in the
+    * column's native unit. */
+  def supportsTolerance(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Reads the (single-column, non-null) time row as its native long. */
+  def timeAsLong(dt: org.apache.spark.sql.types.DataType): InternalRow => Long = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => r => r.getLong(0)
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType =>
+      r => r.getInt(0).toLong
+    case org.apache.spark.sql.types.ShortType => r => r.getShort(0).toLong
+    case org.apache.spark.sql.types.ByteType => r => r.getByte(0).toLong
+    case other => throw new IllegalStateException(s"tolerance unsupported for ${other.sql}")
+  }
 }
 
 /** Plans [[AsOfJoinPlan]]: [[BroadcastAsOfJoinExec]] when the right side
@@ -80,10 +104,10 @@ object AsOfJoinStrategy extends SparkStrategy {
       val small = threshold >= 0 && j.right.stats.sizeInBytes <= threshold
       if (!j.forceMerge && (j.broadcastRight || small))
         BroadcastAsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
-          planLater(j.left), planLater(j.right)) :: Nil
+          j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
       else
         AsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
-          planLater(j.left), planLater(j.right)) :: Nil
+          j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -97,6 +121,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute], leftTime: Attribute,
     rightKeys: Seq[Attribute], rightTime: Attribute,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   private def rightValues: Seq[Attribute] =
@@ -126,6 +151,7 @@ case class AsOfJoinExec(
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val outAttrs = output
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -143,6 +169,13 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rVals.length)
       val joined = new JoinedRow
 
+      // tolerance: max staleness in the time column's native unit — a
+      // candidate older than (leftTime - tolerance) yields null, not a
+      // fallback to an even older row (pandas merge_asof semantics)
+      val needTol = tol.isDefined
+      val tolV = tol.getOrElse(0L)
+      val asLong = if (needTol) AsOfJoinPlan.timeAsLong(timeType) else null
+
       val rBuf = rIter.buffered
       // The as-of candidate: last right row (projected to its value
       // columns) with time <= the current left time, plus the key it
@@ -150,6 +183,7 @@ case class AsOfJoinExec(
       // same key because left times ascend within the partition sort.
       var candVal: InternalRow = null
       var candKey: UnsafeRow = null
+      var candTimeLong: Long = 0L
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -175,11 +209,14 @@ case class AsOfJoinExec(
               else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
                 candVal = rValProj(rBuf.head).copy()
                 candKey = lKey.copy()
+                if (needTol) candTimeLong = asLong(rTimeRow)
                 rBuf.next()
               } else done = true
             }
           }
-          val hit = candVal != null && candKey != null && keyOrd.compare(candKey, lKey) == 0
+          val hit = candVal != null && candKey != null &&
+            keyOrd.compare(candKey, lKey) == 0 &&
+            (!needTol || asLong(lTimeRow) - candTimeLong <= tolV)
           resultProj(joined(lRow, if (hit) candVal else nullRight))
         }
       }
@@ -204,9 +241,29 @@ case class AsOfJoinExec(
   * left-outer nulls. Left partitioning/ordering pass straight through —
   * the operator adds no exchange anywhere.
   */
+/** Executor-local cache of built broadcast as-of indexes: every task on
+  * an executor reuses ONE grouped-and-sorted index per (broadcast,
+  * projection) instead of rebuilding it per partition — with hundreds of
+  * partitions per executor that turns O(parts × R log R) build work into
+  * O(R log R). Bounded LRU; entries are bounded by the broadcast
+  * threshold and die with the executor JVM. */
+private[plans] object AsOfIndexCache {
+  private val MaxEntries = 8
+  private val cache = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+      size() > MaxEntries
+  }
+  def getOrBuild(key: String, build: () => AnyRef): AnyRef = cache.synchronized {
+    val got = cache.get(key)
+    if (got != null) got
+    else { val v = build(); cache.put(key, v); v }
+  }
+}
+
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Attribute], leftTime: Attribute,
     rightKeys: Seq[Attribute], rightTime: Attribute,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   private def rightValues: Seq[Attribute] =
@@ -229,35 +286,47 @@ case class BroadcastAsOfJoinExec(
     val keyTypes = lKeys.map(_.dataType)
     val timeType = lTime.dataType
     val outAttrs = output
+    val tol = tolerance
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // cache key: broadcast id + this node's projection of it (the same
+    // exchange can be reused by a different as-of join with different
+    // key/time columns — those must not share an index)
+    val cacheKey = s"${bcast.id}:${rKeys.map(_.exprId.id).mkString(",")}:" +
+      s"${rTime.exprId.id}:${rVals.map(_.exprId.id).mkString(",")}"
 
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
-      val rValProj = UnsafeProjection.create(rVals, rOut)
       val timeOrd: BaseOrdering = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      // Key → right rows as (time, values) sorted by time. Built per
-      // partition from the executor-local broadcast value: O(R log R) on a
-      // side already bounded by the broadcast threshold. Null key/time
-      // rows can never match, so they never enter the index.
-      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
-      bcast.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeProj(r)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty
-            grouped.put(k.copy(), buf)
+      // Key → right rows as (time, values) sorted by time, built ONCE per
+      // executor (AsOfIndexCache) from the executor-local broadcast value:
+      // O(R log R) on a side already bounded by the broadcast threshold.
+      // Null key/time rows can never match, so they never enter the index.
+      val index = AsOfIndexCache.getOrBuild(cacheKey, () => {
+        val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+        val rValProj = UnsafeProjection.create(rVals, rOut)
+        val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+        bcast.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTimeProj(r)
+          if (!k.anyNull && !t.isNullAt(0)) {
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty
+              grouped.put(k.copy(), buf)
+            }
+            buf += ((t.copy(), rValProj(r).copy()))
           }
-          buf += ((t.copy(), rValProj(r).copy()))
         }
-      }
-      val pairOrd: Ordering[(UnsafeRow, UnsafeRow)] =
-        (a: (UnsafeRow, UnsafeRow), b: (UnsafeRow, UnsafeRow)) => timeOrd.compare(a._1, b._1)
-      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]](grouped.size())
-      grouped.forEach { (k, buf) => index.put(k, buf.sortInPlace()(pairOrd).toArray) }
+        val pairOrd: Ordering[(UnsafeRow, UnsafeRow)] =
+          (a: (UnsafeRow, UnsafeRow), b: (UnsafeRow, UnsafeRow)) => timeOrd.compare(a._1, b._1)
+        val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]](grouped.size())
+        grouped.forEach { (k, buf) => built.put(k, buf.sortInPlace()(pairOrd).toArray) }
+        built
+      }).asInstanceOf[java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]]]
 
+      val needTol = tol.isDefined
+      val tolV = tol.getOrElse(0L)
+      val asLong = if (needTol) AsOfJoinPlan.timeAsLong(timeType) else null
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       // nullable binding for the same reason as the merge exec
@@ -279,7 +348,9 @@ case class BroadcastAsOfJoinExec(
               if (timeOrd.compare(arr(mid)._1, lTimeRow) <= 0) { ans = mid; lo = mid + 1 }
               else hi = mid - 1
             }
-            if (ans >= 0) hit = arr(ans)._2
+            if (ans >= 0 &&
+                (!needTol || asLong(lTimeRow) - asLong(arr(ans)._1) <= tolV))
+              hit = arr(ans)._2
           }
         }
         resultProj(joined(lRow, if (hit != null) hit else nullRight))
@@ -319,10 +390,18 @@ object AsOf {
     * [[AsOfJoinStrategy]] picks broadcast vs shuffle-merge by the right
     * side's size estimate, like built-in join selection.
     *
+    * `tolerance` bounds staleness (pandas `merge_asof` semantics): a
+    * match only counts when `leftTime - rightTime <= tolerance`, in the
+    * time column's native unit (micros for timestamps, days for dates);
+    * a fresher-than-nothing candidate outside the bound yields null, it
+    * does NOT fall back to an older row. Integral/timestamp/date time
+    * columns only.
+    *
     * The planner strategy must be installed on the session
     * ([[GraftExtensions]], or [[ensureInstalled]] at session setup). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     // Self-join dedup (what the analyzer's DeduplicateRelations does for
@@ -364,7 +443,12 @@ object AsOf {
       s"as-of join: time type mismatch: ${lt.dataType.sql} vs ${rt.dataType.sql}")
     require(RowOrdering.isOrderable(lt.dataType),
       s"as-of join: time type ${lt.dataType.sql} is not orderable")
+    tolerance.foreach { t =>
+      require(t >= 0, s"as-of join: tolerance must be non-negative, got $t")
+      require(AsOfJoinPlan.supportsTolerance(lt.dataType),
+        s"as-of join: tolerance unsupported for time type ${lt.dataType.sql}")
+    }
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt,
-      broadcastRight = rHinted, forceMerge = rMerge))
+      tolerance = tolerance, broadcastRight = rHinted, forceMerge = rMerge))
   }
 }

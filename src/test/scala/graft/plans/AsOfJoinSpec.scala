@@ -230,6 +230,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map(101L -> Some(102L), 103L -> None))
   }
 
+  test("tolerance: stale matches yield null, never an older fallback") {
+    val left = Seq(
+      (1L, 100L, "fresh"),   // view at 95, staleness 5 <= 10 → match
+      (1L, 200L, "stale"),   // latest view 95, staleness 105 > 10 → null
+      (2L, 50L, "exact"))    // tie at 50, staleness 0 → match
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      (1L, 40L, "r40"), (1L, 95L, "r95"), (2L, 50L, "r50"))
+      .toDF("key", "t", "v")
+
+    bothForms {
+      val out = AsOf.join(left, right, Seq("key"), "t", "t", tolerance = Some(10L))
+        .select(col("tag"), col("v"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(out === Map(
+        "fresh" -> Some("r95"),
+        "stale" -> None, // r95 too old; must NOT fall back to r40
+        "exact" -> Some("r50")))
+    }
+  }
+
+  test("tolerance validation: negative and non-integral time types fail fast") {
+    val l = Seq((1L, 10L)).toDF("key", "t")
+    val r = Seq((1L, 5L)).toDF("key", "t")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("key"), "t", "t", tolerance = Some(-1L))
+    }
+    val ls = Seq((1L, "b")).toDF("key", "t")
+    val rs = Seq((1L, "a")).toDF("key", "t")
+    intercept[IllegalArgumentException] {
+      AsOf.join(ls, rs, Seq("key"), "t", "t", tolerance = Some(1L))
+    }
+  }
+
   test("type mismatches and missing columns fail fast") {
     val l = Seq((1L, 10L)).toDF("key", "t")
     val r = Seq((1, 5L)).toDF("key", "t") // Int key vs Long key
