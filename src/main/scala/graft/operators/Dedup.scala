@@ -95,17 +95,22 @@ object Dedup {
     * the guard drop oversized buckets BEFORE any list is built (the window
     * buffer spills; a collect_list value cannot), and feeds the observed
     * drop metrics. */
-  private[operators] def candidatesFrom(sh: DataFrame): DataFrame = {
+  /** Distinct (id_a < id_b) pairs from a (doc_id, band, bkey) bucketed
+    * input, with the mega-bucket guard: per-bucket count windowed in the
+    * SAME exchange as the collect, over-cap buckets dropped before any
+    * list materializes, drop surfaced on `guardMetric`. Shared by the
+    * minhash bands (d02…) and the simhash bands (d10). */
+  private[operators] def pairsFromBuckets(banded: DataFrame, guardMetric: String): DataFrame = {
     val ids = col("ids")
     val pairs = flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
         b => struct(a.as("id_a"), b.as("id_b")))))
-    bandedFrom(minhashedFrom(sh))
+    banded
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       // the metric counts over-cap rows only: singleton buckets (bn = 1)
       // are also filtered below, but a lone row can never form a pair, so
       // excluding them loses no candidates and isn't a "drop"
-      .observe("lsh_bucket_guard",
+      .observe(guardMetric,
         coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("rows_in_overflow_buckets"),
         coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
@@ -117,8 +122,51 @@ object Dedup {
       .distinct()
   }
 
+  private[operators] def candidatesFrom(sh: DataFrame): DataFrame =
+    pairsFromBuckets(bandedFrom(minhashedFrom(sh)), "lsh_bucket_guard")
+
   private def candidates(s: SparkSession, dir: String): DataFrame =
     candidatesFrom(shingled(Tables.documents(s, dir)))
+
+  /** Bands for the simhash near-dup pairing (d10): 16-bit signature →
+    * 4 bands of 4 bits. Pigeonhole: a Hamming distance ≤ SimB−1 pair
+    * always agrees on at least one full band. */
+  private val SimB = 4
+
+  /** (doc_id, simhash): the d04 signature — 16-bit per-document token
+    * majority vote, one md5 projection + partial-aggregated bit sums. */
+  private[operators] def simhashed(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(Exprs.distinctTokens(col("text"))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val sums = (0 until 16).map(i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(0)).as(s"b$i"))
+    val sig = (0 until 16)
+      .map(i => when(lit(2) * col(s"b$i") > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** DuckDB CTE chain ending in `sig(doc_id, simhash)` — the oracle twin
+    * of [[simhashed]], shared by d04 and d10. */
+  private val simhashCtes: String = {
+    val bitSums = (0 until 16).map(i =>
+      s"sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS b$i")
+      .mkString(",\n       |         ")
+    val sig = (0 until 16).map(i => s"CASE WHEN 2*b$i > n THEN 1<<$i ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS dt
+       |  FROM documents),
+       |ex AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(dt) AS t FROM toks)),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         $bitSums
+       |  FROM ex GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
 
   /** Embedding near-dup pairs: random-hyperplane sign LSH buckets, exact
     * cosine only within buckets, with the same mega-bucket guard as
@@ -319,33 +367,54 @@ object Dedup {
     // top bit set); doc bit i = majority over distinct tokens. Same
     // codegen shape as the minhash: explode tokens, ONE md5 projection,
     // 16 conditional sums in a partial-aggregated groupBy.
-    QueryDef.sql("d04_simhash", {
-      val bitSums = (0 until 16).map(i =>
-        s"sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS b$i").mkString(",\n        |         ")
-      val sig = (0 until 16).map(i => s"CASE WHEN 2*b$i > n THEN 1<<$i ELSE 0 END").mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS dt
-         |  FROM documents),
-         |ex AS (SELECT doc_id, md5(t) AS h FROM (SELECT doc_id, unnest(dt) AS t FROM toks)),
-         |bits AS (
-         |  SELECT doc_id, count(*) AS n,
-         |         $bitSums
-         |  FROM ex GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits""".stripMargin
-    }) {
-      (s, dir) =>
-        val ex = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(Exprs.distinctTokens(col("text"))).as("t"))
-          .select(col("doc_id"), md5(col("t")).as("h"))
-        val sums = (0 until 16).map(i =>
-          sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(0)).as(s"b$i"))
-        val sig = (0 until 16)
-          .map(i => when(lit(2) * col(s"b$i") > col("n"), lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        ex.groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .select(col("doc_id"), sig.as("simhash"))
+    QueryDef.sql("d04_simhash",
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sig""".stripMargin) {
+      (s, dir) => simhashed(Tables.documents(s, dir))
+    },
+
+    // APPLIED SimHash near-dup: pairs within Hamming distance 3, found by
+    // banding the signature into 4 bands — pigeonhole: 3 differing bits
+    // cannot touch all 4 bands, so every hd≤3 pair shares a full band
+    // and candidate generation is a bucket join, never all-pairs. The
+    // oracle computes ALL brute-force hd≤3 pairs (under
+    // the same bucket cap), so any banding recall loss fails the hash
+    // compare, not just a spot check. Fixture-sized 16-bit signature →
+    // 4-bit bands; production is a 64-bit simhash with 16-bit bands
+    // (65 536 buckets/band) — the cap contract is what makes either safe
+    // against boilerplate collapse.
+    QueryDef.sql("d10_simhash_neardup",
+      s"""WITH $simhashCtes,
+         |bands AS (
+         |  SELECT doc_id, b, (simhash >> (4*CAST(b AS INT))) & 15 AS bv
+         |  FROM sig, range(0, $SimB) t(b)),
+         |bsz AS (SELECT b, bv, count(*) AS n FROM bands GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+         |  JOIN bsz ON bsz.b = a.b AND bsz.bv = a.bv
+         |  WHERE bsz.n BETWEEN 2 AND $MaxBucketSize)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hd
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin) {
+      (s, dir) => {
+        // signature pass reused by the band explode AND both verify joins
+        val sig = simhashed(Tables.documents(s, dir)).localCheckpoint(true)
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until SimB).map(b =>
+            shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L))): _*))
+            .as(Seq("band", "bkey")))
+        val hd = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+        pairsFromBuckets(bands, "simhash_bucket_guard")
+          .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+          .filter(hd <= 3)
+          .select(col("id_a"), col("id_b"), hd.cast("long").as("hd"))
+      }
     },
 
     // APPLIED exact dedup: materialize the deduped corpus (keep-first per
