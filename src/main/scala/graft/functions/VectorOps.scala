@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSimilarity, DotProduct, HyperplaneBucket, VectorNorm}
+import graft.plans.{CosineSimilarity, DotProduct, HyperplaneBucket, IntDotProduct, VectorNorm}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -30,6 +30,12 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact int64 dot product over `array<bigint>` quantization codes —
+    * the scalar-quantized ANN hot path (no fp accumulation at all, so
+    * oracles compare bit-exact without rounding). */
+  def intDot(a: Column, b: Column): Column =
+    Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Cosine rounded to `p` places — rank/threshold on this so orderings are
     * stable across engines (double low-bit drift never flips a rank). */

@@ -86,7 +86,90 @@ object Similarity {
        |    FROM scored) WHERE rk = 1)""".stripMargin
   }
 
+  /** Per-dimension corpus min/max as two aligned arrays — the scalar
+    * quantizer's calibration. One partial-aggregated pass; the result is
+    * one tiny row, broadcast to the encode step. */
+  private def quantBounds(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          x => x.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          x => x.getField("mx")).as("mxs"))
+
+  /** uint8 scalar quantization: code_i = round((x_i−mn_i)/(mx_i−mn_i)·255),
+    * clamped; degenerate constant dims code to 0. Codes are `array<bigint>`
+    * carrying uint8 values — a production layout would pack them as BINARY
+    * (4× memory cut vs float32); the operator contract (per-dim bounds,
+    * codes, integer distance, exact rerank) is identical. */
+  private def quantized(emb: DataFrame, bounds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx > mn,
+            greatest(lit(0L), least(lit(255L),
+              floor((x.cast("double") - mn) / (mx - mn) * 255 + 0.5))))
+            .otherwise(lit(0L))
+        }).as("qc"))
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Scalar-quantized kNN — the memory-compression path a 100 TB vector
+    // store runs: calibrate per-dim bounds (one pass), encode the corpus
+    // to uint8 codes ONCE (index build, materialized — the interpreted
+    // encode HOF is amortized write-side), then search on EXACT int64
+    // code dot products via the native codegen int_dot_product (no fp in
+    // the scan at all), and re-rank only the top-50 survivors with the
+    // exact float cosine. The oracle reproduces calibration, encoding,
+    // integer scoring, and rerank bit-for-bit — integer scores make the
+    // candidate cut deterministic across engines.
+    QueryDef.sql("s09_quantized_knn",
+      s"""WITH dims AS (
+         |  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim),
+         |bounds AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM b),
+         |codes AS (
+         |  SELECT e.vec_id,
+         |         list_transform(range(1, len(e.embedding)+1), i ->
+         |           CASE WHEN bo.mxs[i] > bo.mns[i]
+         |                THEN greatest(0, least(255,
+         |                  CAST(floor((e.embedding[i]::DOUBLE - bo.mns[i]) / (bo.mxs[i] - bo.mns[i]) * 255 + 0.5) AS BIGINT)))
+         |                ELSE 0 END) AS qc
+         |  FROM embeddings e, bounds bo),
+         |q AS (SELECT qc FROM codes WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id,
+         |         CAST(list_sum(list_transform(range(1, len(c.qc)+1), i -> c.qc[i] * q.qc[i])) AS BIGINT) AS qdot
+         |  FROM codes c, q WHERE c.vec_id <> 0),
+         |top AS (SELECT vec_id, qdot FROM scored ORDER BY qdot DESC, vec_id LIMIT 50),
+         |qe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |SELECT t.vec_id, t.qdot, ${cosSql("e", "qe")} AS cos
+         |FROM top t JOIN embeddings e ON e.vec_id = t.vec_id, qe
+         |ORDER BY cos DESC, t.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // index build: calibrate + encode once, materialized
+        val codes = quantized(emb, quantBounds(emb)).localCheckpoint(true)
+        val q = codes.filter(col("vec_id") === 0).select(col("qc").as("qqc"))
+        val top = codes.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.intDot(col("qc"), col("qqc")).as("qdot"))
+          .orderBy(col("qdot").desc, col("vec_id"))
+          .limit(50)
+        val qe = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        top.join(emb, "vec_id")
+          .crossJoin(broadcast(qe))
+          .select(col("vec_id"), col("qdot"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
+    },
 
     // Exact top-10 nearest neighbors of vec_id=0 by cosine. Deterministic
     // order: rank on the ROUNDED cosine with vec_id tiebreak.

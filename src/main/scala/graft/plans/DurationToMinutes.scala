@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+      (children: Seq[Expression]) => IntDotProduct(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
       (children: Seq[Expression]) => VectorNorm(children.head)))

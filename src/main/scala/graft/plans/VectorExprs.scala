@@ -107,6 +107,23 @@ object VectorMath {
     res
   }
 
+  /** Σ a_i·b_i over integer code arrays (scalar-quantized embeddings) —
+    * EXACT int64 arithmetic, no fp accumulation at all; null on length
+    * mismatch / null element, like [[dot]]. uint8 codes over any real
+    * dimensionality cannot overflow (255²·dim ≪ 2⁶³). */
+  def intDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
@@ -174,6 +191,39 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     kernelGen(ctx, ev, "dot")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Integer dot product over `array<bigint>` quantization codes — the hot
+  * path of scalar-quantized ANN search (s09): exact int64 math inside
+  * whole-stage codegen, one static call per row. */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"int_dot_product requires ARRAY<BIGINT> inputs, got ${l.sql} and ${r.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.plans.VectorMath.intDot($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDotProduct =
     copy(left = l, right = r)
 }
 

@@ -114,4 +114,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.getDouble(2) === 5.0)
     assert(r.getLong(3) >= 0 && r.getLong(3) < 16)
   }
+
+  test("int_dot_product: exact int64 math, null on mismatch/null element") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),   // 4+10+18 = 32
+      (Seq(255L, 255L), Seq(255L, 255L)))   // uint8 max: 130050
+      .toDF("a", "b")
+    val got = df.select(VectorOps.intDot(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(32L, 130050L))
+
+    // length mismatch → null; null element → null; SQL registration works
+    val r = spark.sql(
+      """SELECT int_dot_product(array(1L, 2L), array(1L)) AS mismatch,
+        |       int_dot_product(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS nullelem,
+        |       int_dot_product(array(2L, 3L), array(5L, 7L)) AS ok""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getLong(2) === 31L)
+  }
 }
