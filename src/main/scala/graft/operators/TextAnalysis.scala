@@ -212,6 +212,167 @@ object TextAnalysis {
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
           size(regexp_extract_all(lower(col("text")),
             lit("[aeiou]+"), lit(0))).cast("long").as("n_vowel_runs"))
+    },
+
+    // PII scrubbing — the redaction pass every training-data pipeline
+    // runs before anything else. The corpus text carries no PII, so a
+    // deterministic contact suffix derived from doc_id is appended FIRST
+    // (both engines construct the identical string, like q20's synthetic
+    // durations); the scrubber then replaces emails and phone-shaped
+    // tokens with placeholder tags. The md5 of the scrubbed text is the
+    // gate: byte-identical redaction or the hash fails. Patterns stay in
+    // the Java-regex ∩ RE2 common subset so both engines match the same
+    // spans.
+    QueryDef.sql("t09_pii_scrub",
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or call 555-0' || CAST(doc_id % 1000 AS VARCHAR)
+        |              || ' now.' AS t2
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |         CAST(len(regexp_extract_all(t2, '\b555-[0-9]{3,4}\b')) AS BIGINT) AS n_phones,
+        |         regexp_replace(
+        |           regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b555-[0-9]{3,4}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM withpii)
+        |SELECT doc_id, n_emails, n_phones, md5(scrubbed) AS checksum FROM scrub""".stripMargin) {
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b555-[0-9]{3,4}\\b"
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call 555-0"), (col("doc_id") % 1000).cast("string"),
+              lit(" now.")).as("t2"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t2"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("t2"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("checksum"))
+      }
+    },
+
+    // Repetition detection (the Gopher-family quality rule): per doc, the
+    // fraction of bigrams taken by the single most frequent bigram.
+    // Boilerplate and degenerate generations spike this ratio; training
+    // pipelines drop docs above a threshold. Same posexplode+lead shape
+    // as t06 (codegen'd; one doc_id shuffle), argmax tie broken
+    // lexicographically so the reported bigram is deterministic. Docs
+    // with fewer than 2 tokens have no bigrams and drop out.
+    QueryDef.sql("t10_repetition",
+      s"""WITH $toksCte,
+         |bg AS (
+         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, gram AS top_bigram, c AS top_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+         |    FROM cnt) WHERE rk = 1),
+         |nb AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2)
+         |SELECT top.doc_id, top_bigram, top_n, n_bigrams, top_n / n_bigrams AS rep_ratio
+         |FROM top JOIN nb ON top.doc_id = nb.doc_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
+        val wPos = Window.partitionBy("doc_id").orderBy("pos")
+        val counts = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead("tok", 1).over(wPos))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        val wTop = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+        counts
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+          .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("top_n"))
+          .join(toks.filter(size(col("t")) >= 2)
+            .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bigrams")), "doc_id")
+          .select(col("doc_id"), col("top_bigram"), col("top_n"), col("n_bigrams"),
+            (col("top_n") / col("n_bigrams")).as("rep_ratio"))
+      }
+    },
+
+    // COMPOSED quality gate — the Gopher-style rule stack a corpus-prep
+    // pipeline applies in one pass: token-count bounds, type-token ratio,
+    // mean word length, and bigram repetition, each failure recorded by
+    // name. Every ratio is int/int (exact across engines) and the
+    // verdict is emitted as 0/1 with a deterministic comma-joined reason
+    // string. Docs without bigrams pass the repetition rule vacuously.
+    QueryDef.sql("t11_quality_gate",
+      s"""WITH $toksCte,
+         |st AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |         len(list_distinct(t)) / len(t) AS ttr,
+         |         list_sum(list_transform(t, x -> length(x))) / len(t) AS awl
+         |  FROM toks WHERE len(t) >= 1),
+         |bg AS (
+         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT doc_id, c AS top_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+         |    FROM cnt) WHERE rk = 1),
+         |nb AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2),
+         |rep AS (SELECT tp.doc_id, top_n / n_bigrams AS rep_ratio
+         |        FROM tp JOIN nb ON tp.doc_id = nb.doc_id)
+         |SELECT st.doc_id,
+         |       CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 AND ttr >= 0.2
+         |                  AND awl BETWEEN 2 AND 12
+         |                  AND coalesce(rep_ratio <= 0.2, TRUE)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |       concat_ws(',',
+         |         CASE WHEN NOT (n_tokens BETWEEN 10 AND 100000) THEN 'len' END,
+         |         CASE WHEN NOT (ttr >= 0.2) THEN 'ttr' END,
+         |         CASE WHEN NOT (awl BETWEEN 2 AND 12) THEN 'word_len' END,
+         |         CASE WHEN NOT coalesce(rep_ratio <= 0.2, TRUE) THEN 'repetition' END) AS reasons
+         |FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 1)
+        val t = col("t")
+        val st = toks.select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          (size(array_distinct(t)) / size(t)).as("ttr"),
+          (aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x) / size(t))
+            .as("awl"))
+        val wPos = Window.partitionBy("doc_id").orderBy("pos")
+        val counts = toks
+          .select(col("doc_id"), posexplode(t).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead("tok", 1).over(wPos))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        val wTop = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+        val rep = counts
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+          .select(col("doc_id"), col("c").as("top_n"))
+          .join(toks.filter(size(t) >= 2)
+            .select(col("doc_id"), (size(t) - 1).cast("long").as("n_bigrams")), "doc_id")
+          .select(col("doc_id"), (col("top_n") / col("n_bigrams")).as("rep_ratio"))
+        val lenOk = col("n_tokens").between(10, 100000)
+        val ttrOk = col("ttr") >= 0.2
+        val awlOk = col("awl").between(2, 12)
+        val repOk = coalesce(col("rep_ratio") <= 0.2, lit(true))
+        st.join(rep, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(lenOk && ttrOk && awlOk && repOk, 1L).otherwise(0L).as("keep"),
+            concat_ws(",",
+              when(!lenOk, "len"),
+              when(!ttrOk, "ttr"),
+              when(!awlOk, "word_len"),
+              when(!repOk, "repetition")).as("reasons"))
+      }
     }
   )
 }
