@@ -6,7 +6,9 @@ object PlanAuditR6 {
     val spark = Sessions.local("8", "plan-audit-r6")
     val dir = "/root/testdata/sf0.01"
     for (name <- Seq("q43_asof_native", "q44_asof_broadcast", "q45_range_join",
-        "m07_joint_stats_bucketed")) {
+        "q46_asof_tolerance", "q47_skew_salted", "m07_joint_stats_bucketed",
+        "d10_simhash_neardup", "s09_quantized_knn", "t09_pii_scrub",
+        "t10_repetition", "t11_quality_gate")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
