@@ -2,8 +2,9 @@
 # A/B bench: r4 (9db7af0, worktree target/abr4) vs r5 (HEAD classes),
 # interleaved ABAB in one quiet session, identical JVM flags (mirrors
 # build.sbt javaOptions). Writes one JSON line per run to target/ab/.
-set -u
+set -eu
 cd /root/repo
+mkdir -p target/ab
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \

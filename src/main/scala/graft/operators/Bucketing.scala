@@ -46,6 +46,11 @@ object Bucketing {
   // every subsequent join on doc_id/vec_id reuses it — the write is the
   // amortized shuffle.
   private val llmLayouts = new ConcurrentHashMap[String, (String, String)]()
+  // table-name tag: a per-JVM counter, NOT a hash of the key — two
+  // distinct (session, dir, buckets) keys must never share table names
+  // (a 32-bit hash collision would silently overwrite one layout with
+  // the other while both cache entries stay live)
+  private val layoutSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The bucketed layout for the LLM tables: `documents` bucket-sorted by
     * `doc_id`, `embeddings` by `vec_id`, SAME bucket count — so
@@ -59,7 +64,7 @@ object Bucketing {
     val (dTab, eTab) = llmLayouts.computeIfAbsent(key, _ => {
       spark.sql("CREATE DATABASE IF NOT EXISTS llm_bkt")
       // table names unique per source dir (sf0.001 vs sf0.01 coexist)
-      val tag = java.lang.Integer.toHexString(key.hashCode).takeRight(8)
+      val tag = s"v${layoutSeq.getAndIncrement()}"
       val root = Files.createTempDirectory("graft-llm-bkt").toString
       val d = s"llm_bkt.documents_$tag"
       val e = s"llm_bkt.embeddings_$tag"

@@ -377,12 +377,14 @@ object Dedup {
     // banding the signature into 4 bands — pigeonhole: 3 differing bits
     // cannot touch all 4 bands, so every hd≤3 pair shares a full band
     // and candidate generation is a bucket join, never all-pairs. The
-    // oracle computes ALL brute-force hd≤3 pairs (under
-    // the same bucket cap), so any banding recall loss fails the hash
-    // compare, not just a spot check. Fixture-sized 16-bit signature →
-    // 4-bit bands; production is a 64-bit simhash with 16-bit bands
-    // (65 536 buckets/band) — the cap contract is what makes either safe
-    // against boilerplate collapse.
+    // hd≤3 recall of banding is the pigeonhole argument (math, not a
+    // test); what the oracle pins is the CONTRACT — it mirrors the same
+    // banded candidate generation and bucket cap (d02-style: the cap is
+    // the spec), then the same exact hamming verify, so implementation
+    // drift on either side fails the bit-exact compare at any corpus.
+    // Fixture-sized 16-bit signature → 4-bit bands; production is a
+    // 64-bit simhash with 16-bit bands (65 536 buckets/band) — the cap
+    // contract is what makes either safe against boilerplate collapse.
     QueryDef.sql("d10_simhash_neardup",
       s"""WITH $simhashCtes,
          |bands AS (

@@ -34,6 +34,47 @@ object TextAnalysis {
       |  SELECT *, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** DuckDB CTE chain (expects `toks` in scope) ending in
+    * `rep(doc_id, top_bigram, top_n, n_bigrams, rep_ratio)` — the oracle
+    * twin of [[repetition]], shared by t10 and t11. */
+  private val repCtes =
+    """bg AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |tp AS (
+      |  SELECT doc_id, gram AS top_bigram, c AS top_n FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+      |    FROM cnt) WHERE rk = 1),
+      |nb AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2),
+      |rep AS (
+      |  SELECT tp.doc_id, top_bigram, top_n, n_bigrams, top_n / n_bigrams AS rep_ratio
+      |  FROM tp JOIN nb ON tp.doc_id = nb.doc_id)""".stripMargin
+
+  /** Per-doc bigram repetition from a (doc_id, t) token input:
+    * (doc_id, top_bigram, top_n, n_bigrams, rep_ratio). Same codegen
+    * posexplode+lead shape as t06 (one doc_id shuffle); argmax tie broken
+    * lexicographically; docs with fewer than 2 tokens have no bigrams and
+    * drop out. */
+  private def repetition(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val counts = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(wPos))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
+    counts
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("top_n"))
+      .join(toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bigrams")), "doc_id")
+      .select(col("doc_id"), col("top_bigram"), col("top_n"), col("n_bigrams"),
+        (col("top_n") / col("n_bigrams")).as("rep_ratio"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, type-token ratio.
@@ -227,7 +268,7 @@ object TextAnalysis {
       """WITH withpii AS (
         |  SELECT doc_id,
         |         text || ' Contact user' || CAST(doc_id AS VARCHAR)
-        |              || '@example.com or call 555-0' || CAST(doc_id % 1000 AS VARCHAR)
+        |              || '@example.com or call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
         |              || ' now.' AS t2
         |  FROM documents),
         |scrub AS (
@@ -245,7 +286,10 @@ object TextAnalysis {
         Tables.documents(s, dir)
           .select(col("doc_id"),
             concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
-              lit("@example.com or call 555-0"), (col("doc_id") % 1000).cast("string"),
+              // lpad to 3 digits: 555-0 + 1-2 digits would evade the
+              // \b555-[0-9]{3,4}\b scrub pattern for doc_id % 1000 < 100
+              lit("@example.com or call 555-0"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
               lit(" now.")).as("t2"))
           .select(col("doc_id"),
             size(regexp_extract_all(col("t2"), lit(emailRe), lit(0)))
@@ -261,43 +305,14 @@ object TextAnalysis {
     // Repetition detection (the Gopher-family quality rule): per doc, the
     // fraction of bigrams taken by the single most frequent bigram.
     // Boilerplate and degenerate generations spike this ratio; training
-    // pipelines drop docs above a threshold. Same posexplode+lead shape
-    // as t06 (codegen'd; one doc_id shuffle), argmax tie broken
-    // lexicographically so the reported bigram is deterministic. Docs
-    // with fewer than 2 tokens have no bigrams and drop out.
+    // pipelines drop docs above a threshold (t11 composes exactly that).
     QueryDef.sql("t10_repetition",
       s"""WITH $toksCte,
-         |bg AS (
-         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
-         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
-         |top AS (
-         |  SELECT doc_id, gram AS top_bigram, c AS top_n FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
-         |    FROM cnt) WHERE rk = 1),
-         |nb AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2)
-         |SELECT top.doc_id, top_bigram, top_n, n_bigrams, top_n / n_bigrams AS rep_ratio
-         |FROM top JOIN nb ON top.doc_id = nb.doc_id""".stripMargin) {
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
-        val wPos = Window.partitionBy("doc_id").orderBy("pos")
-        val counts = toks
-          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-          .withColumn("nxt", lead("tok", 1).over(wPos))
-          .filter(col("nxt").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        val wTop = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
-        counts
-          .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
-          .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("top_n"))
-          .join(toks.filter(size(col("t")) >= 2)
-            .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bigrams")), "doc_id")
-          .select(col("doc_id"), col("top_bigram"), col("top_n"), col("n_bigrams"),
-            (col("top_n") / col("n_bigrams")).as("rep_ratio"))
-      }
+         |$repCtes
+         |SELECT doc_id, top_bigram, top_n, n_bigrams, rep_ratio FROM rep""".stripMargin) {
+      (s, dir) =>
+        repetition(Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t")))
     },
 
     // COMPOSED quality gate — the Gopher-style rule stack a corpus-prep
@@ -313,17 +328,7 @@ object TextAnalysis {
          |         len(list_distinct(t)) / len(t) AS ttr,
          |         list_sum(list_transform(t, x -> length(x))) / len(t) AS awl
          |  FROM toks WHERE len(t) >= 1),
-         |bg AS (
-         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
-         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
-         |tp AS (
-         |  SELECT doc_id, c AS top_n FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
-         |    FROM cnt) WHERE rk = 1),
-         |nb AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams FROM toks WHERE len(t) >= 2),
-         |rep AS (SELECT tp.doc_id, top_n / n_bigrams AS rep_ratio
-         |        FROM tp JOIN nb ON tp.doc_id = nb.doc_id)
+         |$repCtes
          |SELECT st.doc_id,
          |       CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 AND ttr >= 0.2
          |                  AND awl BETWEEN 2 AND 12
@@ -336,7 +341,6 @@ object TextAnalysis {
          |         CASE WHEN NOT coalesce(rep_ratio <= 0.2, TRUE) THEN 'repetition' END) AS reasons
          |FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id""".stripMargin) {
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 1)
@@ -346,20 +350,7 @@ object TextAnalysis {
           (size(array_distinct(t)) / size(t)).as("ttr"),
           (aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x) / size(t))
             .as("awl"))
-        val wPos = Window.partitionBy("doc_id").orderBy("pos")
-        val counts = toks
-          .select(col("doc_id"), posexplode(t).as(Seq("pos", "tok")))
-          .withColumn("nxt", lead("tok", 1).over(wPos))
-          .filter(col("nxt").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        val wTop = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram"))
-        val rep = counts
-          .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
-          .select(col("doc_id"), col("c").as("top_n"))
-          .join(toks.filter(size(t) >= 2)
-            .select(col("doc_id"), (size(t) - 1).cast("long").as("n_bigrams")), "doc_id")
-          .select(col("doc_id"), (col("top_n") / col("n_bigrams")).as("rep_ratio"))
+        val rep = repetition(toks).select(col("doc_id"), col("rep_ratio"))
         val lenOk = col("n_tokens").between(10, 100000)
         val ttrOk = col("ttr") >= 0.2
         val awlOk = col("awl").between(2, 12)

@@ -249,14 +249,22 @@ case class AsOfJoinExec(
   * threshold and die with the executor JVM. */
 private[plans] object AsOfIndexCache {
   private val MaxEntries = 8
-  private val cache = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
-      size() > MaxEntries
-  }
+  // Soft references: cache keys embed per-execution broadcast/expr ids,
+  // so entries are garbage once their query finishes — the LRU bounds
+  // entry COUNT, the soft refs let the GC reclaim the (broadcast-sized)
+  // index payloads under memory pressure instead of pinning them for
+  // the executor's lifetime.
+  private val cache =
+    new java.util.LinkedHashMap[String, java.lang.ref.SoftReference[AnyRef]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.ref.SoftReference[AnyRef]]): Boolean =
+        size() > MaxEntries
+    }
   def getOrBuild(key: String, build: () => AnyRef): AnyRef = cache.synchronized {
     val got = cache.get(key)
-    if (got != null) got
-    else { val v = build(); cache.put(key, v); v }
+    val v = if (got == null) null else got.get()
+    if (v != null) v
+    else { val built = build(); cache.put(key, new java.lang.ref.SoftReference[AnyRef](built)); built }
   }
 }
 
@@ -403,6 +411,13 @@ object AsOf {
            leftTime: String, rightTime: String,
            tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
+    // fail fast with a pointer instead of the planner's opaque
+    // "no plan for AsOfJoinPlan" assertion at execution time
+    // (planner.strategies covers both the GraftExtensions injection and
+    // the experimental ensureInstalled path)
+    require(Bridge.plannerStrategies(spark).contains(AsOfJoinStrategy),
+      "as-of join: planner strategy not installed on this session — build it " +
+        "with GraftExtensions or call AsOf.ensureInstalled(spark) at session setup")
     val lPlan = left.queryExecution.analyzed
     // Self-join dedup (what the analyzer's DeduplicateRelations does for
     // built-in Join nodes): if both sides descend from the same relation

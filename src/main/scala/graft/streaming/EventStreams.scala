@@ -172,7 +172,11 @@ object EventStreams {
             state.remove() // idle past horizon: drop the one state value
             Iterator.empty
           } else {
-            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            // views sort BEFORE purchases at equal ts: the batch operator's
+            // rightTime <= leftTime is inclusive, so a same-timestamp view
+            // must be visible to the purchase regardless of event_id order
+            val sorted = batch.toSeq.sortBy(e =>
+              (toUs(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
             var out = List.empty[Attribution]
             var cur = state.getOption
             sorted.foreach { e =>

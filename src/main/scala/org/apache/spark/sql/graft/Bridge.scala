@@ -21,4 +21,11 @@ object Bridge {
     * `private[sql]` in the classic implementation. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's effective planner strategies (extension-injected +
+    * experimental + built-in) — lets a library operator fail fast with a
+    * clear message when its strategy is missing; `sessionState` is
+    * `private[sql]`. */
+  def plannerStrategies(spark: SparkSession): Seq[AnyRef] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
 }

@@ -95,22 +95,28 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       // batch 2: the kept state (view id 2 at min 10) serves a later
       // purchase within tolerance; a second purchase 40 min after the
-      // view is TOO STALE (tolerance 30) → null, no fallback
+      // view is TOO STALE (tolerance 30) → null, no fallback; and a
+      // same-timestamp view/purchase pair where the purchase has the
+      // SMALLER event_id still matches (batch rightTime <= leftTime is
+      // inclusive — views must sort before purchases at equal ts)
       input.addData(
         Event(5, ts(35), 1, "purchase", 0),  // 25 min after view 2 → match
-        Event(6, ts(55), 1, "purchase", 0))  // 45 min after view 2 → null
+        Event(6, ts(55), 1, "purchase", 0),  // 45 min after view 2 → null
+        Event(9, ts(60), 3, "view", 0),
+        Event(8, ts(60), 3, "purchase", 0))  // ties view 9 at ts 60 → match
       q.processAllAvailable()
 
       val got = spark.table("attrib").as[EventStreams.Attribution].collect()
         .map(a => a.purchase_id -> a.last_view_id).toMap
       assert(got === Map(
-        3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None))
+        3L -> Some(2L), 4L -> None, 5L -> Some(2L), 6L -> None, 8L -> Some(9L)))
 
       // agrees with the BATCH native as-of (same events, same tolerance)
       val ev = Seq(
         (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "view"),
         (3L, ts(12), 1L, "purchase"), (4L, ts(5), 2L, "purchase"),
-        (5L, ts(35), 1L, "purchase"), (6L, ts(55), 1L, "purchase"))
+        (5L, ts(35), 1L, "purchase"), (6L, ts(55), 1L, "purchase"),
+        (9L, ts(60), 3L, "view"), (8L, ts(60), 3L, "purchase"))
         .toDF("event_id", "ts", "user_id", "event_type")
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max("event_id").as("vid"))
@@ -141,8 +147,13 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
       assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
       // the micro-batch plan must broadcast the dim, not shuffle the stream
-      val progress = q.lastProgress
-      assert(progress != null)
+      val lastPlan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(lastPlan.contains("BroadcastHashJoin"),
+        s"expected a broadcast dim join in the micro-batch plan:\n$lastPlan")
+      assert(!lastPlan.contains("Exchange hashpartitioning"),
+        s"the stream side must not shuffle:\n$lastPlan")
     } finally q.stop()
   }
 
