@@ -83,4 +83,46 @@ class Scd2Spec extends SparkSpec {
     // before the dim existed: empty
     assert(Scd2.asOf(v2, Date.valueOf("2023-12-31")).isEmpty)
   }
+
+  test("point-in-time fact enrichment = native as-of join on effective_from") {
+    val v1 = Scd2(None, Seq(("AA", "American"), ("DL", "Delta")).toDF("code", "name"),
+      Seq("code"), Seq("name"), d1)
+    val v2 = Scd2(Some(v1), Seq(("AA", "American Airlines")).toDF("code", "name"),
+      Seq("code"), Seq("name"), d2)
+
+    val facts = Seq(
+      (1L, "AA", Date.valueOf("2024-01-15")), // old name era
+      (2L, "AA", Date.valueOf("2024-02-15")), // new name era
+      (3L, "DL", Date.valueOf("2024-03-01")),
+      (4L, "AA", Date.valueOf("2023-12-15"))) // before the dim existed
+      .toDF("fact_id", "code", "fact_date")
+
+    // the 100 TB path: the fact side is NEVER shuffled — the dim (all
+    // versions, tiny) broadcasts and each fact row binary-searches the
+    // version whose effective_from is the latest at-or-before its date.
+    // Valid because versions of a key never overlap: latest
+    // effective_from <= d IS the row whose interval contains d (or a
+    // closed row only when d predates nothing newer — facts after the
+    // last close can't occur since closing always opens a successor).
+    val enriched = graft.plans.AsOf.join(
+        facts, broadcast(v2.select(col("code"), col("name"), col("effective_from"))),
+        Seq("code"), "fact_date", "effective_from")
+      .select(col("fact_id"), col("name"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    assert(enriched === Map(
+      1L -> Some("American"),
+      2L -> Some("American Airlines"),
+      3L -> Some("Delta"),
+      4L -> None))
+
+    // agrees with the per-date Scd2.asOf slice
+    facts.collect().foreach { r =>
+      val hit = Scd2.asOf(v2, r.getAs[Date]("fact_date"))
+        .filter(col("code") === r.getAs[String]("code"))
+        .select("name").as[String].collect().headOption
+      assert(enriched(r.getAs[Long]("fact_id")) === hit,
+        s"fact ${r.getAs[Long]("fact_id")}")
+    }
+  }
 }
