@@ -869,6 +869,35 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             sum(floor(col("l_quantity"))).as("sum_qty"))
       }
+    },
+
+    // Changelog compaction (CDC apply): collapse an upsert/delete stream
+    // into the latest snapshot per key — latest-wins by (ts, event_id),
+    // with `error` rows as tombstones that delete the key. The events
+    // table stands in for the changelog (user_id = primary key). Shape:
+    // one shuffle on the key, then a codegen'd row_number + filter — the
+    // same two-phase pattern a MERGE INTO compaction job runs at 100 TB,
+    // where the key shuffle is the whole cost and nothing is collected.
+    QueryDef.sql("q48_cdc_apply",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |         epoch_us(ts) AS last_ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_op,
+        |       round(value, 3) AS last_value, last_ts_us
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("last_op"),
+            round(col("value"), 3).as("last_value"),
+            unix_micros(col("ts")).as("last_ts_us"))
+      }
     }
   )
 }

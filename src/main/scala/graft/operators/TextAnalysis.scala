@@ -364,6 +364,67 @@ object TextAnalysis {
               when(!awlOk, "word_len"),
               when(!repOk, "repetition")).as("reasons"))
       }
+    },
+
+    // Sequence packing: assign documents to fixed token-budget packs (the
+    // training-batch assembly step — concatenate docs until ~budget tokens,
+    // start the next pack). A document lands in the pack where its START
+    // offset falls (running sum minus own length), the streaming-writer
+    // semantics. Packing is per-SHARD, not global: a single global running
+    // sum is a one-partition serial window — the 100 TB form shards by a
+    // key (here doc_id mod 8; in production the ingest partition), packs
+    // within shards in parallel, and pack ids are (shard, pack) pairs.
+    // One shuffle on shard for the window, one partial-agg for the rollup.
+    QueryDef.sql("t12_pack_sequences",
+      s"""WITH $toksCte,
+         |base AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM toks),
+         |packed AS (
+         |  SELECT shard, n_tokens,
+         |         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |              ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS pack
+         |  FROM base)
+         |SELECT shard, pack, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+         |FROM packed GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(Exprs.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("pack",
+            floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(256.0)).cast("long"))
+          .groupBy("shard", "pack")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      }
+    },
+
+    // Stratified corpus rebalancing: downsample overrepresented languages
+    // by a content-stable hash gate (en keeps 4/16 hex buckets, fr/es 8/16,
+    // rare langs all) — the language-mix step of corpus prep. Hash-gated,
+    // not RNG-sampled: membership is reproducible across runs, retries and
+    // partitionings, and any engine can re-derive it (same argument as the
+    // t08 split). One scan + one partial-agg shuffle on 5 lang keys; the
+    // per-stratum rates are driver-side config, never a per-row join.
+    QueryDef.sql("t13_stratified_sample",
+      """SELECT lang, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN substr(md5('samp:' || doc_id), 1, 1) <
+        |                CASE lang WHEN 'en' THEN '4'
+        |                          WHEN 'fr' THEN '8' WHEN 'es' THEN '8'
+        |                          ELSE 'g' END
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) => {
+        val digit = substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 1)
+        val thr = when(col("lang") === "en", "4")
+          .when(col("lang").isin("fr", "es"), "8").otherwise("g")
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(digit < thr, 1L).otherwise(0L)).as("n_kept"))
+      }
     }
   )
 }
