@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: interleave correctness, and the data-skipping
+  * claim itself — a 2-D box query must touch FEWER files under the
+  * Z-layout than under a single-key range layout, by the same min-max
+  * overlap test a footer-pruning reader applies. */
+class ZOrderSpec extends SparkSpec {
+
+  test("zvalue interleaves bits (a even positions, b odd)") {
+    val rows = spark.range(1).select(
+      ZOrder.zvalue(lit(0), lit(0), 4).as("z00"),
+      ZOrder.zvalue(lit(1), lit(0), 4).as("z10"),
+      ZOrder.zvalue(lit(0), lit(1), 4).as("z01"),
+      ZOrder.zvalue(lit(3), lit(3), 4).as("z33"),
+      ZOrder.zvalue(lit(5), lit(2), 4).as("z52")).head()
+    assert(rows.getLong(0) === 0L)
+    assert(rows.getLong(1) === 1L)  // a bit 0 -> position 0
+    assert(rows.getLong(2) === 2L)  // b bit 0 -> position 1
+    assert(rows.getLong(3) === 15L) // 11 ⨯ 11 -> 1111
+    // a=101 -> positions 0,4 = 17; b=010 -> position 3 = 8 -> 25
+    assert(rows.getLong(4) === 25L)
+  }
+
+  test("2-D box query touches fewer files on the Z-layout than on a 1-D range layout") {
+    val dir = "/root/testdata/sf0.01"
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey", "l_quantity")
+    val files = 64
+
+    // 1-D baseline: range layout on l_partkey only
+    ZOrder.writeClustered(li, col("l_partkey"), s"$base/linear", files)
+    // Z-layout over (l_partkey, l_suppkey), scaled: the raw domains are
+    // 11 vs 7 bits wide, and unscaled interleave degenerates toward a
+    // partkey sort (measured: 17/64 candidate files vs ≤8 scaled)
+    ZOrder.writeClustered(
+      li, ZOrder.zvalueScaled(col("l_partkey"), 1999L, col("l_suppkey"), 99L, 12),
+      s"$base/zorder", files)
+
+    val linear = spark.read.parquet(s"$base/linear")
+    val zorder = spark.read.parquet(s"$base/zorder")
+
+    // box: ~25% of partkeys ⨯ ~5% of suppkeys => ~1.25% of the grid
+    val (pLo, pHi, sLo, sHi) = (500L, 999L, 40L, 44L)
+    val nLinear = ZOrder.candidateFiles(
+      ZOrder.fileStats(linear, "l_partkey", "l_suppkey"), pLo, pHi, sLo, sHi)
+    val nZorder = ZOrder.candidateFiles(
+      ZOrder.fileStats(zorder, "l_partkey", "l_suppkey"), pLo, pHi, sLo, sHi)
+
+    // the 1-D layout prunes partkey only (~25% of files survive), and every
+    // survivor spans all suppkeys; the Z-layout prunes both dimensions
+    assert(nZorder < nLinear,
+      s"expected Z-layout to touch fewer files: zorder=$nZorder linear=$nLinear of $files")
+    assert(nZorder <= files / 8, s"Z-layout candidate set too large: $nZorder of $files")
+
+    // layouts are pure reorderings: box-query answers identical on both
+    def answer(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity"))).as("q")).head()
+    val (a, b, c) = (answer(linear), answer(zorder), answer(li))
+    assert(a === b && b === c && a.getLong(0) > 0)
+  }
+}
