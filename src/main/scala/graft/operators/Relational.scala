@@ -898,6 +898,54 @@ object Relational {
             round(col("value"), 3).as("last_value"),
             unix_micros(col("ts")).as("last_ts_us"))
       }
+    },
+
+    // Arbitrary GROUPING SETS through the SQL path (rollup/cube are the
+    // fixed special cases, q34/q39): four explicit sets in one pass, with
+    // grouping() flags disambiguating set-null from data-null. Physical
+    // shape is a single Expand + one hash aggregate — rows duplicate
+    // 4× into the shuffle, but grouped output stays small; at 100 TB
+    // prefer this over four separate scans of the fact table.
+    QueryDef.sql("q49_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |         (o_orderstatus), (o_orderpriority), ())""".stripMargin) {
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs_v")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+            |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            |FROM orders_gs_v
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |         (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      }
+    },
+
+    // Incremental distinct-count maintenance via MERGEABLE sketches: build
+    // one Datasketches HLL sketch per (day, event_type) partition, then
+    // roll partitions up with hll_union_agg — the pattern that maintains
+    // "distinct users this month" at 100 TB by merging yesterday's stored
+    // byte-array sketches with today's delta instead of rescanning the
+    // month. q32's approx_count_distinct answers one query; a sketch
+    // TABLE answers every future rollup over its partitions. Estimates
+    // are Datasketches-internal → no DuckDB oracle (rows-only here);
+    // SketchRollupSpec asserts merged == direct-sketch exactly and <2%
+    // vs exact distinct.
+    QueryDef.noOracle("q50_sketch_rollup") {
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+        daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+            count(lit(1)).as("n_days"))
+      }
     }
   )
 }
