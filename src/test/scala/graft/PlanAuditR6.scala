@@ -8,7 +8,9 @@ object PlanAuditR6 {
     for (name <- Seq("q43_asof_native", "q44_asof_broadcast", "q45_range_join",
         "q46_asof_tolerance", "q47_skew_salted", "m07_joint_stats_bucketed",
         "d10_simhash_neardup", "s09_quantized_knn", "t09_pii_scrub",
-        "t10_repetition", "t11_quality_gate")) {
+        "t10_repetition", "t11_quality_gate",
+        "t12_pack_sequences", "t13_stratified_sample", "q48_cdc_apply",
+        "q49_grouping_sets", "q50_sketch_rollup")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
