@@ -927,6 +927,98 @@ object Relational {
       }
     },
 
+    // Ordered funnel: view → click-after-view → purchase-after-click per
+    // user, counted per stage. Running conditional mins over ONE (user_id)
+    // window — never a per-stage self-join (three same-key joins of the
+    // full event log at 100 TB) — so the whole funnel costs exactly one
+    // shuffle; the chained Window operators share the partitioning. ROWS
+    // frames in both engines (RANGE would include ts-tie peers and
+    // diverge). Strictly-after semantics at equal timestamps.
+    QueryDef.sql("q51_funnel_stages",
+      """WITH e1 AS (
+        |  SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS tus,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS first_view
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND tus > first_view
+        |                THEN tus END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS first_click
+        |  FROM e1),
+        |per_user AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN tus END) AS tv,
+        |         min(CASE WHEN event_type = 'click' AND tus > first_view
+        |               THEN tus END) AS tc,
+        |         min(CASE WHEN event_type = 'purchase' AND tus > first_click
+        |               THEN tus END) AS tp
+        |  FROM e2 GROUP BY user_id)
+        |SELECT count(tv) AS n_view, count(tc) AS n_click_after_view,
+        |       count(tp) AS n_purchase_after_click,
+        |       count(*) AS n_users
+        |FROM per_user""".stripMargin) {
+      (s, dir) => {
+        val tus = unix_micros(col("ts"))
+        val w1 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e1 = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), tus.as("tus"))
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("tus"))).over(w1))
+        val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e2 = e1.withColumn("first_click",
+          min(when(col("event_type") === "click" && col("tus") > col("first_view"),
+            col("tus"))).over(w2))
+        e2.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("tus"))).as("tv"),
+            min(when(col("event_type") === "click" && col("tus") > col("first_view"),
+              col("tus"))).as("tc"),
+            min(when(col("event_type") === "purchase" && col("tus") > col("first_click"),
+              col("tus"))).as("tp"))
+          .agg(count("tv").as("n_view"), count("tc").as("n_click_after_view"),
+            count("tp").as("n_purchase_after_click"), count(lit(1)).as("n_users"))
+      }
+    },
+
+    // Retention cohorts: users grouped by first-seen week, counted per
+    // week offset they came back in. t0 via a whole-partition window min
+    // (not an agg + self-join — the join would re-shuffle the full log a
+    // second time at 100 TB); the (user, cohort, offset) distinct then
+    // rides the same user_id clustering. Integer micros arithmetic end
+    // to end, so both engines bucket identically.
+    QueryDef.sql("q52_retention_cohorts",
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0us
+        |  FROM events),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |         strftime(date_trunc('week', make_timestamp(t0us)), '%Y-%m-%d')
+        |           AS cohort_week,
+        |         CAST(floor((tus - t0us) / 604800000000.0) AS BIGINT) AS week_offset
+        |  FROM t)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM act GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+          .withColumn("t0us", min("tus").over(w))
+          .select(col("user_id"),
+            date_format(date_trunc("week", timestamp_micros(col("t0us"))), "yyyy-MM-dd")
+              .as("cohort_week"),
+            floor((col("tus") - col("t0us")) / lit(604800000000.0)).cast("long")
+              .as("week_offset"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+      }
+    },
+
     // Incremental distinct-count maintenance via MERGEABLE sketches: build
     // one Datasketches HLL sketch per (day, event_type) partition, then
     // roll partitions up with hll_union_agg — the pattern that maintains
