@@ -30,10 +30,17 @@ object Compaction {
     (data.length, data.map(_.getLen).sum)
   }
 
-  /** Rewrite `path` into ceil(totalBytes / targetBytes) files. Pass
+  /** Rewrite `path` into ~ceil(totalBytes / targetBytes) files. Pass
     * `cluster` to preserve a sorted/Z-ordered layout (range partition +
     * in-file sort on the same key); omit it for unordered tables (plain
-    * round-robin). Returns (filesBefore, filesAfter). */
+    * round-robin). Returns (filesBefore, filesAfter), both counted from
+    * the FS (range partitions can come up empty, so the actual output
+    * count may be below the requested split).
+    *
+    * Refuses a directory with no top-level data files — that is a
+    * partitioned-table ROOT (or an empty dir), and "compacting" it would
+    * flatten every partition into one unpartitioned tree. Partitioned
+    * tables compact per partition directory. */
   def compact(
       spark: SparkSession,
       path: String,
@@ -41,6 +48,9 @@ object Compaction {
       cluster: Option[Column] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val (before, totalBytes) = layoutStats(spark, path)
+    require(before > 0 && totalBytes > 0,
+      s"$path has no top-level data files — partitioned root or empty dir; " +
+        "compact each partition directory instead")
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val packed = cluster match {
@@ -50,10 +60,20 @@ object Compaction {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path + "__compacting")
+    val old = new Path(path + "__replaced")
+    fs.delete(tmp, true) // stale leftovers from a crashed earlier attempt
+    fs.delete(old, true)
     packed.write.mode("overwrite").parquet(tmp.toString)
-    // swap: the old layout stays readable until the rewrite is durable
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
-    (before, n)
+    // crash-safe swap: the path is never empty — old moves aside, new
+    // moves in, only then does old get deleted. A crash between the two
+    // renames leaves the data recoverable at path__replaced, never gone.
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back so the original layout stays live
+      throw new IllegalStateException(s"rename $tmp -> $p failed; original restored")
+    }
+    fs.delete(old, true)
+    val (after, _) = layoutStats(spark, path)
+    (before, after)
   }
 }

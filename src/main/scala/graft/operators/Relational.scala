@@ -988,8 +988,9 @@ object Relational {
     // week offset they came back in. t0 via a whole-partition window min
     // (not an agg + self-join — the join would re-shuffle the full log a
     // second time at 100 TB); the (user, cohort, offset) distinct then
-    // rides the same user_id clustering. Integer micros arithmetic end
-    // to end, so both engines bucket identically.
+    // rides the same user_id clustering. The week bucket divides a
+    // non-negative micros diff (< 2^53, exact in an IEEE double) by the
+    // same double literal in both engines, so bucketing is identical.
     QueryDef.sql("q52_retention_cohorts",
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS tus,

@@ -51,9 +51,14 @@ object ZOrder {
     * coarser than 2^14). This is the uniform-domain special case of
     * rank-space mapping; skewed domains should quantile-bin instead.
     * Requires max < 2^(63-bits) (no overflow of the scale multiply). */
-  def zvalueScaled(a: Column, aMax: Long, b: Column, bMax: Long, bits: Int = 16): Column =
+  def zvalueScaled(a: Column, aMax: Long, b: Column, bMax: Long, bits: Int = 16): Column = {
+    require(aMax > 0 && aMax < (1L << (63 - bits)),
+      s"aMax=$aMax would overflow the scale multiply at bits=$bits")
+    require(bMax > 0 && bMax < (1L << (63 - bits)),
+      s"bMax=$bMax would overflow the scale multiply at bits=$bits")
     zvalue(a.cast("long") * (1L << bits) / (aMax + 1),
       b.cast("long") * (1L << bits) / (bMax + 1), bits)
+  }
 
   /** Write `df` clustered by `cluster`: range-partition into `numFiles`
     * files on the cluster value and sort within each, so per-file min-max

@@ -10,7 +10,8 @@ object PlanAuditR6 {
         "d10_simhash_neardup", "s09_quantized_knn", "t09_pii_scrub",
         "t10_repetition", "t11_quality_gate",
         "t12_pack_sequences", "t13_stratified_sample", "q48_cdc_apply",
-        "q49_grouping_sets", "q50_sketch_rollup")) {
+        "q49_grouping_sets", "q50_sketch_rollup",
+        "q51_funnel_stages", "q52_retention_cohorts")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
