@@ -60,6 +60,25 @@ object ZOrder {
       b.cast("long") * (1L << bits) / (bMax + 1), bits)
   }
 
+  /** Z-value over RANK space: each dimension is first mapped to its
+    * quantile bin (edges computed here, once, driver-side — a 2^bits
+    * array, broadcast-free since it rides codegen as a reference), so
+    * skewed or unbounded domains fill the curve uniformly by MASS, not
+    * by value. This is the production form for real keys; use
+    * [[zvalueScaled]] only for known-uniform domains. `relErr` is
+    * `approxQuantile`'s bound — edges need only be approximately even
+    * for clustering to work. */
+  def zvalueRanked(
+      df: DataFrame, c1: String, c2: String, bits: Int = 8,
+      relErr: Double = 0.001): Column = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(e1, e2) = Array(c1, c2).map(c =>
+      df.stat.approxQuantile(c, probs, relErr).toIndexedSeq)
+    zvalue(graft.plans.QuantileBucket(col(c1), e1),
+      graft.plans.QuantileBucket(col(c2), e2), bits)
+  }
+
   /** Write `df` clustered by `cluster`: range-partition into `numFiles`
     * files on the cluster value and sort within each, so per-file min-max
     * ranges are tight and non-overlapping along the cluster order. With
