@@ -209,6 +209,75 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel progression: -1 = stage not yet reached. */
+  final case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+
+  /** One row per user per stage, emitted when the stage is FIRST
+    * reached: 1 = view, 2 = click-after-view, 3 = purchase-after-click. */
+  final case class StageAdvance(user_id: Long, stage: Int, at_us: Long)
+
+  implicit private val funnelStateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+  implicit private val stageEnc: Encoder[StageAdvance] = Encoders.product[StageAdvance]
+
+  /** Incremental form of batch q51's ordered funnel: per-user monotone
+    * stage progression, each stage emitted exactly once when first
+    * reached (append-mode safe by construction), strictly-after
+    * semantics at equal timestamps like the batch windows.
+    *
+    * Counting distinct users per emitted stage reproduces the batch
+    * query's stage counts when events arrive per-user in event-time
+    * order (within a micro-batch, (ts, event_id) processing order makes
+    * batch boundaries irrelevant; the running first-view/first-click the
+    * batch windows compute is exactly this state, carried across
+    * batches). Parity is asserted on the full events fixture.
+    *
+    * Scale posture: state is one 24-byte row per active user — not an
+    * event buffer — keyed by high-cardinality user_id and expired by
+    * event-time timeout past `stateHorizonMinutes`, the same bounded-
+    * state contract as [[attributePurchases]]. */
+  def funnelStages(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      stateHorizonMinutes: Long = 24 * 60L): Dataset[StageAdvance] = {
+    val horizonMs = stateHorizonMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove() // all stages already emitted; nothing to flush
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var out = List.empty[StageAdvance]
+            var lastUs = -1L
+            sorted.foreach { e =>
+              val us = toUs(e.ts)
+              lastUs = us
+              e.event_type match {
+                case "view" if st.viewUs < 0 =>
+                  st = st.copy(viewUs = us); out ::= StageAdvance(userId, 1, us)
+                case "click" if st.clickUs < 0 && st.viewUs >= 0 && us > st.viewUs =>
+                  st = st.copy(clickUs = us); out ::= StageAdvance(userId, 2, us)
+                case "purchase" if st.purchaseUs < 0 && st.clickUs >= 0 && us > st.clickUs =>
+                  st = st.copy(purchaseUs = us); out ::= StageAdvance(userId, 3, us)
+                case _ => () // later duplicates / other types don't advance
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (if (lastUs >= 0) lastUs / 1000L else 0L) + horizonMs,
+              state.getCurrentWatermarkMs() + 1L))
+            out.reverse.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: the streaming side of the broadcast-dim
     * star join (q11/q44's shape) — each micro-batch hash-joins against
     * the static dim with NO stream-side shuffle and no state; Spark

@@ -176,6 +176,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages: monotone per-user progression, strictly-after, cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelStages(input.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 0),
+        Event(2, ts(0), 1, "click", 0),   // same ts as the view: NOT after → no stage 2
+        Event(3, ts(5), 2, "click", 0))   // click with no view → nothing
+      q.processAllAvailable()
+      // state carries across batches: the stage-2 click arrives later
+      input.addData(
+        Event(4, ts(10), 1, "click", 0),  // after view at ts 0 → stage 2
+        Event(5, ts(11), 1, "view", 0),   // second view: no re-emit of stage 1
+        Event(6, ts(12), 1, "purchase", 0), // after click → stage 3
+        Event(7, ts(20), 2, "view", 0))   // user 2 finally views → stage 1
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[EventStreams.StageAdvance].collect()
+        .map(s => (s.user_id, s.stage)).toSet
+      assert(got === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
+  test("funnelStages: stage counts match the batch q51 funnel on the fixture") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q51_funnel_stages")(spark, dir).head()
+    val expected = Map(1 -> batch.getLong(0), 2 -> batch.getLong(1), 3 -> batch.getLong(2))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val staged = Files.createTempDirectory("graft-funnel")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventStreams.funnelStages(
+      spark.readStream.schema(schema).parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event])
+      .writeStream.format("memory").queryName("funnel_parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_parity").groupBy("stage").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming window aggregation matches the batch events query") {
     // The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts as
     // a nanos long (legacy conf is set in SparkSpec via Sessions parity)
