@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.pipeline.Sources
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{count, lit, min}
+import org.apache.spark.sql.functions.{col, count, lit, min, sum}
 
 /** Driver-visible gates for the source/sink formats beyond parquet/CSV:
   *
@@ -83,6 +83,20 @@ object SourceProbes {
       val nation = Tables.nation(s, dir)
       nation.write.mode("overwrite").orc(out)
       regionSummary(s.read.orc(out))
+    },
+
+    // Native DSv2 connector ([[graft.sources.DocGenSource]]): the
+    // deterministic generator scanned WITH a pushed doc_id range — the
+    // range clips split planning at the source, so the excluded interval
+    // never becomes tasks (plan-asserted in DocGenSourceSpec). Rows-only:
+    // the source exists only inside Spark, so there is no DuckDB twin;
+    // the values are pinned by the spec's determinism test instead.
+    QueryDef.noOracle("src03_docgen_pushdown") { (s, _) =>
+      s.read.format("graft-docs")
+        .option("rows", "100000").option("splits", "32").load()
+        .filter(col("doc_id") >= 25000L && col("doc_id") < 75000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
     },
 
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>

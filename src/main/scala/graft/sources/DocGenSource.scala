@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A native DataSource V2: a deterministic synthetic `documents` corpus
+  * generator with SOURCE-LEVEL split pruning, filter pushdown and column
+  * pruning — the connector-API form of the engine's scan capabilities
+  * (SURVEY §2.1), built the way a real connector to a range-sharded
+  * store (Kafka offsets, key-ranged KV, a REST-paginated feed) is built.
+  *
+  * Why it matters at 100 TB: pruning must happen at PLANNING time, in
+  * the source. `doc_id` range predicates clip the global row interval
+  * BEFORE splits are planned, so non-matching splits never become tasks
+  * (a task that opens a reader just to filter everything out still pays
+  * scheduling + connection + seek). Column pruning reaches the
+  * generator, so unrequested expensive fields (here `text`, standing in
+  * for a fetched blob) are never materialized.
+  *
+  * Usage: `spark.read.format("graft-docs").option("rows", n)
+  * .option("splits", k).load()`.
+  */
+class DocGenSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    DocGenTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      splits = Option(properties.get("splits")).map(_.toInt).getOrElse(8))
+}
+
+object DocGen {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val langs = Array("en", "de", "es", "fr", "zh")
+  private val words = Array("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  /** Cheap deterministic per-doc hash (splitmix64 finalizer). */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def lang(id: Long): String = langs(((mix(id) % 5 + 5) % 5).toInt)
+  def source(id: Long): String = "src" + ((mix(id + 7) % 20 + 20) % 20)
+
+  /** The expensive field: only generated when the scan asks for it. */
+  def text(id: Long): String = {
+    val n = ((mix(id + 13) % 40 + 40) % 40).toInt + 5
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(words(((mix(id * 41 + i) % 12 + 12) % 12).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+case class DocGenTable(rows: Long, splits: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-docs($rows)"
+  override def schema(): StructType = DocGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    DocGenScanBuilder(rows, splits)
+}
+
+/** Pushdown handshake: doc_id range predicates are FULLY consumed (they
+  * clip the planned interval — `pushedFilters` reports them so Spark
+  * drops its re-filter); anything else is left for Spark to apply. */
+case class DocGenScanBuilder(rows: Long, splits: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L // inclusive
+  private var hi = rows // exclusive
+  private var accepted = Array.empty[Filter]
+  private var required: StructType = DocGen.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (taken, rest) = filters.partition {
+      case EqualTo("doc_id", _: Long) => true
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case _ => false
+    }
+    taken.foreach {
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThan(_, v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = taken
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    DocGenScan(lo, math.max(lo, hi), math.max(1L, rows / splits), required)
+}
+
+case class DocGenScan(lo: Long, hi: Long, splitSize: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs range [$lo,$hi) cols ${required.fieldNames.mkString(",")}"
+
+  /** The split SIZE is fixed by the table's (rows/splits); partitions are
+    * planned only over the CLIPPED interval, so a pushed doc_id range
+    * yields proportionally fewer input partitions — no task ever exists
+    * for rows the predicate excludes. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = hi - lo
+    if (total <= 0) return Array.empty
+    val n = ((total + splitSize - 1) / splitSize).toInt
+    (0 until n).map { i =>
+      DocGenPartition(lo + total * i / n, lo + total * (i + 1) / n)
+    }.filter(p => p.until > p.from).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocGenReaderFactory(required)
+}
+
+case class DocGenPartition(from: Long, until: Long) extends InputPartition
+
+case class DocGenReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.from - 1
+      // resolve field generators once per partition, not per row
+      private val gens: Array[Long => Any] = required.fieldNames.map {
+        case "doc_id" => (i: Long) => i
+        case "lang" => (i: Long) => UTF8String.fromString(DocGen.lang(i))
+        case "source" => (i: Long) => UTF8String.fromString(DocGen.source(i))
+        case "n_chars" => (i: Long) => DocGen.text(i).length.toLong
+        case "text" => (i: Long) => UTF8String.fromString(DocGen.text(i))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      override def next(): Boolean = { id += 1; id < part.until }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(id)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class DocGenSourceSpec extends SparkSpec {
+
+  private def read(rows: Long = 1000L, splits: Int = 8): DataFrame =
+    spark.read.format("graft-docs")
+      .option("rows", rows.toString).option("splits", splits.toString).load()
+
+  private def scanOf(df: DataFrame): DocGenScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    } ++ df.queryExecution.executedPlan.collect {
+      // under AQE the scan hides inside the adaptive plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case b: BatchScanExec => b.scan }
+    }.flatten
+    scans.collectFirst { case s: DocGenScan => s }.get
+  }
+
+  test("generates a deterministic corpus with the declared schema") {
+    val df = read(rows = 500)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "lang", "source", "n_chars", "text"))
+    assert(df.count() === 500)
+    // deterministic: two independent reads agree row-for-row
+    val a = df.orderBy("doc_id").collect()
+    val b = read(rows = 500).orderBy("doc_id").collect()
+    assert(a === b)
+    // and text length really is n_chars
+    assert(df.filter(length(col("text")) =!= col("n_chars")).count() === 0)
+  }
+
+  test("doc_id range predicates clip split planning — fewer tasks, not just fewer rows") {
+    val full = read(rows = 1000, splits = 8)
+    assert(scanOf(full).planInputPartitions().length === 8)
+
+    val clipped = read(rows = 1000, splits = 8)
+      .filter(col("doc_id") >= 750 && col("doc_id") < 1000)
+    val scan = scanOf(clipped)
+    assert(scan.lo === 750L && scan.hi === 1000L)
+    // 25% of the interval → a quarter of the splits get planned
+    assert(scan.planInputPartitions().length === 2)
+    assert(clipped.count() === 250)
+
+    // the pushed range is fully consumed: results still correct
+    val ids = clipped.agg(min("doc_id"), max("doc_id")).head()
+    assert(ids.getLong(0) === 750L && ids.getLong(1) === 999L)
+
+    // an unsupported filter (lang) is NOT claimed: Spark re-applies it
+    val mixed = read(rows = 1000)
+      .filter(col("doc_id") < 100 && col("lang") === "en")
+    assert(scanOf(mixed).hi === 100L)
+    val langs = mixed.select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(langs === Seq("en"))
+  }
+
+  test("column pruning reaches the generator") {
+    val pruned = read(rows = 200).select("doc_id", "lang")
+    assert(scanOf(pruned).readSchema().fieldNames.toSeq === Seq("doc_id", "lang"))
+    assert(pruned.distinct().count() > 0)
+  }
+
+  test("empty clip plans zero partitions") {
+    val none = read(rows = 100).filter(col("doc_id") >= 500)
+    assert(scanOf(none).planInputPartitions().length === 0)
+    assert(none.count() === 0)
+  }
+}
