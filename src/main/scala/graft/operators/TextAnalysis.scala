@@ -401,6 +401,63 @@ object TextAnalysis {
       }
     },
 
+    // Unigram token entropy: H = ln(n) − Σ c·ln(c) / n from integer
+    // counts — the low-entropy detector for degenerate/repetitive text
+    // that length or TTR miss. One explode + two hash-aggs (the (doc,tok)
+    // count rides the doc_id shuffle); the only transcendental is ln over
+    // INTEGER inputs, so both engines see identical arguments and the
+    // 5-decimal round absorbs any last-ulp libm difference.
+    QueryDef.sql("t14_token_entropy",
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 5) AS entropy
+         |FROM cnt GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 5)
+              .as("entropy"))
+    },
+
+    // Vocabulary coverage: rank the corpus vocabulary by total count,
+    // keep the top 200, report each document's out-of-vocabulary token
+    // ratio — the tokenizer-coverage check before committing a vocab.
+    // The vocab is a top-k (tiny, broadcast); membership is a broadcast
+    // LEFT join against exploded tokens, so the 100 TB cost is the one
+    // token-count shuffle, never a big-big join. Ratios are int/int.
+    QueryDef.sql("t15_vocab_coverage",
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS c FROM ex GROUP BY tok
+         |    ORDER BY c DESC, tok LIMIT 200)),
+         |marked AS (
+         |  SELECT ex.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM ex LEFT JOIN vocab v ON ex.tok = v.tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov,
+         |       sum(oov) / count(*) AS oov_ratio
+         |FROM marked GROUP BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val ex = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
+        val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(200).select("tok")
+        ex.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
+          .select(col("doc_id"), when(col("in_v").isNull, 1).otherwise(0).as("oov"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum("oov").cast("long").as("n_oov"),
+            (sum("oov") / count(lit(1))).as("oov_ratio"))
+      }
+    },
+
     // Stratified corpus rebalancing: downsample overrepresented languages
     // by a content-stable hash gate (en keeps 4/16 hex buckets, fr/es 8/16,
     // rare langs all) — the language-mix step of corpus prep. Hash-gated,
