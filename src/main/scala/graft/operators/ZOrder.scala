@@ -73,8 +73,10 @@ object ZOrder {
       relErr: Double = 0.001): Column = {
     require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    val Array(e1, e2) = Array(c1, c2).map(c =>
-      df.stat.approxQuantile(c, probs, relErr).toIndexedSeq)
+    // one pass for both columns' edges — the multi-column overload scans
+    // df once, not once per dimension
+    val Array(e1, e2) = df.stat
+      .approxQuantile(Array(c1, c2), probs, relErr).map(_.toIndexedSeq)
     zvalue(graft.plans.QuantileBucket(col(c1), e1),
       graft.plans.QuantileBucket(col(c2), e2), bits)
   }

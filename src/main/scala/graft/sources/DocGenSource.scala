@@ -33,10 +33,14 @@ class DocGenSource extends TableProvider with org.apache.spark.sql.sources.DataS
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // the DSv2 options contract is case-insensitive; the raw properties
+    // map here is not — normalize before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
     DocGenTable(
-      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      splits = Option(properties.get("splits")).map(_.toInt).getOrElse(8))
+      rows = Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
+      splits = Option(opts.get("splits")).map(_.toInt).getOrElse(8))
+  }
 }
 
 object DocGen {
@@ -62,17 +66,31 @@ object DocGen {
   def lang(id: Long): String = langs(((mix(id) % 5 + 5) % 5).toInt)
   def source(id: Long): String = "src" + ((mix(id + 7) % 20 + 20) % 20)
 
+  private def nWords(id: Long): Int = ((mix(id + 13) % 40 + 40) % 40).toInt + 5
+  private def wordAt(id: Long, i: Int): String =
+    words(((mix(id * 41 + i) % 12 + 12) % 12).toInt)
+
   /** The expensive field: only generated when the scan asks for it. */
   def text(id: Long): String = {
-    val n = ((mix(id + 13) % 40 + 40) % 40).toInt + 5
+    val n = nWords(id)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(words(((mix(id * 41 + i) % 12 + 12) % 12).toInt))
+      sb.append(wordAt(id, i))
       i += 1
     }
     sb.toString
+  }
+
+  /** `text(id).length` WITHOUT building the string — pruning `text` must
+    * not secretly materialize it just to measure it. */
+  def textLen(id: Long): Long = {
+    val n = nWords(id)
+    var len = n - 1 // the separating spaces
+    var i = 0
+    while (i < n) { len += wordAt(id, i).length; i += 1 }
+    len.toLong
   }
 }
 
@@ -96,6 +114,10 @@ case class DocGenScanBuilder(rows: Long, splits: Int)
   private var accepted = Array.empty[Filter]
   private var required: StructType = DocGen.schema
 
+  // saturating successor: v+1 on Long.MaxValue must not wrap — doc_ids
+  // live in [0, rows), so a saturated bound still clips correctly
+  private def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (taken, rest) = filters.partition {
       case EqualTo("doc_id", _: Long) => true
@@ -106,11 +128,11 @@ case class DocGenScanBuilder(rows: Long, splits: Int)
       case _ => false
     }
     taken.foreach {
-      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, inc(v))
+      case GreaterThan(_, v: Long) => lo = math.max(lo, inc(v))
       case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
       case LessThan(_, v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, inc(v))
       case _ => ()
     }
     accepted = taken
@@ -160,7 +182,7 @@ case class DocGenReaderFactory(required: StructType) extends PartitionReaderFact
         case "doc_id" => (i: Long) => i
         case "lang" => (i: Long) => UTF8String.fromString(DocGen.lang(i))
         case "source" => (i: Long) => UTF8String.fromString(DocGen.source(i))
-        case "n_chars" => (i: Long) => DocGen.text(i).length.toLong
+        case "n_chars" => (i: Long) => DocGen.textLen(i)
         case "text" => (i: Long) => UTF8String.fromString(DocGen.text(i))
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }

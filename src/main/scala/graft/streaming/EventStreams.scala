@@ -40,6 +40,13 @@ object EventStreams {
   val SessionGapMinutes = 30L
   private val GapUs = SessionGapMinutes * 60L * 1000000L
 
+  /** Timestamp → exact event-time micros. `getTime` already includes
+    * the millis, so only the sub-milli remainder of `getNanos` is added
+    * — this is load-bearing for every stateful operator's event
+    * ordering, which is why there is exactly one copy of it. */
+  private def toUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
   implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
@@ -64,7 +71,6 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           def emit(st: SessionState): Session =
             Session(userId, new Timestamp(st.startUs / 1000L),
               new Timestamp(st.lastUs / 1000L), st.nEvents)
@@ -166,7 +172,6 @@ object EventStreams {
       .flatMapGroupsWithState[ViewState, Attribution](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[ViewState]) =>
-          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
           if (batch.isEmpty && state.hasTimedOut) {
             state.remove() // idle past horizon: drop the one state value
@@ -220,9 +225,9 @@ object EventStreams {
   implicit private val stageEnc: Encoder[StageAdvance] = Encoders.product[StageAdvance]
 
   /** Incremental form of batch q51's ordered funnel: per-user monotone
-    * stage progression, each stage emitted exactly once when first
-    * reached (append-mode safe by construction), strictly-after
-    * semantics at equal timestamps like the batch windows.
+    * stage progression, each stage emitted at most once PER STATE
+    * LIFETIME when first reached, strictly-after semantics at equal
+    * timestamps like the batch windows.
     *
     * Counting distinct users per emitted stage reproduces the batch
     * query's stage counts when events arrive per-user in event-time
@@ -234,7 +239,11 @@ object EventStreams {
     * Scale posture: state is one 24-byte row per active user — not an
     * event buffer — keyed by high-cardinality user_id and expired by
     * event-time timeout past `stateHorizonMinutes`, the same bounded-
-    * state contract as [[attributePurchases]]. */
+    * state contract (and the same expiry caveat) as
+    * [[attributePurchases]]: a user idling past the horizon restarts
+    * the funnel on return and re-emits from stage 1, so size the
+    * horizon to the funnel window you mean to measure, and dedup
+    * downstream on (user_id, stage) if re-entry must not re-count. */
   def funnelStages(
       events: Dataset[Event],
       watermarkDelay: String = "10 minutes",
@@ -246,10 +255,8 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, StageAdvance](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-
           if (batch.isEmpty && state.hasTimedOut) {
-            state.remove() // all stages already emitted; nothing to flush
+            state.remove() // idle past horizon; see the re-entry caveat above
             Iterator.empty
           } else {
             val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))

@@ -65,6 +65,15 @@ class DocGenSourceSpec extends SparkSpec {
     assert(pruned.distinct().count() > 0)
   }
 
+  test("options are case-insensitive; Long-extreme predicates don't wrap") {
+    assert(spark.read.format("graft-docs").option("Rows", "300").load().count() === 300)
+    // tautology keeps everything, contradiction keeps nothing — the
+    // saturating bound math must not overflow at Long.MaxValue
+    assert(read(100).filter(col("doc_id") <= Long.MaxValue).count() === 100)
+    assert(read(100).filter(col("doc_id") > Long.MaxValue).count() === 0)
+    assert(read(100).filter(col("doc_id") === Long.MaxValue).count() === 0)
+  }
+
   test("empty clip plans zero partitions") {
     val none = read(rows = 100).filter(col("doc_id") >= 500)
     assert(scanOf(none).planInputPartitions().length === 0)

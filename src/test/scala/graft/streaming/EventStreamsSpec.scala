@@ -13,6 +13,27 @@ class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Long): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
 
+  /** The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts
+    * as a nanos long and convert exactly as `Tables.events` does for the
+    * batch side. The file stream source wants a directory, so the single
+    * fixture file is staged into a temp dir. Shared by every
+    * batch-parity test so the hand-declared schema exists ONCE. */
+  private def stagedEventsStream(dir: String): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val staged = Files.createTempDirectory("graft-events-staged")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   test("hourlyCounts: watermarked tumbling window aggregates by type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -201,24 +222,12 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("funnelStages: stage counts match the batch q51 funnel on the fixture") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val batch = graft.SparkEntry.queries("q51_funnel_stages")(spark, dir).head()
     val expected = Map(1 -> batch.getLong(0), 2 -> batch.getLong(1), 3 -> batch.getLong(2))
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val staged = Files.createTempDirectory("graft-funnel")
-    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
     val q = EventStreams.funnelStages(
-      spark.readStream.schema(schema).parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      stagedEventsStream(dir)
         .select("event_id", "ts", "user_id", "event_type", "value").as[Event])
       .writeStream.format("memory").queryName("funnel_parity").outputMode("append").start()
     try {
@@ -230,27 +239,11 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming window aggregation matches the batch events query") {
-    // The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts as
-    // a nanos long (legacy conf is set in SparkSpec via Sessions parity)
-    // and convert exactly as Tables.events does for the batch side.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val expected = graft.SparkEntry.queries("q22_events_hourly")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // the file stream source wants a directory, so stage the single file
-    val staged = Files.createTempDirectory("graft-events")
-    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
-    val q = spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = stagedEventsStream(dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hr"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .writeStream.format("memory").queryName("stream_hourly").outputMode("complete").start()
