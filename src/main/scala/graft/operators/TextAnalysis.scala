@@ -425,7 +425,7 @@ object TextAnalysis {
     },
 
     // Vocabulary coverage: rank the corpus vocabulary by total count,
-    // keep the top 200, report each document's out-of-vocabulary token
+    // keep the top 20, report each document's out-of-vocabulary token
     // ratio — the tokenizer-coverage check before committing a vocab.
     // The vocab is a top-k (tiny, broadcast); membership is a broadcast
     // LEFT join against exploded tokens, so the 100 TB cost is the one
@@ -436,7 +436,7 @@ object TextAnalysis {
          |vocab AS (
          |  SELECT tok FROM (
          |    SELECT tok, count(*) AS c FROM ex GROUP BY tok
-         |    ORDER BY c DESC, tok LIMIT 200)),
+         |    ORDER BY c DESC, tok LIMIT 20)),
          |marked AS (
          |  SELECT ex.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
          |  FROM ex LEFT JOIN vocab v ON ex.tok = v.tok)
@@ -448,7 +448,7 @@ object TextAnalysis {
         val ex = Tables.documents(s, dir)
           .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
         val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("tok")).limit(200).select("tok")
+          .orderBy(col("c").desc, col("tok")).limit(20).select("tok")
         ex.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
           .select(col("doc_id"), when(col("in_v").isNull, 1).otherwise(0).as("oov"))
           .groupBy("doc_id")

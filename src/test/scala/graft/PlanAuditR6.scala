@@ -11,7 +11,8 @@ object PlanAuditR6 {
         "t10_repetition", "t11_quality_gate",
         "t12_pack_sequences", "t13_stratified_sample", "q48_cdc_apply",
         "q49_grouping_sets", "q50_sketch_rollup",
-        "q51_funnel_stages", "q52_retention_cohorts")) {
+        "q51_funnel_stages", "q52_retention_cohorts",
+        "t14_token_entropy", "t15_vocab_coverage", "src03_docgen_pushdown")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
