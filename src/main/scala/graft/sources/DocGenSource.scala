@@ -39,7 +39,8 @@ class DocGenSource extends TableProvider with org.apache.spark.sql.sources.DataS
     val opts = new CaseInsensitiveStringMap(properties)
     DocGenTable(
       rows = Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
-      splits = Option(opts.get("splits")).map(_.toInt).getOrElse(8))
+      splits = Option(opts.get("splits")).map(_.toInt).getOrElse(8),
+      columnar = Option(opts.get("columnar")).forall(_.toBoolean))
   }
 }
 
@@ -94,19 +95,20 @@ object DocGen {
   }
 }
 
-case class DocGenTable(rows: Long, splits: Int) extends Table with SupportsRead {
+case class DocGenTable(rows: Long, splits: Int, columnar: Boolean = true)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-docs($rows)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    DocGenScanBuilder(rows, splits)
+    DocGenScanBuilder(rows, splits, columnar)
 }
 
 /** Pushdown handshake: doc_id range predicates are FULLY consumed (they
   * clip the planned interval — `pushedFilters` reports them so Spark
   * drops its re-filter); anything else is left for Spark to apply. */
-case class DocGenScanBuilder(rows: Long, splits: Int)
+case class DocGenScanBuilder(rows: Long, splits: Int, columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L // inclusive
@@ -144,11 +146,12 @@ case class DocGenScanBuilder(rows: Long, splits: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    DocGenScan(lo, math.max(lo, hi), math.max(1L, rows / splits), required)
+    DocGenScan(lo, math.max(lo, hi), math.max(1L, rows / splits), required, columnar)
 }
 
-case class DocGenScan(lo: Long, hi: Long, splitSize: Long, required: StructType)
-    extends Scan with Batch {
+case class DocGenScan(
+    lo: Long, hi: Long, splitSize: Long, required: StructType,
+    columnar: Boolean = true) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -167,12 +170,27 @@ case class DocGenScan(lo: Long, hi: Long, splitSize: Long, required: StructType)
     }.filter(p => p.until > p.from).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    DocGenReaderFactory(required)
+    DocGenReaderFactory(required, columnar)
 }
 
 case class DocGenPartition(from: Long, until: Long) extends InputPartition
 
-case class DocGenReaderFactory(required: StructType) extends PartitionReaderFactory {
+/** Row- and COLUMNAR-mode readers over the same generator. Columnar is
+  * the default: batches of [[DocGenReaderFactory.BatchRows]] rows land
+  * directly in `OnHeapColumnVector`s (the same vectors Spark's parquet
+  * reader fills), so the scan enters the query as `ColumnarBatch`es and
+  * downstream whole-stage codegen consumes them vectorized instead of
+  * one `InternalRow` at a time — at scan-bound scale this is where
+  * source throughput comes from. The row path stays for the
+  * `columnar=false` option and as the spec's equivalence baseline. */
+case class DocGenReaderFactory(required: StructType, columnar: Boolean = true)
+    extends PartitionReaderFactory {
+  import DocGenReaderFactory.BatchRows
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocGenPartition]
     new PartitionReader[InternalRow] {
@@ -191,4 +209,50 @@ case class DocGenReaderFactory(required: StructType) extends PartitionReaderFact
       override def close(): Unit = ()
     }
   }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var nextId = part.from
+      private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
+      private val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+      // one filler per column, dispatched once per partition
+      private val fill: Array[(Int, Long) => Unit] = required.fields.zipWithIndex.map {
+        case (f, c) => f.name match {
+          case "doc_id" => (r: Int, i: Long) => vectors(c).putLong(r, i)
+          case "n_chars" => (r: Int, i: Long) => vectors(c).putLong(r, DocGen.textLen(i))
+          case "lang" => (r: Int, i: Long) =>
+            val b = DocGen.lang(i).getBytes("UTF-8"); vectors(c).putByteArray(r, b, 0, b.length)
+          case "source" => (r: Int, i: Long) =>
+            val b = DocGen.source(i).getBytes("UTF-8"); vectors(c).putByteArray(r, b, 0, b.length)
+          case "text" => (r: Int, i: Long) =>
+            val b = DocGen.text(i).getBytes("UTF-8"); vectors(c).putByteArray(r, b, 0, b.length)
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+      }
+
+      override def next(): Boolean = {
+        if (nextId >= part.until) return false
+        val n = math.min(BatchRows.toLong, part.until - nextId).toInt
+        vectors.foreach(_.reset())
+        var r = 0
+        while (r < n) {
+          val i = nextId + r
+          var c = 0
+          while (c < fill.length) { fill(c)(r, i); c += 1 }
+          r += 1
+        }
+        batch.setNumRows(n)
+        nextId += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+}
+
+object DocGenReaderFactory {
+  /** Rows per ColumnarBatch — parquet-reader-sized. */
+  val BatchRows = 4096
 }

@@ -74,6 +74,22 @@ class DocGenSourceSpec extends SparkSpec {
     assert(read(100).filter(col("doc_id") === Long.MaxValue).count() === 0)
   }
 
+  test("columnar and row readers produce identical results; columnar is the scan mode") {
+    val columnar = read(rows = 9000, splits = 4) // spans >2 ColumnarBatches per split
+    val rowMode = spark.read.format("graft-docs")
+      .option("rows", "9000").option("splits", "4").option("columnar", "false").load()
+    assert(columnar.orderBy("doc_id").collect() === rowMode.orderBy("doc_id").collect())
+
+    // the columnar scan really enters the plan as batches: Spark inserts
+    // a ColumnarToRow above it, absent in row mode
+    def hasColumnarToRow(df: DataFrame): Boolean = {
+      df.collect() // materialize so AQE finalizes the plan
+      df.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+    }
+    assert(hasColumnarToRow(columnar.select(sum("n_chars"))))
+    assert(!hasColumnarToRow(rowMode.select(sum("n_chars"))))
+  }
+
   test("empty clip plans zero partitions") {
     val none = read(rows = 100).filter(col("doc_id") >= 500)
     assert(scanOf(none).planInputPartitions().length === 0)
