@@ -40,7 +40,8 @@ class DocGenSource extends TableProvider with org.apache.spark.sql.sources.DataS
     DocGenTable(
       rows = Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
       splits = Option(opts.get("splits")).map(_.toInt).getOrElse(8),
-      columnar = Option(opts.get("columnar")).forall(_.toBoolean))
+      columnar = Option(opts.get("columnar")).forall(_.toBoolean),
+      ratePerBatch = Option(opts.get("ratePerBatch")).map(_.toLong).getOrElse(1000L))
   }
 }
 
@@ -95,20 +96,22 @@ object DocGen {
   }
 }
 
-case class DocGenTable(rows: Long, splits: Int, columnar: Boolean = true)
+case class DocGenTable(
+    rows: Long, splits: Int, columnar: Boolean = true, ratePerBatch: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-docs($rows)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    DocGenScanBuilder(rows, splits, columnar)
+    DocGenScanBuilder(rows, splits, columnar, ratePerBatch)
 }
 
 /** Pushdown handshake: doc_id range predicates are FULLY consumed (they
   * clip the planned interval — `pushedFilters` reports them so Spark
   * drops its re-filter); anything else is left for Spark to apply. */
-case class DocGenScanBuilder(rows: Long, splits: Int, columnar: Boolean = true)
+case class DocGenScanBuilder(
+    rows: Long, splits: Int, columnar: Boolean = true, ratePerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L // inclusive
@@ -146,12 +149,13 @@ case class DocGenScanBuilder(rows: Long, splits: Int, columnar: Boolean = true)
     required = requiredSchema
 
   override def build(): Scan =
-    DocGenScan(lo, math.max(lo, hi), math.max(1L, rows / splits), required, columnar)
+    DocGenScan(lo, math.max(lo, hi), math.max(1L, rows / splits), required,
+      columnar, ratePerBatch)
 }
 
 case class DocGenScan(
     lo: Long, hi: Long, splitSize: Long, required: StructType,
-    columnar: Boolean = true) extends Scan with Batch {
+    columnar: Boolean = true, ratePerBatch: Long = 1000L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -171,6 +175,60 @@ case class DocGenScan(
   }
   override def createReaderFactory(): PartitionReaderFactory =
     DocGenReaderFactory(required, columnar)
+
+  /** Streaming form of the SAME scan: the generator as an offset-tracked
+    * micro-batch source (the Kafka-shape API — offsets are positions in
+    * the doc_id sequence, each trigger consumes up to `ratePerBatch`).
+    * Batch and streaming share the split planning and readers, so a
+    * connector written once serves both `spark.read` and
+    * `spark.readStream`, exactly-once via the streaming engine's offset
+    * log (restart resumes from the committed position — tested). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocGenMicroBatch(lo, hi, splitSize, required, columnar, ratePerBatch)
+}
+
+/** Offset = exclusive upper position consumed so far in [lo, hi). */
+case class DocGenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+class DocGenMicroBatch(
+    lo: Long, hi: Long, splitSize: Long, required: StructType,
+    columnar: Boolean, ratePerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = DocGenOffset(lo)
+
+  // STATELESS rate limiting via admission control: the engine hands us
+  // the current start offset, so a fresh instance after restart cannot
+  // offer an offset behind the committed one (a mutable high-watermark
+  // here measurably regressed the checkpoint and replayed batches —
+  // the engine does not route the restored offset through this instance
+  // before its first latestOffset call)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocGenOffset].pos
+    DocGenOffset(math.min(hi, math.max(s, lo) + math.max(1L, ratePerBatch)))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: engine must call latestOffset(start, limit)")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(ratePerBatch)
+  override def reportLatestOffset(): Offset = DocGenOffset(hi)
+
+  override def deserializeOffset(json: String): Offset = DocGenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[DocGenOffset].pos, end.asInstanceOf[DocGenOffset].pos)
+    // same proportional splitting as the batch path
+    DocGenScan(s, e, splitSize, required, columnar).planInputPartitions()
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocGenReaderFactory(required, columnar)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class DocGenPartition(from: Long, until: Long) extends InputPartition

@@ -90,6 +90,32 @@ class DocGenSourceSpec extends SparkSpec {
     assert(!hasColumnarToRow(rowMode.select(sum("n_chars"))))
   }
 
+  test("micro-batch stream: rate-limited offsets, exactly-once resume from checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft-docgen-stream").toString
+    def drain(rows: Long): Unit = {
+      val q = spark.readStream.format("graft-docs")
+        .option("rows", rows.toString).option("ratePerBatch", "300").load()
+        .select("doc_id", "lang")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    drain(1000)
+    val first = spark.read.parquet(s"$root/out")
+    assert(first.count() === 1000)
+    assert(first.select("doc_id").distinct().count() === 1000)
+    // rate limiting really split the work: ≥4 offset log entries (300×3+100)
+    assert(new java.io.File(s"$root/ckpt/offsets").list().count(!_.startsWith(".")) >= 4)
+
+    // restart with MORE data available, same checkpoint: resumes at 1000
+    // and appends exactly the delta — no replay, no gap
+    drain(1500)
+    val second = spark.read.parquet(s"$root/out")
+    assert(second.count() === 1500)
+    assert(second.select("doc_id").distinct().count() === 1500)
+  }
+
   test("empty clip plans zero partitions") {
     val none = read(rows = 100).filter(col("doc_id") >= 500)
     assert(scanOf(none).planInputPartitions().length === 0)
