@@ -927,6 +927,30 @@ object Relational {
       }
     },
 
+    // UNPIVOT (q40's inverse): wide per-status quantity/price columns
+    // back to long (measure, value) rows via the native unpivot operator
+    // (an Expand node — one pass, rows×measures, no join/union of N
+    // scans). Nulls drop per unpivot semantics in both engines.
+    QueryDef.sql("q53_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS qty,
+        |         round(sum(l_extendedprice), 2) AS price,
+        |         round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))""".stripMargin) {
+      (s, dir) => {
+        val wide = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(round(sum("l_quantity"), 2).as("qty"),
+            round(sum("l_extendedprice"), 2).as("price"),
+            round(sum("l_discount"), 2).as("disc"))
+        wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "value")
+      }
+    },
+
     // Ordered funnel: view → click-after-view → purchase-after-click per
     // user, counted per stage. Running conditional mins over ONE (user_id)
     // window — never a per-stage self-join (three same-key joins of the
