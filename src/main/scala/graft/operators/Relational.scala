@@ -930,7 +930,10 @@ object Relational {
     // UNPIVOT (q40's inverse): wide per-status quantity/price columns
     // back to long (measure, value) rows via the native unpivot operator
     // (an Expand node — one pass, rows×measures, no join/union of N
-    // scans). Nulls drop per unpivot semantics in both engines.
+    // scans). Semantics note: SQL UNPIVOT (incl. the DuckDB oracle)
+    // drops NULL values; Dataset.unpivot (melt) KEEPS them — the
+    // explicit isNotNull filter pins the SQL semantics so the parity
+    // doesn't silently rest on these measures never being null.
     QueryDef.sql("q53_unpivot",
       """WITH wide AS (
         |  SELECT l_returnflag,
@@ -948,6 +951,7 @@ object Relational {
             round(sum("l_discount"), 2).as("disc"))
         wide.unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("price"), col("disc")), "measure", "value")
+          .filter(col("value").isNotNull)
       }
     },
 

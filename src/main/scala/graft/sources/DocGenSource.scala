@@ -210,8 +210,17 @@ class DocGenMicroBatch(
   // the engine does not route the restored offset through this instance
   // before its first latestOffset call)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[DocGenOffset].pos
-    DocGenOffset(math.min(hi, math.max(s, lo) + math.max(1L, ratePerBatch)))
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val s = math.max(start.asInstanceOf[DocGenOffset].pos, lo)
+    // honor the engine's limit: Trigger.Once/AvailableNow pass
+    // ReadAllAvailable (ignoring it would silently deliver ONE rate
+    // quantum and terminate "successfully" with data missing)
+    val step = limit match {
+      case _: ReadAllAvailable => hi - s
+      case m: ReadMaxRows => m.maxRows()
+      case _ => math.max(1L, ratePerBatch)
+    }
+    DocGenOffset(math.min(hi, s + math.max(1L, step)))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -79,8 +79,11 @@ case class MetricsBatchWrite(runId: String) extends BatchWrite {
     SinkMetrics.publish(runId,
       SinkMetrics.Stats(stats.map(_._1).sum, stats.map(_._2).sum, stats.length))
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    SinkMetrics.clear(runId) // failed job publishes nothing
+  /** Abort rolls back THIS run's effects — and this run never published
+    * anything (publish happens only in commit), so there is nothing to
+    * do. Clearing the runId here would destroy a PREVIOUS successful
+    * run's committed audit under the same id. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class MetricsWriterFactory() extends DataWriterFactory {

@@ -75,9 +75,11 @@ class DocGenSourceSpec extends SparkSpec {
   }
 
   test("columnar and row readers produce identical results; columnar is the scan mode") {
-    val columnar = read(rows = 9000, splits = 4) // spans >2 ColumnarBatches per split
+    // 9000-row splits = 3 ColumnarBatches each (BatchRows = 4096): the
+    // refill path — vector reset between batches — is actually exercised
+    val columnar = read(rows = 27000, splits = 3)
     val rowMode = spark.read.format("graft-docs")
-      .option("rows", "9000").option("splits", "4").option("columnar", "false").load()
+      .option("rows", "27000").option("splits", "3").option("columnar", "false").load()
     assert(columnar.orderBy("doc_id").collect() === rowMode.orderBy("doc_id").collect())
 
     // the columnar scan really enters the plan as batches: Spark inserts
@@ -114,6 +116,20 @@ class DocGenSourceSpec extends SparkSpec {
     val second = spark.read.parquet(s"$root/out")
     assert(second.count() === 1500)
     assert(second.select("doc_id").distinct().count() === 1500)
+  }
+
+  test("Trigger.AvailableNow drains EVERYTHING despite the rate limit") {
+    // the engine passes ReadAllAvailable here — a source that ignores the
+    // ReadLimit would deliver one 300-row quantum and stop "successfully"
+    val root = java.nio.file.Files.createTempDirectory("graft-docgen-avail").toString
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", "1000").option("ratePerBatch", "300").load()
+      .select("doc_id")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$root/out").count() === 1000)
   }
 
   test("empty clip plans zero partitions") {

@@ -30,4 +30,22 @@ class MetricsSinkSpec extends SparkSpec {
     assert(failed != null)
     assert(SinkMetrics.get(runId).isEmpty)
   }
+
+  test("abort never clobbers a previous successful run's audit under the same runId") {
+    val runId = "sink-reuse-test"
+    SinkMetrics.clear(runId)
+    spark.range(0, 500).repartition(2).toDF("id")
+      .write.format("graft-metrics").option("runId", runId).mode("append").save()
+    val committed = SinkMetrics.get(runId).get
+    assert(committed.rows === 500L)
+
+    val poisoned = spark.range(0, 100)
+      .select(when(col("id") === 3L, raise_error(lit("boom")))
+        .otherwise(lit("ok")).as("v"))
+    intercept[Exception] {
+      poisoned.write.format("graft-metrics").option("runId", runId).mode("append").save()
+    }
+    // the failed run rolled back ITS effects only
+    assert(SinkMetrics.get(runId) === Some(committed))
+  }
 }
