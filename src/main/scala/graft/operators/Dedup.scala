@@ -572,6 +572,55 @@ object Dedup {
           // (4) per-language survivor counts
           .groupBy(col("m.lang").as("lang")).agg(count(lit(1)).as("n_kept"))
       }
+    },
+
+    // Benchmark decontamination: which training documents share a 5-gram
+    // with the held-out set (here doc_id % 17 stands in for the benchmark
+    // membership list)? The canonical pre-training hygiene pass: overlap
+    // is judged on exact n-gram shingles, joined SHINGLE-to-shingle —
+    // never train×test doc pairs. Shingles whose corpus doc-frequency
+    // exceeds the cap are dropped first (boilerplate phrases would both
+    // explode the join and signal nothing), surfaced via observe — the
+    // same capped-contract style as the LSH buckets, mirrored in the
+    // oracle. At 100 TB: one shingle shuffle for the frequency window,
+    // one shingle-keyed join whose hot keys the cap has already removed.
+    QueryDef.sql("d11_contamination",
+      s"""WITH ${toksCte()},
+         |sh5 AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(t)-4, 1)+1),
+         |           i -> array_to_string(t[i:i+4], ' '))) AS sh
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh5),
+         |freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+         |kept AS (SELECT ex.doc_id, ex.shingle FROM ex
+         |         JOIN freq ON ex.shingle = freq.shingle WHERE freq.df <= $MaxBucketSize),
+         |tr AS (SELECT * FROM kept WHERE doc_id % 17 <> 0),
+         |te AS (SELECT * FROM kept WHERE doc_id % 17 = 0)
+         |SELECT tr.doc_id, CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared,
+         |       CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs
+         |FROM tr JOIN te ON tr.shingle = te.shingle
+         |GROUP BY tr.doc_id""".stripMargin) {
+      (s, dir) => {
+        val ex = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(Exprs.wordShingles(Exprs.tokens(col("text")), 5)).as("shingle"))
+        // per-doc-distinct shingles → the window count IS doc frequency
+        val kept = ex
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .observe("contamination_guard",
+            coalesce(sum(when(col("df") > MaxBucketSize, 1L).otherwise(0L)), lit(0L))
+              .as("rows_in_dropped_shingles"))
+          .filter(col("df") <= MaxBucketSize)
+          .select("doc_id", "shingle")
+        val train = kept.filter(col("doc_id") % 17 =!= 0)
+        val test = kept.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("test_id"), col("shingle"))
+        train.join(test, "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct("shingle").as("n_shared"),
+            countDistinct("test_id").as("n_test_docs"))
+      }
     }
   )
 }

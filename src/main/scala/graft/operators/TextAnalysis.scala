@@ -458,6 +458,31 @@ object TextAnalysis {
       }
     },
 
+    // Curriculum binning: quartile the corpus by a quality signal (TTR)
+    // so training can feed easy→hard phases; reported as bin × lang
+    // counts. ntile needs a GLOBAL rank — fine for the oracle-exact form
+    // here, but a one-partition sort at 100 TB: the scale path is
+    // [[graft.plans.QuantileBucket]] over approxQuantile edges (already
+    // built), trading exact quartile boundaries for a fully parallel
+    // assignment. Total order (ttr, doc_id) keeps both engines aligned.
+    QueryDef.sql("t16_curriculum_bins",
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, lang, len(list_distinct(t)) / len(t) AS ttr FROM toks),
+         |b AS (SELECT lang, ntile(4) OVER (ORDER BY ttr, doc_id) AS bin FROM q)
+         |SELECT CAST(bin AS BIGINT) AS bin, lang, count(*) AS n
+         |FROM b GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), Exprs.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"),
+            (size(array_distinct(col("t"))) / size(col("t"))).as("ttr"))
+          .withColumn("bin",
+            ntile(4).over(Window.orderBy("ttr", "doc_id")).cast("long"))
+          .groupBy("bin", "lang").agg(count(lit(1)).as("n"))
+      }
+    },
+
     // Stratified corpus rebalancing: downsample overrepresented languages
     // by a content-stable hash gate (en keeps 4/16 hex buckets, fr/es 8/16,
     // rare langs all) — the language-mix step of corpus prep. Hash-gated,
