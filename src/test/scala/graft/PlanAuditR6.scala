@@ -12,7 +12,8 @@ object PlanAuditR6 {
         "t12_pack_sequences", "t13_stratified_sample", "q48_cdc_apply",
         "q49_grouping_sets", "q50_sketch_rollup",
         "q51_funnel_stages", "q52_retention_cohorts",
-        "t14_token_entropy", "t15_vocab_coverage", "src03_docgen_pushdown")) {
+        "t14_token_entropy", "t15_vocab_coverage", "src03_docgen_pushdown",
+        "q53_unpivot", "d11_contamination", "t16_curriculum_bins")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
