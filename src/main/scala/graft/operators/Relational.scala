@@ -1048,6 +1048,67 @@ object Relational {
       }
     },
 
+    // Event-time rolling aggregate: 7-day trailing sum/count per user via
+    // a RANGE frame over the timestamp — the moving-metric shape (trailing
+    // spend, rolling error rate). RANGE, not ROWS: the frame is defined by
+    // TIME distance, so ts ties share identical frames in both engines
+    // (no tie-break needed) and sparse users aren't over-weighted. One
+    // user_id shuffle; Spark evaluates the frame incrementally per
+    // partition, never re-summing from scratch.
+    QueryDef.sql("q54_rolling_window",
+      """SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 3)
+        |         AS roll_sum,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |         AS roll_n
+        |FROM events""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_roll_v")
+        s.sql(
+          """SELECT user_id, event_id, unix_micros(ts) AS tus,
+            |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+            |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 3)
+            |         AS roll_sum,
+            |       count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            |         AS roll_n
+            |FROM events_roll_v""".stripMargin)
+      }
+    },
+
+    // Calendar gap-fill via a RECURSIVE CTE (Spark 4 UnionLoop): generate
+    // every day between the corpus bounds and left-join per-day counts so
+    // silent days appear as ZERO rows (a plain GROUP BY can't show what
+    // didn't happen). Scale shape: events aggregate to ~days rows FIRST
+    // (one partial-agg shuffle), then the tiny recursion joins that —
+    // never a calendar × raw-events join.
+    QueryDef.sql("q55_calendar_fill",
+      """WITH RECURSIVE days AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d, CAST(max(ts) AS DATE) AS hi FROM events
+        |  UNION ALL
+        |  SELECT d + 1, hi FROM days WHERE d < hi),
+        |per AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        |       CAST(coalesce(per.n, 0) AS BIGINT) AS n
+        |FROM days LEFT JOIN per ON per.d = days.d""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_cal_v")
+        s.sql(
+          """WITH RECURSIVE days AS (
+            |  SELECT CAST(min(ts) AS DATE) AS d, CAST(max(ts) AS DATE) AS hi
+            |  FROM events_cal_v
+            |  UNION ALL
+            |  SELECT date_add(d, 1), hi FROM days WHERE d < hi),
+            |per AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+            |        FROM events_cal_v GROUP BY 1)
+            |SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+            |       coalesce(per.n, 0L) AS n
+            |FROM days LEFT JOIN per ON per.d = days.d""".stripMargin)
+      }
+    },
+
     // Incremental distinct-count maintenance via MERGEABLE sketches: build
     // one Datasketches HLL sketch per (day, event_type) partition, then
     // roll partitions up with hll_union_agg — the pattern that maintains
