@@ -1083,7 +1083,11 @@ object Relational {
     // silent days appear as ZERO rows (a plain GROUP BY can't show what
     // didn't happen). Scale shape: events aggregate to ~days rows FIRST
     // (one partial-agg shuffle), then the tiny recursion joins that —
-    // never a calendar × raw-events join.
+    // never a calendar × raw-events join. The recursion advances one day
+    // per level, so the level budget is set explicitly below (the default
+    // 100 fails past a 100-day span); a production calendar that doesn't
+    // need the recursive OPERATOR uses sequence(min_d, max_d) + explode,
+    // which has no level limit at all.
     QueryDef.sql("q55_calendar_fill",
       """WITH RECURSIVE days AS (
         |  SELECT CAST(min(ts) AS DATE) AS d, CAST(max(ts) AS DATE) AS hi FROM events
@@ -1094,6 +1098,7 @@ object Relational {
         |       CAST(coalesce(per.n, 0) AS BIGINT) AS n
         |FROM days LEFT JOIN per ON per.d = days.d""".stripMargin) {
       (s, dir) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
         Tables.events(s, dir).createOrReplaceTempView("events_cal_v")
         s.sql(
           """WITH RECURSIVE days AS (

@@ -464,10 +464,13 @@ object TextAnalysis {
     // here, but a one-partition sort at 100 TB: the scale path is
     // [[graft.plans.QuantileBucket]] over approxQuantile edges (already
     // built), trading exact quartile boundaries for a fully parallel
-    // assignment. Total order (ttr, doc_id) keeps both engines aligned.
+    // assignment. Total order (ttr, doc_id) keeps both engines aligned —
+    // AFTER excluding zero-token docs, whose NULL ttr (0/0) the engines
+    // would order differently (Spark NULLS FIRST, DuckDB NULLS LAST).
     QueryDef.sql("t16_curriculum_bins",
       s"""WITH $toksCte,
-         |q AS (SELECT doc_id, lang, len(list_distinct(t)) / len(t) AS ttr FROM toks),
+         |q AS (SELECT doc_id, lang, len(list_distinct(t)) / len(t) AS ttr
+         |      FROM toks WHERE len(t) > 0),
          |b AS (SELECT lang, ntile(4) OVER (ORDER BY ttr, doc_id) AS bin FROM q)
          |SELECT CAST(bin AS BIGINT) AS bin, lang, count(*) AS n
          |FROM b GROUP BY 1, 2""".stripMargin) {
@@ -475,6 +478,7 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), Exprs.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
           .select(col("doc_id"), col("lang"),
             (size(array_distinct(col("t"))) / size(col("t"))).as("ttr"))
           .withColumn("bin",

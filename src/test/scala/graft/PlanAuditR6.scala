@@ -13,7 +13,8 @@ object PlanAuditR6 {
         "q49_grouping_sets", "q50_sketch_rollup",
         "q51_funnel_stages", "q52_retention_cohorts",
         "t14_token_entropy", "t15_vocab_coverage", "src03_docgen_pushdown",
-        "q53_unpivot", "d11_contamination", "t16_curriculum_bins")) {
+        "q53_unpivot", "d11_contamination", "t16_curriculum_bins",
+        "q54_rolling_window", "q55_calendar_fill")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown

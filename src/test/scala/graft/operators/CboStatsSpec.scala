@@ -26,19 +26,31 @@ class CboStatsSpec extends SparkSpec {
     spark.sql("ANALYZE TABLE cbo.big COMPUTE STATISTICS")
     spark.sql("ANALYZE TABLE cbo.small COMPUTE STATISTICS")
 
-    // exact row counts are catalog stats, not file-size guesses
+    // the discriminating assert: exact row counts come from CATALOG
+    // stats through CBO — they are absent both without ANALYZE and (see
+    // the negative control below) with CBO disabled
     val smallStats = spark.table("cbo.small").queryExecution.optimizedPlan.stats
     val bigStats = spark.table("cbo.big").queryExecution.optimizedPlan.stats
     assert(smallStats.rowCount.contains(BigInt(500)))
     assert(bigStats.rowCount.contains(BigInt(200000)))
 
-    // with both sides sized, the planner broadcasts the SMALL side
-    // unhinted; the big side never shuffles for this join
+    // sanity (not CBO-specific — file-size estimation alone would also
+    // broadcast a table this small): the small side broadcasts unhinted
     val joined = spark.table("cbo.big").join(spark.table("cbo.small"), "k")
       .agg(count(lit(1)).as("n"), sum("w").as("sw"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected an unhinted broadcast join:\n$plan")
     assert(joined.head().getLong(0) === 100000L) // 500 keys ⨯ 200 rows each
+  }
+
+  test("negative control: without CBO the same catalog stats expose no row counts") {
+    // runs after the ANALYZE above (shared session, tables persist):
+    // same tables, same stats in the catalog, CBO off → rowCount absent,
+    // proving the positive test exercises the CBO flow and not some
+    // always-on fallback
+    assert(spark.conf.get("spark.sql.cbo.enabled") === "false")
+    val stats = spark.table("cbo.small").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isEmpty)
   }
 }
