@@ -1114,6 +1114,29 @@ object Relational {
       }
     },
 
+    // Correlated LATERAL subquery: top-2 orders per customer written the
+    // way an analyst writes it — a per-row dependent subquery — and
+    // decorrelated by Catalyst into a set-based plan (no per-customer
+    // re-execution; compare q12/q13, the explicit window/top-k forms of
+    // the same question). Customers with no orders drop (CROSS LATERAL).
+    QueryDef.sql("q56_lateral_topn",
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin) {
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_lat_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_lat_v")
+        s.sql(
+          """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+            |FROM customer_lat_v, LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM orders_lat_v
+            |  WHERE o_custkey = c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+      }
+    },
+
     // Incremental distinct-count maintenance via MERGEABLE sketches: build
     // one Datasketches HLL sketch per (day, event_type) partition, then
     // roll partitions up with hll_union_agg — the pattern that maintains

@@ -114,10 +114,16 @@ object EventStreams {
     * user's views within the preceding `maxGap`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
     * Spark can evict state for rows too old to ever match — without the
-    * interval bound a stream-stream join's state grows forever. */
+    * interval bound a stream-stream join's state grows forever.
+    *
+    * `joinType = "left_outer"` preserves unmatched purchases: the null
+    * row is emitted only once the watermark proves no matching view can
+    * still arrive (outer results are watermark-DELAYED by construction —
+    * the engine cannot know "no match" earlier). Same state bound. */
   def viewPurchaseJoin(
       views: Dataset[Event], purchases: Dataset[Event],
-      watermarkDelay: String = "10 minutes", maxGapMinutes: Int = 30): DataFrame = {
+      watermarkDelay: String = "10 minutes", maxGapMinutes: Int = 30,
+      joinType: String = "inner"): DataFrame = {
     val v = views.toDF()
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -129,7 +135,8 @@ object EventStreams {
     p.join(v, expr(
       s"""v_user = p_user AND
          |view_ts <= purchase_ts AND
-         |view_ts >= purchase_ts - INTERVAL $maxGapMinutes MINUTES""".stripMargin))
+         |view_ts >= purchase_ts - INTERVAL $maxGapMinutes MINUTES""".stripMargin),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"))
   }

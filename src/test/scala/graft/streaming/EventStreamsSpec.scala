@@ -100,6 +100,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewPurchaseJoin left_outer: unmatched purchase emits null once watermark proves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.viewPurchaseJoin(views.toDS(), purchases.toDS(),
+      watermarkDelay = "5 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("vp_outer").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(25), 1, "view", 0))
+      purchases.addData(
+        Event(10, ts(40), 1, "purchase", 0),  // matches view 1 (15 min gap)
+        Event(11, ts(41), 2, "purchase", 0))  // user 2 never views
+      q.processAllAvailable()
+      // the unmatched purchase is NOT out yet: a view for user 2 could
+      // still arrive until the watermark clears purchase_ts
+      val early = spark.table("vp_outer").select("purchase_id").collect().map(_.getLong(0))
+      assert(!early.contains(11L))
+
+      // advance event time far enough that the watermark proves no view
+      // can still match purchase 11 → the null row flushes
+      views.addData(Event(2, ts(120), 3, "view", 0))
+      purchases.addData(Event(12, ts(120), 3, "purchase", 0))
+      q.processAllAvailable()
+      views.addData(Event(3, ts(200), 3, "view", 0))
+      purchases.addData(Event(13, ts(200), 3, "purchase", 0))
+      q.processAllAvailable()
+
+      val rows = spark.table("vp_outer")
+        .select("purchase_id", "view_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows(10L) === Some(1L))
+      assert(rows.contains(11L) && rows(11L) === None,
+        s"unmatched purchase should have flushed with a null view: $rows")
+    } finally q.stop()
+  }
+
   test("attributePurchases: streaming as-of matches latest prior view, state is O(1)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
