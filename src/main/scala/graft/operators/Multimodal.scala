@@ -268,6 +268,37 @@ object Multimodal {
             round(element_at(col("features"), 16), 6).as("bin15"),
             size(col("features")).cast("long").as("n_bins"))
       }
+    },
+
+    // Media batch assembly: pack binary payloads into ~4 KB byte-budget
+    // batches per shard — t12's sequence packing applied to MEDIA bytes
+    // (the collate step before GPU transfer, where batches are sized by
+    // payload bytes, not item count). Same per-shard running-sum design:
+    // packing parallelizes across shards, one window shuffle total.
+    QueryDef.sql("m08_batch_pack",
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, n_bytes,
+        |         CAST(floor((sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) - n_bytes) / 4096.0) AS BIGINT) AS pack
+        |  FROM base)
+        |SELECT shard, pack, count(*) AS n_items, sum(n_bytes) AS pack_bytes
+        |FROM packed GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"))
+          .withColumn("pack",
+            floor((sum("n_bytes").over(w) - col("n_bytes")) / lit(4096.0)).cast("long"))
+          .groupBy("shard", "pack")
+          .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("pack_bytes"))
+      }
     }
   )
 }

@@ -1114,6 +1114,29 @@ object Relational {
       }
     },
 
+    // Multiset set ops — the ALL variants q14's distinct forms don't
+    // cover: duplicates carry MULTIPLICITY (a row appearing 3 times on
+    // the left and once on the right survives EXCEPT ALL twice). Spark
+    // plans these as count-windows + generate, not distinct-hashing.
+    QueryDef.sql("q57_set_ops_all",
+      """SELECT 'except_all' AS op, key, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem WHERE l_quantity < 10
+        |  EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08) GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, key, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem WHERE l_quantity < 10
+        |  INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08) GROUP BY 2""".stripMargin) {
+      (s, dir) => {
+        val a = Tables.lineitem(s, dir).filter(col("l_quantity") < 10)
+          .select(col("l_suppkey").as("key"))
+        val b = Tables.lineitem(s, dir).filter(col("l_discount") > 0.08)
+          .select(col("l_suppkey").as("key"))
+        a.exceptAll(b).withColumn("op", lit("except_all"))
+          .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+          .groupBy("op", "key").agg(count(lit(1)).as("n"))
+      }
+    },
+
     // Correlated LATERAL subquery: top-2 orders per customer written the
     // way an analyst writes it — a per-row dependent subquery — and
     // decorrelated by Catalyst into a set-based plan (no per-customer
