@@ -60,6 +60,22 @@ object Bench {
     }
     canaryOnce() // warm-up, untimed
     val canary = (1 to TimedPasses).map(_ => canaryOnce()).sorted.apply(TimedPasses / 2)
+    // Shuffle canary (late round 6): the CPU canary stayed FLAT through a
+    // fleet-wide +0.1-0.6 s shift on every shuffle-touching query incl.
+    // plan-identical ones — environment drift can live in the EXCHANGE
+    // path (shuffle write/read, local disk, page cache) where a
+    // single-stage codegen agg never looks. This one round-trips a fixed
+    // 5M-row repartition so both dimensions are normalizable.
+    def shuffleCanaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 5000000L, 1L, 32)
+        .repartition(32, org.apache.spark.sql.functions.col("id"))
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    shuffleCanaryOnce() // warm-up, untimed
+    val shuffleCanary =
+      (1 to TimedPasses).map(_ => shuffleCanaryOnce()).sorted.apply(TimedPasses / 2)
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune every unused
@@ -81,7 +97,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.startsWith("\"") => v.toDouble }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
