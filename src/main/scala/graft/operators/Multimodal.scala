@@ -287,18 +287,12 @@ object Multimodal {
         |  FROM base)
         |SELECT shard, pack, count(*) AS n_items, sum(n_bytes) AS pack_bytes
         |FROM packed GROUP BY 1, 2""".stripMargin) {
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-            length(col("text").cast("binary")).cast("long").as("n_bytes"))
-          .withColumn("pack",
-            floor((sum("n_bytes").over(w) - col("n_bytes")) / lit(4096.0)).cast("long"))
-          .groupBy("shard", "pack")
-          .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("pack_bytes"))
-      }
+      (s, dir) =>
+        Packing.packByBudget(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+              length(col("text").cast("binary")).cast("long").as("n_bytes")),
+          "n_bytes", budget = 4096.0, "n_items", "pack_bytes")
     }
   )
 }

@@ -387,18 +387,12 @@ object TextAnalysis {
          |  FROM base)
          |SELECT shard, pack, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
          |FROM packed GROUP BY 1, 2""".stripMargin) {
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-            size(Exprs.tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("pack",
-            floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(256.0)).cast("long"))
-          .groupBy("shard", "pack")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
-      }
+      (s, dir) =>
+        Packing.packByBudget(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+              size(Exprs.tokens(col("text"))).cast("long").as("n_tokens")),
+          "n_tokens", budget = 256.0, "n_docs", "pack_tokens")
     },
 
     // Unigram token entropy: H = ln(n) − Σ c·ln(c) / n from integer
