@@ -168,14 +168,16 @@ object Dedup {
        |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
-  /** Embedding near-dup pairs: random-hyperplane sign LSH buckets, exact
-    * cosine only within buckets, with the same mega-bucket guard as
-    * [[candidatesFrom]] (an all-identical embedding corpus collapses into
-    * one bucket; the guard keeps that O(n), observable, and spec'd). */
-  private[operators] def embeddingPairs(emb: DataFrame): DataFrame = {
-    val sig = emb.select(
-      col("vec_id"), col("embedding"),
-      VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
+  /** In-group exact-cosine pair expansion shared by d05 (hyperplane LSH
+    * buckets) and d12 (nearest-centroid clusters). Input must carry
+    * (vec_id, embedding, `groupCol`); pairs expand only WITHIN groups —
+    * never all-pairs — and a group larger than [[MaxBucketSize]] is
+    * dropped instead of exploding O(n²) pairs, with the drop surfaced
+    * under `guardMetric` (the cap is the operator contract, mirrored by
+    * each caller's oracle). Output: (groupCol, id_a < id_b, cos rounded
+    * to 6) for pairs with cosine ≥ `minCos`. */
+  private def cosinePairsWithin(
+      sig: DataFrame, groupCol: String, guardMetric: String, minCos: Double): DataFrame = {
     val vs = col("vs")
     val pairs = flatten(transform(vs, (a, i) =>
       transform(slice(vs, i + lit(2), greatest(size(vs) - i - 1, lit(0))),
@@ -183,18 +185,65 @@ object Dedup {
           a.getField("embedding").as("ea"), b.getField("embedding").as("eb")))))
     val cosr = VectorOps.cosineR(col("p.ea"), col("p.eb"))
     sig
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-      .observe("embedding_bucket_guard",
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .observe(guardMetric,
         coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("rows_in_overflow_buckets"),
         coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
       .filter(col("bn").between(2, MaxBucketSize))
-      .groupBy("bucket")
+      .groupBy(groupCol)
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-      .select(explode(pairs).as("p"))
-      .filter(cosr >= 0.1)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
+      .select(col(groupCol), explode(pairs).as("p"))
+      .filter(cosr >= minCos)
+      .select(col(groupCol),
+        col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), cosr.as("cos"))
   }
+
+  /** Embedding near-dup pairs: random-hyperplane sign LSH buckets, exact
+    * cosine only within buckets, with the same mega-bucket guard as
+    * [[candidatesFrom]] (an all-identical embedding corpus collapses into
+    * one bucket; the guard keeps that O(n), observable, and spec'd). */
+  private[operators] def embeddingPairs(emb: DataFrame): DataFrame =
+    cosinePairsWithin(
+      emb.select(col("vec_id"), col("embedding"),
+        VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("bucket")),
+      "bucket", "embedding_bucket_guard", minCos = 0.1)
+      .select("id_a", "id_b", "cos")
+
+  /** d12 semantic-dedup parameters: number of deterministic centroids and
+    * the in-cluster cosine above which the higher-id member is dropped.
+    * K is fixed so the SQL oracle can mirror it; at corpus scale K grows
+    * with N (SemDeDup uses K ≈ N/1000s) and centroids come from a k-means
+    * fit (s06) instead of the lowest ids. */
+  private[operators] val SemK = 16
+  private[operators] val SemTau = 0.3
+
+  /** Nearest-centroid cluster assignment with ZERO shuffle: the K
+    * centroids (lowest vec_ids — deterministic and oracle-reproducible)
+    * collapse into a single array row that is broadcast, and the argmax
+    * over centroids runs as one codegen'd projection per input row
+    * (array_min over (−cos, cid) structs — ties break to the lowest
+    * centroid id, same as the oracle's ORDER BY cos DESC, cid). The only
+    * shuffles in d12 are the in-cluster pair expansion. */
+  private[operators] def semanticClusters(emb: DataFrame): DataFrame = {
+    val cents = emb.orderBy("vec_id").limit(SemK)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("ce")))
+        .as("cents"))
+    val best = array_min(transform(col("cents"), c => struct(
+      (-coalesce(VectorOps.cosineR(col("embedding"), c.getField("ce")), lit(-2.0))).as("nc"),
+      c.getField("cid").as("cid"))))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
+  }
+
+  /** DuckDB cosine between two float-list columns, rounded to 6 — the
+    * oracle twin of [[VectorOps.cosineR]] (same float→double widening,
+    * same rounding), used by the d12 oracle (d05 predates the helper and
+    * spells the identical formula inline). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |     * sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
 
   // Oracle CTE fragments mirroring the Spark expressions above. `src`
   // parameterizes the corpus the shingles come from (the full table for
@@ -620,6 +669,45 @@ object Dedup {
           .groupBy("doc_id")
           .agg(countDistinct("shingle").as("n_shared"),
             countDistinct("test_id").as("n_test_docs"))
+      }
+    },
+
+    // Semantic dedup (SemDeDup): cluster embeddings to their nearest
+    // centroid, then drop the higher-id member of every in-cluster pair
+    // whose exact cosine exceeds the threshold. Complements d05: LSH
+    // buckets catch only near-identical directions (hyperplane sign
+    // agreement), clustering catches "same meaning, different phrasing"
+    // at whatever radius the threshold sets. Scale shape: assignment is a
+    // zero-shuffle broadcast projection, pair expansion shuffles once on
+    // the cluster id with the standard cap guard, the drop set is
+    // id-distinct and anti-joined back. K and the centroid rule are part
+    // of the spec so the oracle reproduces them; at corpus scale K comes
+    // from a k-means fit (s06) and grows with N.
+    QueryDef.sql("d12_semantic_dedup",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT $SemK),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         coalesce(${cosSql("e.embedding", "c.ce")}, -2.0) AS cos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asn AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |csz AS (SELECT cluster, count(*) AS bn FROM asn GROUP BY cluster),
+         |dropd AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN csz s ON s.cluster = a.cluster AND s.bn <= $MaxBucketSize
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemTau)
+         |SELECT a.vec_id, a.cluster FROM asn a
+         |WHERE a.vec_id NOT IN (SELECT id_b FROM dropd)""".stripMargin) {
+      (s, dir) => {
+        val asn = semanticClusters(Tables.embeddings(s, dir))
+        val drops = cosinePairsWithin(asn, "cluster", "semantic_cluster_guard", SemTau)
+          .select(col("id_b")).distinct()
+        asn.join(drops, asn("vec_id") === drops("id_b"), "left_anti")
+          .select(col("vec_id"), col("cluster"))
       }
     }
   )

@@ -25,4 +25,44 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet === Set(0L))
     assert(labels.size === 10)
   }
+
+  test("semanticClusters: argmax-cosine assignment via a broadcast array, no big-side shuffle") {
+    // 16 one-hot 16-d centroids (vec_ids 0..15, the SemK lowest ids) plus
+    // two satellites: 100 = all-ones (cos 1/4 to EVERY centroid — a pure
+    // tie, must break to the lowest cid = 0), 101 = axis-5-dominant.
+    val dim = 16
+    def oneHot(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val rows = (0 until dim).map(i => i.toLong -> oneHot(i)) ++ Seq(
+      100L -> Array.fill(dim)(1f),
+      101L -> Array.tabulate(dim)(j => if (j == 5) 9f else 1f))
+    val asn = Dedup.semanticClusters(rows.toDF("vec_id", "embedding"))
+    val m = asn.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0 until dim).forall(i => m(i.toLong) === i.toLong)) // self wins at cos 1.0
+    assert(m(100L) === 0L)  // all-tied -> lowest centroid id
+    assert(m(101L) === 5L)  // dominant component wins, not the lowest id
+    // the scale claim: the probe side is a pure projection over the scan;
+    // the only join is the broadcast of the one-row centroid array.
+    val plan = asn.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment should broadcast the centroid array:\n$plan")
+  }
+
+  test("d12 drops the higher-id member of above-threshold in-cluster pairs and keeps the rest") {
+    // Centroids 0..15 one-hot. Satellites: 100 = all-ones (cos 0.25 < tau
+    // to its centroid 0, so the centroid itself never drops it), 101 =
+    // ones with dim 15 zeroed (cos ~0.258 < tau to centroids, but cos
+    // ~0.968 >= tau with 100 and both land in cluster 0) -> 101 drops,
+    // 100 and all centroids keep.
+    val dim = 16
+    def oneHot(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val rows = (0 until dim).map(i => i.toLong -> oneHot(i)) ++ Seq(
+      100L -> Array.fill(dim)(1f),
+      101L -> Array.tabulate(dim)(j => if (j == dim - 1) 0f else 1f))
+    val dir = java.nio.file.Files.createTempDirectory("d12spec").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val kept = graft.SparkEntry.queries("d12_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(kept.toSeq === ((0L until dim.toLong) :+ 100L))
+  }
 }
