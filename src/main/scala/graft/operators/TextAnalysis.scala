@@ -505,6 +505,90 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_total"),
             sum(when(digit < thr, 1L).otherwise(0L)).as("n_kept"))
       }
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · (ln((N+1)/(df+1)) + 1), ties broken lexicographically. The
+    // rank runs on the ROUNDED score so both engines agree on ties.
+    // Scale shape: two hash-aggs (doc×term, then term), a term-keyed
+    // join back (document frequencies are vocabulary-sized — AQE
+    // broadcasts them in practice), and a doc-keyed top-k window that
+    // Spark 4 executes as a map-side WindowGroupLimit before the final
+    // shuffle — no global sort anywhere.
+    QueryDef.sql("t17_tfidf_keywords",
+      s"""WITH $toksCte,
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term,
+         |         round(tf * (ln((n_docs + 1) / (df + 1.0)) + 1.0), 6) AS score
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, term) AS rk FROM scored)
+         |WHERE rk <= 3""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * (log((col("n_docs") + 1) / (col("df") + lit(1.0))) + lit(1.0)), 6)
+              .as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "term", "score", "rk")
+      }
+    },
+
+    // Corpus bigram language-model scoring (the CCNet-style quality
+    // signal): train add-one-smoothed bigram counts on the corpus itself,
+    // then score each document by its mean log P(w2|w1) =
+    // ln((c(w1,w2)+1) / (c(w1·)+V)). Bigram generation is a zero-shuffle
+    // zip_with projection (no per-doc window sort); the model is two
+    // hash-aggs; scoring joins each document bigram to its counts on the
+    // bigram key — the hot boilerplate bigrams are exactly the well-
+    // estimated ones, so AQE's skew split handles them without salting.
+    QueryDef.sql("t18_bigram_lm_score",
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |      FROM (SELECT unnest(t) AS tok FROM toks)),
+         |sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + v)) AS logp
+         |       FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(logp), 6) AS avg_logp
+         |FROM sc GROUP BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val t = col("t")
+        val bg = Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
+          .filter(size(t) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+          .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vocab = Tables.documents(s, dir)
+          .select(explode(Exprs.tokens(col("text"))).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            log((col("cb") + lit(1.0)) / (col("cu") + col("v"))).as("logp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
+      }
     }
   )
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the corpus-model text operators (the rest of
+  * the t-family is arithmetic the DuckDB oracle already pins bit-for-bit;
+  * these two build a corpus-level model, so assert the math on a corpus
+  * small enough to verify by hand). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("taspec").toString
+    Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t17: tf-idf = tf * (ln((N+1)/(df+1)) + 1), ranked per doc") {
+    val rows = graft.SparkEntry.queries("t17_tfidf_keywords")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // N=3; df: a->2, b->2, c->1; idf(a)=idf(b)=ln(4/3)+1, idf(c)=ln(2)+1
+    assert(rows((1L, "a")) === ((2.575364, 1L))) // tf 2, top of doc 1
+    assert(rows((1L, "b")) === ((1.287682, 2L)))
+    assert(rows((2L, "c")) === ((1.693147, 1L))) // idf beats tf-1 "a"
+    assert(rows((2L, "a")) === ((1.287682, 2L)))
+    assert(rows((3L, "b")) === ((3.863046, 1L)))
+    assert(rows.size === 5)
+  }
+
+  test("t18: mean add-one bigram log-likelihood per doc") {
+    val rows = graft.SparkEntry.queries("t18_bigram_lm_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // bigram counts: (a,b)=1 (b,a)=1 (a,c)=1 (b,b)=2; contexts a=2 b=3; V=3
+    // doc1: ln(2/5), ln(2/6) -> mean -1.007452; doc2: ln(2/5); doc3: 2×ln(3/6)
+    assert(rows(1L) === ((2L, -1.007452)))
+    assert(rows(2L) === ((1L, -0.916291)))
+    assert(rows(3L) === ((2L, -0.693147)))
+  }
+}
