@@ -236,6 +236,40 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
   }
 
+  /** d13 bound: pairs farther apart than this many edits are not
+    * near-duplicates. Also the levenshtein band width on the Spark side
+    * (the 3-arg form short-circuits past it) and the reason the 16-char
+    * length band can't lose a match to quantization alone. */
+  private[operators] val EditDistMax = 8
+
+  /** Edit-distance near-dup pairs for d13: block on (first token, 16-char
+    * length band), expand pairs only within ≤[[MaxBucketSize]] blocks
+    * (guarded + observable, as everywhere in this family), then score with
+    * the BOUNDED levenshtein — banded DP, -1 past [[EditDistMax]] — so the
+    * per-pair cost is O(maxDist·len), not O(len²). */
+  private[operators] def editDistancePairs(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("doc_id"), col("text"),
+      element_at(Exprs.tokens(col("text")), 1).as("tok0"),
+      floor(length(col("text")) / 16).as("lenband"))
+    val vs = col("vs")
+    val pairs = flatten(transform(vs, (a, i) =>
+      transform(slice(vs, i + lit(2), greatest(size(vs) - i - 1, lit(0))),
+        bb => struct(a.getField("doc_id").as("id_a"), bb.getField("doc_id").as("id_b"),
+          a.getField("text").as("ta"), bb.getField("text").as("tb")))))
+    b.withColumn("bn", count(lit(1)).over(Window.partitionBy("tok0", "lenband")))
+      .observe("editdist_block_guard",
+        coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("rows_in_overflow_blocks"),
+        coalesce(max("bn"), lit(0L)).as("max_block_rows"))
+      .filter(col("bn").between(2, MaxBucketSize))
+      .groupBy("tok0", "lenband")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("vs"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        levenshtein(col("p.ta"), col("p.tb"), EditDistMax).cast("long").as("dist"))
+      .filter(col("dist") >= 0) // bounded levenshtein reports -1 past the bound
+  }
+
   /** DuckDB cosine between two float-list columns, rounded to 6 — the
     * oracle twin of [[VectorOps.cosineR]] (same float→double widening,
     * same rounding), used by the d12 oracle (d05 predates the helper and
@@ -709,6 +743,31 @@ object Dedup {
         asn.join(drops, asn("vec_id") === drops("id_b"), "left_anti")
           .select(col("vec_id"), col("cluster"))
       }
+    },
+
+    // Edit-distance near-dup: block on (first token, length band 16) —
+    // an edit script of length ≤ 8 can't change the length by more than
+    // 8, so the band plus the anchor token is a cheap high-precision
+    // blocker — then exact Levenshtein ONLY within blocks, with the
+    // standard per-block cap guard. The Spark side uses the bounded
+    // 3-arg levenshtein (banded O(maxDist·n) per pair, returns -1 past
+    // the bound) — at 100 TB the work is candidates × a short-circuited
+    // band, never all-pairs × full DP. Blocking is the spec, mirrored in
+    // the oracle, same contract style as the LSH bucket caps.
+    QueryDef.sql("d13_editdist_neardup",
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')[1] AS tok0,
+         |         length(text) // 16 AS lenband
+         |  FROM documents),
+         |bsz AS (SELECT tok0, lenband, count(*) AS bn FROM b GROUP BY 1, 2)
+         |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |       CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist
+         |FROM b a JOIN b b2 ON a.tok0 = b2.tok0 AND a.lenband = b2.lenband
+         |                  AND a.doc_id < b2.doc_id
+         |JOIN bsz s ON s.tok0 = a.tok0 AND s.lenband = a.lenband AND s.bn <= $MaxBucketSize
+         |WHERE levenshtein(a.text, b2.text) <= $EditDistMax""".stripMargin) {
+      (s, dir) => editDistancePairs(Tables.documents(s, dir))
     }
   )
 }

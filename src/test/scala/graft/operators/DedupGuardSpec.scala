@@ -55,4 +55,27 @@ class DedupGuardSpec extends SparkSpec {
     assert(m.getAs[Long]("rows_in_overflow_buckets") === 1500L)
     assert(m.getAs[Long]("max_bucket_rows") === 1500L)
   }
+
+  test("edit-distance blocks: bounded levenshtein within blocks, mega-block dropped") {
+    // base text 40 chars; "near" differs by 3 edits (<= EditDistMax=8) and
+    // stays in the same 16-char length band + first token; "far" differs
+    // by way more than 8 edits but shares the block -> scored, filtered.
+    val base = "alpha bravo charlie delta echo foxtrot"
+    val near = "alpha bravo charlie delta echo foxtrXX"   // 2 subs, same len
+    val far  = "alpha " + "z" * (base.length - 6)          // same tok0 + band
+    val mega = (0 until 1200).map(i => (10000L + i, base)) // over-cap block? no:
+    // mega shares (tok0, lenband) with base/near/far -> block of 1203 > cap
+    val docs = (Seq((1L, base), (2L, near), (3L, far)) ++ mega).toDF("doc_id", "text")
+    val all = Dedup.editDistancePairs(docs)
+    assert(all.collect().isEmpty, "over-cap block must not pair-expand")
+    val m = all.queryExecution.observedMetrics("editdist_block_guard")
+    assert(m.getAs[Long]("max_block_rows") === 1203L)
+
+    // without the mega block: (1,2) at dist 2 survives; (1,3)/(2,3) exceed
+    // the bound -> bounded levenshtein returns -1 -> filtered.
+    val pairs = Dedup.editDistancePairs(
+      Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)))
+  }
 }
