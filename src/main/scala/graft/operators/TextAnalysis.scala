@@ -560,7 +560,7 @@ object TextAnalysis {
          |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
          |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
          |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
-         |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY 1),
+         |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
          |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
          |      FROM (SELECT unnest(t) AS tok FROM toks)),
          |sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + v)) AS logp
@@ -577,8 +577,11 @@ object TextAnalysis {
             slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
           .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        // context totals fold out of the bigram counts (c(w1·) = Σ_w2) —
+        // an agg over the vocabulary-sized cb table, not a fourth pass
+        // over the corpus
         val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
         val vocab = Tables.documents(s, dir)
           .select(explode(Exprs.tokens(col("text"))).as("tok"))
           .agg(countDistinct("tok").as("v"))

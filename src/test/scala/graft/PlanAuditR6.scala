@@ -14,7 +14,9 @@ object PlanAuditR6 {
         "q51_funnel_stages", "q52_retention_cohorts",
         "t14_token_entropy", "t15_vocab_coverage", "src03_docgen_pushdown",
         "q53_unpivot", "d11_contamination", "t16_curriculum_bins",
-        "q54_rolling_window", "q55_calendar_fill")) {
+        "q54_rolling_window", "q55_calendar_fill",
+        "d12_semantic_dedup", "d13_editdist_neardup",
+        "t17_tfidf_keywords", "t18_bigram_lm_score")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
