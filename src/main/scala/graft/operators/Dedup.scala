@@ -293,9 +293,10 @@ object Dedup {
       |         list_distinct(list_transform(range(1, greatest(len(t)-1, 1)+1),
       |           i -> array_to_string(t[i:i+1], ' '))) AS sh
       |  FROM toks)""".stripMargin
-  // The bsz/cand tail applies the SAME MaxBucketSize bound as the Spark
-  // side — capped semantics are the operator contract at every scale.
-  private val candCte =
+  /** Minhash signature + band CTEs (expects `sh` in scope) — the oracle
+    * twin of [[minhashedFrom]]+[[bandedFrom]], shared by the full
+    * candidate chain below and the d14 incremental split. */
+  private val sigBandsCte =
     s"""sig AS (
        |  SELECT doc_id, sh,
        |         list_transform(range(0, $K), j ->
@@ -303,7 +304,11 @@ object Dedup {
        |  FROM sh),
        |bands AS (
        |  SELECT doc_id, sh, b, mh[2*b+1] || mh[2*b+2] AS bkey
-       |  FROM sig, unnest(range(0, $B)) AS u(b)),
+       |  FROM sig, unnest(range(0, $B)) AS u(b))""".stripMargin
+  // The bsz/cand tail applies the SAME MaxBucketSize bound as the Spark
+  // side — capped semantics are the operator contract at every scale.
+  private val candCte =
+    s"""$sigBandsCte,
        |bsz AS (SELECT b, bkey, count(*) AS bn FROM bands GROUP BY b, bkey),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -768,6 +773,64 @@ object Dedup {
          |JOIN bsz s ON s.tok0 = a.tok0 AND s.lenband = a.lenband AND s.bn <= $MaxBucketSize
          |WHERE levenshtein(a.text, b2.text) <= $EditDistMax""".stripMargin) {
       (s, dir) => editDistancePairs(Tables.documents(s, dir))
+    },
+
+    // Incremental dedup — the shape corpus maintenance actually runs at
+    // 100 TB: a small INCOMING batch (doc_id % 10 = 0 stands in for it)
+    // is checked against the EXISTING corpus index without ever pairing
+    // corpus×corpus. Exact membership is one hash semi-probe; near-dup
+    // screening joins the incoming batch's LSH bands against the index
+    // bands (in production the index signatures are a stored table the
+    // nightly batch reads — here both sides derive from the fixture so
+    // the oracle can reproduce them). Hot boilerplate bands on the index
+    // side are capped + observed, bounding the per-incoming-doc fan-out
+    // at B×cap. Output: per incoming doc, exact-dup flag and the count
+    // of distinct index near-dup candidates.
+    QueryDef.sql("d14_incremental_dedup",
+      s"""WITH ${toksCte()},
+         |$shCte,
+         |$sigBandsCte,
+         |inb AS (SELECT b, bkey, doc_id FROM bands WHERE doc_id % 10 = 0),
+         |idxb AS (SELECT b, bkey, doc_id FROM bands WHERE doc_id % 10 <> 0),
+         |bsz AS (SELECT b, bkey, count(*) AS bn FROM idxb GROUP BY 1, 2),
+         |near AS (
+         |  SELECT i.doc_id, CAST(count(DISTINCT x.doc_id) AS BIGINT) AS n_neardup
+         |  FROM inb i JOIN idxb x ON i.b = x.b AND i.bkey = x.bkey
+         |  JOIN bsz s ON s.b = i.b AND s.bkey = i.bkey AND s.bn <= $MaxBucketSize
+         |  GROUP BY 1),
+         |exact AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN md5(text) IN
+         |           (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+         |           THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT e.doc_id, e.is_exact_dup,
+         |       CAST(coalesce(n.n_neardup, 0) AS BIGINT) AS n_neardup
+         |FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val incoming = docs.filter(col("doc_id") % 10 === 0)
+        val index = docs.filter(col("doc_id") % 10 =!= 0)
+        val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+          .join(index.select(md5(col("text")).as("h")).distinct()
+            .withColumn("hit", lit(1L)), Seq("h"), "left")
+          .select(col("doc_id"),
+            when(col("hit").isNotNull, 1L).otherwise(0L).as("is_exact_dup"))
+        val idxBands = bandedFrom(minhashedFrom(shingled(index)))
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+          .observe("incremental_index_guard",
+            coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
+              .as("rows_in_overflow_buckets"),
+            coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+          .filter(col("bn") <= MaxBucketSize)
+          .select(col("band"), col("bkey"), col("doc_id").as("idx_id"))
+        val near = bandedFrom(minhashedFrom(shingled(incoming)))
+          .join(idxBands, Seq("band", "bkey"))
+          .groupBy("doc_id").agg(countDistinct("idx_id").as("n_neardup"))
+        exact.join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_exact_dup"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      }
     }
   )
 }

@@ -293,6 +293,44 @@ object Multimodal {
             .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
               length(col("text").cast("binary")).cast("long").as("n_bytes")),
           "n_bytes", budget = 4096.0, "n_items", "pack_bytes")
+    },
+
+    // Media dedup on the DOWNSAMPLED payload — the perceptual-hash shape:
+    // two assets that resize to identical bytes are the same content at
+    // different fidelity; keep the highest-resolution copy (longest
+    // payload — resize is monotone in length, so the resized length IS
+    // the quality rank; tie → lowest doc_id). One typed decode pass, one
+    // partial-aggregable shuffle on the content hash, nothing pairwise.
+    // A real pipeline swaps the byte-picker for pHash/chromaprint at the
+    // same seam; the grouping contract is identical.
+    QueryDef.sql("m09_media_dedup",
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           range(0, CAST(ceil(octet_length(text::BLOB) / 4.0) AS BIGINT)),
+        |           i -> substr(upper(hex(text::BLOB)), CAST(i * 8 + 1 AS BIGINT), 2)), '') AS rh
+        |  FROM documents)
+        |SELECT phash, keep_id, kept_bytes, n_copies FROM (
+        |  SELECT md5(rh) AS phash, doc_id AS keep_id,
+        |         CAST(len(rh) / 2 AS BIGINT) AS kept_bytes,
+        |         row_number() OVER (PARTITION BY md5(rh)
+        |                            ORDER BY len(rh) DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY md5(rh)) AS n_copies
+        |  FROM r) WHERE rk = 1""".stripMargin) {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        resizePayloads(media, step = 4).toDF()
+          .select(col("doc_id"), md5(upper(hex(col("payload")))).as("phash"),
+            length(col("payload")).cast("long").as("r_bytes"))
+          .groupBy("phash")
+          .agg(min(struct((-col("r_bytes")).as("neg"), col("doc_id"))).as("m"),
+            count(lit(1)).as("n_copies"))
+          .select(col("phash"), col("m.doc_id").as("keep_id"),
+            (-col("m.neg")).as("kept_bytes"), col("n_copies"))
+      }
     }
   )
 }
