@@ -75,12 +75,21 @@ object Exprs {
     * zip_with evaluates each input array once. Trailing partial grams from
     * zip_with's null-padding are dropped by the final slice (and for docs
     * shorter than n, that same padding yields the whole-text shingle). */
-  def wordShingles(toks: Column, n: Int): Column = {
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(wordShinglesAll(toks, n))
+
+  /** Positional (non-distinct) n-gram shingles: element i is the gram
+    * starting at token i, so `posexplode` over this array gives every
+    * span start — the form span-level duplicate accounting (d15) needs,
+    * where repeated occurrences of a gram within one document each
+    * count. Same zip_with construction and short/empty-document
+    * semantics as [[wordShingles]]. */
+  def wordShinglesAll(toks: Column, n: Int): Column = {
     val joined = (1 until n).foldLeft(toks) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
         (a, b) => concat_ws(" ", a, b))
     }
-    val grams = array_distinct(slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1))))
+    val grams = slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1)))
     // Zero tokens (empty/whitespace-only text) → the single empty shingle,
     // matching the SQL-oracle formulation (array_to_string over an empty
     // slice yields ''); null toks stay null on both sides.

@@ -831,6 +831,51 @@ object Dedup {
           .select(col("doc_id"), col("is_exact_dup"),
             coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
       }
+    },
+
+    // Duplicated-span accounting (the substring-level dedup signal of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): for every document, the fraction of 5-gram span STARTS
+    // whose gram occurs in at least two documents — doc-level dedup
+    // (d01-d09) misses templated documents that share long runs without
+    // being near-identical overall; this measures exactly that overlap.
+    // Scale shape: positional grams are one codegen'd projection
+    // (zip_with chain, no O(L²) HOF); the (doc_id, gram) pre-aggregation
+    // is checkpointed once and reused for both the doc-frequency
+    // re-aggregation and the join back, so the corpus gram pass runs
+    // once; doc frequency comes from a partial-aggregable groupBy (a
+    // window over gram would co-locate every occurrence of a hot
+    // boilerplate gram on one executor — the agg collapses them
+    // map-side), and the only join is pre-agg × one-row-per-gram, whose
+    // residual hot keys AQE skew-split handles. At 100 TB the join key
+    // would be a 128-bit gram hash instead of the string; the string
+    // keeps the oracle byte-exact here.
+    QueryDef.sql("d15_dupspan",
+      s"""WITH ${toksCte()},
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-4, 1)+1),
+         |    i -> array_to_string(t[i:i+4], ' '))) AS gram
+         |  FROM toks),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM spans GROUP BY 1, 2),
+         |gdf AS (SELECT gram, count(*) AS df FROM pg GROUP BY 1)
+         |SELECT pg.doc_id, CAST(sum(pg.cnt) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN gdf.df >= 2 THEN pg.cnt ELSE 0 END) AS BIGINT) AS dup_spans,
+         |       round(sum(CASE WHEN gdf.df >= 2 THEN pg.cnt ELSE 0 END) / sum(pg.cnt), 6) AS dup_frac
+         |FROM pg JOIN gdf ON pg.gram = gdf.gram
+         |GROUP BY pg.doc_id""".stripMargin) {
+      (s, dir) => {
+        val perDocGram = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(Exprs.wordShinglesAll(Exprs.tokens(col("text")), 5)).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val gramDf = perDocGram.groupBy("gram").agg(count(lit(1)).as("df"))
+        perDocGram.join(gramDf, "gram")
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_spans"),
+            sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_spans"))
+          .withColumn("dup_frac", round(col("dup_spans") / col("n_spans"), 6))
+      }
     }
   )
 }

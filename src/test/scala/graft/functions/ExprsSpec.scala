@@ -113,6 +113,35 @@ class ExprsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("wordShinglesAll keeps every span start in order, duplicates included") {
+    val got = Seq("a b a b a").toDF("t")
+      .select(Exprs.wordShinglesAll(Exprs.tokens(col("t")), 2)).head().getSeq[String](0)
+    assert(got === Seq("a b", "b a", "a b", "b a"))
+    // shorter than n → the single whole-text gram, like wordShingles
+    assert(Seq("word").toDF("t")
+      .select(Exprs.wordShinglesAll(Exprs.tokens(col("t")), 3)).head().getSeq[String](0)
+      === Seq("word"))
+    assert(Seq("  ").toDF("t")
+      .select(Exprs.wordShinglesAll(Exprs.tokens(col("t")), 3)).head().getSeq[String](0)
+      === Seq(""))
+  }
+
+  test("wordShinglesAll matches a non-distinct sliding-window model (property)") {
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(97, 122).map(_.toChar).flatMap(c => Gen.choose(1, 4).map(n => c.toString * n)))
+    val prop = Prop.forAll(tokGen) { toks =>
+      val text = toks.mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Exprs.wordShinglesAll(Exprs.tokens(col("t")), 3)).head().getSeq[String](0)
+      val model =
+        if (toks.size < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      got == model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hash16 is a 16-char lowercase hex prefix of md5") {
     val Row(h: String, full: String) = Seq("abc").toDF("s")
       .select(Exprs.hash16(col("s")), md5(col("s"))).head()

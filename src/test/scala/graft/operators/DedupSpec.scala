@@ -65,4 +65,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).sorted
     assert(kept.toSeq === ((0L until dim.toLong) :+ 100L))
   }
+
+  test("d15 counts cross-document duplicated span starts, not within-document repeats") {
+    val rows = Seq(
+      1L -> "a b c d e f", // spans "a b c d e", "b c d e f"
+      2L -> "a b c d e x", // shares "a b c d e" with doc 1 → 1 of 2 dup
+      3L -> "z z z z z z z", // 3 starts of the same gram, one doc → df=1, no dups
+      4L -> "short") // sub-n doc: single whole-text span, unique
+    val dir = java.nio.file.Files.createTempDirectory("d15spec").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d15_dupspan")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((3L, 0L, 0.0)),
+      4L -> ((1L, 0L, 0.0))))
+  }
 }
