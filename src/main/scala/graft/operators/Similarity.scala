@@ -30,6 +30,16 @@ object Similarity {
        |    / (sqrt(list_sum(list_transform(range(1, len($a.embedding)+1), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)))
        |     * sqrt(list_sum(list_transform(range(1, len($b.embedding)+1), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)))), 6)""".stripMargin
 
+  /** Sign-LSH bucket of a 32-dim SUBvector column (PQ sub-quantizer,
+    * 4 planes → 16 codes) — [[bucketSql]] over a slice: same md5-derived
+    * ±1 hyperplanes, dims renumbered within the subspace (mirrors
+    * `VectorOps.hyperplaneBucket(sub, planes = 4, dim = 32)`). */
+  private def pqBucketSql(sv: String) =
+    s"""CAST(list_sum(list_transform(range(0, 4), p ->
+       |      CASE WHEN list_sum(list_transform(range(1, 33), dd ->
+       |             $sv[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
+       |           THEN 1<<p ELSE 0 END)) AS BIGINT)""".stripMargin
+
   private def bucketSql(planes: Int) =
     s"""CAST(list_sum(list_transform(range(0, $planes), p ->
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
@@ -352,6 +362,85 @@ object Similarity {
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("label", "dim")
           .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
+    },
+
+    // Product-quantization ADC search — the memory-frontier ANN path
+    // (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+    // the 64-dim vector is split into m=2 subspaces, each subspace gets a
+    // 16-entry codebook (sub-quantizer = the deterministic sign-LSH
+    // bucketing over the SUBvector + per-bucket mean, so the oracle can
+    // rebuild it; a k-means sub-quantizer slots into the same shape), and
+    // the corpus is encoded as TWO BYTES per vector. At query time the
+    // query precomputes one 16-entry dot-product table per subspace
+    // (asymmetric distance computation): the scan never touches a float —
+    // score = table1[c1] + table2[c2], two broadcast 16-row joins on
+    // tiny int keys + one add, then TakeOrdered. At 100 TB: the codebook
+    // build is one amortized index-build agg, the per-vector index state
+    // is m bytes (vs 256 for float32), the search plan has ZERO corpus
+    // shuffle and ZERO per-row vector math. All ranking on rounded
+    // doubles (the s01 contract) so the cut is engine-stable.
+    QueryDef.sql("s10_pq_adc",
+      s"""WITH sv AS (
+         |  SELECT vec_id, embedding[1:32] AS s1, embedding[33:64] AS s2 FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id, s1, s2, ${pqBucketSql("s1")} AS c1, ${pqBucketSql("s2")} AS c2
+         |  FROM sv),
+         |cb1 AS (
+         |  SELECT code, list(mv ORDER BY dim) AS cvec FROM (
+         |    SELECT c1 AS code, dim, round(avg(v), 6) AS mv FROM (
+         |      SELECT c1, generate_subscripts(s1, 1) AS dim, unnest(s1)::DOUBLE AS v FROM coded)
+         |    GROUP BY 1, 2) GROUP BY code),
+         |cb2 AS (
+         |  SELECT code, list(mv ORDER BY dim) AS cvec FROM (
+         |    SELECT c2 AS code, dim, round(avg(v), 6) AS mv FROM (
+         |      SELECT c2, generate_subscripts(s2, 1) AS dim, unnest(s2)::DOUBLE AS v FROM coded)
+         |    GROUP BY 1, 2) GROUP BY code),
+         |q AS (SELECT s1, s2 FROM coded WHERE vec_id = 0),
+         |dt1 AS (SELECT cb1.code,
+         |          round(list_sum(list_transform(range(1, 33), i -> q.s1[i]::DOUBLE * cb1.cvec[i])), 6) AS pd
+         |        FROM cb1, q),
+         |dt2 AS (SELECT cb2.code,
+         |          round(list_sum(list_transform(range(1, 33), i -> q.s2[i]::DOUBLE * cb2.cvec[i])), 6) AS pd
+         |        FROM cb2, q)
+         |SELECT c.vec_id, c.c1, c.c2, round(dt1.pd + dt2.pd, 6) AS adc
+         |FROM coded c JOIN dt1 ON c.c1 = dt1.code JOIN dt2 ON c.c2 = dt2.code
+         |WHERE c.vec_id <> 0
+         |ORDER BY adc DESC, c.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // index build: split, sub-quantize, encode — materialized once
+        val coded = emb.select(
+          col("vec_id"),
+          slice(col("embedding"), 1, 32).as("s1"),
+          slice(col("embedding"), 33, 32).as("s2"))
+          .select(col("vec_id"), col("s1"), col("s2"),
+            VectorOps.hyperplaneBucket(col("s1"), planes = 4, dim = 32).as("c1"),
+            VectorOps.hyperplaneBucket(col("s2"), planes = 4, dim = 32).as("c2"))
+          .localCheckpoint(true)
+        def codebook(sub: String, code: String): DataFrame = coded
+          .select(col(code).as("code"), posexplode(col(sub)).as(Seq("d0", "v")))
+          .groupBy("code", "d0").agg(round(avg(col("v").cast("double")), 6).as("mv"))
+          .groupBy("code")
+          .agg(transform(array_sort(collect_list(struct(col("d0"), col("mv")))),
+            x => x.getField("mv")).as("cvec"))
+        val q = coded.filter(col("vec_id") === 0)
+          .select(col("s1").as("qs1"), col("s2").as("qs2"))
+        def distTable(cb: DataFrame, qsub: String): DataFrame = cb
+          .crossJoin(broadcast(q))
+          .select(col("code"), round(VectorOps.dot(col(qsub), col("cvec")), 6).as("pd"))
+        val dt1 = distTable(codebook("s1", "c1"), "qs1")
+          .select(col("code").as("c1"), col("pd").as("pd1"))
+        val dt2 = distTable(codebook("s2", "c2"), "qs2")
+          .select(col("code").as("c2"), col("pd").as("pd2"))
+        coded.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("c1"), col("c2"))
+          .join(broadcast(dt1), Seq("c1"))
+          .join(broadcast(dt2), Seq("c2"))
+          .select(col("vec_id"), col("c1"), col("c2"),
+            round(col("pd1") + col("pd2"), 6).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      }
     }
   )
 }

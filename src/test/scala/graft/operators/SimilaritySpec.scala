@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** The s-queries are hash-gated against DuckDB end-to-end; this spec pins
+  * the PQ ADC operator (s10) against a from-first-principles Scala model
+  * (codes → codebook means → query distance tables → table-lookup scores)
+  * and the search plan's shape (pure broadcast lookups, no corpus-side
+  * sort-merge machinery).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("s10 PQ ADC matches a first-principles model and plans as broadcast lookups") {
+    // deterministic 64-dim fixture: values in [-1, 1), no RNG state
+    def vec(id: Int): Array[Float] =
+      Array.tabulate(64)(d => (((id * 131 + d * 31 + 7) % 97) / 48.5 - 1.0).toFloat)
+    val n = 24
+    val rows = (0 until n).map(i => i.toLong -> vec(i))
+    val dir = java.nio.file.Files.createTempDirectory("s10spec").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // --- model ---
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(sub: Array[Float]): Long =
+      (0 until 4).map { p =>
+        val h = VectorOps.hyperplane(p, 32)
+        val proj = sub.indices.foldLeft(0.0)((acc, i) => acc + sub(i).toDouble * h(i))
+        if (proj > 0) 1L << p else 0L
+      }.sum
+    val subs = rows.map { case (id, v) => (id, v.take(32), v.drop(32)) }
+    val coded = subs.map { case (id, s1, s2) => (id, s1, s2, bucket(s1), bucket(s2)) }
+    def codebook(sel: ((Long, Array[Float], Array[Float], Long, Long)) => (Long, Array[Float]))
+        : Map[Long, Array[Double]] =
+      coded.map(sel).groupBy(_._1).map { case (c, ms) =>
+        c -> Array.tabulate(32)(d => round6(ms.map(_._2(d).toDouble).sum / ms.size))
+      }
+    val cb1 = codebook(t => (t._4, t._2))
+    val cb2 = codebook(t => (t._5, t._3))
+    val (qs1, qs2) = (subs.head._2, subs.head._3)
+    def dt(cb: Map[Long, Array[Double]], q: Array[Float]): Map[Long, Double] =
+      cb.map { case (c, cv) =>
+        c -> round6(q.indices.foldLeft(0.0)((acc, i) => acc + q(i).toDouble * cv(i)))
+      }
+    val (t1, t2) = (dt(cb1, qs1), dt(cb2, qs2))
+    val expected = coded.drop(1)
+      .map { case (id, _, _, c1, c2) => (id, c1, c2, round6(t1(c1) + t2(c2))) }
+      .sortBy { case (id, _, _, adc) => (-adc, id) }
+      .take(10)
+
+    // --- engine ---
+    val df = graft.SparkEntry.queries("s10_pq_adc")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expected)
+
+    // AQE toString prints Final + Initial plans; scope to the final one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
