@@ -321,4 +321,39 @@ class EventStreamsSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() === 120)
   }
+
+  test("sessionize under the RocksDB state store: same results, native backend active") {
+    // At 100 TB the sessionizer's keyed state outgrows executor heaps;
+    // RocksDB spills it to local disk with incremental checkpointing.
+    // Same query, swapped provider: results must be identical, and the
+    // operator must really be RocksDB-backed (not a silent fallback).
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sessions_rocksdb").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "view", 0), Event(2, ts(10), 1, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(120), 1, "view", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_rocksdb").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(sessions.contains((1L, ts(0), ts(10), 2L)), s"got $sessions")
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.iterator().hasNext &&
+        { import scala.jdk.CollectionConverters._
+          metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")) },
+        s"state operator not RocksDB-backed: $metrics")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
