@@ -1179,6 +1179,31 @@ object Relational {
           .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
             count(lit(1)).as("n_days"))
       }
+    },
+
+    // Forward-fill (LOCF — last observation carried forward): only
+    // purchase events carry a price; every event sees the user's most
+    // recent purchase value. `last(_, ignoreNulls)` over a running ROWS
+    // frame — the sensor/sparse-metric gap-fill shape. Deterministic
+    // under ts ties via the event_id tie-break (a ROWS frame is
+    // order-sensitive, unlike q54's RANGE). Scale: one user_id shuffle;
+    // the frame evaluates incrementally (O(1) carried state per row,
+    // never a rescan of the partition prefix). Events before a user's
+    // first purchase stay NULL — part of the contract, both engines.
+    QueryDef.sql("q58_locf_fill",
+      """SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS last_price
+        |FROM events""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"), expr("unix_micros(ts)").as("tus"),
+          round(last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w), 3).as("last_price"))
+      }
     }
   )
 }
