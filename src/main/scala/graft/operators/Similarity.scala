@@ -441,6 +441,57 @@ object Similarity {
           .orderBy(col("adc").desc, col("vec_id"))
           .limit(10)
       }
+    },
+
+    // ANN recall evaluation — the harness every approximate index ships
+    // with: recall@10 of the sign-LSH bucketed search (s03's path)
+    // against the exact brute-force top-10 (s01's path) for the same
+    // query. The metric IS the contract a production ANN deployment
+    // monitors when it tunes planes/nprobe; computing it in-engine means
+    // the recall audit runs as one distributed query over any corpus
+    // slice, not a driver-side script. Both candidate lists rank on
+    // ROUNDED cosine + vec_id (the s01 contract) so the compared sets
+    // are engine-stable; the 10-row lists are checkpointed so the
+    // corpus is scanned once per path.
+    QueryDef.sql("s11_ann_recall",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |ex AS (
+         |  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY ${cosSql("e", "q")} DESC, e.vec_id LIMIT 10),
+         |sig AS (
+         |  SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings),
+         |qb AS (SELECT bucket, embedding FROM sig WHERE vec_id = 0),
+         |ann AS (
+         |  SELECT e.vec_id FROM sig e JOIN qb ON e.bucket = qb.bucket
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${cosSql("e", "qb")} DESC, e.vec_id LIMIT 10)
+         |SELECT CAST((SELECT count(*) FROM ann) AS BIGINT) AS n_ann,
+         |       CAST(count(*) AS BIGINT) AS n_hit,
+         |       round(count(*) / 10.0, 3) AS recall_at_10
+         |FROM ex JOIN ann USING (vec_id)""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val exact = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+        val sig = emb.select(col("vec_id"), col("embedding"),
+          VectorOps.hyperplaneBucket(col("embedding"), planes = 4).as("bucket"))
+        val qb = sig.filter(col("vec_id") === 0)
+          .select(col("bucket"), col("embedding").as("qe"))
+        val ann = sig.join(broadcast(qb), Seq("bucket"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+          .localCheckpoint(true)
+        exact.join(ann, "vec_id")
+          .agg(count(lit(1)).as("n_hit"),
+            round(count(lit(1)) / 10.0, 3).as("recall_at_10"))
+          .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+      }
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exprs
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — token statistics,
@@ -591,6 +592,39 @@ object TextAnalysis {
             log((col("cb") + lit(1.0)) / (col("cu") + col("v"))).as("logp"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
+      }
+    },
+
+    // Zipf-law fit of the corpus term-frequency distribution: slope and
+    // R² of ln(freq) vs ln(rank) over the vocabulary (natural text runs
+    // slope ≈ −1; a far-off slope flags synthetic/degenerate corpora —
+    // a corpus-level quality gate next to the per-doc ones). Built on
+    // the regr_* aggregate family. Scale shape: the corpus collapses to
+    // VOCABULARY-sized term counts first (one partial-agg shuffle); the
+    // rank window and the regression run over that — millions of terms,
+    // not billions of tokens. The rank's global sort is the only
+    // single-partition step and it sees vocab-sized input by design.
+    QueryDef.sql("t19_zipf_fit",
+      s"""WITH $toksCte,
+         |tc AS (
+         |  SELECT tok, count(*) AS cnt FROM (SELECT unnest(t) AS tok FROM toks)
+         |  GROUP BY tok),
+         |ranked AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tc)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |       round(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+         |       round(regr_r2(ln(cnt), ln(rnk)), 6) AS zipf_r2
+         |FROM ranked""".stripMargin) {
+      (s, dir) => {
+        val tc = Tables.documents(s, dir)
+          .select(explode(Exprs.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val ranked = tc.select(col("cnt"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).as("rnk"))
+        ranked.agg(
+          count(lit(1)).as("n_terms"),
+          round(regr_slope(log(col("cnt")), log(col("rnk"))), 6).as("zipf_slope"),
+          round(regr_r2(log(col("cnt")), log(col("rnk"))), 6).as("zipf_r2"))
       }
     }
   )
