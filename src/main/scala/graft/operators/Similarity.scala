@@ -492,6 +492,109 @@ object Similarity {
             round(count(lit(1)) / 10.0, 3).as("recall_at_10"))
           .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
       }
+    },
+
+    // IVF-PQ — the composition a billion-vector index actually runs
+    // (FAISS's IndexIVFPQ): the coarse quantizer (per-label centroids)
+    // partitions the corpus into inverted lists, and each vector's
+    // RESIDUAL from its centroid is product-quantized (s10's two-subspace
+    // sub-quantizer over the residual). Query time: rank centroids, probe
+    // the top-2 lists (s07's recall knob), and score candidates by the
+    // decomposition dot(q,v) = dot(q,c) + dot(q,r) ≈ qdotc[list] +
+    // table1[c1] + table2[c2] — every term precomputed on the tiny
+    // broadcast side, so the probe scan is THREE broadcast lookups and
+    // two adds per candidate: zero corpus shuffle, zero per-row vector
+    // math, m bytes + a list id of index state per vector. Residuals
+    // (not raw vectors) are what make PQ accurate inside a cell: they
+    // are centered, so the shared codebook spends its 16 entries on the
+    // within-cell spread. All ranking on rounded doubles (s01 contract).
+    QueryDef.sql("s12_ivfpq", {
+      val qcCos =
+        """round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      s"""WITH $ivfCtes,
+         |resid AS (
+         |  SELECT a.vec_id, a.clabel,
+         |         list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.cvec[i]) AS r
+         |  FROM assigned a JOIN cent c ON a.clabel = c.label),
+         |rsub AS (SELECT vec_id, clabel, r[1:32] AS r1, r[33:64] AS r2 FROM resid),
+         |coded AS (
+         |  SELECT vec_id, clabel, r1, r2, ${pqBucketSql("r1")} AS c1, ${pqBucketSql("r2")} AS c2
+         |  FROM rsub),
+         |cb1 AS (
+         |  SELECT code, list(mv ORDER BY dim) AS cvec FROM (
+         |    SELECT c1 AS code, dim, round(avg(v), 6) AS mv FROM (
+         |      SELECT c1, generate_subscripts(r1, 1) AS dim, unnest(r1) AS v FROM coded)
+         |    GROUP BY 1, 2) GROUP BY code),
+         |cb2 AS (
+         |  SELECT code, list(mv ORDER BY dim) AS cvec FROM (
+         |    SELECT c2 AS code, dim, round(avg(v), 6) AS mv FROM (
+         |      SELECT c2, generate_subscripts(r2, 1) AS dim, unnest(r2) AS v FROM coded)
+         |    GROUP BY 1, 2) GROUP BY code),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |top2 AS (
+         |  SELECT c.label AS clabel,
+         |         round(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.cvec[i])), 6) AS qdotc
+         |  FROM cent c, q
+         |  ORDER BY $qcCos DESC, c.label LIMIT 2),
+         |dt1 AS (SELECT cb1.code,
+         |          round(list_sum(list_transform(range(1, 33), i -> q.embedding[i]::DOUBLE * cb1.cvec[i])), 6) AS pd
+         |        FROM cb1, q),
+         |dt2 AS (SELECT cb2.code,
+         |          round(list_sum(list_transform(range(1, 33), i -> q.embedding[i+32]::DOUBLE * cb2.cvec[i])), 6) AS pd
+         |        FROM cb2, q)
+         |SELECT co.vec_id, co.clabel, co.c1, co.c2,
+         |       round(t.qdotc + dt1.pd + dt2.pd, 6) AS adc
+         |FROM coded co JOIN top2 t ON co.clabel = t.clabel
+         |JOIN dt1 ON co.c1 = dt1.code JOIN dt2 ON co.c2 = dt2.code
+         |WHERE co.vec_id <> 0
+         |ORDER BY adc DESC, co.vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cent = labelCentroids(emb)
+        // index build: assign, take residuals, sub-quantize — materialized
+        val coded = ivfAssigned(emb, cent)
+          .join(broadcast(cent.select(col("clabel"), col("cvec"))), Seq("clabel"))
+          .select(col("vec_id"), col("clabel"),
+            zip_with(col("embedding"), col("cvec"), (x, c) => x.cast("double") - c).as("r"))
+          .select(col("vec_id"), col("clabel"),
+            slice(col("r"), 1, 32).as("r1"), slice(col("r"), 33, 32).as("r2"))
+          .select(col("vec_id"), col("clabel"), col("r1"), col("r2"),
+            VectorOps.hyperplaneBucket(col("r1"), planes = 4, dim = 32).as("c1"),
+            VectorOps.hyperplaneBucket(col("r2"), planes = 4, dim = 32).as("c2"))
+          .localCheckpoint(true)
+        def codebook(sub: String, code: String): DataFrame = coded
+          .select(col(code).as("code"), posexplode(col(sub)).as(Seq("d0", "v")))
+          .groupBy("code", "d0").agg(round(avg(col("v")), 6).as("mv"))
+          .groupBy("code")
+          .agg(transform(array_sort(collect_list(struct(col("d0"), col("mv")))),
+            x => x.getField("mv")).as("cvec"))
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val top2 = cent.crossJoin(broadcast(q))
+          .select(col("clabel"),
+            VectorOps.cosineR(col("cvec"), col("qe")).as("qcos"),
+            round(VectorOps.dot(col("qe"), col("cvec")), 6).as("qdotc"))
+          .orderBy(col("qcos").desc, col("clabel")).limit(2)
+          .select("clabel", "qdotc")
+        val qs = q.select(
+          slice(col("qe"), 1, 32).as("qs1"), slice(col("qe"), 33, 32).as("qs2"))
+        def distTable(cb: DataFrame, qsub: String, code: String, pd: String): DataFrame = cb
+          .crossJoin(broadcast(qs))
+          .select(col("code").as(code), round(VectorOps.dot(col(qsub), col("cvec")), 6).as(pd))
+        val dt1 = distTable(codebook("r1", "c1"), "qs1", "c1", "pd1")
+        val dt2 = distTable(codebook("r2", "c2"), "qs2", "c2", "pd2")
+        coded.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("clabel"), col("c1"), col("c2"))
+          .join(broadcast(top2), Seq("clabel"))
+          .join(broadcast(dt1), Seq("c1"))
+          .join(broadcast(dt2), Seq("c2"))
+          .select(col("vec_id"), col("clabel"), col("c1"), col("c2"),
+            round(col("qdotc") + col("pd1") + col("pd2"), 6).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      }
     }
   )
 }

@@ -16,7 +16,9 @@ object PlanAuditR6 {
         "q53_unpivot", "d11_contamination", "t16_curriculum_bins",
         "q54_rolling_window", "q55_calendar_fill",
         "d12_semantic_dedup", "d13_editdist_neardup",
-        "t17_tfidf_keywords", "t18_bigram_lm_score")) {
+        "t17_tfidf_keywords", "t18_bigram_lm_score",
+        "d15_dupspan", "s10_pq_adc", "s11_ann_recall",
+        "q58_locf_fill", "t19_zipf_fit", "s12_ivfpq")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
