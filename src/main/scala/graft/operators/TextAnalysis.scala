@@ -626,6 +626,43 @@ object TextAnalysis {
           round(regr_slope(log(col("cnt")), log(col("rnk"))), 6).as("zipf_slope"),
           round(regr_r2(log(col("cnt")), log(col("rnk"))), 6).as("zipf_r2"))
       }
+    },
+
+    // Per-document novelty: KL(doc unigrams ‖ corpus unigrams) — the
+    // domain-shift detector data-mix work ranks on (a doc whose word
+    // distribution matches the corpus scores ~0; jargon/outlier docs
+    // score high). p_corpus > 0 for every doc term by construction (the
+    // corpus contains the doc), so no smoothing term enters the spec.
+    // Scale shape: the corpus collapses to the (doc_id, term) count
+    // table ONCE (checkpointed); document length, corpus term counts and
+    // the grand total all fold out of that table by re-aggregation
+    // (t18's derivation trick — never a second corpus scan); the only
+    // big join is count-table × vocab-sized term counts, AQE-skew-safe.
+    QueryDef.sql("t20_kl_novelty",
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |dc AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(cnt) AS len FROM dc GROUP BY 1),
+         |cc AS (SELECT tok, sum(cnt) AS ccnt FROM dc GROUP BY 1),
+         |n AS (SELECT sum(cnt) AS total FROM dc)
+         |SELECT dc.doc_id,
+         |       round(sum((dc.cnt / dl.len) * ln((dc.cnt / dl.len) / (cc.ccnt / n.total))), 6)
+         |         AS kl_novelty
+         |FROM dc JOIN dl USING (doc_id) JOIN cc USING (tok), n
+         |GROUP BY dc.doc_id""".stripMargin) {
+      (s, dir) => {
+        val dc = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val dl = dc.groupBy("doc_id").agg(sum("cnt").as("len"))
+        val cc = dc.groupBy("tok").agg(sum("cnt").as("ccnt"))
+        val n = dc.agg(sum("cnt").as("total"))
+        val pd = col("cnt") / col("len")
+        dc.join(dl, "doc_id").join(cc, "tok").crossJoin(broadcast(n))
+          .select(col("doc_id"), (pd * log(pd / (col("ccnt") / col("total")))).as("term"))
+          .groupBy("doc_id").agg(round(sum("term"), 6).as("kl_novelty"))
+      }
     }
   )
 }
