@@ -1204,6 +1204,43 @@ object Relational {
           round(last(when(col("event_type") === "purchase", col("value")),
             ignoreNulls = true).over(w), 3).as("last_price"))
       }
+    },
+
+    // Column profiling — the ANALYZE/data-quality sweep every warehouse
+    // runs on ingest: per-column row count, null count, exact distinct
+    // count, min and max (stringified so one result schema fits every
+    // column type). ONE corpus pass: all per-column aggregates run in a
+    // single multi-distinct aggregation (Catalyst plans the distincts
+    // through one Expand — scan once, expand 4×, never 4 scans), then
+    // the wide row unpivots to per-column rows driver-free via a
+    // 4-element inline array. The oracle's UNION-ALL-per-column form is
+    // the semantic spec; the one-pass Expand is the 100 TB encoding.
+    QueryDef.sql("q59_profile", {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    }) {
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))) :+ count(lit(1)).as("__n")
+        val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+        wide.select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col("__n").as("n_rows"),
+            (col("__n") - col(s"${c}__nn")).as("n_null"),
+            col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").as("min_s"),
+            col(s"${c}__mx").as("max_s"))): _*)).as("p"))
+          .select("p.*")
+      }
     }
   )
 }

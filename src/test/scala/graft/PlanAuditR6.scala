@@ -18,7 +18,8 @@ object PlanAuditR6 {
         "d12_semantic_dedup", "d13_editdist_neardup",
         "t17_tfidf_keywords", "t18_bigram_lm_score",
         "d15_dupspan", "s10_pq_adc", "s11_ann_recall",
-        "q58_locf_fill", "t19_zipf_fit", "s12_ivfpq")) {
+        "q58_locf_fill", "t19_zipf_fit", "s12_ivfpq", "q59_profile",
+        "t20_kl_novelty")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
