@@ -49,6 +49,35 @@ object Dedup {
     * bound (the cap is the spec, not an approximation of it). */
   private[operators] val MaxBucketSize = 1000
 
+  /** Screen an incoming batch against an existing corpus index with zero
+    * corpus×corpus work — the d14 operator body, factored so the batch
+    * query and the streaming relay ([[graft.streaming.CorpusStreams]])
+    * run the SAME screening per incoming slice. Exact membership is one
+    * content-hash semi-probe; near-dup candidates join the batch's LSH
+    * bands against the (capped, observed) index bands, bounding the
+    * per-doc fan-out at B×cap. `incoming`/`index` need (doc_id, text). */
+  def screenAgainstIndex(incoming: DataFrame, index: DataFrame): DataFrame = {
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(index.select(md5(col("text")).as("h")).distinct()
+        .withColumn("hit", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, 1L).otherwise(0L).as("is_exact_dup"))
+    val idxBands = bandedFrom(minhashedFrom(shingled(index)))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .observe("incremental_index_guard",
+        coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("rows_in_overflow_buckets"),
+        coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+      .filter(col("bn") <= MaxBucketSize)
+      .select(col("band"), col("bkey"), col("doc_id").as("idx_id"))
+    val near = bandedFrom(minhashedFrom(shingled(incoming)))
+      .join(idxBands, Seq("band", "bkey"))
+      .groupBy("doc_id").agg(countDistinct("idx_id").as("n_neardup"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+  }
+
   /** doc_id + distinct bigram shingles of the lower-cased text. */
   private[operators] def shingled(docs: DataFrame): DataFrame =
     docs.select(
@@ -809,27 +838,9 @@ object Dedup {
          |FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val incoming = docs.filter(col("doc_id") % 10 === 0)
-        val index = docs.filter(col("doc_id") % 10 =!= 0)
-        val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-          .join(index.select(md5(col("text")).as("h")).distinct()
-            .withColumn("hit", lit(1L)), Seq("h"), "left")
-          .select(col("doc_id"),
-            when(col("hit").isNotNull, 1L).otherwise(0L).as("is_exact_dup"))
-        val idxBands = bandedFrom(minhashedFrom(shingled(index)))
-          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-          .observe("incremental_index_guard",
-            coalesce(sum(when(col("bn") > MaxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L))
-              .as("rows_in_overflow_buckets"),
-            coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
-          .filter(col("bn") <= MaxBucketSize)
-          .select(col("band"), col("bkey"), col("doc_id").as("idx_id"))
-        val near = bandedFrom(minhashedFrom(shingled(incoming)))
-          .join(idxBands, Seq("band", "bkey"))
-          .groupBy("doc_id").agg(countDistinct("idx_id").as("n_neardup"))
-        exact.join(near, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("is_exact_dup"),
-            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        screenAgainstIndex(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0))
       }
     },
 

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The streaming incremental-dedup screen must (a) agree with the batch
+  * d14 query on the same corpus split — same code path, asserted anyway —
+  * and (b) be incremental: a second relay over the same checkpoint
+  * screens only files added since the first.
+  */
+class CorpusStreamsSpec extends SparkSpec {
+
+  test("screenIncoming: streamed screen == batch d14; re-run screens only the delta") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val index = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint(true)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+
+    val base = Files.createTempDirectory("corpus-stream").toString
+    val (src, ckpt) = (s"$base/src", s"$base/ckpt")
+    // first drop: half the incoming docs
+    incoming.filter(col("doc_id") % 20 === 0).write.mode("append").parquet(src)
+
+    val got = collection.mutable.Map[Long, (Long, Long)]()
+    var batches = 0
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      batches += 1
+      df.collect().foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+    }
+    val schema = incoming.schema
+    CorpusStreams.screenIncoming(spark, src, schema, index, ckpt)(sink)
+    val afterFirst = got.size
+    assert(afterFirst > 0)
+
+    // second drop: the remaining incoming docs; same checkpoint → only
+    // the new files are screened (no growth from re-screening the first)
+    incoming.filter(col("doc_id") % 20 =!= 0).write.mode("append").parquet(src)
+    CorpusStreams.screenIncoming(spark, src, schema, index, ckpt)(sink)
+
+    val batch = graft.SparkEntry.queries("d14_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.toMap === batch)
+    assert(afterFirst < got.size) // the second relay added the delta only
+  }
+}
