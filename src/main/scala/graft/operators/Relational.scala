@@ -1241,6 +1241,111 @@ object Relational {
             col(s"${c}__mx").as("max_s"))): _*)).as("p"))
           .select("p.*")
       }
+    },
+
+    // Distribution window functions — the rank-to-share family q12's
+    // rank/dense_rank doesn't cover: ntile(4) (quartile assignment),
+    // percent_rank ((rank-1)/(n-1) — relative standing), cume_dist
+    // (fraction of peers at-or-below). The ORDER BY carries an
+    // o_orderkey tie-break: all three are ORDER-sensitive (ntile splits
+    // ties across tiles by position), so an under-specified sort would
+    // be nondeterministic across engines AND across Spark's own task
+    // retries. One o_orderpriority shuffle serves all three frames.
+    QueryDef.sql("q60_dist_window",
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      }
+    },
+
+    // Ordered string aggregation (Spark 4 listagg / SQL:2016 LISTAGG):
+    // collapse a group to one delimited string with an explicit WITHIN
+    // GROUP order — the denormalized-label shape (tag lists, member
+    // rosters) that collect_list can't pin deterministically. Grouped
+    // on the 25-row nation table after a broadcast region join; at
+    // scale the hazard is a mega-group materializing one giant string
+    // per key — bound the group (top-N first) before listagg, exactly
+    // as a 100 TB roster query must.
+    QueryDef.sql("q61_listagg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members,
+        |       count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) {
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation_la_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_la_v")
+        s.sql(
+          """SELECT r_name,
+            |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members,
+            |       count(*) AS n
+            |FROM nation_la_v JOIN region_la_v ON n_regionkey = r_regionkey
+            |GROUP BY r_name""".stripMargin)
+      }
+    },
+
+    // Error-safe arithmetic (ANSI-mode survival kit): under Spark 4's
+    // default ANSI semantics, 1/0 and a failed string→int cast THROW —
+    // one poisoned row kills a 100 TB job hours in. try_divide /
+    // try_cast degrade those rows to NULL instead, keeping failures
+    // data (countable, attributable) rather than exceptions. The oracle
+    // spells the same semantics with engine-agnostic CASE/TRY_CAST.
+    QueryDef.sql("q62_try_safe",
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_div_null,
+        |       round(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |                      ELSE o_totalprice / (o_orderkey % 3) END), 2) AS safe_div_sum,
+        |       CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_fail
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L)).as("n_div_null"),
+          round(sum(try_divide(col("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit(0.0))
+              .otherwise((col("o_orderkey") % 3).cast("double")))), 2)
+            .as("safe_div_sum"),
+          sum(when(expr("try_cast(o_orderpriority AS INT)").isNull, 1L)
+            .otherwise(0L)).as("n_cast_fail"))
+    },
+
+    // VARIANT typed JSON (Spark 4): parse the JSON string ONCE into the
+    // binary VARIANT encoding, then read fields with typed variant_get —
+    // vs q26's get_json_object, which re-tokenizes the string per
+    // access. With several extractions per row over 100 TB of raw JSON,
+    // parse-once-access-many is the difference between one parse and N;
+    // VARIANT's shredded binary layout also keeps field access cheap
+    // after the column is stored. Output is plain BIGINTs (the variant
+    // never leaves the plan), so the DuckDB oracle is its string-path
+    // equivalent.
+    QueryDef.sql("q63_variant_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS sum_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS max_k
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(parse_json(col("props")).as("v"))
+          .select(variant_get(col("v"), "$.k", "bigint").as("k"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
     }
   )
 }
