@@ -85,6 +85,19 @@ object SourceProbes {
       regionSummary(s.read.orc(out))
     },
 
+    // XML source/sink (built into Spark 4 — no external package): the
+    // interchange format B2B/feed ingestion still arrives in. Values
+    // round-trip through text (XML is schemaless), so the read DECLARES
+    // the schema and Spark parses each rowTag element back to typed
+    // columns; special characters in comments survive via standard XML
+    // escaping. Same declared-schema posture as the CSV/JSON loaders.
+    QueryDef.sql("src04_xml_roundtrip", roundtripOracle) { (s, dir) =>
+      val out = workDir.resolve("nation_xml").toString
+      val nation = Tables.nation(s, dir)
+      nation.write.mode("overwrite").option("rowTag", "nation").xml(out)
+      regionSummary(s.read.schema(nation.schema).option("rowTag", "nation").xml(out))
+    },
+
     // Native DSv2 connector ([[graft.sources.DocGenSource]]): the
     // deterministic generator scanned WITH a pushed doc_id range — the
     // range clips split planning at the source, so the excluded interval
