@@ -1346,6 +1346,62 @@ object Relational {
           .select(variant_get(col("v"), "$.k", "bigint").as("k"))
           .groupBy((col("k") % 10).as("k_bucket"))
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+    },
+
+    // Native session-window aggregate — the OPERATOR form of q24's
+    // lag-island composition: `session_window(ts, gap)` merges each
+    // user's events into [first, last+gap) windows inside one
+    // aggregation. One user_id shuffle, no window-function sort-and-scan
+    // pass, and the same operator runs incrementally under Structured
+    // Streaming (EventStreams.sessionize is its stateful twin) — batch
+    // and stream share ONE session definition. The oracle spells the
+    // merge as lag-gap islands; window end is last event + gap by
+    // definition in both.
+    QueryDef.sql("q64_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, tus,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, min(tus) AS start_us, max(tus) + 1800000000 AS end_us,
+        |       count(*) AS n_events
+        |FROM islands GROUP BY user_id, sess_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"),
+            col("n_events"))
+    },
+
+    // Sketch-based heavy hitters (Spark 4.1 approx_top_k — an Apache
+    // DataSketches frequent-items sketch): THE "top pages/tokens/UAs"
+    // primitive at 100 TB, where exact GROUP BY + ORDER BY must shuffle
+    // every distinct key and a sketch ships O(maxItemsTracked) bytes per
+    // partition. Estimates are exact whenever distinct keys fit inside
+    // maxItemsTracked (sketch never evicts) — pinned here (4 event
+    // types ≪ 100 tracked) so the DuckDB oracle can demand the exact
+    // counts; production picks maxItemsTracked ≥ expected heavy-hitter
+    // count and accepts ±error on the tail.
+    QueryDef.sql("q65_approx_topk",
+      """SELECT event_type AS item, count(*) AS est
+        |FROM events GROUP BY event_type
+        |ORDER BY est DESC, item LIMIT 3""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_atk_v")
+        s.sql(
+          """SELECT t.elem.item AS item, t.elem.count AS est
+            |FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS elem
+            |      FROM events_atk_v) t
+            |ORDER BY est DESC, item""".stripMargin)
+      }
     }
   )
 }
