@@ -1402,6 +1402,35 @@ object Relational {
             |      FROM events_atk_v) t
             |ORDER BY est DESC, item""".stripMargin)
       }
+    },
+
+    // Incremental heavy-hitter maintenance via PHASED top-k sketches
+    // (Spark 4.1 approx_top_k_accumulate / _combine / _estimate) — the
+    // frequent-items twin of q50's HLL rollup: build one sketch per day
+    // partition, store it, then answer any later rollup by MERGING the
+    // stored sketches instead of rescanning the raw events (yesterday's
+    // sketch + today's delta at 100 TB). Unlike q50, this one IS
+    // oracle-checkable: with 5 event types ≪ 100 tracked items the
+    // sketch never evicts, so the merged estimates are exactly the
+    // per-type counts the oracle computes.
+    QueryDef.sql("q66_topk_rollup",
+      """SELECT event_type AS item, count(*) AS est
+        |FROM events GROUP BY event_type
+        |ORDER BY est DESC, item LIMIT 3""".stripMargin) {
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events_tkr_v")
+        s.sql(
+          """WITH daily AS (
+            |  SELECT CAST(ts AS DATE) AS day,
+            |         approx_top_k_accumulate(event_type, 100) AS sk
+            |  FROM events_tkr_v GROUP BY 1),
+            |merged AS (
+            |  SELECT approx_top_k_combine(sk, 100) AS sk FROM daily)
+            |SELECT t.elem.item AS item, t.elem.count AS est
+            |FROM (SELECT explode(approx_top_k_estimate(sk, 3)) AS elem
+            |      FROM merged) t
+            |ORDER BY est DESC, item""".stripMargin)
+      }
     }
   )
 }

@@ -19,7 +19,10 @@ object PlanAuditR6 {
         "t17_tfidf_keywords", "t18_bigram_lm_score",
         "d15_dupspan", "s10_pq_adc", "s11_ann_recall",
         "q58_locf_fill", "t19_zipf_fit", "s12_ivfpq", "q59_profile",
-        "t20_kl_novelty")) {
+        "t20_kl_novelty",
+        "q60_dist_window", "q61_listagg", "q62_try_safe", "q63_variant_json",
+        "q64_session_window", "q65_approx_topk", "q66_topk_rollup",
+        "src04_xml_roundtrip")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
