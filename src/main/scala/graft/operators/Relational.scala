@@ -1431,6 +1431,50 @@ object Relational {
             |      FROM merged) t
             |ORDER BY est DESC, item""".stripMargin)
       }
+    },
+
+    // Sliding (hopping) windows — q22's tumbling window generalized to
+    // overlap: 1-hour windows every 15 minutes, so each event lands in
+    // exactly 4 (win/slide) of them. Spark's window() plans this as one
+    // Expand (each row replicated per window) + a standard two-phase
+    // agg — rows duplicate 4× INTO the shuffle but arrive pre-combined,
+    // the same trade q49's grouping sets make; the oracle spells the
+    // same 4-way assignment arithmetically with a range(4) cross join.
+    // Epoch-aligned origins in both engines.
+    QueryDef.sql("q67_sliding_window",
+      """SELECT (tus // 900000000 - k) * 900000000 AS win_start_us,
+        |       event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |     range(4) t(k)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // Count-min-sketch frequency table + the [[graft.plans.CmsEstimate]]
+    // probe: the sketch aggregates once over the corpus (mergeable
+    // binary, like q50's HLL and q66's top-k images), then a SCALAR
+    // SUBQUERY feeds it to cms_estimate over the probe rows — one
+    // deserialization per task, codegen'd probe per row. With 5 event
+    // types and ε=1e-4 the 5-row×~27k-counter sketch has no full-depth
+    // collisions, so estimates equal the exact counts the oracle
+    // computes (the general contract is exact ≤ est ≤ exact + ε·N,
+    // asserted as a property in CmsEstimateSpec).
+    QueryDef.sql("q68_cms_freq",
+      """SELECT event_type AS item, count(*) AS est
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val sketch = events.agg(
+          expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)")).scalar()
+        events.select(col("event_type")).distinct()
+          .select(col("event_type").as("item"),
+            graft.plans.CmsEstimate(sketch, col("event_type")).as("est"))
+      }
     }
   )
 }

@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
       (children: Seq[Expression]) => VectorNorm(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children.head, children(1))))
     // planes/dim must be integer literals — the plane matrix is built at
     // plan time, not per row
     ext.injectFunction((
