@@ -62,6 +62,55 @@ class UserProfilesSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("initial state: counters continue from batch history instead of restarting at 1") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // batch backfill said user 1 already has 7 views and 2 clicks
+      val history = Seq(
+        UserProfiles.TypeCount(1L, "view", 7L),
+        UserProfiles.TypeCount(1L, "click", 2L)).toDS()
+      val input = MemoryStream[Event]
+      val q = UserProfiles.profileWithHistory(input.toDS(), history)
+        .writeStream.format("memory").queryName("profiles_init").outputMode("append").start()
+      try {
+        input.addData(Event(100, ts(0), 1, "view", 0), Event(101, ts(1), 1, "click", 0),
+          Event(102, ts(2), 2, "view", 0))
+        q.processAllAvailable()
+        val got = spark.table("profiles_init").as[ProfileUpdate].collect()
+          .map(p => (p.user_id, p.event_id, p.n_type)).toSet
+        // user 1 continues at 8/3; user 2 had no history and starts at 1
+        assert(got === Set((1L, 100L, 8L), (1L, 101L, 3L), (2L, 102L, 1L)), s"got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("state store reader: the counts MapState is inspectable offline from the checkpoint") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-profiles-ckpt").toString
+      val input = MemoryStream[Event]
+      val q = UserProfiles.profile(input.toDS())
+        .writeStream.format("memory").queryName("profiles_ckpt")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        input.addData(fixture: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // Spark 4 state data source: read a named transformWithState
+      // variable from the checkpoint with NO running query — the ops
+      // path for "what does the store think user 1's counts are"
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "counts")
+        .load()
+      val u1 = state.selectExpr("key.value AS user_id", "user_map_key.value AS event_type",
+          "user_map_value.value AS n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .filter(_._1 == 1L).map(t => (t._2, t._3)).toMap
+      assert(u1 === Map("view" -> 3L, "click" -> 2L), s"got $u1")
+    }
+  }
+
   test("running counts replay the batch window query exactly") {
     val streamed = run("profiles_replay", fixture.grouped(2).toSeq)
       .map(p => (p._1, p._2, p._4)) // (user_id, event_id, n_type)
