@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.GraphRank.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.SourceProbes.defs
