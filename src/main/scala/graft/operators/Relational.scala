@@ -1489,6 +1489,59 @@ object Relational {
           .select(col("event_type").as("item"),
             graft.plans.CmsEstimate(sketch, col("event_type")).as("est"))
       }
+    },
+
+    // Calendar interval arithmetic (F17-19's date-dim functions
+    // generalized): month-clamped shifts (add_months pins Jan-31 + 3mo
+    // to Apr-30 — both engines), period truncation, month-boundary
+    // lookup, day/whole-month distances to a fixed as-of date. All
+    // codegen'd date math on the scan — zero shuffles; the projection
+    // prunes to one column + pushes the orderkey range into the scan.
+    QueryDef.sql("q69_interval_math",
+      """SELECT o_orderkey,
+        |       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |       strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d') AS qtr,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to,
+        |       CAST((2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1 AS BIGINT)
+        |         AS whole_months_to
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"),
+            date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+            date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr"),
+            datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long")
+              .as("days_to"),
+            ((lit(2002) - year(col("o_orderdate"))) * 12 - month(col("o_orderdate")) + 1)
+              .cast("long").as("whole_months_to"))
+    },
+
+    // Correlated EXISTS / NOT EXISTS — the SUBQUERY spelling of q09/q10's
+    // explicit anti/semi joins: Catalyst decorrelates both predicates
+    // into one semi and one anti join against pre-aggregated/filtered
+    // order sets (never a per-customer re-execution). The analyst form
+    // and the q09/q10 operator form compile to the same physical shape —
+    // asserted by the shared oracle technique rather than plan text here.
+    QueryDef.sql("q70_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin) {
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_ex_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_ex_v")
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer_ex_v c
+            |WHERE EXISTS (SELECT 1 FROM orders_ex_v o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+            |  AND NOT EXISTS (SELECT 1 FROM orders_ex_v o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+      }
     }
   )
 }
