@@ -663,6 +663,83 @@ object TextAnalysis {
           .select(col("doc_id"), (pd * log(pd / (col("ccnt") / col("total")))).as("term"))
           .groupBy("doc_id").agg(round(sum("term"), 6).as("kl_novelty"))
       }
+    },
+
+    // RAG-style document chunking: overlapping 32-token windows every 24
+    // tokens (8-token overlap), short docs emit one short chunk, the tail
+    // chunk keeps whatever remains. The chunk STARTS are computed
+    // arithmetically per doc and exploded in one Generate — never a
+    // self-join or per-doc loop — so the whole operator is one
+    // projection+explode pass over the corpus: the shape that feeds an
+    // embedding stage (s-family) at 100 TB, where chunk count (~N×tokens
+    // /stride) dominates output size and anything quadratic is fatal.
+    QueryDef.sql("t21_chunking",
+      s"""WITH $toksCte,
+         |cnt AS (
+         |  SELECT doc_id, t,
+         |         CASE WHEN len(t) <= 32 THEN 1
+         |              ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
+         |  FROM toks),
+         |ex AS (SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS k FROM cnt)
+         |SELECT doc_id, k AS chunk_id,
+         |       array_to_string(list_slice(t, k*24 + 1, k*24 + 32), ' ') AS chunk_text,
+         |       CAST(len(list_slice(t, k*24 + 1, k*24 + 32)) AS BIGINT) AS n_chunk_tokens
+         |FROM ex""".stripMargin) {
+      (s, dir) => {
+        val win = 32
+        val stride = 24
+        val t = Exprs.tokens(col("text"))
+        val nChunks = when(size(col("t")) <= win, lit(1))
+          .otherwise(floor((size(col("t")) - win + stride - 1) / stride).cast("int") + 1)
+        val chunk = slice(col("t"), col("k") * stride + 1, lit(win))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), t.as("t"))
+          .withColumn("k", explode(sequence(lit(0), nChunks - 1)))
+          .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+            array_join(chunk, " ").as("chunk_text"),
+            size(chunk).cast("long").as("n_chunk_tokens"))
+      }
+    },
+
+    // Hashed linear quality classifier (fasttext-shaped): every token
+    // hashes into one of 16 weight buckets (last md5 nibble — the same
+    // engine-portable hex convention as the LSH family), the doc's
+    // feature sum is an INTEGER dot product with the weight table, and
+    // the gate is a pure integer comparison (2·s > 3·n ⇔ mean weight
+    // > 1.5) — every arithmetic step exact in both engines, no fp
+    // summation-order hazard. Scale shape: one projection, weights are
+    // a 16-element literal (a production 2^20-bucket model rides a
+    // broadcast array the same way), no shuffle at all.
+    QueryDef.sql("t22_quality_classifier", {
+      val w = "[3, 1, 4, 1, 5, 0, 2, 6, 1, 3, 0, 2, 4, 1, 2, 3]"
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(sum(list_extract($w,
+         |             strpos('0123456789abcdef', substr(md5(tok), 32, 1))))
+         |           AS BIGINT) AS feat_sum,
+         |         count(*) AS n_tokens
+         |  FROM ex GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, feat_sum,
+         |       CAST(feat_sum AS DOUBLE) / n_tokens AS mean_w,
+         |       CAST(CASE WHEN 2*feat_sum > 3*n_tokens THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f""".stripMargin
+    }) {
+      (s, dir) => {
+        val weights = array(Seq(3, 1, 4, 1, 5, 0, 2, 6, 1, 3, 0, 2, 4, 1, 2, 3)
+          .map(w => lit(w.toLong)): _*)
+        val bucket = instr(lit("0123456789abcdef"), substring(md5(col("tok")), 32, 1))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), element_at(weights, bucket.cast("int")).as("w"))
+          .groupBy("doc_id")
+          .agg(sum("w").as("feat_sum"), count(lit(1)).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("feat_sum"),
+            (col("feat_sum").cast("double") / col("n_tokens")).as("mean_w"),
+            when(lit(2) * col("feat_sum") > lit(3) * col("n_tokens"), 1L).otherwise(0L)
+              .as("keep"))
+      }
     }
   )
 }
