@@ -595,6 +595,46 @@ object Similarity {
           .orderBy(col("adc").desc, col("vec_id"))
           .limit(10)
       }
+    },
+
+    // Matryoshka rerank (MRL-style): coarse top-30 by cosine over the
+    // FIRST 16 dims only — 1/4 the multiply-adds and, on a stored
+    // matryoshka index, 1/4 the bytes read — then exact 64-dim rerank of
+    // just those 30. The scale contract: the corpus-sized pass touches
+    // the truncated prefix; the full-precision vectors are read for a
+    // candidate set ~constant in corpus size (same two-tier shape as
+    // s10's ADC rerank, but by dimension instead of by codebook).
+    // Deterministic: both tiers rank on the ROUNDED cosine with vec_id
+    // tiebreak, so the candidate CUT is identical in both engines.
+    QueryDef.sql("s14_matryoshka_rerank", {
+      def cosSlice(a: String, b: String, d: Int) =
+        s"""round(list_sum(list_transform(range(1, $d+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+           |    / (sqrt(list_sum(list_transform(range(1, $d+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+           |     * sqrt(list_sum(list_transform(range(1, $d+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |coarse AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         ${cosSlice("e.embedding", "q.qe", 16)} AS coarse_cos, q.qe
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY coarse_cos DESC, e.vec_id LIMIT 30)
+         |SELECT vec_id, coarse_cos,
+         |       ${cosSlice("embedding", "qe", 64)} AS cos
+         |FROM coarse
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(slice(col("embedding"), 1, 16).as("q16"), col("embedding").as("qe"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qe"),
+            VectorOps.cosineR(slice(col("embedding"), 1, 16), col("q16")).as("coarse_cos"))
+          .orderBy(col("coarse_cos").desc, col("vec_id")).limit(30)
+          .select(col("vec_id"), col("coarse_cos"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }
     }
   )
 }
