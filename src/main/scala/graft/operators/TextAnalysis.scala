@@ -740,6 +740,60 @@ object TextAnalysis {
             when(lit(2) * col("feat_sum") > lit(3) * col("n_tokens"), 1L).otherwise(0L)
               .as("keep"))
       }
+    },
+
+    // Data-mixture targeting — t13's fixed rates replaced by rates
+    // DERIVED from a target mix (the "40% web / 30% code / ..." step of
+    // training-data assembly): src0 and src1 each get a quarter of the
+    // mix, the long tail splits the rest. The feasible budget B =
+    // min(n_s / share_s) is the largest corpus honoring the mix with NO
+    // upsampling; per-source keep-rates follow as share·B/n, and
+    // membership is the same content-stable hash gate as t13/t08
+    // (reproducible across runs, retries, partitionings, engines — the
+    // hash threshold is the rate in 32-bit hex space). Scale shape: the
+    // rate table is sources-sized (broadcast), the corpus pays one scan
+    // + one partial-agg shuffle; targeting is approximate (hash gates
+    // land within binomial noise of share·B — exact in expectation),
+    // membership is exact and re-derivable.
+    QueryDef.sql("t23_mixture_sample", {
+      val share = """CASE WHEN source IN ('src0', 'src1') THEN 0.25
+                    |            ELSE 0.5 / 18 END""".stripMargin
+      s"""WITH totals AS (
+         |  SELECT source, count(*) AS n, $share AS share
+         |  FROM documents GROUP BY source),
+         |budget AS (SELECT min(n / share) AS b FROM totals),
+         |rates AS (
+         |  SELECT source, n, share,
+         |         least(1.0, share * b / n) AS rate,
+         |         lower(lpad(hex(CAST(floor(least(1.0, share * b / n) * 4294967296.0)
+         |           AS BIGINT)), 8, '0')) AS thr
+         |  FROM totals, budget)
+         |SELECT d.source, r.n AS n_total,
+         |       CAST(sum(CASE WHEN r.rate >= 1.0
+         |                     OR substr(md5('mix:' || d.doc_id), 1, 8) < r.thr
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       round(r.rate, 6) AS rate
+         |FROM documents d JOIN rates r USING (source)
+         |GROUP BY d.source, r.n, r.rate""".stripMargin
+    }) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val share = when(col("source").isin("src0", "src1"), lit(0.25))
+          .otherwise(lit(0.5) / 18)
+        val totals = docs.groupBy("source")
+          .agg(count(lit(1)).as("n")).withColumn("share", share)
+        val budget = totals.agg(min(col("n") / col("share")).as("b"))
+        val rate = least(lit(1.0), col("share") * col("b") / col("n"))
+        val rates = totals.crossJoin(broadcast(budget))
+          .select(col("source"), col("n"), rate.as("rate"),
+            lower(lpad(hex(floor(rate * 4294967296.0).cast("long")), 8, "0")).as("thr"))
+        val gate = col("rate") >= 1.0 ||
+          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8) < col("thr")
+        docs.join(broadcast(rates), Seq("source"))
+          .groupBy(col("source"), col("n").as("n_total"), round(col("rate"), 6).as("rate"))
+          .agg(sum(when(gate, 1L).otherwise(0L)).as("n_kept"))
+          .select("source", "n_total", "n_kept", "rate")
+      }
     }
   )
 }
