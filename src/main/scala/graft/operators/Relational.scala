@@ -1542,6 +1542,54 @@ object Relational {
             |                  WHERE o.o_custkey = c.c_custkey
             |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
       }
+    },
+
+    // SQL pipe syntax (Spark 4) — q01's pricing summary restated as a
+    // linear FROM |> WHERE |> AGGREGATE flow. Same logical plan as the
+    // nested form after parsing (pipe stages are syntax, not execution),
+    // so this pins that the NEW SQL surface compiles to the audited q01
+    // physical shape; the oracle is plain ANSI.
+    QueryDef.sql("q71_pipe_syntax",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem WHERE l_quantity < 40
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_pipe_v")
+        s.sql(
+          """FROM lineitem_pipe_v
+            ||> WHERE l_quantity < 40
+            ||> AGGREGATE sum(l_quantity) AS sum_qty, count(*) AS n
+            |   GROUP BY l_returnflag, l_linestatus""".stripMargin)
+          .select("l_returnflag", "l_linestatus", "sum_qty", "n")
+      }
+    },
+
+    // Null-safe join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH EACH
+    // OTHER instead of silently dropping — the semantics dimension-key
+    // joins need when "unknown" is itself a valid dimension member.
+    // Null-safe equality stays a HASH join key (nulls hash like any
+    // value) — no fallback to nested-loop, same one-shuffle plan as q09.
+    QueryDef.sql("q72_nullsafe_join",
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |                       ELSE l_orderkey % 5 END AS k, l_quantity
+        |           FROM lineitem),
+        |r AS (SELECT CASE WHEN v = 99 THEN NULL ELSE v END AS k, v AS grp
+        |      FROM (SELECT unnest([0, 1, 2, 99]) AS v))
+        |SELECT r.grp AS grp, count(*) AS n, round(sum(l.l_quantity), 2) AS qty
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |GROUP BY r.grp""".stripMargin) {
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).select(
+          when(col("l_orderkey") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("l_orderkey") % 5).as("k"),
+          col("l_quantity"))
+        import s.implicits._
+        val r = Seq[(Option[Long], Long)]((Some(0L), 0L), (Some(1L), 1L),
+          (Some(2L), 2L), (None, 99L)).toDF("k", "grp")
+        l.join(r, l("k") <=> r("k"))
+          .groupBy(r("grp"))
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      }
     }
   )
 }
