@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** t21's chunk geometry, factored so `TextAnalysisSpec` can property-
+    * test it on arbitrary token arrays: windows of [[ChunkWin]] tokens
+    * every [[ChunkStride]], one chunk minimum, tail keeps the remainder.
+    * Input needs (doc_id, t: array<string>); one Generate, no shuffle. */
+  private[operators] val ChunkWin = 32
+  private[operators] val ChunkStride = 24
+  private[operators] def chunked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nChunks = when(size(col("t")) <= ChunkWin, lit(1))
+      .otherwise(floor((size(col("t")) - ChunkWin + ChunkStride - 1) / ChunkStride)
+        .cast("int") + 1)
+    val chunk = slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkWin))
+    docs
+      .withColumn("k", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Tiny per-language stopword lists for the heuristic language ID.
     * Deliberately small and hard-coded: the oracle must embed the same
     * lists, and the point is the operator shape (argmax over per-class
@@ -685,20 +703,9 @@ object TextAnalysis {
          |       array_to_string(list_slice(t, k*24 + 1, k*24 + 32), ' ') AS chunk_text,
          |       CAST(len(list_slice(t, k*24 + 1, k*24 + 32)) AS BIGINT) AS n_chunk_tokens
          |FROM ex""".stripMargin) {
-      (s, dir) => {
-        val win = 32
-        val stride = 24
-        val t = Exprs.tokens(col("text"))
-        val nChunks = when(size(col("t")) <= win, lit(1))
-          .otherwise(floor((size(col("t")) - win + stride - 1) / stride).cast("int") + 1)
-        val chunk = slice(col("t"), col("k") * stride + 1, lit(win))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), t.as("t"))
-          .withColumn("k", explode(sequence(lit(0), nChunks - 1)))
-          .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
-            array_join(chunk, " ").as("chunk_text"),
-            size(chunk).cast("long").as("n_chunk_tokens"))
-      }
+      (s, dir) =>
+        chunked(Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t")))
     },
 
     // Hashed linear quality classifier (fasttext-shaped): every token

@@ -22,7 +22,11 @@ object PlanAuditR6 {
         "t20_kl_novelty",
         "q60_dist_window", "q61_listagg", "q62_try_safe", "q63_variant_json",
         "q64_session_window", "q65_approx_topk", "q66_topk_rollup",
-        "src04_xml_roundtrip")) {
+        "src04_xml_roundtrip",
+        "q67_sliding_window", "q68_cms_freq", "q69_interval_math", "q70_exists",
+        "q71_pipe_syntax", "q72_nullsafe_join", "s13_pagerank",
+        "s14_matryoshka_rerank", "t21_chunking", "t22_quality_classifier",
+        "t23_mixture_sample")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown

@@ -42,4 +42,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L) === ((1L, -0.916291)))
     assert(rows(3L) === ((2L, -0.693147)))
   }
+
+  test("t21 chunk geometry: full coverage, exact overlap, tail remainder (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val W = TextAnalysis.ChunkWin
+    val S = TextAnalysis.ChunkStride
+    // token counts around every boundary: 1, W-1, W, W+1, k*S edges, large
+    val nGen = Gen.oneOf(Gen.choose(1, 2 * W), Gen.choose(1, 300),
+      Gen.oneOf(1, W - 1, W, W + 1, S, 2 * S, 2 * S + W - 1, 2 * S + W, 2 * S + W + 1))
+    val prop = Prop.forAll(nGen) { n =>
+      val docs = Seq((0L, (0 until n).map(i => s"w$i"))).toDF("doc_id", "t")
+      val chunks = TextAnalysis.chunked(docs)
+        .orderBy("chunk_id")
+        .collect()
+        .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq, r.getLong(3)))
+      val expectedCnt = if (n <= W) 1 else (n - W + S - 1) / S + 1
+      val covered = chunks.flatMap(_._2).toSet
+      chunks.length == expectedCnt &&
+        covered == (0 until n).map(i => s"w$i").toSet && // every token in >= 1 chunk
+        chunks.forall { case (k, toks, len) =>
+          len == toks.length && toks.headOption.contains(s"w${k * S}") &&
+            len == math.min(W, n - k * S) // full windows, short tail
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
