@@ -635,6 +635,70 @@ object Similarity {
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
       }
+    },
+
+    // Composed chunk-level semantic search — the end-to-end index-build
+    // shape a RAG corpus runs: t21's chunker feeds a per-chunk embedder
+    // feeds s01's broadcast-query cosine search, all in ONE declarative
+    // plan (chunk Generate → embedding projection → broadcast join →
+    // TakeOrdered; the corpus is scanned once, nothing iterates). The
+    // "encoder" is a deterministic hash projection — 16 dims, dim i =
+    // Σ_tokens (md5 nibble i − 7.5) — a stand-in with the exact shape a
+    // real encoder output column has (the model call itself lives at a
+    // mapPartitions codec boundary like Multimodal's, and everything
+    // downstream of the embedding column is production-real). Sums are
+    // half-integers, so cross-engine fp parity is exact before the one
+    // rounded cosine.
+    QueryDef.sql("s15_chunk_search", {
+      def cos16(a: String, b: String) =
+        s"""round(list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))
+           |  / (sqrt(list_sum(list_transform(range(1, 17), i -> $a[i] * $a[i])))
+           |   * sqrt(list_sum(list_transform(range(1, 17), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             x -> x <> '') AS t
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, t,
+         |         CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END
+         |           AS n_chunks
+         |  FROM toks),
+         |ex AS (SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS k FROM cnt),
+         |chunks AS (
+         |  SELECT doc_id, k AS chunk_id, list_slice(t, k*24 + 1, k*24 + 32) AS ct FROM ex),
+         |emb AS (
+         |  SELECT doc_id, chunk_id,
+         |         list_transform(range(1, 17), i ->
+         |           list_sum(list_transform(ct, tok ->
+         |             strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 8.5))) AS e
+         |  FROM chunks),
+         |q AS (SELECT e AS qe FROM emb WHERE doc_id = 0 AND chunk_id = 0)
+         |SELECT emb.doc_id, emb.chunk_id, ${cos16("e", "qe")} AS cos
+         |FROM emb, q WHERE NOT (emb.doc_id = 0 AND emb.chunk_id = 0)
+         |ORDER BY cos DESC, emb.doc_id, emb.chunk_id LIMIT 5""".stripMargin
+    }) {
+      (s, dir) => {
+        val chunks = TextAnalysis.chunked(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), graft.functions.Exprs.tokens(col("text")).as("t")))
+          .select(col("doc_id"), col("chunk_id"), split(col("chunk_text"), " ").as("ct"))
+        val embCol = transform(sequence(lit(1), lit(16)), i =>
+          aggregate(col("ct"), lit(0.0), (acc, tok) =>
+            acc + conv(md5(tok).substr(i, lit(1)), 16, 10).cast("double") - 7.5))
+        val emb = chunks.select(col("doc_id"), col("chunk_id"), embCol.as("e"))
+        val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val q = emb.filter(col("doc_id") === 0 && col("chunk_id") === 0)
+          .select(col("e").as("qe"))
+        emb.filter(!(col("doc_id") === 0 && col("chunk_id") === 0))
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"), col("chunk_id"),
+            round(dot(col("e"), col("qe")) /
+              (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))), 6)
+              .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+          .limit(5)
+      }
     }
   )
 }
