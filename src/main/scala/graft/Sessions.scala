@@ -36,6 +36,12 @@ object Sessions {
     * [[graft.plans.GraftExtensions]] — session setup, not the query path. */
   def tune(spark: SparkSession): SparkSession = {
     graft.plans.AsOf.ensureInstalled(spark)
+    // Same post-hoc installation for the banded range-join optimizer
+    // rule on sessions built without GraftExtensions (driver contract).
+    // Idempotent; the rule itself is a no-op until its conf is set.
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandedRangeJoin]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin()
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -43,6 +49,10 @@ object Sessions {
     // refuses by default (PARQUET_TYPE_ILLEGAL); read nanos as long and
     // convert in Tables.events (micros, matching the DuckDB oracle).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Range-join banding is opt-in PER QUERY (q73 sets it while building
+    // its plan); reset here so one query's choice can't leak into the
+    // next query's optimizer run on the shared driver session.
+    spark.conf.unset("spark.graft.rangeJoin.binSize")
     spark
   }
 }

@@ -1590,6 +1590,41 @@ object Relational {
           .groupBy(r("grp"))
           .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
       }
+    },
+
+    // Declarative range join, auto-banded: the analyst writes the plain
+    // keyless BETWEEN join (which Spark alone can only plan as a
+    // |points|×|windows| nested loop) and the injected
+    // [[graft.plans.BandedRangeJoin]] optimizer rule rewrites it into
+    // the banded equi-join q45 spells by hand — Generate over interval
+    // buckets + hash join on the bucket + the original predicate as
+    // residual. spark.graft.rangeJoin.binSize is this query's explicit
+    // width choice (1 day, the window length); Sessions.tune resets it
+    // so the opt-in can't leak into other queries' plans. Row-for-row
+    // equal to the nested loop by construction (spec-asserted both ways).
+    QueryDef.sql("q73_range_join_auto",
+      """WITH b AS (SELECT epoch_us(min(ts)) AS t0 FROM events),
+        |iv AS (SELECT CAST(i AS BIGINT) AS i,
+        |              t0 + CAST(i AS BIGINT)*172800000000 AS s,
+        |              t0 + CAST(i AS BIGINT)*172800000000 + 86400000000 AS e
+        |       FROM b, range(0, 5) t(i)),
+        |p AS (SELECT event_type, epoch_us(ts) AS t FROM events)
+        |SELECT p.event_type, iv.i, count(*) AS n
+        |FROM p JOIN iv ON p.t >= iv.s AND p.t < iv.e
+        |GROUP BY p.event_type, iv.i""".stripMargin) {
+      (s, dir) => {
+        s.conf.set("spark.graft.rangeJoin.binSize", "86400000000")
+        val ev = Tables.events(s, dir)
+        val day = 86400000000L
+        val iv = ev.agg(unix_micros(min("ts")).as("t0"))
+          .select(explode(sequence(lit(0L), lit(4L))).as("i"), col("t0"))
+          .select(col("i"),
+            (col("t0") + col("i") * lit(2 * day)).as("s"),
+            (col("t0") + col("i") * lit(2 * day) + lit(day)).as("e"))
+        val p = ev.select(col("event_type"), unix_micros(col("ts")).as("t"))
+        p.join(iv, col("t") >= col("s") && col("t") < col("e"))
+          .groupBy("event_type", "i").agg(count(lit(1)).as("n"))
+      }
     }
   )
 }

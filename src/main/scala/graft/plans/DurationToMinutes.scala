@@ -79,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: the native as-of join's planner strategy
     // (logical node [[AsOfJoinPlan]] → physical [[AsOfJoinExec]]).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // Declarative range-join banding, gated on spark.graft.rangeJoin.binSize
+    ext.injectOptimizerRule(_ => BandedRangeJoin())
     ext.injectFunction((
       FunctionIdentifier("duration_to_minutes"),
       new ExpressionInfo(classOf[DurationToMinutes].getName, "duration_to_minutes"),
