@@ -1625,6 +1625,36 @@ object Relational {
         p.join(iv, col("t") >= col("s") && col("t") < col("e"))
           .groupBy("event_type", "i").agg(count(lit(1)).as("n"))
       }
+    },
+
+    // SQL UDF (Spark 4 CREATE FUNCTION ... RETURN <expr>): named,
+    // catalog-managed business logic that stays a PURE EXPRESSION — the
+    // analyzer inlines the body into the plan, so unlike a Scala/Python
+    // UDF it keeps codegen, predicate pushdown, and the oracle's exact
+    // arithmetic (the oracle is the same expression written inline).
+    // This is the engine's sanctioned answer to "share a formula across
+    // queries" — never an opaque closure.
+    QueryDef.sql("q74_sql_udf",
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * (1 - l_discount) *
+        |                 (1 + CASE WHEN l_quantity >= 30 THEN 0.0 ELSE 0.05 END)), 2)
+        |         AS adj_revenue,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_udf_v")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_adj_price(
+                |    price DOUBLE, disc DOUBLE, qty DOUBLE)
+                |RETURNS DOUBLE
+                |RETURN price * (1 - disc) *
+                |       (1 + CASE WHEN qty >= 30 THEN 0.0 ELSE 0.05 END)""".stripMargin)
+        s.sql(
+          """SELECT l_returnflag,
+            |       round(sum(graft_adj_price(l_extendedprice, l_discount, l_quantity)), 2)
+            |         AS adj_revenue,
+            |       count(*) AS n
+            |FROM lineitem_udf_v GROUP BY l_returnflag""".stripMargin)
+      }
     }
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Shuffle-budget regression net: every query here has an audited plan
+  * whose SHUFFLE exchange count is part of its 100 TB design (broadcast
+  * exchanges are free by comparison and counted separately). A future
+  * edit that sneaks an extra shuffle into one of these — a lost
+  * partial-agg, a broadcast that silently became a shuffle join, a
+  * repartition leak — fails here with the query name, instead of
+  * surfacing as an unexplained bench regression three rounds later.
+  *
+  * Budgets are CEILINGS from the audited plans (AQE may use fewer), on
+  * sf0.001 so the suite stays fast; shuffle counts are data-size-
+  * independent for these shapes (AQE changes join STRATEGY with size,
+  * which is why broadcast exchanges get a generous separate ceiling).
+  */
+class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // query -> max shuffle exchanges
+  private val budgets: Seq[(String, Int)] = Seq(
+    "q01_pricing_summary" -> 1, // partial agg + one key shuffle
+    "q06_range_scan" -> 0, // pushed-filter scan, no shuffle at all
+    "q09_anti_join" -> 1, // broadcast anti join; final agg may shuffle once
+    "q11_star_revenue" -> 3, // big-side joins under AQE + final agg
+    "q12_window_rank" -> 3, // agg shuffle + the salted top-k's TWO window
+                            // passes — the deliberate skew-immunity trade
+                            // (TopK.topKPerKey) on 25 window keys
+    "q24_sessionize" -> 1, // one user_id shuffle serves window + agg
+    "q51_funnel_stages" -> 2, // shared event-log exchange + final singleton agg
+    "q60_dist_window" -> 1, // all three distribution functions share a frame
+    "q64_session_window" -> 1, // map-side session pre-merge, one key shuffle
+    "q67_sliding_window" -> 1, // Expand happens before the one agg shuffle
+    "t01_token_stats" -> 0, // pure projection
+    "t21_chunking" -> 0, // one Generate pass
+    "t22_quality_classifier" -> 1, // explode + two-phase agg
+    "d01_exact_dedup" -> 1, // one content-hash shuffle
+    "s01_knn_bruteforce" -> 1, // broadcast query + TakeOrdered (limit shuffle)
+    "s14_matryoshka_rerank" -> 2) // two TakeOrdered tiers
+
+  test("audited queries stay inside their shuffle budgets") {
+    val failures = budgets.flatMap { case (name, budget) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val shuffles = collect(plan) { case e: ShuffleExchangeLike => e }.size
+      val broadcasts = collect(plan) { case e: BroadcastExchangeLike => e }.size
+      if (shuffles > budget)
+        Some(s"$name: $shuffles shuffles > budget $budget ($broadcasts broadcasts)")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

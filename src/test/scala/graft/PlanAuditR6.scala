@@ -26,7 +26,8 @@ object PlanAuditR6 {
         "q67_sliding_window", "q68_cms_freq", "q69_interval_math", "q70_exists",
         "q71_pipe_syntax", "q72_nullsafe_join", "s13_pagerank",
         "s14_matryoshka_rerank", "t21_chunking", "t22_quality_classifier",
-        "t23_mixture_sample", "s15_chunk_search", "q73_range_join_auto")) {
+        "t23_mixture_sample", "s15_chunk_search", "q73_range_join_auto",
+        "q74_sql_udf")) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize so AQE final plans are shown
