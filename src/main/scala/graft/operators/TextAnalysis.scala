@@ -24,9 +24,9 @@ object TextAnalysis {
     * test it on arbitrary token arrays: windows of [[ChunkWin]] tokens
     * every [[ChunkStride]], one chunk minimum, tail keeps the remainder.
     * Input needs (doc_id, t: array<string>); one Generate, no shuffle. */
-  private[operators] val ChunkWin = 32
-  private[operators] val ChunkStride = 24
-  private[operators] def chunked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] val ChunkWin = 32
+  private[graft] val ChunkStride = 24
+  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nChunks = when(size(col("t")) <= ChunkWin, lit(1))
       .otherwise(floor((size(col("t")) - ChunkWin + ChunkStride - 1) / ChunkStride)
         .cast("int") + 1)

@@ -1,0 +1,46 @@
+package graft
+
+/** Distributed-correctness net: a query's RESULT may not depend on how
+  * the data happens to be partitioned — different shuffle fan-outs
+  * reorder every aggregation's input, so anything order-sensitive that
+  * escaped a rounding contract (raw double summation, arbitrary-tie
+  * window picks, RNG sampling) diverges here long before it diverges
+  * between a 32-core box and a 1000-executor cluster. Representative
+  * queries from each family run under three different partition counts
+  * and must produce identical row sets.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "q01_pricing_summary", // double sums under a rounding contract
+    "q12_window_rank", // window ties + salted two-phase top-k
+    "q51_funnel_stages", // chained windows + ordered semantics
+    "d02_minhash_lsh", // hash signatures + banded buckets
+    "t13_stratified_sample", // hash-gated sampling (retry safety)
+    "t23_mixture_sample", // derived-rate sampling
+    "s01_knn_bruteforce", // rounded cosine ranking
+    "t22_quality_classifier") // integer feature sums
+
+  test("results are identical under shuffle partition counts 3, 7, 16") {
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    def runAll(n: Int): Map[String, Set[String]] = {
+      spark.conf.set(confKey, n.toString)
+      queries.map { q =>
+        q -> SparkEntry.queries(q)(spark, dir).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      }.toMap
+    }
+    try {
+      val base = runAll(3)
+      Seq(7, 16).foreach { n =>
+        val got = runAll(n)
+        queries.foreach { q =>
+          assert(got(q) === base(q), s"$q diverged between partitions=3 and partitions=$n")
+        }
+      }
+    } finally spark.conf.set(confKey, prev)
+  }
+}

@@ -44,4 +44,31 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.toMap === batch)
     assert(afterFirst < got.size) // the second relay added the delta only
   }
+
+  test("t21's chunker is batch/stream portable: stateless transform, identical rows") {
+    // The chunk operator is one Generate — no state, no watermark — so
+    // the SAME function body runs on a readStream unchanged; this is the
+    // unified-engine contract that lets the ingest pipeline chunk docs
+    // as they arrive instead of in a nightly sweep.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val toks = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), graft.functions.Exprs.tokens(col("text")).as("t"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val staged = Files.createTempDirectory("chunk-stream").toString
+    docs.write.parquet(s"$staged/src")
+
+    val streamed = graft.operators.TextAnalysis.chunked(
+      toks(spark.readStream.schema(docs.schema).parquet(s"$staged/src")))
+    val q = streamed.writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+    val fromStream = spark.table("chunks_stream").collect().map(key).toSet
+    val fromBatch = graft.operators.TextAnalysis.chunked(toks(docs)).collect().map(key).toSet
+    assert(fromStream === fromBatch)
+    assert(fromBatch.nonEmpty)
+  }
 }
