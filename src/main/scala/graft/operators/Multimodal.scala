@@ -285,7 +285,8 @@ object Multimodal {
         |         CAST(floor((sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
         |              ROWS UNBOUNDED PRECEDING) - n_bytes) / 4096.0) AS BIGINT) AS pack
         |  FROM base)
-        |SELECT shard, pack, count(*) AS n_items, sum(n_bytes) AS pack_bytes
+        |SELECT shard, pack, count(*) AS n_items,
+        |       CAST(sum(n_bytes) AS BIGINT) AS pack_bytes
         |FROM packed GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
         Packing.packByBudget(

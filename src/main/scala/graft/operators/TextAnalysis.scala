@@ -404,7 +404,8 @@ object TextAnalysis {
          |         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |              ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS pack
          |  FROM base)
-         |SELECT shard, pack, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+         |SELECT shard, pack, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
          |FROM packed GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
         Packing.packByBudget(

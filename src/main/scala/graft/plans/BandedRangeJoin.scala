@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, IntegerType, LongType, TimestampType}
 
 /** Banded range-join rewrite — the optimizer-rule form of
   * [[graft.operators.TemporalJoins.rangeJoin]]: an inner join whose ONLY
@@ -31,15 +31,22 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampTyp
   * Scope guards (each skips the rewrite): an existing cross-side equality
   * (the join already has a key), a point/bound type outside
   * int/long/date/timestamp (banding needs exact integral floor-div after
-  * a monotonic cast), or bounds not both coming from the one other side.
-  * The rewrite runs once — its own output contains a cross-side equality,
-  * so the fixed-point optimizer batch can't re-match it.
+  * a monotonic conversion), or bounds not both coming from the one other
+  * side. The rewrite runs once — its own output contains a cross-side
+  * equality, so the fixed-point optimizer batch can't re-match it.
   *
   * Bucket width is the operator's explicit choice, exactly like the
   * manual form's `bucketWidth`: width near the typical interval span
   * keeps the Generate amplification ~1-2×; the conf exists so an
   * analyst's plain `BETWEEN` join gets the scale-safe plan without
-  * rewriting their query.
+  * rewriting their query. `binSize` units follow the column's integral
+  * image: int/long columns band in their native units, DATE columns in
+  * DAYS (`unix_date`), TIMESTAMP columns in MICROSECONDS
+  * (`unix_micros`) — a raw Cast would return NULL for dates and
+  * seconds for timestamps in Spark 4, so the conversions are explicit.
+  * Degenerate intervals (lo > hi — dirty data the plain join silently
+  * no-matches) band to an empty bucket array instead of tripping
+  * Sequence's illegal-boundaries error.
   */
 case class BandedRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -50,12 +57,23 @@ case class BandedRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Exact floor division after a monotonic cast to long. Constructed
-    * post-analysis, so time-zone-aware expressions (Cast, Sequence) get
-    * the session zone explicitly — the analyzer won't revisit them. */
+  /** Monotonic conversion to a long the floor-div can band on. A raw
+    * Cast is NOT safe here: Cast(date, long) evaluates to NULL in
+    * Spark 4 (castToLong has no DateType branch) and Cast(ts, long)
+    * yields epoch SECONDS, not the micros the binSize contract names —
+    * so dates go through UnixDate (days since epoch) and timestamps
+    * through UnixMicros. */
+  private def toLong(x: Expression): Expression = x.dataType match {
+    case LongType => x
+    case DateType => Cast(UnixDate(x), LongType)
+    case TimestampType => UnixMicros(x)
+    case _ => Cast(x, LongType)
+  }
+
+  /** Exact floor division after the monotonic conversion. Constructed
+    * post-analysis, so the analyzer won't revisit these expressions. */
   private def floorDiv(x: Expression, w: Long): Expression = {
-    val xl = if (x.dataType == LongType) x
-             else Cast(x, LongType, Some(conf.sessionLocalTimeZone))
+    val xl = toLong(x)
     val width = Literal(w, LongType)
     IntegralDivide(Subtract(xl, Pmod(xl, width)), width)
   }
@@ -105,9 +123,18 @@ case class BandedRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
             case Some((p, lo, hi, pointSide, intervalSide)) =>
               val bucket = AttributeReference("__graft_range_bucket", LongType,
                 nullable = false)()
-              val seq = Sequence(floorDiv(lo, w), floorDiv(hi, w),
+              val (fdLo, fdHi) = (floorDiv(lo, w), floorDiv(hi, w))
+              val seq = Sequence(fdLo, fdHi,
                 Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
-              val banded = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              // Reversed/empty intervals (lo > hi) must explode to zero
+              // rows like the un-rewritten join's silent no-match, not
+              // throw Sequence's illegal-boundaries error. A NULL bound
+              // makes the predicate null -> the If's false branch -> the
+              // same empty array.
+              val guarded = If(LessThanOrEqual(fdLo, fdHi), seq,
+                Literal.create(Array.empty[Long],
+                  ArrayType(LongType, containsNull = false)))
+              val banded = Generate(Explode(guarded), unrequiredChildIndex = Nil,
                 outer = false, qualifier = None, generatorOutput = Seq(bucket),
                 child = intervalSide)
               val newCond = And(EqualTo(floorDiv(p, w), bucket), cond)

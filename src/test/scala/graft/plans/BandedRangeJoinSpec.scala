@@ -87,6 +87,75 @@ class BandedRangeJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("reversed intervals (lo > hi) explode to zero rows, not a Sequence error") {
+    // dirty-data rows the plain join silently no-matches; the rewrite
+    // must not turn them into an illegal-sequence-boundaries failure
+    val dirty = intervals.union(Seq((8L, 50L, -50L), (9L, 12L, 11L)).toDF("iid", "lo", "hi"))
+    def q() = points.join(dirty, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withBin(10L) {
+      val df = q()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, "degenerate intervals changed the result set")
+      assert(!joinNodes(df).exists(_.contains("NestedLoop")))
+    }
+  }
+
+  test("DATE-typed range join bands correctly (binSize in days)") {
+    // ADVICE r6: Cast(date, long) is NULL in Spark 4 — a date join
+    // banded through a raw cast silently returned zero rows. unix_date
+    // conversion restores parity.
+    val dPoints = points.select(col("pid"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-15")), col("t").cast("int")).as("t"))
+    val dIntervals = intervals.select(col("iid"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-15")), col("lo").cast("int")).as("lo"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-15")), col("hi").cast("int")).as("hi"))
+    def q() = dPoints.join(dIntervals, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce matches")
+    withBin(7L) { // 7-day buckets
+      val df = q()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, "date banding changed the result set")
+      assert(!joinNodes(df).exists(_.contains("NestedLoop")))
+    }
+  }
+
+  test("TIMESTAMP-typed range join bands in MICROS (multi-bucket, not one giant bucket)") {
+    // ADVICE r6: Cast(ts, long) is epoch SECONDS, so a micros binSize
+    // would put everything in one bucket and restore the cross-product
+    // work. unix_micros keeps the binSize contract.
+    val base = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val tsPoints = points.select(col("pid"),
+      timestamp_micros(lit(base.getTime * 1000) + col("t") * 60000000L).as("t"))
+    val tsIntervals = intervals.select(col("iid"),
+      timestamp_micros(lit(base.getTime * 1000) + col("lo") * 60000000L).as("lo"),
+      timestamp_micros(lit(base.getTime * 1000) + col("hi") * 60000000L).as("hi"))
+    def q() = tsPoints.join(tsIntervals, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid")
+    val expected = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce matches")
+    withBin(10L * 60000000L) { // 10-minute buckets, in micros
+      val df = q()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, "timestamp banding changed the result set")
+      assert(!joinNodes(df).exists(_.contains("NestedLoop")))
+      // banding must actually spread rows across buckets: if the
+      // conversion collapsed to seconds, interval 5 (-100..300 min)
+      // would span 40 micro-buckets vs ~0 in the seconds reading
+      df.collect()
+      val generates = collect(df.queryExecution.executedPlan) {
+        case p if p.nodeName.contains("Generate") => p
+      }
+      assert(generates.nonEmpty, "expected a Generate for the banded side")
+      val exploded = generates.head.metrics.get("numOutputRows").map(_.value)
+      assert(exploded.exists(_ > intervals.count()),
+        s"banding produced $exploded rows — one-bucket collapse suspected")
+    }
+  }
+
   test("events point-in-maintenance-window join at sf0.001: parity against the nested loop") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")

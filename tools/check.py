@@ -4,7 +4,12 @@
 Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfdir>, loads the Spark result from <outdir>/<name>/,
 sorts columns by name and rows by all columns, and compares cell-by-cell
-(floats to 1e-9 relative). Usage: check.py <sfdir> <outdir> [name...]
+TWICE: once float-tolerant (1e-9 relative — catches value bugs), and once
+on a STRICT canonical rendering that mirrors the driver's hash (integers
+must render as integers — catches oracle type drift like DuckDB's
+sum(BIGINT) -> HUGEINT rendering 322.0 where Spark emits 322, which the
+tolerant compare is blind to). Either failing fails the query.
+Usage: check.py <sfdir> <outdir> [name...]
 """
 import json, math, sys
 import duckdb
@@ -25,6 +30,24 @@ def eq(a, b):
     if isinstance(b, float) and isinstance(a, (int, float)):
         return math.isclose(float(a), b, rel_tol=1e-9, abs_tol=1e-9)
     return str(a) == str(b)
+
+def canon(v):
+    """Strict canonical rendering, mirroring the driver's value hash: an
+    integer-typed cell must render as an integer. A float cell stays a
+    float rendering even when integral (1.0 -> '1.0'), so a HUGEINT or
+    DECIMAL sum that pandas surfaces as float64 renders differently from
+    Spark's BIGINT and the strict pass flags the oracle's type drift."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(v)
 
 def main(sfdir, outdir, only):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -81,6 +104,22 @@ def main(sfdir, outdir, only):
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} oracle={bad[1]} spark={bad[2]}")
+            n_fail += 1
+            continue
+        # Strict pass: driver-equivalent canonical rendering must match
+        # exactly. The tolerant pass above already aligned rows, so any
+        # difference here is a rendering/type divergence, not a value one.
+        strict_bad = None
+        for i, (ro, rs) in enumerate(zip(o, s)):
+            co, cs = [canon(x) for x in ro], [canon(x) for x in rs]
+            if co != cs:
+                strict_bad = (i, co, cs)
+                break
+        if strict_bad:
+            print(f"FAIL {name}: STRICT row {strict_bad[0]} "
+                  f"oracle={strict_bad[1]} spark={strict_bad[2]} "
+                  f"(values within tolerance but canonical renderings differ "
+                  f"- likely oracle type drift, e.g. missing CAST)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(o)} rows)")
