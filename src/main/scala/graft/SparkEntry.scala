@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.GraphRank.defs ++
+      operators.Bpe.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.SourceProbes.defs

@@ -23,9 +23,15 @@ object KMeans {
     def k: Int = centroids.length
 
     /** Column: index of this row's nearest centroid (squared L2, ties →
-      * lowest index). */
-    def clusterOf(v: Column): Column = {
-      val dists = array(centroids.map(c => sqDist(v, c)): _*)
+      * lowest index). `distDecimals >= 0` rounds each distance first —
+      * the cross-engine sync an SQL oracle needs, because the two
+      * engines sum the per-dim terms in different orders and a raw
+      * last-ulp difference could flip a near-tie argmin. */
+    def clusterOf(v: Column, distDecimals: Int = -1): Column = {
+      val dists = array(centroids.map { c =>
+        val d = sqDist(v, c)
+        if (distDecimals >= 0) round(d, distDecimals) else d
+      }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
@@ -61,16 +67,28 @@ object KMeans {
   }
 
   /** (id, cluster, d2): each vector's nearest centroid, ties to the
-    * lowest cluster index (min over (d2, cluster) structs). */
-  private def assign(emb: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
+    * lowest cluster index (min over (d2, cluster) structs).
+    * `distDecimals >= 0` rounds d2 before the argmin (oracle sync). */
+  private def assign(emb: DataFrame, vecCol: String, idCol: String, model: Model,
+      distDecimals: Int = -1): DataFrame = {
+    val d2 = if (distDecimals >= 0) round(col("d2"), distDecimals) else col("d2")
     distances(emb, vecCol, idCol, model)
       .groupBy("id")
-      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .agg(min(struct(d2.as("d2"), col("cluster"))).as("m"))
       .select(col("id"), col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+  }
 
   /** Fit on `emb` (columns: id, vec array<float>). One corpus pass per
-    * iteration + one tiny collect of (cluster, dim) means. */
-  def fit(emb: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
+    * iteration + one tiny collect of (cluster, dim) means.
+    *
+    * `meanDecimals`/`distDecimals` (default: no rounding, s06's exact
+    * fit) round each iteration's centroid means / assignment distances.
+    * Rounding at every iteration BOUNDARY is what makes the fit
+    * oracle-reproducible: both engines re-synchronize on the identical
+    * rounded values each round, so floating-point summation-order drift
+    * never compounds across iterations (d12 uses 4/6 decimals). */
+  def fit(emb: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int,
+      meanDecimals: Int = -1, distDecimals: Int = -1): Model = {
     val init = emb.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -78,12 +96,13 @@ object KMeans {
       s"k-means needs at least k=$k vectors, corpus has ${init.length}")
     var model = Model(init)
     for (_ <- 0 until iters) {
-      val a = assign(emb, vecCol, idCol, model).select("id", "cluster")
+      val a = assign(emb, vecCol, idCol, model, distDecimals).select("id", "cluster")
+      val rawMean = avg(col("x").cast("double"))
       val means = emb
         .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .join(a, Seq("id"))
         .groupBy("cluster", "dim")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((if (meanDecimals >= 0) round(rawMean, meanDecimals) else rawMean).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary training — the iterative highest-frequency pair merge
+  * that turns a word-frequency table into a merge list (the tokenizer's
+  * vocab), the last big LLM-prep primitive alongside dedup / packing /
+  * quality scoring. t07 counts pair frequencies ONCE; this runs the
+  * actual training loop.
+  *
+  * Follows the engine's iterative-algorithm contract (d07 components,
+  * s06 k-means, s13 PageRank):
+  *   - each round is ONE distributed aggregation (explode adjacent
+  *     symbol pairs weighted by word frequency, sum per pair) — one
+  *     shuffle round over the VOCABULARY table, which is orders of
+  *     magnitude smaller than the corpus it came from;
+  *   - the only driver traffic per round is the argmax pair — a single
+  *     row (the same scalar-collect budget as k-means' k×dim means);
+  *   - the merge is applied as one codegen'd string `replace` per word
+  *     and the lineage is truncated per round (`localCheckpoint`), so
+  *     plan analysis stays O(1) in the round count;
+  *   - FIXED round count + total tie-break order (count DESC, then the
+  *     pair lexicographically) keep the run deterministic, which is
+  *     what lets a DuckDB oracle unroll the identical ten rounds.
+  *
+  * Words are encoded as delimiter-wrapped symbol strings
+  * (u0001 sym u0002 per symbol): applying a merge is then a plain
+  * left-to-right non-overlapping `replace` of wrap(a)+wrap(b) with
+  * wrap(ab) — exactly BPE's
+  * greedy application order, with identical scan semantics in Spark's
+  * UTF8String.replace and DuckDB's replace, so parity holds by
+  * construction (including the "aaa" overlap case: one merge, not two).
+  * Words are restricted to printable ASCII so the delimiters can never
+  * collide with symbol bytes.
+  */
+object Bpe {
+
+  private val S1 = "\u0001" // opens a symbol  (chr(1) on the oracle side)
+  private val S2 = "\u0002" // closes a symbol (chr(2))
+
+  /** Rounds are fixed so the oracle can unroll them. */
+  private[operators] val Rounds = 10
+
+  /** (word, freq) table from the documents fixture: whitespace tokens,
+    * printable-ASCII-only (guarantees the u0001/u0002 delimiters are
+    * collision-free), with corpus-wide occurrence counts. */
+  private[operators] def words(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Exprs.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[ -~]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Decodes the wrapped-symbol string back to its symbol array. */
+  private def symsOf(s: Column): Column =
+    transform(filter(split(s, S2), x => x =!= lit("")),
+      x => x.substr(lit(2), length(x)))
+
+  /** Trains `rounds` BPE merges over a (word, freq) table. Returns the
+    * merge table (round, pa, pb, cnt) — one row per learned merge, in
+    * training order. The returned frame is driver-local by nature: a
+    * vocab is vocab-sized, the distributed work happened per round. */
+  def train(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpe training needs >= 1 round, got $rounds")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var cur = wordFreq.select(col("freq"),
+      regexp_replace(col("word"), "(.)", S1 + "$1" + S2).as("s"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val l = symsOf(col("s"))
+      val pairs = transform(slice(l, lit(1), size(l) - 1),
+        (a, i) => struct(a.as("pa"), element_at(l, i + lit(2)).as("pb")))
+      val best = cur.select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pa, pb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, pa, pb, cnt))
+        cur = cur.select(col("freq"),
+          replace(col("s"), lit(S1 + pa + S2 + S1 + pb + S2),
+            lit(S1 + pa + pb + S2)).as("s"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("round", "pa", "pb", "cnt")
+  }
+
+  /** The oracle unrolls the fixed rounds as a chained CTE (recursive
+    * CTEs forbid grouped aggregation over the recursive reference; a
+    * fixed round count needs none). Each round re-derives the pair
+    * counts, picks the same (cnt DESC, pa, pb) argmax, and applies the
+    * same delimiter-exact replace. */
+  private def bpeSql(rounds: Int): String = {
+    val perRound = (1 to rounds).map { k =>
+      s"""sy$k AS (
+         |  SELECT freq,
+         |    list_transform(list_filter(string_split(s, chr(2)), x -> x <> ''),
+         |                   x -> substr(x, 2)) AS l
+         |  FROM w${k - 1}),
+         |pc$k AS (
+         |  SELECT pr.pa AS pa, pr.pb AS pb, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(l)),
+         |                                i -> {'pa': l[i], 'pb': l[i+1]})) AS pr
+         |        FROM sy$k)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, cnt FROM pc$k ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |w$k AS (
+         |  SELECT freq, replace(s, chr(1) || b.pa || chr(2) || chr(1) || b.pb || chr(2),
+         |                          chr(1) || b.pa || b.pb || chr(2)) AS s
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(k => s"SELECT $k AS round, pa, pb, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${TextAnalysis.toksCte},
+       |wd AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(t) AS w FROM toks)
+       |  WHERE regexp_matches(w, '^[ -~]+$$')
+       |  GROUP BY 1),
+       |w0 AS (SELECT freq, regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |       FROM wd),
+       |$perRound
+       |$unions""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("t24_bpe_train", bpeSql(Rounds)) { (s, dir) =>
+      train(words(s, dir), Rounds)
+    }
+  )
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{Exprs, VectorOps}
+import graft.functions.{Exprs, KMeans, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -239,30 +239,35 @@ object Dedup {
       "bucket", "embedding_bucket_guard", minCos = 0.1)
       .select("id_a", "id_b", "cos")
 
-  /** d12 semantic-dedup parameters: number of deterministic centroids and
-    * the in-cluster cosine above which the higher-id member is dropped.
-    * K is fixed so the SQL oracle can mirror it; at corpus scale K grows
-    * with N (SemDeDup uses K ≈ N/1000s) and centroids come from a k-means
-    * fit (s06) instead of the lowest ids. */
+  /** d12 semantic-dedup parameters: number of k-means centroids, fit
+    * iterations, the per-iteration decimal quantization that keeps the
+    * fit oracle-reproducible (means to 4dp, distances to 6dp — both
+    * engines re-sync on the rounded values every round, so summation
+    * -order drift never compounds), and the in-cluster cosine above
+    * which the higher-id member is dropped. K and the iteration count
+    * are fixed so the SQL oracle can unroll them; at corpus scale K
+    * grows with N (SemDeDup uses K ≈ N/1000s). */
   private[operators] val SemK = 16
+  private[operators] val SemIters = 3
+  private[operators] val SemMeanDp = 4
+  private[operators] val SemDistDp = 6
   private[operators] val SemTau = 0.3
 
-  /** Nearest-centroid cluster assignment with ZERO shuffle: the K
-    * centroids (lowest vec_ids — deterministic and oracle-reproducible)
-    * collapse into a single array row that is broadcast, and the argmax
-    * over centroids runs as one codegen'd projection per input row
-    * (array_min over (−cos, cid) structs — ties break to the lowest
-    * centroid id, same as the oracle's ORDER BY cos DESC, cid). The only
-    * shuffles in d12 are the in-cluster pair expansion. */
+  /** SemDeDup cluster assignment from a REAL k-means fit (r6 verdict:
+    * the lowest-vec_id "centroids" were a spec convenience). The fit is
+    * s06's deterministic Lloyd's loop (init = k lowest ids, fixed
+    * iterations, no RNG) with the decimal quantization above; the final
+    * assignment is ZERO shuffle — the k×dim fitted centroids travel as
+    * plan literals and the argmin runs as one projection per row, ties
+    * to the lowest cluster index (same as the oracle's ORDER BY d2,
+    * cid). The only shuffles in d12's query-time path are the
+    * in-cluster pair expansion; the fit costs one pass + one k×dim
+    * collect per iteration, exactly the s06 contract. */
   private[operators] def semanticClusters(emb: DataFrame): DataFrame = {
-    val cents = emb.orderBy("vec_id").limit(SemK)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("ce")))
-        .as("cents"))
-    val best = array_min(transform(col("cents"), c => struct(
-      (-coalesce(VectorOps.cosineR(col("embedding"), c.getField("ce")), lit(-2.0))).as("nc"),
-      c.getField("cid").as("cid"))))
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
+    val model = KMeans.fit(emb, "embedding", "vec_id", SemK, SemIters,
+      meanDecimals = SemMeanDp, distDecimals = SemDistDp)
+    emb.select(col("vec_id"), col("embedding"),
+      model.clusterOf(col("embedding"), SemDistDp).cast("long").as("cluster"))
   }
 
   /** d13 bound: pairs farther apart than this many edits are not
@@ -301,12 +306,77 @@ object Dedup {
 
   /** DuckDB cosine between two float-list columns, rounded to 6 — the
     * oracle twin of [[VectorOps.cosineR]] (same float→double widening,
-    * same rounding), used by the d12 oracle (d05 predates the helper and
-    * spells the identical formula inline). */
+    * same rounding), used by the d05/d12/s13 oracles. */
   private def cosSql(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
        |    / (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
        |     * sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
+
+  /** DuckDB squared-L2 between a float-list column and a double-list
+    * centroid, rounded — the oracle twin of KMeans' sqDist + the
+    * distance quantization d12's fit applies. */
+  private def sqDistSql(e: String, c: String, dp: Int): String =
+    s"""round(list_sum(list_transform(range(1, len($e)+1),
+       |      i -> ($e[i]::DOUBLE - $c[i]) * ($e[i]::DOUBLE - $c[i]))), $dp)""".stripMargin
+
+  /** Oracle CTE chain re-deriving [[graft.functions.KMeans.fit]]'s
+    * centroids: `cent0` = the k lowest-vec_id embeddings (the fit's
+    * deterministic init), then per round — nearest-centroid assignment
+    * on `dp2`-rounded squared L2 (ties to the lowest cluster id, the
+    * argmin's tie rule), per-(cluster, dim) means rounded to `dp1`, and
+    * empty-cluster carryover via the LEFT JOIN coalesce. Ends in
+    * `cent<iters>(cid, ce)`. The per-round rounding is the cross-engine
+    * sync: both sides restart each round from identical decimal values,
+    * so neither engine's summation order can drift the fit. */
+  private def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int): String = {
+    val rounds = (1 to iters).map { j =>
+      s"""kd$j AS (
+         |  SELECT e.vec_id, c.cid, ${sqDistSql("e.embedding", "c.ce", dp2)} AS d2
+         |  FROM embeddings e, cent${j - 1} c),
+         |ka$j AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM kd$j) WHERE rk = 1),
+         |km$j AS (
+         |  SELECT a.cluster AS cid, x.dim, round(avg(x.v), $dp1) AS m
+         |  FROM ka$j a JOIN (
+         |    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |           unnest(embedding)::DOUBLE AS v
+         |    FROM embeddings) x ON x.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cent$j AS (
+         |  SELECT p.cid, coalesce(mm.ce, p.ce) AS ce
+         |  FROM cent${j - 1} p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS ce FROM km$j GROUP BY cid) mm
+         |  ON mm.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |         list_transform(embedding, x -> x::DOUBLE) AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle CTE chain producing [[embeddingPairs]]'s exact pair list as
+    * `prs(id_a, id_b, cos)`: sign-LSH signatures, the MaxBucketSize
+    * guard, and the rounded in-bucket cosine filter. Shared by the d05
+    * oracle (which selects it directly) and the s13 PageRank oracle
+    * (which iterates over it as the edge list). */
+  private[operators] val embPairsCtes: String =
+    s"""sig AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
+       |             embedding[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
+       |           THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |bsz AS (SELECT bucket, count(*) AS bn FROM sig GROUP BY bucket),
+       |prs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN bsz s ON s.bucket = a.bucket AND s.bn <= $MaxBucketSize
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.1)""".stripMargin
 
   // Oracle CTE fragments mirroring the Spark expressions above. `src`
   // parameterizes the corpus the shingles come from (the full table for
@@ -609,23 +679,8 @@ object Dedup {
     // and the same per-bucket cap as the shingle LSH (mirrored in the
     // oracle's bsz bound).
     QueryDef.sql("d05_embedding_neardup",
-      s"""WITH sig AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
-        |             embedding[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
-        |           THEN 1<<p ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings),
-        |bsz AS (SELECT bucket, count(*) AS bn FROM sig GROUP BY bucket)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
-        |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |JOIN bsz s ON s.bucket = a.bucket AND s.bn <= $MaxBucketSize
-        |WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.1""".stripMargin) {
+      s"""WITH $embPairsCtes
+        |SELECT id_a, id_b, cos FROM prs""".stripMargin) {
       (s, dir) => embeddingPairs(Tables.embeddings(s, dir))
     },
 
@@ -740,28 +795,30 @@ object Dedup {
       }
     },
 
-    // Semantic dedup (SemDeDup): cluster embeddings to their nearest
-    // centroid, then drop the higher-id member of every in-cluster pair
-    // whose exact cosine exceeds the threshold. Complements d05: LSH
-    // buckets catch only near-identical directions (hyperplane sign
-    // agreement), clustering catches "same meaning, different phrasing"
-    // at whatever radius the threshold sets. Scale shape: assignment is a
-    // zero-shuffle broadcast projection, pair expansion shuffles once on
-    // the cluster id with the standard cap guard, the drop set is
-    // id-distinct and anti-joined back. K and the centroid rule are part
-    // of the spec so the oracle reproduces them; at corpus scale K comes
-    // from a k-means fit (s06) and grows with N.
+    // Semantic dedup (SemDeDup): k-means-cluster embeddings to their
+    // nearest centroid, then drop the higher-id member of every
+    // in-cluster pair whose exact cosine exceeds the threshold.
+    // Complements d05: LSH buckets catch only near-identical directions
+    // (hyperplane sign agreement), clustering catches "same meaning,
+    // different phrasing" at whatever radius the threshold sets. Scale
+    // shape: the fit is one corpus pass + one k×dim collect per
+    // iteration (the s06 contract), query-time assignment is a
+    // zero-shuffle plan-literal projection, pair expansion shuffles once
+    // on the cluster id with the standard cap guard, the drop set is
+    // id-distinct and anti-joined back. The oracle unrolls the SAME
+    // fixed fit — init = k lowest ids, per-round means quantized to
+    // 4dp, distances to 6dp — so both engines re-derive identical
+    // centroids round by round.
     QueryDef.sql("d12_semantic_dedup",
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT $SemK),
-         |scored AS (
+      s"""WITH ${kmeansCtes(SemK, SemIters, SemMeanDp, SemDistDp)},
+         |fd AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
-         |         coalesce(${cosSql("e.embedding", "c.ce")}, -2.0) AS cos
-         |  FROM embeddings e CROSS JOIN cent c),
+         |         ${sqDistSql("e.embedding", "c.ce", SemDistDp)} AS d2
+         |  FROM embeddings e, cent$SemIters c),
          |asn AS (
          |  SELECT vec_id, embedding, cid AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
-         |    FROM scored) WHERE rk = 1),
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1),
          |csz AS (SELECT cluster, count(*) AS bn FROM asn GROUP BY cluster),
          |dropd AS (
          |  SELECT DISTINCT b.vec_id AS id_b

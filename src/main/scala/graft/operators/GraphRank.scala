@@ -56,16 +56,45 @@ object GraphRank {
     ranks
   }
 
+  /** The s13 oracle unrolls the 10 fixed iterations as a chained CTE
+    * r1..r10 (DuckDB's recursive CTEs forbid grouped aggregation over
+    * the recursive reference, but a FIXED iteration count needs no
+    * recursion). Every node receives contributions each round — edges
+    * are symmetrized, so indegree == outdegree >= 1 — which is why the
+    * per-round join+GROUP BY reproduces [[pageRank]]'s union-with-zeros
+    * form without an outer join. The teleport constant is interpolated
+    * from the SAME double Spark computes (1.0 - damping in binary
+    * floating point, not the decimal literal 0.15) so both engines run
+    * identical arithmetic and the 6-decimal round stays bit-stable. */
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val tp = java.lang.Double.toString(1.0 - damping)
+    val dp = java.lang.Double.toString(damping)
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS id, $tp::DOUBLE + $dp::DOUBLE * sum(r.rank / d.deg) AS rank
+         |  FROM sym e JOIN r${k - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.embPairsCtes},
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |        UNION SELECT id_b AS src, id_a AS dst FROM prs),
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+       |r0 AS (SELECT src AS id, 1.0::DOUBLE AS rank FROM deg),
+       |$rounds
+       |SELECT id AS vec_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    // Hub scores over the d05 embedding near-dup graph. Rows-only: the
-    // oracle can't iterate (recursive-CTE aggregation restrictions) —
-    // the algorithm is value-asserted against closed-form ranks on
-    // known graphs in GraphRankSpec, and the row count (= node count)
-    // is pinned by d05's oracled pair query.
-    QueryDef.noOracle("s13_pagerank") { (s, dir) =>
-      val edges = Dedup.embeddingPairs(Tables.embeddings(s, dir))
-      pageRank(edges, iters = 10)
-        .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank"))
+    // Hub scores over the d05 embedding near-dup graph, oracle-checked
+    // end-to-end: the DuckDB side re-derives the same edge list (d05's
+    // shared prs CTE) and runs the identical 10 damped iterations,
+    // unrolled. The algorithm is additionally value-asserted against
+    // closed-form ranks on known graphs in GraphRankSpec.
+    QueryDef.sql("s13_pagerank", pageRankSql(iters = 10, damping = 0.85)) {
+      (s, dir) =>
+        val edges = Dedup.embeddingPairs(Tables.embeddings(s, dir))
+        pageRank(edges, iters = 10)
+          .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank"))
     }
   )
 }

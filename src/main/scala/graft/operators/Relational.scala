@@ -1403,7 +1403,11 @@ object Relational {
     // maxItemsTracked (sketch never evicts) — pinned here (4 event
     // types ≪ 100 tracked) so the DuckDB oracle can demand the exact
     // counts; production picks maxItemsTracked ≥ expected heavy-hitter
-    // count and accepts ±error on the tail.
+    // count and accepts ±error on the tail. The LIMIT 3 cut happens
+    // OUTSIDE the sketch on a deterministic (est DESC, item) order: the
+    // sketch is asked for all 100 tracked items, because its internal
+    // top-k selection makes no tie-break promise and two types tied at
+    // the cutoff could otherwise diverge from the oracle's ordering.
     QueryDef.sql("q65_approx_topk",
       """SELECT event_type AS item, count(*) AS est
         |FROM events GROUP BY event_type
@@ -1412,9 +1416,9 @@ object Relational {
         Tables.events(s, dir).createOrReplaceTempView("events_atk_v")
         s.sql(
           """SELECT t.elem.item AS item, t.elem.count AS est
-            |FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS elem
+            |FROM (SELECT explode(approx_top_k(event_type, 100, 100)) AS elem
             |      FROM events_atk_v) t
-            |ORDER BY est DESC, item""".stripMargin)
+            |ORDER BY est DESC, item LIMIT 3""".stripMargin)
       }
     },
 
@@ -1426,7 +1430,9 @@ object Relational {
     // sketch + today's delta at 100 TB). Unlike q50, this one IS
     // oracle-checkable: with 5 event types ≪ 100 tracked items the
     // sketch never evicts, so the merged estimates are exactly the
-    // per-type counts the oracle computes.
+    // per-type counts the oracle computes. As in q65, estimate ALL
+    // tracked items and take the top 3 with an explicit
+    // (est DESC, item) sort — never the sketch's own tie-break.
     QueryDef.sql("q66_topk_rollup",
       """SELECT event_type AS item, count(*) AS est
         |FROM events GROUP BY event_type
@@ -1441,9 +1447,9 @@ object Relational {
             |merged AS (
             |  SELECT approx_top_k_combine(sk, 100) AS sk FROM daily)
             |SELECT t.elem.item AS item, t.elem.count AS est
-            |FROM (SELECT explode(approx_top_k_estimate(sk, 3)) AS elem
+            |FROM (SELECT explode(approx_top_k_estimate(sk, 100)) AS elem
             |      FROM merged) t
-            |ORDER BY est DESC, item""".stripMargin)
+            |ORDER BY est DESC, item LIMIT 3""".stripMargin)
       }
     },
 

@@ -48,7 +48,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "que", "en", "un"),
     "fr" -> Seq("le", "les", "et", "est", "dans", "pour", "un"))
 
-  private val toksCte =
+  private[operators] val toksCte =
     """toks AS (
       |  SELECT *, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin

@@ -26,25 +26,25 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 10)
   }
 
-  test("semanticClusters: argmax-cosine assignment via a broadcast array, no big-side shuffle") {
-    // 16 one-hot 16-d centroids (vec_ids 0..15, the SemK lowest ids) plus
-    // two satellites: 100 = all-ones (cos 1/4 to EVERY centroid — a pure
-    // tie, must break to the lowest cid = 0), 101 = axis-5-dominant.
+  test("semanticClusters: k-means-fitted assignment as a zero-join plan-literal projection") {
+    // 16 well-separated stationary clusters: vec_ids 0..15 are scaled
+    // one-hots (the fit's init picks exactly these), and each satellite
+    // 100+i duplicates base i — so every per-cluster mean equals its
+    // init centroid, Lloyd's loop is stationary, and the assignment is
+    // fully predictable: base i and satellite 100+i land in cluster i.
     val dim = 16
-    def oneHot(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
-    val rows = (0 until dim).map(i => i.toLong -> oneHot(i)) ++ Seq(
-      100L -> Array.fill(dim)(1f),
-      101L -> Array.tabulate(dim)(j => if (j == 5) 9f else 1f))
+    def axis(i: Int) = Array.tabulate(dim)(j => if (j == i) 4f else 0f)
+    val rows = (0 until dim).map(i => i.toLong -> axis(i)) ++
+      (0 until dim).map(i => (100L + i) -> axis(i))
     val asn = Dedup.semanticClusters(rows.toDF("vec_id", "embedding"))
     val m = asn.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert((0 until dim).forall(i => m(i.toLong) === i.toLong)) // self wins at cos 1.0
-    assert(m(100L) === 0L)  // all-tied -> lowest centroid id
-    assert(m(101L) === 5L)  // dominant component wins, not the lowest id
-    // the scale claim: the probe side is a pure projection over the scan;
-    // the only join is the broadcast of the one-row centroid array.
+    assert((0 until dim).forall(i => m(i.toLong) === i.toLong))
+    assert((0 until dim).forall(i => m(100L + i) === i.toLong))
+    // the scale claim: query-time assignment carries the fitted k×dim
+    // centroids as plan LITERALS — no join, no exchange, pure projection
     val plan = asn.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"assignment should broadcast the centroid array:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"assignment should be a literal projection:\n$plan")
   }
 
   test("d12 drops the higher-id member of above-threshold in-cluster pairs and keeps the rest") {
