@@ -116,9 +116,21 @@ object KMeans {
   }
 
   /** Per-cluster sizes + inertia (sum of squared distances to the
-    * assigned centroid) — the fit-quality summary. */
-  def summarize(emb: DataFrame, vecCol: String, idCol: String, model: Model): DataFrame =
-    assign(emb, vecCol, idCol, model)
+    * assigned centroid) — the fit-quality summary. `distDecimals`
+    * rounds each d2 before assignment, and switches the inertia sum to
+    * EXACT integer arithmetic (each rounded d2 scaled to a long):
+    * summing doubles is order-dependent and a half-ulp of cross-engine
+    * drift can land exactly on the output rounding boundary, while a
+    * sum of longs is associative and bit-identical everywhere. */
+  def summarize(emb: DataFrame, vecCol: String, idCol: String, model: Model,
+      distDecimals: Int = -1): DataFrame = {
+    val inertia =
+      if (distDecimals >= 0) {
+        val scale = math.pow(10, distDecimals)
+        round(sum(round(col("d2") * scale).cast("long")) / scale, 4)
+      } else round(sum("d2"), 4)
+    assign(emb, vecCol, idCol, model, distDecimals)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
+      .agg(count(lit(1)).as("n"), inertia.as("inertia"))
+  }
 }

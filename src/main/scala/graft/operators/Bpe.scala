@@ -97,7 +97,7 @@ object Bpe {
     * fixed round count needs none). Each round re-derives the pair
     * counts, picks the same (cnt DESC, pa, pb) argmax, and applies the
     * same delimiter-exact replace. */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeChain(rounds: Int): String = {
     val perRound = (1 to rounds).map { k =>
       s"""sy$k AS (
          |  SELECT freq,
@@ -113,28 +113,77 @@ object Bpe {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT pa, pb, cnt FROM pc$k ORDER BY cnt DESC, pa, pb LIMIT 1),
          |w$k AS (
-         |  SELECT freq, replace(s, chr(1) || b.pa || chr(2) || chr(1) || b.pb || chr(2),
-         |                          chr(1) || b.pa || b.pb || chr(2)) AS s
+         |  SELECT word, freq,
+         |         replace(s, chr(1) || b.pa || chr(2) || chr(1) || b.pb || chr(2),
+         |                    chr(1) || b.pa || b.pb || chr(2)) AS s
          |  FROM w${k - 1}, b$k b)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds)
-      .map(k => s"SELECT $k AS round, pa, pb, cnt FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH ${TextAnalysis.toksCte},
+    s"""${TextAnalysis.toksCte},
        |wd AS (
        |  SELECT w AS word, count(*) AS freq
        |  FROM (SELECT unnest(t) AS w FROM toks)
        |  WHERE regexp_matches(w, '^[ -~]+$$')
        |  GROUP BY 1),
-       |w0 AS (SELECT freq, regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |w0 AS (SELECT word, freq,
+       |       regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
        |       FROM wd),
-       |$perRound
+       |$perRound""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int): String = {
+    val unions = (1 to rounds)
+      .map(k => s"SELECT $k AS round, pa, pb, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChain(rounds)}
        |$unions""".stripMargin
   }
+
+  /** The encode oracle rides the same training chain: after `rounds`
+    * merges, w<rounds>.s IS every word's encoded form, so per-doc token
+    * counts are one join from doc tokens to the trained vocab. */
+  private def encodeSql(rounds: Int): String =
+    s"""WITH ${bpeChain(rounds)},
+       |fx AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+       |  WHERE regexp_matches(w, '^[ -~]+$$'))
+       |SELECT fx.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(list_filter(string_split(v.s, chr(2)), x -> x <> ''))) AS BIGINT)
+       |         AS n_tokens
+       |FROM fx JOIN w$rounds v ON v.word = fx.w
+       |GROUP BY fx.doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t24_bpe_train", bpeSql(Rounds)) { (s, dir) =>
       train(words(s, dir), Rounds)
+    },
+
+    // Tokenizer APPLICATION — encode the corpus with the merges t24
+    // learned and report per-doc BPE token counts (the feed for packing
+    // t12 / curriculum t16 when budgets are in REAL tokens, not
+    // whitespace words). Scale shape: the merge list is vocab-sized
+    // driver data, so encoding is a PURE codegen projection — the
+    // `rounds` chained replaces ride the token scan with no join and no
+    // shuffle beyond the final per-doc count; the oracle instead joins
+    // each doc token to the trained vocab's encoded form (same function,
+    // different plan — their agreement is itself evidence the encode is
+    // a pure function of the word). */
+    QueryDef.sql("t25_bpe_encode", encodeSql(Rounds)) { (s, dir) =>
+      val mlist = train(words(s, dir), Rounds)
+        .collect().sortBy(_.getInt(0))
+      val enc0 = regexp_replace(col("w"), "(.)", S1 + "$1" + S2)
+      val encoded = mlist.foldLeft(enc0) { (acc, r) =>
+        val (pa, pb) = (r.getString(1), r.getString(2))
+        replace(acc, lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[ -~]+$"))
+        .select(col("doc_id"),
+          size(filter(split(encoded, S2), x => x =!= lit(""))).as("nt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"))
     }
   )
 }

@@ -315,7 +315,7 @@ object Dedup {
   /** DuckDB squared-L2 between a float-list column and a double-list
     * centroid, rounded — the oracle twin of KMeans' sqDist + the
     * distance quantization d12's fit applies. */
-  private def sqDistSql(e: String, c: String, dp: Int): String =
+  private[operators] def sqDistSql(e: String, c: String, dp: Int): String =
     s"""round(list_sum(list_transform(range(1, len($e)+1),
        |      i -> ($e[i]::DOUBLE - $c[i]) * ($e[i]::DOUBLE - $c[i]))), $dp)""".stripMargin
 
@@ -328,7 +328,7 @@ object Dedup {
     * `cent<iters>(cid, ce)`. The per-round rounding is the cross-engine
     * sync: both sides restart each round from identical decimal values,
     * so neither engine's summation order can drift the fit. */
-  private def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int): String = {
+  private[operators] def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int): String = {
     val rounds = (1 to iters).map { j =>
       s"""kd$j AS (
          |  SELECT e.vec_id, c.cid, ${sqDistSql("e.embedding", "c.ce", dp2)} AS d2

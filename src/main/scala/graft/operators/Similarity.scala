@@ -307,13 +307,30 @@ object Similarity {
 
     // The unsupervised IVF fit: deterministic Lloyd's k-means (see
     // graft.functions.KMeans — broadcast centroids, one corpus pass per
-    // iteration). Rows-only driver check (iterative model, no SQL
-    // oracle); convergence and recovery are asserted in KMeansSpec.
-    QueryDef.noOracle("s06_kmeans_ivf_fit") {
+    // iteration), now hash-checked end-to-end: the oracle re-derives the
+    // fit with Dedup.kmeansCtes (the d12 machinery — per-round means
+    // quantized to 4dp, distances to 6dp re-sync both engines every
+    // round) and summarizes sizes + inertia over the final assignment.
+    // Convergence and recovery stay asserted in KMeansSpec.
+    QueryDef.sql("s06_kmeans_ivf_fit",
+      s"""WITH ${Dedup.kmeansCtes(8, 3, 4, 6)},
+         |fd AS (
+         |  SELECT e.vec_id, c.cid, ${Dedup.sqDistSql("e.embedding", "c.ce", 6)} AS d2
+         |  FROM embeddings e, cent3 c),
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |       round(sum(CAST(round(d2 * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS inertia
+         |FROM asn GROUP BY cluster""".stripMargin) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id", k = 8, iters = 3)
-        graft.functions.KMeans.summarize(emb, "embedding", "vec_id", model)
+        val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id",
+          k = 8, iters = 3, meanDecimals = 4, distDecimals = 6)
+        graft.functions.KMeans.summarize(emb, "embedding", "vec_id", model,
+          distDecimals = 6)
+          .select(col("cluster").cast("long").as("cluster"), col("n"), col("inertia"))
       }
     },
 

@@ -42,4 +42,25 @@ class BpeSpec extends SparkSpec {
     val got = merges(Seq(("a", 10L), ("bc", 1L)), rounds = 1)
     assert(got === Seq((1, "b", "c", 1L)))
   }
+
+  test("t25 encode: token counts shrink by applied merges; the encode plan joins nothing") {
+    // corpus: "aa aa ab" ×1 doc + "aa b" ×1 doc. Training (10 rounds on
+    // this vocab) merges (a,a) first; doc token counts must reflect the
+    // applied merges: every 'aa' word encodes to ONE symbol.
+    val dir = java.nio.file.Files.createTempDirectory("t25spec").toString
+    Seq((1L, "aa aa ab"), (2L, "aa b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = graft.SparkEntry.queries("t25_bpe_encode")(spark, dir)
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // r1 merges (a,a): "aa"->1 symbol; "ab" merges later rounds too
+    // (vocab is tiny so every pair eventually merges): all words end as
+    // single symbols within 10 rounds
+    assert(got(1L) === ((3L, 3L)), "3 words, each fully merged to 1 token")
+    assert(got(2L) === ((2L, 2L)))
+    // scale claim: encoding is a projection — no join in the plan
+    // (training jobs ran eagerly before the returned frame was built)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+  }
 }
