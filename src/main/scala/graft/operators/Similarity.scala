@@ -716,6 +716,89 @@ object Similarity {
           .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
           .limit(5)
       }
+    },
+
+    // Filtered vector search — the feature every production vector store
+    // ships (tenant / date / ACL predicates composed with ANN): top-10
+    // among vectors satisfying a metadata predicate (vec_id even — the
+    // stand-in for a tenant filter uncorrelated with the index cells).
+    // PRE-filter design: the predicate rides the inverted-list scan
+    // itself (one codegen'd conjunct next to the cell membership test),
+    // never a post-cut of an already-truncated top-k — post-filtering
+    // returns < k results whenever the filter is selective. Because a
+    // selective filter can empty the best cell entirely, the probe is
+    // the multiprobe (nprobe=2) variant: the recall knob is how filtered
+    // search keeps recall without scanning the whole corpus.
+    QueryDef.sql("s16_filtered_ann", {
+      val cos = cosSql("a", "q")
+      val qcCos =
+        """round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      s"""WITH $ivfCtes,
+         |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         |top2 AS (
+         |  SELECT c.label AS clabel FROM cent c, q
+         |  ORDER BY $qcCos DESC, c.label LIMIT 2)
+         |SELECT a.vec_id, $cos AS cos
+         |FROM assigned a JOIN top2 t ON a.clabel = t.clabel, q
+         |WHERE a.vec_id <> 0 AND a.vec_id % 2 = 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cent = labelCentroids(emb)
+        val assigned = ivfAssigned(emb, cent)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val top2 = cent.crossJoin(broadcast(q))
+          .select(col("clabel"), VectorOps.cosineR(col("cvec"), col("qe")).as("qcos"))
+          .orderBy(col("qcos").desc, col("clabel"))
+          .limit(2)
+          .select("clabel")
+        assigned.join(broadcast(top2), Seq("clabel"))
+          .filter(col("vec_id") =!= 0 && col("vec_id") % 2 === 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
+    },
+
+    // kNN-graph construction — each vector's top-3 in-bucket neighbors:
+    // the build step graph-based ANN (NN-descent seeding) and SemDeDup
+    // both start from, and the one ANN workload that is a JOIN, not a
+    // query. Sign-LSH buckets (4 planes) make candidate generation a
+    // bucket-keyed self-join — never all-pairs; at 100 TB the knobs are
+    // more planes (smaller buckets) and multiple bands unioned for
+    // recall, exactly d02's layout, and the shuffle is partitioned by
+    // the bucket key on both sides. The per-vector top-3 cut is a
+    // rank-over-high-cardinality-key window that Spark 4 executes as a
+    // map-side WindowGroupLimit before the final shuffle — each task
+    // forwards at most 3 rows per vector, so the window never funnels.
+    QueryDef.sql("s17_knn_graph",
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, ${bucketSql(4)} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nbr, cos, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
+         |  FROM p) WHERE rk <= 3""".stripMargin) {
+      (s, dir) => {
+        val sig = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("embedding"),
+          VectorOps.hyperplaneBucket(col("embedding"), planes = 4).as("bucket"))
+        val nbrs = sig.select(
+          col("bucket"), col("vec_id").as("nbr"), col("embedding").as("ne"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+        sig.join(nbrs, Seq("bucket"))
+          .filter(col("vec_id") =!= col("nbr"))
+          .select(col("vec_id"), col("nbr"),
+            VectorOps.cosineR(col("embedding"), col("ne")).as("cos"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+      }
     }
   )
 }

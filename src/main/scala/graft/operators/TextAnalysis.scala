@@ -802,6 +802,32 @@ object TextAnalysis {
           .agg(sum(when(gate, 1L).otherwise(0L)).as("n_kept"))
           .select("source", "n_total", "n_kept", "rate")
       }
+    },
+
+    // Per-source document caps — the domain-cap retention pass of web
+    // corpus prep (a handful of giant domains otherwise dominate the
+    // mix): keep at most 15 docs per source, retention priority longest
+    // first (n_chars DESC, doc_id tiebreak). Unlike t13/t23's hash-rate
+    // sampling this is a RANKED cut — the cap keeps the best docs, not a
+    // random share. Scale shape: rank-then-filter over a per-source
+    // window, which Spark 4 rewrites to a map-side WindowGroupLimit —
+    // every task forwards at most 15 rows per source before the
+    // exchange, so a source with a billion docs shuffles 15·tasks rows,
+    // not a billion (asserted in TextAnalysisSpec).
+    QueryDef.sql("t26_source_caps",
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 15""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 15)
+          .select("doc_id", "source", "rk")
+      }
     }
   )
 }

@@ -61,4 +61,36 @@ class SimilaritySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("s16 pre-filters: full k results, all satisfying the predicate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("s16_filtered_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the pre-filter property: a post-filter of an unfiltered top-10
+    // would surface however many evens happened to rank — typically < k;
+    // pushing the predicate into the cell scan always fills k (the
+    // filtered candidate pool in 2 cells is far larger than 10)
+    assert(rows.length === 10, rows.mkString(","))
+    assert(rows.forall { case (id, _) => id % 2 == 0 && id != 0 }, rows.mkString(","))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "descending cosine")
+  }
+
+  test("s17 kNN graph: <=3 ranked neighbors per vector; rank cut is a map-side group limit") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("s17_knn_graph")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byVec = got.groupBy(_._1)
+    assert(byVec.nonEmpty)
+    byVec.foreach { case (v, es) =>
+      assert(es.length <= 3, s"vec $v has ${es.length} neighbors")
+      assert(es.map(_._4).sorted.toSeq === (1L to es.length).toSeq, s"ranks of $v")
+      assert(es.forall(_._2 != v), s"self-edge at $v")
+      // ranks follow (cos desc, nbr) exactly
+      val ordered = es.sortBy(e => (-e._3, e._2)).map(_._4).toSeq
+      assert(ordered === (1L to es.length).toSeq, s"rank order of $v")
+    }
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -68,4 +68,27 @@ class TextAnalysisSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("t26 caps each source at 15 by length; the rank-filter runs as a map-side group limit") {
+    val d = java.nio.file.Files.createTempDirectory("t26spec").toString
+    // big: 20 docs, lengths 100..2000 — cap must keep the 15 LONGEST
+    // (400..2000); small: 3 docs, all kept. Equal-length tie inside big
+    // (extra doc 99 duplicates length 2000) resolves by doc_id.
+    val rows = (1L to 20L).map(i => (i, "big", i * 100L)) ++
+      Seq((99L, "big", 2000L), (30L, "small", 5L), (31L, "small", 9L), (32L, "small", 7L))
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val df = graft.SparkEntry.queries("t26_source_caps")(spark, d)
+    val got = df.collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val big = got.keys.filter(_._1 == "big").map(_._2).toSet
+    assert(big.size === 15)
+    assert(!big.contains(6L), "length-600 doc must fall below the cap")
+    // tie at n_chars=2000: doc 20 before doc 99 (doc_id tiebreak) — both kept
+    assert(got(("big", 20L)) === 1L && got(("big", 99L)) === 2L)
+    assert(got.keys.count(_._1 == "small") === 3)
+    // the scale claim: rank<=cap is executed as WindowGroupLimit (each
+    // task forwards at most 15 rows per source before the exchange)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
