@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.pipeline.Sources
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit, min, parse_json, sum, variant_get}
+import org.apache.spark.sql.functions.{col, count, lit, md5, min, parse_json, regexp_extract, sum, variant_get}
 
 /** Driver-visible gates for the source/sink formats beyond parquet/CSV:
   *
@@ -134,6 +134,38 @@ object SourceProbes {
         .filter(col("doc_id") >= 25000L && col("doc_id") < 75000L)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+    },
+
+    // binaryFile source — how raw media corpora (image/audio dumps)
+    // enter a multimodal pipeline: one row per file with (path, length,
+    // content: binary), no decode at scan time. Files here carry each
+    // nation's name bytes keyed by nationkey in the filename, so the
+    // oracle can re-derive every output cell from the parquet table and
+    // pin the ingest losslessly (length + md5 of content). Scale shape:
+    // listing is driver-side but read tasks are per-file splits;
+    // `pathGlobFilter` prunes non-matching files at listing (here a
+    // planted .tmp decoy), and a production layout adds
+    // `recursiveFileLookup` over a date-partitioned tree. The tiny-files
+    // problem this source embodies is exactly what m-family batching +
+    // the compaction operator solve downstream.
+    QueryDef.sql("src06_binaryfile_ingest",
+      """SELECT n_nationkey, CAST(length(n_name) AS BIGINT) AS n_bytes,
+        |       md5(n_name) AS content_md5
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val out = workDir.resolve("nation_bin")
+      java.nio.file.Files.createDirectories(out)
+      Tables.nation(s, dir).select("n_nationkey", "n_name").collect().foreach { r =>
+        java.nio.file.Files.write(out.resolve(s"${r.getAs[Number](0).longValue}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      java.nio.file.Files.write(out.resolve("ignore.tmp"), Array[Byte](1, 2, 3))
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out.toString)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("int").as("n_nationkey"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
     },
 
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
