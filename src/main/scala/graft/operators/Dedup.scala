@@ -328,11 +328,12 @@ object Dedup {
     * `cent<iters>(cid, ce)`. The per-round rounding is the cross-engine
     * sync: both sides restart each round from identical decimal values,
     * so neither engine's summation order can drift the fit. */
-  private[operators] def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int): String = {
+  private[operators] def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int,
+      src: String = "embeddings"): String = {
     val rounds = (1 to iters).map { j =>
       s"""kd$j AS (
          |  SELECT e.vec_id, c.cid, ${sqDistSql("e.embedding", "c.ce", dp2)} AS d2
-         |  FROM embeddings e, cent${j - 1} c),
+         |  FROM $src e, cent${j - 1} c),
          |ka$j AS (
          |  SELECT vec_id, cid AS cluster FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
@@ -342,7 +343,7 @@ object Dedup {
          |  FROM ka$j a JOIN (
          |    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          |           unnest(embedding)::DOUBLE AS v
-         |    FROM embeddings) x ON x.vec_id = a.vec_id
+         |    FROM $src) x ON x.vec_id = a.vec_id
          |  GROUP BY 1, 2),
          |cent$j AS (
          |  SELECT p.cid, coalesce(mm.ce, p.ce) AS ce
@@ -353,7 +354,7 @@ object Dedup {
     s"""cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |         list_transform(embedding, x -> x::DOUBLE) AS ce
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k)),
        |$rounds""".stripMargin
   }
 

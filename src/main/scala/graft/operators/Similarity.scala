@@ -799,6 +799,43 @@ object Similarity {
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
       }
+    },
+
+    // IVF index upsert — the d14 story for ANN: a DELTA batch
+    // (vec_id % 10 = 0, d14's convention) is folded into an existing
+    // index by assigning it to the FROZEN centroids fitted on the index
+    // side only. No refit on ingest — the fit is the rare offline job;
+    // nightly maintenance is one zero-shuffle projection of the delta
+    // (centroids travel as plan literals) + an nlist-sized count agg.
+    // Per-cell index/delta counts are the drift report an operator
+    // watches to decide WHEN a refit is due (cells ballooning = the
+    // frozen quantizer no longer fits the data distribution).
+    QueryDef.sql("s18_ivf_upsert",
+      s"""WITH idx AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+         |${Dedup.kmeansCtes(8, 2, 4, 6, src = "idx")},
+         |fd AS (
+         |  SELECT e.vec_id, e.vec_id % 10 = 0 AS is_delta, c.cid,
+         |         ${Dedup.sqDistSql("e.embedding", "c.ce", 6)} AS d2
+         |  FROM embeddings e, cent2 c),
+         |asn AS (
+         |  SELECT vec_id, is_delta, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1)
+         |SELECT cluster, CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_index,
+         |       CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+         |FROM asn GROUP BY cluster""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.KMeans.fit(
+          emb.filter(col("vec_id") % 10 =!= 0), "embedding", "vec_id",
+          k = 8, iters = 2, meanDecimals = 4, distDecimals = 6)
+        emb.select(
+          model.clusterOf(col("embedding"), 6).cast("long").as("cluster"),
+          (col("vec_id") % 10 === 0).as("is_delta"))
+          .groupBy("cluster")
+          .agg(sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_index"),
+            sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      }
     }
   )
 }

@@ -93,4 +93,17 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("s18 upsert: every vector lands in a cell; the ingest path joins nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("s18_ivf_upsert")(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.map(t => t._2 + t._3).sum === total, "index + delta counts cover the corpus")
+    assert(rows.map(_._3).sum > 0, "the delta batch is non-empty")
+    // the maintenance claim: after the (already-collected) fit, folding
+    // the delta in is a pure projection + one tiny agg — no join anywhere
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), plan)
+  }
 }
