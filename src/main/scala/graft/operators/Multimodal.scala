@@ -332,6 +332,72 @@ object Multimodal {
           .select(col("phash"), col("m.doc_id").as("keep_id"),
             (-col("m.neg")).as("kept_bytes"), col("n_copies"))
       }
+    },
+
+    // Text↔media alignment filtering — the CLIP-score gate of multimodal
+    // corpus prep (LAION-style: embed both sides, keep pairs whose
+    // cosine clears a threshold). Media side: the m04 feature extractor
+    // (16-bin payload histogram through the batch-decode seam where the
+    // vision tower runs); text side: the s15 stand-in encoder (16 dims
+    // of half-integer token-hash sums — exact in fp, the language tower
+    // slot). The score is one id-keyed join (bucketable: m07's layout
+    // makes it zero-Exchange) + a codegen'd in-order 16-dim cosine;
+    // nothing about the plan changes when real towers replace the
+    // deterministic stand-ins at the mapPartitions boundary.
+    QueryDef.sql("m10_alignment_filter", {
+      val hx = "upper(hex(text::BLOB))"
+      val n = "octet_length(text::BLOB)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             x -> x <> '') AS t
+         |  FROM documents),
+         |tv AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, 17), i ->
+         |           list_sum(list_transform(t, tok ->
+         |             strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 8.5))) AS tv
+         |  FROM toks WHERE len(t) > 0),
+         |mv AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 16), d ->
+         |           len(list_filter(range(0, CAST($n AS BIGINT)),
+         |             j -> substr($hx, CAST(2*j+1 AS BIGINT), 1)
+         |                  = substr('0123456789ABCDEF', CAST(d+1 AS BIGINT), 1)))
+         |           / greatest($n, 1)) AS mv
+         |  FROM documents WHERE $n > 0),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |         list_sum(list_transform(range(1, 17), i -> tv[i] * mv[i])) AS dt,
+         |         list_sum(list_transform(range(1, 17), i -> tv[i] * tv[i])) AS tn,
+         |         list_sum(list_transform(range(1, 17), i -> mv[i] * mv[i])) AS mn
+         |  FROM tv t JOIN mv m ON t.doc_id = m.doc_id)
+         |SELECT doc_id, round(dt / (sqrt(tn) * sqrt(mn)), 6) AS align,
+         |       round(dt / (sqrt(tn) * sqrt(mn)), 6) >= 0.0 AS kept
+         |FROM sc WHERE tn > 0 AND mn > 0""".stripMargin
+    }) {
+      (s, dir) => {
+        implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+        val docs = Tables.documents(s, dir)
+        val media = docs
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaRow]
+        val mv = extractFeatures(media).toDF()
+          .select(col("doc_id"), col("features").as("mv"))
+        val t = graft.functions.Exprs.tokens(col("text"))
+        val tvCol = transform(sequence(lit(1), lit(16)), i =>
+          aggregate(col("t"), lit(0.0), (acc, tok) =>
+            acc + conv(md5(tok).substr(i, lit(1)), 16, 10).cast("double") - 7.5))
+        val tv = docs.select(col("doc_id"), t.as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), tvCol.as("tv"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val align = round(dot(col("tv"), col("mv")) /
+          (sqrt(dot(col("tv"), col("tv"))) * sqrt(dot(col("mv"), col("mv")))), 6)
+        tv.join(mv, Seq("doc_id"))
+          .filter(dot(col("tv"), col("tv")) > 0 && dot(col("mv"), col("mv")) > 0)
+          .select(col("doc_id"), align.as("align"), (align >= 0.0).as("kept"))
+      }
     }
   )
 }
