@@ -39,7 +39,13 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "t22_quality_classifier" -> 1, // explode + two-phase agg
     "d01_exact_dedup" -> 1, // one content-hash shuffle
     "s01_knn_bruteforce" -> 1, // broadcast query + TakeOrdered (limit shuffle)
-    "s14_matryoshka_rerank" -> 2) // two TakeOrdered tiers
+    "s14_matryoshka_rerank" -> 2, // two TakeOrdered tiers
+    "t25_bpe_encode" -> 1, // merge-applied encode is a projection; one doc agg
+    "t26_source_caps" -> 1, // one source-keyed window (map-side group limit)
+    "s16_filtered_ann" -> 0, // filter+probe ride broadcasts; TakeOrdered local
+    "s17_knn_graph" -> 3, // bucket self-join (≤2 under SMJ at scale) + rank window
+    "s18_ivf_upsert" -> 1, // literal-centroid projection + one nlist agg
+    "m10_alignment_filter" -> 2) // id-keyed tower join (0 when broadcast/bucketed)
 
   test("audited queries stay inside their shuffle budgets") {
     val failures = budgets.flatMap { case (name, budget) =>

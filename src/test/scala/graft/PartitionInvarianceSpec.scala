@@ -21,7 +21,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t13_stratified_sample", // hash-gated sampling (retry safety)
     "t23_mixture_sample", // derived-rate sampling
     "s01_knn_bruteforce", // rounded cosine ranking
-    "t22_quality_classifier") // integer feature sums
+    "t22_quality_classifier", // integer feature sums
+    "s06_kmeans_ivf_fit", // iterative fit + integer-scaled inertia sum
+    "s17_knn_graph", // in-bucket cosine ties under rank cut
+    "t25_bpe_encode", // collected merge list + per-doc token agg
+    "m10_alignment_filter") // in-order 16-dim fold cosine gate
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
