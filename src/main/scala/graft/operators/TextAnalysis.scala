@@ -828,6 +828,33 @@ object TextAnalysis {
           .filter(col("rk") <= 15)
           .select("doc_id", "source", "rk")
       }
+    },
+
+    // Deterministic training order — the reproducible global shuffle a
+    // training run needs (same corpus, same seed → byte-identical batch
+    // order across reruns, retries, partitionings): order = content hash
+    // of (seed, doc_id), materialized TWO-LEVEL as (shard = first hash
+    // byte, pos = rank within shard by full hash). The loader consumes
+    // shards in shard order and rows in pos order, which IS the global
+    // hash order — but no operator ever runs a global sort: the rank
+    // window partitions on 256 shards of N/256 rows each, so the "corpus
+    // shuffle" costs one hash-keyed exchange, never a single-partition
+    // row_number funnel (the classic driver-shaped mistake at 100 TB).
+    QueryDef.sql("t27_training_order",
+      """SELECT doc_id, substr(md5('ord:' || doc_id), 1, 2) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY substr(md5('ord:' || doc_id), 1, 2)
+        |         ORDER BY md5('ord:' || doc_id), doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(concat(lit("ord:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), h.as("h"), substring(h, 1, 2).as("shard"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+      }
     }
   )
 }

@@ -25,7 +25,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s06_kmeans_ivf_fit", // iterative fit + integer-scaled inertia sum
     "s17_knn_graph", // in-bucket cosine ties under rank cut
     "t25_bpe_encode", // collected merge list + per-doc token agg
-    "m10_alignment_filter") // in-order 16-dim fold cosine gate
+    "m10_alignment_filter", // in-order 16-dim fold cosine gate
+    "t27_training_order") // hash-ordered two-level shuffle
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
