@@ -481,6 +481,17 @@ object TextAnalysis {
     // assignment. Total order (ttr, doc_id) keeps both engines aligned —
     // AFTER excluding zero-token docs, whose NULL ttr (0/0) the engines
     // would order differently (Spark NULLS FIRST, DuckDB NULLS LAST).
+    // Scale note (round 7): the obvious `ntile(4) OVER (ORDER BY …)`
+    // is a SINGLE-PARTITION window — every doc funnels through one task
+    // (Spark even warns). This form computes the identical ntile
+    // assignment distributed, the two-phase zipWithIndex pattern: range-
+    // repartition on the total order (materialized once so partition ids
+    // are stable across the two jobs), collect only the P per-partition
+    // COUNTS, broadcast their running offsets back as a map literal, and
+    // derive each row's global rank as offset(pid) + local rank — a
+    // per-partition window. The ntile bucket then falls out of the
+    // closed-form split (first N%4 buckets get one extra row), so the
+    // oracle keeps the plain ntile SQL and the results are bit-equal.
     QueryDef.sql("t16_curriculum_bins",
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, lang, len(list_distinct(t)) / len(t) AS ttr
@@ -490,13 +501,31 @@ object TextAnalysis {
          |FROM b GROUP BY 1, 2""".stripMargin) {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        Tables.documents(s, dir)
+        val parted = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), Exprs.tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
           .select(col("doc_id"), col("lang"),
             (size(array_distinct(col("t"))) / size(col("t"))).as("ttr"))
-          .withColumn("bin",
-            ntile(4).over(Window.orderBy("ttr", "doc_id")).cast("long"))
+          .repartitionByRange(col("ttr"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
+        val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (p, c)) => p -> (acc + c) }
+          .init.map(_._2).zip(counts.map(_._1)).map { case (off, p) => p -> off }
+        val offCol = element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+        // 0-based global rank in (ttr, doc_id) order, no global window
+        val gi = offCol + row_number().over(
+          Window.partitionBy("pid").orderBy("ttr", "doc_id")) - 1
+        // ntile(4): first r buckets take q+1 rows, the rest q
+        val (bq, br) = (lit(n / 4), lit(n % 4))
+        val cut = br * (bq + 1)
+        val bin = when(gi < cut, floor(gi / (bq + 1)) + 1)
+          .otherwise(br + floor((gi - cut) / bq) + 1)
+        parted
+          .withColumn("bin", bin.cast("long"))
           .groupBy("bin", "lang").agg(count(lit(1)).as("n"))
       }
     },

@@ -26,7 +26,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s17_knn_graph", // in-bucket cosine ties under rank cut
     "t25_bpe_encode", // collected merge list + per-doc token agg
     "m10_alignment_filter", // in-order 16-dim fold cosine gate
-    "t27_training_order") // hash-ordered two-level shuffle
+    "t27_training_order", // hash-ordered two-level shuffle
+    "t16_curriculum_bins") // distributed ntile via offsets + closed form
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
