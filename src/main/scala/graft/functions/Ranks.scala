@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row numbering — the two-phase zipWithIndex pattern.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY is a
+  * single-partition window: every row funnels through one task (Spark
+  * warns at runtime), which is the classic scale cliff for "rank the
+  * whole table" steps. This computes the identical 1-based rank
+  * distributed: range-repartition on the total order (materialized once
+  * so partition ids are stable across jobs), collect only the P
+  * per-partition COUNTS, broadcast their running offsets back as a map
+  * literal, and each row's global rank is offset(pid) + its rank within
+  * a per-partition window. Two jobs, one range exchange, nothing
+  * corpus-sized on the driver.
+  */
+object Ranks {
+
+  /** `df` plus a LongType `rankCol` holding the 1-based global rank in
+    * the total order of `sortExprs` (which must be a total order — add
+    * a unique tiebreak column), and the total row count. The returned
+    * frame is localCheckpointed (the range layout is materialized; the
+    * caller's downstream plan starts from it). */
+  def globalRowNumber(df: DataFrame, rankCol: String, sortExprs: Column*): (DataFrame, Long) = {
+    val parted = df
+      .repartitionByRange(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (p, c)) => p -> (acc + c) }
+      .init.map(_._2).zip(counts.map(_._1)).map { case (off, p) => p -> off }
+    val ranked =
+      if (offsets.isEmpty) parted.withColumn(rankCol, lit(0L))
+      else {
+        val offCol = element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+        parted.withColumn(rankCol,
+          (offCol + row_number().over(
+            Window.partitionBy("__pid").orderBy(sortExprs: _*))).cast("long"))
+      }
+    (ranked.drop("__pid"), n)
+  }
+}

@@ -500,31 +500,20 @@ object TextAnalysis {
          |SELECT CAST(bin AS BIGINT) AS bin, lang, count(*) AS n
          |FROM b GROUP BY 1, 2""".stripMargin) {
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val parted = Tables.documents(s, dir)
+        val q = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), Exprs.tokens(col("text")).as("t"))
           .filter(size(col("t")) > 0)
           .select(col("doc_id"), col("lang"),
             (size(array_distinct(col("t"))) / size(col("t"))).as("ttr"))
-          .repartitionByRange(col("ttr"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint(true)
-        val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        val n = counts.map(_._2).sum
-        val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (p, c)) => p -> (acc + c) }
-          .init.map(_._2).zip(counts.map(_._1)).map { case (off, p) => p -> off }
-        val offCol = element_at(
-          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
-        // 0-based global rank in (ttr, doc_id) order, no global window
-        val gi = offCol + row_number().over(
-          Window.partitionBy("pid").orderBy("ttr", "doc_id")) - 1
+        val (ranked, n) = graft.functions.Ranks.globalRowNumber(
+          q, "rn", col("ttr"), col("doc_id"))
+        val gi = col("rn") - 1 // 0-based global rank, no global window
         // ntile(4): first r buckets take q+1 rows, the rest q
         val (bq, br) = (lit(n / 4), lit(n % 4))
         val cut = br * (bq + 1)
         val bin = when(gi < cut, floor(gi / (bq + 1)) + 1)
           .otherwise(br + floor((gi - cut) / bq) + 1)
-        parted
+        ranked
           .withColumn("bin", bin.cast("long"))
           .groupBy("bin", "lang").agg(count(lit(1)).as("n"))
       }
@@ -649,9 +638,10 @@ object TextAnalysis {
     // a corpus-level quality gate next to the per-doc ones). Built on
     // the regr_* aggregate family. Scale shape: the corpus collapses to
     // VOCABULARY-sized term counts first (one partial-agg shuffle); the
-    // rank window and the regression run over that — millions of terms,
-    // not billions of tokens. The rank's global sort is the only
-    // single-partition step and it sees vocab-sized input by design.
+    // rank and regression run over that — millions of terms, not
+    // billions of tokens — and since round 7 even the vocab rank is
+    // distributed (Ranks.globalRowNumber two-phase form, no
+    // single-partition window anywhere in the plan).
     QueryDef.sql("t19_zipf_fit",
       s"""WITH $toksCte,
          |tc AS (
@@ -667,8 +657,8 @@ object TextAnalysis {
         val tc = Tables.documents(s, dir)
           .select(explode(Exprs.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val ranked = tc.select(col("cnt"),
-          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).as("rnk"))
+        val (ranked, _) = graft.functions.Ranks.globalRowNumber(
+          tc, "rnk", col("cnt").desc, col("tok"))
         ranked.agg(
           count(lit(1)).as("n_terms"),
           round(regr_slope(log(col("cnt")), log(col("rnk"))), 6).as("zipf_slope"),

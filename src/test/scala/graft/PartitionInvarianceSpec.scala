@@ -27,7 +27,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t25_bpe_encode", // collected merge list + per-doc token agg
     "m10_alignment_filter", // in-order 16-dim fold cosine gate
     "t27_training_order", // hash-ordered two-level shuffle
-    "t16_curriculum_bins") // distributed ntile via offsets + closed form
+    "t16_curriculum_bins", // distributed ntile via offsets + closed form
+    "t19_zipf_fit") // distributed vocab rank feeding regr_* aggs
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"

@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber equals the naive global window under any partition layout") {
+    // keys with heavy duplication in the sort prefix so range boundaries
+    // split equal-prefix runs across partitions — the tiebreak column
+    // must keep the rank total and exact
+    val rows = (1 to 257).map(i => (i.toLong, (i % 7).toLong))
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("id", "grp").repartition(parts)
+      val (ranked, n) = Ranks.globalRowNumber(df, "rn", col("grp").desc, col("id"))
+      assert(n === 257L)
+      val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = rows.sortBy { case (id, grp) => (-grp, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("globalRowNumber on an empty frame returns an empty frame and n=0") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "grp")
+    val (ranked, n) = Ranks.globalRowNumber(df, "rn", col("id"))
+    assert(n === 0L)
+    assert(ranked.count() === 0L)
+  }
+}
