@@ -836,6 +836,42 @@ object Similarity {
           .agg(sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_index"),
             sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
       }
+    },
+
+    // Tombstoned deletes — the other half of index maintenance (s18 is
+    // ingest): deletes land as a tombstone list (vec_id % 7 = 0 stands
+    // in), searches anti-join it (broadcast: the tombstone set is ≪ the
+    // corpus), and this report counts live vs dead per cell with a
+    // compaction flag where >25% of an inverted list is dead — the
+    // trigger for rewriting that cell's postings. Integer arithmetic for
+    // the flag (4·dead > total), one nlist-sized agg, no fp thresholds.
+    QueryDef.sql("s19_ann_tombstones",
+      s"""WITH ${Dedup.kmeansCtes(8, 2, 4, 6)},
+         |fd AS (
+         |  SELECT e.vec_id, e.vec_id % 7 = 0 AS dead, c.cid,
+         |         ${Dedup.sqDistSql("e.embedding", "c.ce", 6)} AS d2
+         |  FROM embeddings e, cent2 c),
+         |asn AS (
+         |  SELECT vec_id, dead, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1)
+         |SELECT cluster, CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+         |       CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+         |       4 * sum(CASE WHEN dead THEN 1 ELSE 0 END) > count(*) AS compact_due
+         |FROM asn GROUP BY cluster""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id",
+          k = 8, iters = 2, meanDecimals = 4, distDecimals = 6)
+        emb.select(
+          model.clusterOf(col("embedding"), 6).cast("long").as("cluster"),
+          (col("vec_id") % 7 === 0).as("dead"))
+          .groupBy("cluster")
+          .agg(sum(when(col("dead"), 0L).otherwise(1L)).as("n_live"),
+            sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead"))
+          .select(col("cluster"), col("n_live"), col("n_dead"),
+            (lit(4) * col("n_dead") > col("n_live") + col("n_dead")).as("compact_due"))
+      }
     }
   )
 }
