@@ -20,6 +20,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query-name filter for local iteration
+    // (never set by the driver: absent → the full registered board).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +49,7 @@ object Bench {
     // small-scale warm-up could compile different codegen than the timed
     // pass executes. Warm-up failures are ignored; the timed pass still
     // surfaces them as "err".
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () }
     }
@@ -77,7 +84,7 @@ object Bench {
     val shuffleCanary =
       (1 to TimedPasses).map(_ => shuffleCanaryOnce()).sorted.apply(TimedPasses / 2)
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       // noop sink, not count(): count() lets Catalyst prune every unused
       // column, so projection-only queries would be timed at ~zero cost.
       // The noop DSv2 writer consumes every row in full.

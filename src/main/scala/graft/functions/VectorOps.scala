@@ -49,6 +49,21 @@ object VectorOps {
   def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), planes, dim))
 
+  /** The deterministic 16-dim token-hash "text encoder" stand-in used by
+    * s15 chunk search and m10 alignment (dim i = Σ_tokens (md5 nibble i
+    * − 7.5); half-integer sums, exact in fp). The naive per-dim form
+    * re-hashes every token once per dimension — 16 md5 calls per token;
+    * this computes each token's md5 ONCE (bound as the outer transform's
+    * lambda variable, so the hash is materialized in the intermediate
+    * array) and folds per-dim sums in the same token order, so values
+    * are bit-identical to the per-dim form and to the SQL oracle. */
+  def tokenHashEmbedding(toks: Column): Column =
+    aggregate(
+      transform(toks, tok => md5(tok)),
+      array_repeat(lit(0.0), 16),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+        (a, i) => a + conv(h.substr(i.cast("int"), lit(1)), 16, 10).cast("double") - 7.5))
+
   /** ±1 coefficients of pseudo-random hyperplane `p` for dims 0..dim-1:
     * +1 iff the first hex digit of `md5("p:d")` is >= '8' (the hash's top
     * bit). Computed driver-side once — deterministic, no RNG state — and

@@ -384,12 +384,9 @@ object Multimodal {
         val mv = extractFeatures(media).toDF()
           .select(col("doc_id"), col("features").as("mv"))
         val t = graft.functions.Exprs.tokens(col("text"))
-        val tvCol = transform(sequence(lit(1), lit(16)), i =>
-          aggregate(col("t"), lit(0.0), (acc, tok) =>
-            acc + conv(md5(tok).substr(i, lit(1)), 16, 10).cast("double") - 7.5))
         val tv = docs.select(col("doc_id"), t.as("t"))
           .filter(size(col("t")) > 0)
-          .select(col("doc_id"), tvCol.as("tv"))
+          .select(col("doc_id"), VectorOps.tokenHashEmbedding(col("t")).as("tv"))
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val align = round(dot(col("tv"), col("mv")) /

@@ -699,10 +699,10 @@ object Similarity {
           Tables.documents(s, dir)
             .select(col("doc_id"), graft.functions.Exprs.tokens(col("text")).as("t")))
           .select(col("doc_id"), col("chunk_id"), split(col("chunk_text"), " ").as("ct"))
-        val embCol = transform(sequence(lit(1), lit(16)), i =>
-          aggregate(col("ct"), lit(0.0), (acc, tok) =>
-            acc + conv(md5(tok).substr(i, lit(1)), 16, 10).cast("double") - 7.5))
-        val emb = chunks.select(col("doc_id"), col("chunk_id"), embCol.as("e"))
+        // one md5 per token (not per dim) — bit-equal to the per-dim
+        // form and the oracle, 16× less hashing on the hot path
+        val emb = chunks.select(col("doc_id"), col("chunk_id"),
+          VectorOps.tokenHashEmbedding(col("ct")).as("e"))
         val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val q = emb.filter(col("doc_id") === 0 && col("chunk_id") === 0)
