@@ -381,18 +381,32 @@ object Multimodal {
         val media = docs
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaRow]
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        // Each tower's output is MATERIALIZED before the gate filter:
+        // predicate pushdown substitutes column aliases into predicates
+        // it pushes below a Project, so filtering on the norm above a
+        // live encoder projection re-inlines the whole encoder into the
+        // Filter — 3 encoder evaluations per row (measured: it dominated
+        // the query). The media side already has that barrier in its
+        // mapPartitions; the text side checkpoints its (id, vec, norm)
+        // table — which is also the production shape: tower outputs are
+        // embedded once and STORED (this corpus's embeddings table is
+        // exactly such a materialization), never recomputed per predicate.
         val mv = extractFeatures(media).toDF()
           .select(col("doc_id"), col("features").as("mv"))
+          .withColumn("mn", dot(col("mv"), col("mv")))
+          .filter(col("mn") > 0)
         val t = graft.functions.Exprs.tokens(col("text"))
         val tv = docs.select(col("doc_id"), t.as("t"))
           .filter(size(col("t")) > 0)
           .select(col("doc_id"), VectorOps.tokenHashEmbedding(col("t")).as("tv"))
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .withColumn("tn", dot(col("tv"), col("tv")))
+          .localCheckpoint(true)
+          .filter(col("tn") > 0)
         val align = round(dot(col("tv"), col("mv")) /
-          (sqrt(dot(col("tv"), col("tv"))) * sqrt(dot(col("mv"), col("mv")))), 6)
+          (sqrt(col("tn")) * sqrt(col("mn"))), 6)
         tv.join(mv, Seq("doc_id"))
-          .filter(dot(col("tv"), col("tv")) > 0 && dot(col("mv"), col("mv")) > 0)
           .select(col("doc_id"), align.as("align"), (align >= 0.0).as("kept"))
       }
     }
