@@ -26,14 +26,23 @@ object KMeans {
       * lowest index). `distDecimals >= 0` rounds each distance first —
       * the cross-engine sync an SQL oracle needs, because the two
       * engines sum the per-dim terms in different orders and a raw
-      * last-ulp difference could flip a near-tie argmin. */
-    def clusterOf(v: Column, distDecimals: Int = -1): Column = {
-      val dists = array(centroids.map { c =>
+      * last-ulp difference could flip a near-tie argmin.
+      *
+      * Argmin as `array_min` over (d2, idx) STRUCTS — struct ordering is
+      * field-by-field, so the min is (lowest d2, then lowest index),
+      * identical to the old `array_position(dists, array_min(dists))`
+      * form. That form inlines the whole k-element distance array twice
+      * in the plan (2k aggregates plan-audited); codegen subexpression
+      * elimination absorbs the duplicate at runtime (A/B-benched at
+      * parity), but this form makes single evaluation STRUCTURAL —
+      * independent of CSE applying, which interpreted/fallback
+      * projections do not guarantee. */
+    def clusterOf(v: Column, distDecimals: Int = -1): Column =
+      array_min(array(centroids.zipWithIndex.map { case (c, i) =>
         val d = sqDist(v, c)
-        if (distDecimals >= 0) round(d, distDecimals) else d
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+        struct((if (distDecimals >= 0) round(d, distDecimals) else d).as("d2"),
+          lit(i).as("cid"))
+      }: _*)).getField("cid").cast("int")
 
     /** Column: squared distance from `v` to its nearest centroid. */
     def nearestDist(v: Column): Column =
