@@ -770,15 +770,23 @@ object Similarity {
     // query. Sign-LSH buckets (4 planes) make candidate generation a
     // bucket-keyed self-join — never all-pairs; at 100 TB the knobs are
     // more planes (smaller buckets) and multiple bands unioned for
-    // recall, exactly d02's layout, and the shuffle is partitioned by
-    // the bucket key on both sides. The per-vector top-3 cut is a
-    // rank-over-high-cardinality-key window that Spark 4 executes as a
-    // map-side WindowGroupLimit before the final shuffle — each task
-    // forwards at most 3 rows per vector, so the window never funnels.
+    // recall, exactly d02's layout — INCLUDING its cap contract: a hot
+    // bucket (boilerplate/zero vectors) would go quadratic in the self-
+    // join, so buckets over Dedup.MaxBucketSize are excluded BEFORE the
+    // join (the count window rides the same exchange) and the drop is
+    // surfaced via the `knn_graph_bucket_guard` observe metrics; the
+    // oracle applies the identical bound, so the cap is contract, not
+    // approximation. The per-vector top-3 cut is a rank-over-high-
+    // cardinality-key window that Spark 4 executes as a map-side
+    // WindowGroupLimit — each task forwards at most 3 rows per vector.
     QueryDef.sql("s17_knn_graph",
-      s"""WITH sig AS (
+      s"""WITH sig0 AS (
          |  SELECT vec_id, embedding, ${bucketSql(4)} AS bucket
          |  FROM embeddings),
+         |bsz AS (SELECT bucket, count(*) AS bn FROM sig0 GROUP BY bucket),
+         |sig AS (
+         |  SELECT s.vec_id, s.embedding, s.bucket FROM sig0 s
+         |  JOIN bsz ON bsz.bucket = s.bucket AND bsz.bn <= ${Dedup.MaxBucketSize}),
          |p AS (
          |  SELECT a.vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
          |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
@@ -786,9 +794,17 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
          |  FROM p) WHERE rk <= 3""".stripMargin) {
       (s, dir) => {
+        val wb = Window.partitionBy("bucket")
         val sig = Tables.embeddings(s, dir).select(
           col("vec_id"), col("embedding"),
           VectorOps.hyperplaneBucket(col("embedding"), planes = 4).as("bucket"))
+          .withColumn("bn", count(lit(1)).over(wb))
+          .observe("knn_graph_bucket_guard",
+            coalesce(sum(when(col("bn") > Dedup.MaxBucketSize, lit(1L)).otherwise(lit(0L))),
+              lit(0L)).as("rows_in_overflow_buckets"),
+            coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+          .filter(col("bn") <= Dedup.MaxBucketSize)
+          .drop("bn")
         val nbrs = sig.select(
           col("bucket"), col("vec_id").as("nbr"), col("embedding").as("ne"))
         val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
