@@ -888,6 +888,68 @@ object Similarity {
           .select(col("cluster"), col("n_live"), col("n_dead"),
             (lit(4) * col("n_dead") > col("n_live") + col("n_dead")).as("compact_due"))
       }
+    },
+
+    // Recall of the FILTERED search — s11's eval harness pointed at the
+    // path where recall actually degrades in production: a selective
+    // metadata filter shrinks every inverted list, so the probed cells
+    // may no longer contain the filtered exact top-k (the reason s16
+    // multiprobes). Ground truth is the filtered brute force; the
+    // approximate side is s16's pre-filtered nprobe=2 probe. One
+    // distributed query, engine-stable ranked sets (rounded cosine +
+    // id), both 10-row lists checkpointed — the number an operator
+    // watches when choosing nprobe for a filtered workload.
+    QueryDef.sql("s20_filtered_recall", {
+      val qcCos =
+        """round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.cvec[i]))
+          |    / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+          |     * sqrt(list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * c.cvec[i])))), 6)""".stripMargin
+      s"""WITH $ivfCtes,
+         |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         |ex AS (
+         |  SELECT e.vec_id FROM embeddings e, q
+         |  WHERE e.vec_id <> 0 AND e.vec_id % 2 = 0
+         |  ORDER BY ${cosSql("e", "q")} DESC, e.vec_id LIMIT 10),
+         |top2 AS (
+         |  SELECT c.label AS clabel FROM cent c, q
+         |  ORDER BY $qcCos DESC, c.label LIMIT 2),
+         |ann AS (
+         |  SELECT a.vec_id FROM assigned a JOIN top2 t ON a.clabel = t.clabel, q
+         |  WHERE a.vec_id <> 0 AND a.vec_id % 2 = 0
+         |  ORDER BY ${cosSql("a", "q")} DESC, a.vec_id LIMIT 10)
+         |SELECT CAST((SELECT count(*) FROM ann) AS BIGINT) AS n_ann,
+         |       CAST(count(*) AS BIGINT) AS n_hit,
+         |       round(count(*) / 10.0, 3) AS recall_at_10
+         |FROM ex JOIN ann USING (vec_id)""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val exact = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 2 === 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+        val cent = labelCentroids(emb)
+        val assigned = ivfAssigned(emb, cent)
+        val top2 = cent.crossJoin(broadcast(q))
+          .select(col("clabel"), VectorOps.cosineR(col("cvec"), col("qe")).as("qcos"))
+          .orderBy(col("qcos").desc, col("clabel"))
+          .limit(2)
+          .select("clabel")
+        val ann = assigned.join(broadcast(top2), Seq("clabel"))
+          .filter(col("vec_id") =!= 0 && col("vec_id") % 2 === 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+          .localCheckpoint(true)
+        exact.join(ann, "vec_id")
+          .agg(count(lit(1)).as("n_hit"),
+            round(count(lit(1)) / 10.0, 3).as("recall_at_10"))
+          .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+          .select("n_ann", "n_hit", "recall_at_10")
+      }
     }
   )
 }
