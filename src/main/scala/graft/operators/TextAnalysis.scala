@@ -874,6 +874,62 @@ object TextAnalysis {
           .withColumn("pos", row_number().over(w).cast("long"))
           .select("doc_id", "shard", "pos")
       }
+    },
+
+    // The dataset card — the one-page corpus report an LLM data team
+    // publishes with every release (per-language and overall: doc/token
+    // volumes, exact-dup rate, quality distribution and gate pass
+    // rate): composed here as ONE distributed pass — a single corpus
+    // scan derives tokens/quality/content-hash per doc, the dup flag
+    // rides one hash-keyed window, and ROLLUP(lang) emits the
+    // per-language rows and the ALL row from the same aggregation
+    // (no second scan for the total). The mean quality uses the exact
+    // scaled-integer sum (s06's trick): summing doubles is
+    // order-dependent; a sum of longs is associative, so the average is
+    // bit-identical across engines and partitionings.
+    QueryDef.sql("t28_corpus_card",
+      s"""WITH $toksCte,
+         |per AS (
+         |  SELECT doc_id, lang, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         |         round(0.5 * (len(list_distinct(t)) / len(t))
+         |             + 0.5 * (len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) / len(t)), 6) AS quality
+         |  FROM toks WHERE len(t) > 0),
+         |flg AS (
+         |  SELECT lang, n_tokens, quality,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+         |  FROM per)
+         |SELECT coalesce(lang, 'ALL') AS lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       round(sum(CAST(round(quality * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6)
+         |         AS avg_quality,
+         |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |       CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+         |FROM flg GROUP BY ROLLUP(lang)""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = col("t")
+        val en = stop("en")
+        val quality = round(
+          lit(0.5) * (size(array_distinct(t)) / size(t))
+            + lit(0.5) * (size(filter(t, x => x.isin(en: _*))) / size(t)), 6)
+        val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val flg = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"), Exprs.tokens(col("text")).as("t"))
+          .filter(size(t) > 0)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(t).cast("long").as("n_tokens"), quality.as("quality"))
+          .withColumn("is_dup", row_number().over(w) > 1)
+        flg.rollup("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            round(sum(round(col("quality") * 1000000).cast("long")) / 1000000.0
+              / count(lit(1)), 6).as("avg_quality"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+            sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality_pass"))
+          .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
+            col("total_tokens"), col("avg_quality"), col("n_dups"), col("n_quality_pass"))
+      }
     }
   )
 }
