@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "m10_alignment_filter", // in-order 16-dim fold cosine gate
     "t27_training_order", // hash-ordered two-level shuffle
     "t16_curriculum_bins", // distributed ntile via offsets + closed form
-    "t19_zipf_fit") // distributed vocab rank feeding regr_* aggs
+    "t19_zipf_fit", // distributed vocab rank feeding regr_* aggs
+    "t28_corpus_card") // scaled-integer mean + rollup totals
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
