@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.pipeline.Sources
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit, md5, min, parse_json, regexp_extract, sum, variant_get}
+import org.apache.spark.sql.functions.{col, concat, count, length, lit, max, md5, min, parse_json, regexp_extract, split, sum, variant_get}
 
 /** Driver-visible gates for the source/sink formats beyond parquet/CSV:
   *
@@ -166,6 +166,38 @@ object SourceProbes {
           regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("int").as("n_nationkey"),
           col("length").as("n_bytes"),
           md5(col("content")).as("content_md5"))
+    },
+
+    // Line-oriented text source — the delivery format raw web corpora
+    // actually arrive in (one record per line, id TAB body; C4/WET
+    // shape). Write the documents out as tab-joined lines, read back
+    // with the `text` source (one `value` column, no schema machinery),
+    // and re-split with a limit-2 split so tabs INSIDE the body would
+    // survive. The corpus fixture is newline-free by construction —
+    // line framing is the format's contract, and a production reader
+    // pairs it with the escape step of whatever wrote the lines. The
+    // oracle re-derives the aggregate from the parquet table, pinning
+    // id parse + body fidelity end-to-end.
+    QueryDef.sql("src07_text_roundtrip",
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(md5(text)) AS min_body_md5,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val out = workDir.resolve("docs_text").toString
+      Tables.documents(s, dir)
+        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(
+          split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min(md5(col("text"))).as("min_body_md5"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
     },
 
     QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
