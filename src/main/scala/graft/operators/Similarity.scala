@@ -950,6 +950,92 @@ object Similarity {
           .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
           .select("n_ann", "n_hit", "recall_at_10")
       }
+    },
+
+    // Hybrid dense+lexical retrieval with reciprocal-rank fusion — the
+    // combiner production search actually ships (dense recall misses
+    // exact keywords, lexical misses paraphrases; RRF needs no score
+    // calibration between the two): dense leg = exact cosine top-20
+    // over the embeddings (vec_id ≡ doc_id, the m01 contract), lexical
+    // leg = token-set Jaccard top-20 against the query doc (int/int,
+    // engine-exact), fused by Σ 1/(60+rank) over a full outer join of
+    // the two 20-row lists. Scale shape: each leg is one corpus scan +
+    // TakeOrdered; the fusion join touches 40 rows. Both legs rank on
+    // (rounded score, id) so ranks — and therefore the fused order —
+    // are engine-stable.
+    // Ranks within each 20-row list come from a count-based self-join
+    // (1 + rows strictly ahead), not a window: a global row_number would
+    // plan a single-partition WindowExec — harmless on 20 rows but this
+    // codebase's invariant is ZERO such windows in any registered plan,
+    // and on a 20×20 broadcast the count form is free.
+    QueryDef.sql("s21_hybrid_rrf",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |d20 AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("e", "q")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY cos DESC, e.vec_id LIMIT 20),
+         |dtop AS (
+         |  SELECT a.doc_id, 1 + count(b.doc_id) AS dr
+         |  FROM d20 a LEFT JOIN d20 b
+         |    ON b.cos > a.cos OR (b.cos = a.cos AND b.doc_id < a.doc_id)
+         |  GROUP BY a.doc_id),
+         |toks AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |qt AS (SELECT t AS qtok FROM toks WHERE doc_id = 0),
+         |l20 AS (
+         |  SELECT d.doc_id,
+         |         round(len(list_intersect(d.t, qt.qtok)) * 1.0 /
+         |               len(list_distinct(list_concat(d.t, qt.qtok))), 6) AS jac
+         |  FROM toks d, qt WHERE d.doc_id <> 0
+         |  ORDER BY jac DESC, d.doc_id LIMIT 20),
+         |ltop AS (
+         |  SELECT a.doc_id, 1 + count(b.doc_id) AS lr
+         |  FROM l20 a LEFT JOIN l20 b
+         |    ON b.jac > a.jac OR (b.jac = a.jac AND b.doc_id < a.doc_id)
+         |  GROUP BY a.doc_id)
+         |SELECT doc_id,
+         |       round(coalesce(1.0 / (60 + dr), 0) + coalesce(1.0 / (60 + lr), 0), 6)
+         |         AS rrf
+         |FROM dtop FULL OUTER JOIN ltop USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, dir) => {
+        def countRank(top: DataFrame, score: String): DataFrame = {
+          val b = top.select(col("doc_id").as("bid"), col(score).as("bs"))
+          top.join(broadcast(b),
+            col("bs") > col(score) || (col("bs") === col(score) && col("bid") < col("doc_id")),
+            "left")
+            .groupBy("doc_id").agg((count(col("bid")) + 1).as(s"${score}_rank"))
+        }
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val d20 = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20)
+          .localCheckpoint(true)
+        val dtop = countRank(d20, "cos").select(col("doc_id"), col("cos_rank").as("dr"))
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            array_distinct(graft.functions.Exprs.tokens(col("text"))).as("t"))
+        val qt = toks.filter(col("doc_id") === 0).select(col("t").as("qtok"))
+        val jac = round(
+          size(array_intersect(col("t"), col("qtok"))) * lit(1.0) /
+            size(array_distinct(concat(col("t"), col("qtok")))), 6)
+        val l20 = toks.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(qt))
+          .select(col("doc_id"), jac.as("jac"))
+          .orderBy(col("jac").desc, col("doc_id")).limit(20)
+          .localCheckpoint(true)
+        val ltop = countRank(l20, "jac").select(col("doc_id"), col("jac_rank").as("lr"))
+        dtop.join(ltop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      }
     }
   )
 }
