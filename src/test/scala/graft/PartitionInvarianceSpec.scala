@@ -29,7 +29,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t27_training_order", // hash-ordered two-level shuffle
     "t16_curriculum_bins", // distributed ntile via offsets + closed form
     "t19_zipf_fit", // distributed vocab rank feeding regr_* aggs
-    "t28_corpus_card") // scaled-integer mean + rollup totals
+    "t28_corpus_card", // scaled-integer mean + rollup totals
+    "s21_hybrid_rrf") // count-join ranks + fused ordering
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
