@@ -25,6 +25,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // A typo in the filter must not silently yield an empty/partial bench
+    // that still writes a plausible result file: every requested name has
+    // to resolve against the registered board, or the run dies here.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     def selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
@@ -83,23 +94,36 @@ object Bench {
     shuffleCanaryOnce() // warm-up, untimed
     val shuffleCanary =
       (1 to TimedPasses).map(_ => shuffleCanaryOnce()).sorted.apply(TimedPasses / 2)
-    var failures = List.empty[String]
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
+    // Passes are interleaved ROUND-ROBIN across the whole board (pass 1 of
+    // every query, then pass 2, then pass 3) instead of back-to-back per
+    // query: with consecutive passes, one multi-minute stretch of external
+    // contention covers all three samples of whichever queries it lands on
+    // and survives the median (BENCH_r07 carried a 10× artifact on
+    // t11_quality_gate this way). Interleaving spreads each query's samples
+    // ~a full board-length apart, so a contiguous stall can own at most one
+    // of the three and the median stays clean.
+    val board = selected.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to TimedPasses; (name, fn) <- board if !failed(name)) {
       // noop sink, not count(): count() lets Catalyst prune every unused
       // column, so projection-only queries would be timed at ~zero cost.
       // The noop DSv2 writer consumes every row in full.
-      val times = (1 to TimedPasses).iterator.map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
-      }.takeWhile(_.isDefined).flatten.toSeq // a failed pass aborts the query
-      if (times.size < TimedPasses) failures ::= name
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name // a failed pass aborts the query's remaining passes
+      }
+    }
+    val failures = board.map(_._1).filter(failed).toList
+    val results = board.map { case (name, _) =>
+      val times = samples(name)
       val median = times.sorted.drop(times.size / 2).headOption
-      name -> (if (times.size == TimedPasses) median.get.toString else "\"err\"")
+      name -> (if (!failed(name) && times.size == TimedPasses) median.get.toString
+               else "\"err\"")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

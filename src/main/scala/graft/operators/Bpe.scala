@@ -96,7 +96,12 @@ object Bpe {
     * CTEs forbid grouped aggregation over the recursive reference; a
     * fixed round count needs none). Each round re-derives the pair
     * counts, picks the same (cnt DESC, pa, pb) argmax, and applies the
-    * same delimiter-exact replace. */
+    * same delimiter-exact replace. The merge is applied through a LEFT
+    * JOIN + coalesce (the kmeansCtes empty-cluster carryover pattern):
+    * if the vocabulary runs dry before the fixed round count, b$k is
+    * empty and w$k must carry w$(k-1) forward unchanged — a cross join
+    * would instead empty every later w table and silently zero the t25
+    * encode oracle, while the Spark side skips dry rounds gracefully. */
   private def bpeChain(rounds: Int): String = {
     val perRound = (1 to rounds).map { k =>
       s"""sy$k AS (
@@ -114,9 +119,9 @@ object Bpe {
          |b$k AS (SELECT pa, pb, cnt FROM pc$k ORDER BY cnt DESC, pa, pb LIMIT 1),
          |w$k AS (
          |  SELECT word, freq,
-         |         replace(s, chr(1) || b.pa || chr(2) || chr(1) || b.pb || chr(2),
-         |                    chr(1) || b.pa || b.pb || chr(2)) AS s
-         |  FROM w${k - 1}, b$k b)""".stripMargin
+         |         coalesce(replace(s, chr(1) || b.pa || chr(2) || chr(1) || b.pb || chr(2),
+         |                             chr(1) || b.pa || b.pb || chr(2)), s) AS s
+         |  FROM w${k - 1} LEFT JOIN b$k b ON true)""".stripMargin
     }.mkString(",\n")
     s"""${TextAnalysis.toksCte},
        |wd AS (

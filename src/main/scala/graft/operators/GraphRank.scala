@@ -46,11 +46,18 @@ object GraphRank {
         .join(deg, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
       // every node keeps a zero-contribution row so nodes that received
-      // nothing this round still get the (1-d) teleport mass
+      // nothing this round still get the (1-d) teleport mass.
+      // The per-round round(…, 12) is the same re-synchronization
+      // contract k-means applies to its means: double summation order
+      // differs across engines and partitionings, and over 10 chained
+      // rounds ulp drift would compound into the 6th output decimal —
+      // quantizing each iteration boundary (far above the 1e-6 output
+      // grain, far below any rank gap) pins both engines and every
+      // shuffle fan-out to identical round inputs.
       ranks = ranks.select(col("id"), lit(0.0).as("c"))
         .unionByName(contribs)
         .groupBy("id")
-        .agg((lit(1.0 - damping) + lit(damping) * sum("c")).as("rank"))
+        .agg(round(lit(1.0 - damping) + lit(damping) * sum("c"), 12).as("rank"))
         .localCheckpoint(true)
     }
     ranks
@@ -65,13 +72,16 @@ object GraphRank {
     * form without an outer join. The teleport constant is interpolated
     * from the SAME double Spark computes (1.0 - damping in binary
     * floating point, not the decimal literal 0.15) so both engines run
-    * identical arithmetic and the 6-decimal round stays bit-stable. */
+    * identical arithmetic, and each round quantizes to 12 decimals in
+    * lockstep with [[pageRank]] so summation-order drift can never
+    * compound across rounds into the 6-decimal output. */
   private def pageRankSql(iters: Int, damping: Double): String = {
     val tp = java.lang.Double.toString(1.0 - damping)
     val dp = java.lang.Double.toString(damping)
     val rounds = (1 to iters).map { k =>
       s"""r$k AS (
-         |  SELECT e.dst AS id, $tp::DOUBLE + $dp::DOUBLE * sum(r.rank / d.deg) AS rank
+         |  SELECT e.dst AS id,
+         |         round($tp::DOUBLE + $dp::DOUBLE * sum(r.rank / d.deg), 12) AS rank
          |  FROM sym e JOIN r${k - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
