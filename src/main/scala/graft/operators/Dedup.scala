@@ -945,6 +945,79 @@ object Dedup {
             sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_spans"))
           .withColumn("dup_frac", round(col("dup_spans") / col("n_spans"), 6))
       }
+    },
+
+    // Span-level dedup APPLICATION — the step that actually changes
+    // training data (Lee et al. substring dedup): where d15 *measures*
+    // cross-document duplicated 5-gram spans, this emits the CLEANED
+    // corpus — a token is dropped iff it lies inside any span whose
+    // gram occurs in ≥ 2 documents, and the survivors are rejoined in
+    // original order. Output is byte-exact text (the t09 redaction
+    // contract: the driver's hash compares `clean_text` verbatim), so
+    // any drift in coverage arithmetic fails the gate. Scale shape:
+    // positional grams and the df re-aggregation are exactly d15's
+    // one-checkpointed-pass layout; coverage positions explode at most
+    // 5 rows per duplicated span START (never L² interval logic); the
+    // kept-token rebuild is one anti-join on (doc_id, position) plus a
+    // per-doc sort-rebuild aggregation — all partial-aggregable, no
+    // windows. At 100 TB the gram join key would be a 128-bit hash;
+    // the string keeps the oracle byte-exact here.
+    QueryDef.sql("d16_span_dedup_apply",
+      s"""WITH ${toksCte()},
+         |spans AS (
+         |  SELECT doc_id, s['i'] AS i, s['gram'] AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-4, 1)+1),
+         |      i -> {'i': i, 'gram': array_to_string(t[i:i+4], ' ')})) AS s
+         |    FROM toks)),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM spans GROUP BY 1, 2),
+         |gdf AS (SELECT gram, count(*) AS df FROM pg GROUP BY 1),
+         |dup AS (
+         |  SELECT DISTINCT sp.doc_id, sp.i FROM spans sp
+         |  JOIN gdf ON sp.gram = gdf.gram AND gdf.df >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, i + d AS j FROM dup, range(0, 5) r(d)),
+         |tokpos AS (
+         |  SELECT doc_id, generate_subscripts(t, 1) AS j, unnest(t) AS tok FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.j, tp.tok
+         |  FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.j = tp.j
+         |  WHERE cov.j IS NULL)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(k.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY j) AS clean_text
+         |  FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id""".stripMargin) {
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), Exprs.tokens(col("text")).as("t"))
+          .localCheckpoint(true) // reused: spans, token positions, final lengths
+        val spans = toks.select(col("doc_id"),
+          posexplode(Exprs.wordShinglesAll(col("t"), 5)).as(Seq("p0", "gram")))
+          .select(col("doc_id"), (col("p0") + 1).as("i"), col("gram"))
+          .localCheckpoint(true) // reused: df aggregation + dup-start join
+        val pg = spans.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        val gdf = pg.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        val dup = spans.join(gdf, "gram").select(col("doc_id"), col("i")).distinct()
+        val cov = dup
+          .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("j"))
+          .distinct()
+        val tokpos = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("j"), col("tok"))
+        val agg = tokpos.join(cov, Seq("doc_id", "j"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+              x => x.getField("tok")), " ").as("clean_text"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      }
     }
   )
 }

@@ -18,6 +18,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q12_window_rank", // window ties + salted two-phase top-k
     "q51_funnel_stages", // chained windows + ordered semantics
     "d02_minhash_lsh", // hash signatures + banded buckets
+    "d16_span_dedup_apply", // ordered token rebuild via sort-agg
     "t13_stratified_sample", // hash-gated sampling (retry safety)
     "t23_mixture_sample", // derived-rate sampling
     "s01_knn_bruteforce", // rounded cosine ranking

@@ -84,4 +84,36 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, 0L, 0.0)),
       4L -> ((1L, 0L, 0.0))))
   }
+
+  test("d16 removes exactly the cross-document duplicated spans and rebuilds byte-exact text") {
+    val rows = Seq(
+      1L -> "a b c d e f", // dup span "a b c d e" covers tokens 1-5 → only "f" survives
+      2L -> "a b c d e x", // same dup span → only "x" survives
+      3L -> "z z z z z z z", // within-doc repeats only (df=1) → untouched
+      4L -> "short") // sub-n doc, unique whole-text span → untouched
+    val dir = java.nio.file.Files.createTempDirectory("d16spec").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d16_span_dedup_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((6L, 1L, "f")),
+      2L -> ((6L, 1L, "x")),
+      3L -> ((7L, 7L, "z z z z z z z")),
+      4L -> ((1L, 1L, "short"))))
+    // consistency with d15 on the real fixture: untouched docs are
+    // exactly the zero-dup-span docs, and kept counts never exceed totals
+    val real = "/root/testdata/sf0.001"
+    val d16 = graft.SparkEntry.queries("d16_span_dedup_apply")(spark, real)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val d15 = graft.SparkEntry.queries("d15_dupspan")(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(d16.keySet === d15.keySet)
+    d16.foreach { case (id, (total, kept)) =>
+      assert(kept <= total, s"doc $id kept $kept of $total")
+      if (d15(id) == 0L) assert(kept === total, s"doc $id shrank with zero dup spans")
+      else assert(kept < total, s"doc $id has dup spans but lost nothing")
+    }
+  }
 }
