@@ -104,6 +104,88 @@ object Multimodal {
     }
   }
 
+  /** Decoded P6 image stats: header fields as parsed + per-channel means. */
+  final case class PpmStats(doc_id: Long, width: Long, height: Long, maxval: Long,
+                            mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Builds a VALID binary PPM (P6) per doc: `P6\n<w> <h>\n255\n` + w·h·3
+    * RGB bytes with byte k = (doc_id·131 + k·7) mod 256. The closed-form
+    * pixel body is what lets a SQL oracle check the decode without ever
+    * seeing the bytes; the header is what makes the payload a real image
+    * file any PPM reader opens. */
+  def encodePpm(ids: Dataset[java.lang.Long]): Dataset[MediaRow] = {
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    ids.mapPartitions { rows =>
+      rows.map { idBoxed =>
+        val id = idBoxed.longValue()
+        val w = (8 + id % 9).toInt
+        val h = (6 + id % 5).toInt
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val body = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < body.length) {
+          body(k) = ((id * 131 + k * 7) % 256).toByte
+          k += 1
+        }
+        val out = new Array[Byte](header.length + body.length)
+        System.arraycopy(header, 0, out, 0, header.length)
+        System.arraycopy(body, 0, out, header.length, body.length)
+        MediaRow(id, out)
+      }
+    }
+  }
+
+  /** The REAL codec at the decode seam: a general binary-PPM (P6) parser
+    * — magic, `#` comments, whitespace-separated width/height/maxval,
+    * single post-maxval whitespace byte, then the raw RGB body — run as
+    * a typed `mapPartitions` batch exactly like [[extractFrames]]'s stub.
+    * Nothing about the image dimensions is trusted from outside the
+    * payload: width/height/maxval come from the parsed header, so any
+    * off-by-one in header parsing or body offset shifts every channel
+    * mean and fails the byte-exact oracle. */
+  def decodePpm(media: Dataset[MediaRow]): Dataset[PpmStats] = {
+    implicit val enc: Encoder[PpmStats] = Encoders.product[PpmStats]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        var pos = 0
+        def skipWsAndComments(): Unit = {
+          var go = true
+          while (go && pos < b.length) {
+            val c = b(pos)
+            if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+            else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+            else go = false
+          }
+        }
+        def token(): String = {
+          skipWsAndComments()
+          val start = pos
+          while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+          new String(b, start, pos - start, "US-ASCII")
+        }
+        val magic = token()
+        require(magic == "P6", s"not a binary PPM: magic '$magic'")
+        val w = token().toInt
+        val h = token().toInt
+        val maxval = token().toInt
+        pos += 1 // exactly ONE whitespace byte separates maxval from the body
+        require(b.length - pos == w * h * 3,
+          s"body is ${b.length - pos} bytes, expected ${w * h * 3}")
+        val sums = new Array[Long](3)
+        var k = 0
+        while (pos < b.length) {
+          sums(k % 3) += b(pos) & 0xff
+          pos += 1
+          k += 1
+        }
+        val n = (w * h).toDouble
+        PpmStats(r.doc_id, w.toLong, h.toLong, maxval.toLong,
+          sums(0) / n, sums(1) / n, sums(2) / n)
+      }
+    }
+  }
+
   /** m01/m07 share one oracle: same logical query, two physical layouts. */
   private val jointStatsOracle =
     """SELECT d.lang, e.label, count(*) AS n,
@@ -408,6 +490,48 @@ object Multimodal {
           (sqrt(col("tn")) * sqrt(col("mn"))), 6)
         tv.join(mv, Seq("doc_id"))
           .select(col("doc_id"), align.as("align"), (align >= 0.0).as("kept"))
+      }
+    },
+
+    // A REAL codec at the multimodal seam — the proof behind the "swap a
+    // codec in at the mapPartitions boundary" claim m03-m10 make with a
+    // stub: every doc gets a VALID binary PPM (P6) built by
+    // [[encodePpm]] (real header + closed-form RGB body), and
+    // [[decodePpm]] is a genuine PPM parser (magic, # comments,
+    // header-declared dimensions, post-maxval whitespace, raw body)
+    // running in the same typed batch-decode slot. The oracle knows
+    // NOTHING about PPM: it recomputes width/height/channel means from
+    // the closed-form pixel function alone, so the decode only hashes
+    // green if the parser reads the header and body offsets exactly
+    // right. Scale shape identical to m03: one typed mapPartitions
+    // pass, per-partition decoder init, no shuffle at all before the
+    // final projection.
+    QueryDef.sql("m11_ppm_decode",
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |         CAST(6 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*131 + (3*p+0)*7) % 256)) AS DOUBLE) AS sr,
+        |    CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*131 + (3*p+1)*7) % 256)) AS DOUBLE) AS sg,
+        |    CAST(list_sum(list_transform(range(0, w*h), p -> (doc_id*131 + (3*p+2)*7) % 256)) AS DOUBLE) AS sb
+        |  FROM dims)
+        |SELECT doc_id, w AS width, h AS height, CAST(255 AS BIGINT) AS maxval,
+        |       round(sr / (w*h), 6) AS mean_r,
+        |       round(sg / (w*h), 6) AS mean_g,
+        |       round(sb / (w*h), 6) AS mean_b
+        |FROM px""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        decodePpm(encodePpm(ids)).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+            round(col("mean_r"), 6).as("mean_r"),
+            round(col("mean_g"), 6).as("mean_g"),
+            round(col("mean_b"), 6).as("mean_b"))
       }
     }
   )

@@ -48,4 +48,45 @@ class MultimodalSpec extends SparkSpec {
     val frames: Array[Frame] = Multimodal.extractFrames(ds).collect()
     assert(frames.toSeq === Seq(Frame(1L, 0L, 0L, md5HexOfHex(Array.emptyByteArray))))
   }
+
+  test("decodePpm parses a hand-written P6 with header comments; rejects other magics") {
+    implicit val enc = Encoders.product[MediaRow]
+    // 2x2 image, maxval 255, comments between header tokens — the layout
+    // a real tool (e.g. GIMP export) produces. Pixels: R=10/20/30/40,
+    // G=50/60/70/80, B=90/100/110/120.
+    val header = "P6\n# made by hand\n2 2\n# maxval next\n255\n".getBytes("US-ASCII")
+    val body = Array[Int](
+      10, 50, 90, 20, 60, 100,
+      30, 70, 110, 40, 80, 120).map(_.toByte)
+    val ppm = header ++ body
+    val out = Multimodal.decodePpm(
+      spark.createDataset(Seq(MediaRow(7L, ppm)))).collect().head
+    assert(out === Multimodal.PpmStats(7L, 2L, 2L, 255L, 25.0, 65.0, 105.0))
+
+    val bad = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ body.take(4)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePpm(spark.createDataset(Seq(MediaRow(8L, bad)))).collect()
+    }
+    assert(err.getMessage.contains("not a binary PPM")
+      || Option(err.getCause).exists(_.getMessage.contains("not a binary PPM")))
+  }
+
+  test("encodePpm -> decodePpm round-trips header-declared dimensions") {
+    implicit val le = Encoders.LONG
+    val ids = spark.createDataset(Seq(0L, 5L, 13L).map(java.lang.Long.valueOf))
+    val got = Multimodal.decodePpm(Multimodal.encodePpm(ids))
+      .collect().map(p => p.doc_id -> p).toMap
+    Seq(0L, 5L, 13L).foreach { id =>
+      val p = got(id)
+      assert(p.width === 8 + id % 9, s"width of $id")
+      assert(p.height === 6 + id % 5, s"height of $id")
+      assert(p.maxval === 255L)
+      // closed-form channel mean, computed independently of the codec
+      def mean(c: Int): Double = {
+        val n = (p.width * p.height).toInt
+        (0 until n).map(px => (id * 131 + (3 * px + c) * 7) % 256).sum.toDouble / n
+      }
+      assert(p.mean_r === mean(0) && p.mean_g === mean(1) && p.mean_b === mean(2))
+    }
+  }
 }
