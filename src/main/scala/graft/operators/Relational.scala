@@ -580,6 +580,9 @@ object Relational {
     // fixed-size sketches, partial-merge before the shuffle, ~2% error.
     // No SQL oracle (DuckDB's sketch differs); the driver records rows,
     // and the ScalaTest suite asserts <5% error vs the exact count.
+    // HASH-GATED TWIN: q21 runs the identical scan + grouping with the
+    // exact countDistinct, so the pipeline feeding this sketch is
+    // oracle-checked even though the estimate itself cannot be.
     QueryDef.noOracle("q32_approx_distinct") {
       (s, dir) =>
         Tables.orders(s, dir).groupBy("o_orderpriority")
@@ -698,6 +701,9 @@ object Relational {
     // does. Rows-only: sketch outputs are engine-specific, so there is no
     // cross-engine oracle — `ApproxPercentileSpec` asserts the rank-error
     // bound against the exact values instead.
+    // HASH-GATED TWIN: q33 runs the identical scan + grouping with exact
+    // interpolated percentiles, oracle-checking the pipeline feeding
+    // this sketch.
     QueryDef.noOracle("q42_approx_percentiles") { (s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
         .agg(
@@ -1178,6 +1184,47 @@ object Relational {
         daily.groupBy("event_type")
           .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
             count(lit(1)).as("n_days"))
+      }
+    },
+
+    // q50's EXACT twin over the identical two-level chain — the
+    // hash-gate for the pipeline feeding the sketch rollup (the sketch
+    // estimate itself stays engine-specific and rows-only, its error
+    // bound pinned by SketchRollupSpec): per (day, event_type) exact
+    // distinct users, rolled up per event_type alongside the exact
+    // period-wide distinct. The gap between `sum_daily_users` (what a
+    // naive additive rollup of per-day distincts would claim) and
+    // `exact_users` (the true union) is exactly the double-count a
+    // mergeable sketch TABLE exists to avoid re-scanning for. The
+    // period-wide distinct cannot derive from the daily counts, so the
+    // second scan is intrinsic to the exact form — at 100 TB that
+    // rescan is the cost q50 eliminates.
+    QueryDef.sql("q75_distinct_rollup_exact",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS du
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(du) AS BIGINT) AS sum_daily_users
+        |  FROM daily GROUP BY 1),
+        |tot AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT r.event_type, r.n_days, r.sum_daily_users, t.exact_users
+        |FROM roll r JOIN tot t USING (event_type)""".stripMargin) {
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val daily = events
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(countDistinct("user_id").as("du"))
+        val roll = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("du").as("sum_daily_users"))
+        val tot = events.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_users"))
+        roll.join(tot, Seq("event_type"))
+          .select(col("event_type"), col("n_days"),
+            col("sum_daily_users"), col("exact_users"))
       }
     },
 

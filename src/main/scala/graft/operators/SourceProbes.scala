@@ -200,7 +200,15 @@ object SourceProbes {
           max(col("doc_id")).as("max_id"))
     },
 
-    QueryDef.noOracle("jdbc_roundtrip") { (s, dir) =>
+    // Hash-gated since round 8: the Derby write is deterministic (the
+    // same 25 driving rows from parquet), so the partitioned read-back
+    // must reproduce the parquet table cell-for-cell — the oracle just
+    // reads the driving table, pinning the whole write→scan round trip
+    // (type mapping included) instead of only a row count. The sink side
+    // effect itself stays invisible to DuckDB; what it can see is that
+    // nothing was lost or mangled through it.
+    QueryDef.sql("jdbc_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val db = workDir.resolve("db")
       Tables.nation(s, dir)
         .write.format("jdbc")
@@ -212,6 +220,7 @@ object SourceProbes {
       Sources.jdbcPartitioned(s, "nation", "n_nationkey",
         lowerBound = 0L, upperBound = 25L, numPartitions = 4,
         options = Map("url" -> s"jdbc:derby:$db", "driver" -> Driver))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }
   )
 }
