@@ -908,17 +908,8 @@ object TextAnalysis {
          |FROM flg GROUP BY ROLLUP(lang)""".stripMargin) {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val t = col("t")
-        val en = stop("en")
-        val quality = round(
-          lit(0.5) * (size(array_distinct(t)) / size(t))
-            + lit(0.5) * (size(filter(t, x => x.isin(en: _*))) / size(t)), 6)
         val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-        val flg = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), col("text"), Exprs.tokens(col("text")).as("t"))
-          .filter(size(t) > 0)
-          .select(col("doc_id"), col("lang"), col("text"),
-            size(t).cast("long").as("n_tokens"), quality.as("quality"))
+        val flg = cardPerDoc(Tables.documents(s, dir))
           .withColumn("is_dup", row_number().over(w) > 1)
         flg.rollup("lang")
           .agg(count(lit(1)).as("n_docs"),
@@ -932,4 +923,22 @@ object TextAnalysis {
       }
     }
   )
+
+  /** t28's per-document projection (doc_id, lang, text, n_tokens,
+    * quality), shared with the streaming card
+    * ([[graft.streaming.CardStreams]]) so the batch and incremental
+    * forms are the same code path by construction. Empty-token docs are
+    * excluded here, on both paths. */
+  private[graft] def cardPerDoc(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = col("t")
+    val en = stop("en")
+    val quality = round(
+      lit(0.5) * (size(array_distinct(t)) / size(t))
+        + lit(0.5) * (size(filter(t, x => x.isin(en: _*))) / size(t)), 6)
+    docs.select(col("doc_id"), col("lang"), col("text"), Exprs.tokens(col("text")).as("t"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(t).cast("long").as("n_tokens"), quality.as("quality"))
+  }
 }
