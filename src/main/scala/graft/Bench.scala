@@ -43,6 +43,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: the JVM-wide cache of COMPILED
+      // whole-stage-codegen classes. A 160-query board has far more
+      // generated stages than 100, so with round-robin pass
+      // interleaving every timed pass would re-Janino-compile every
+      // stage it runs (~0.3 s uniform inflation, measured) — sized to
+      // the board, the warm-up pass compiles each stage once and every
+      // timed pass reuses it, same as production executors that serve
+      // one plan repeatedly.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer caches, scheduler) on a
