@@ -45,7 +45,14 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "s16_filtered_ann" -> 0, // filter+probe ride broadcasts; TakeOrdered local
     "s17_knn_graph" -> 3, // bucket self-join (≤2 under SMJ at scale) + rank window
     "s18_ivf_upsert" -> 1, // literal-centroid projection + one nlist agg
-    "m10_alignment_filter" -> 2) // id-keyed tower join (0 when broadcast/bucketed)
+    "m10_alignment_filter" -> 2, // id-keyed tower join (0 when broadcast/bucketed)
+    "d16_span_dedup_apply" -> 5, // gram df re-agg + dup/cov distincts + rebuild agg
+    "m11_ppm_decode" -> 0, // one typed encode→decode pass, no shuffle at all
+    "q75_distinct_rollup_exact" -> 5, // two distinct expansions + daily rollup
+    "jdbc_roundtrip" -> 0) // 4 range-bounded scans, no exchange
+    // s22 is not budgeted here: its per-round state is localCheckpointed,
+    // so the final plan is only the last TakeOrdered — the walk's shuffle
+    // story is asserted structurally (broadcast frontier joins) instead.
 
   test("audited queries stay inside their shuffle budgets") {
     val failures = budgets.flatMap { case (name, budget) =>
