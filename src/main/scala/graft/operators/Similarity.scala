@@ -242,6 +242,53 @@ object Similarity {
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The s23 oracle: s22's ef-search generalized to a QUERY BATCH — all
+    * per-round cuts become rank windows partitioned by query_id, and
+    * frontier membership is a keyed LEFT JOIN instead of a scalar IN.
+    * Same MATERIALIZED-round requirement (three predecessor references
+    * per round). */
+  private def batchGraphSearchSql(rounds: Int, e: Int, w: Int): String = {
+    val neCos = cosColsSql("ge.ne", "q.embedding")
+    val roundsSql = (1 to rounds).map { k =>
+      s"""x$k AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM b${k - 1} WHERE NOT exp) WHERE rk <= $e),
+         |c$k AS (
+         |  SELECT b.query_id, b.vec_id, b.cos,
+         |         (b.exp OR x.vec_id IS NOT NULL) AS exp
+         |  FROM b${k - 1} b LEFT JOIN x$k x
+         |    ON x.query_id = b.query_id AND x.vec_id = b.vec_id
+         |  UNION ALL
+         |  SELECT x.query_id, ge.nbr AS vec_id, $neCos AS cos, false AS exp
+         |  FROM ge JOIN x$k x ON ge.vec_id = x.vec_id
+         |  JOIN qb q ON q.query_id = x.query_id),
+         |b$k AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cos, exp FROM (
+         |    SELECT query_id, vec_id, cos, exp,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM (SELECT query_id, vec_id, max(cos) AS cos, bool_or(exp) AS exp
+         |          FROM c$k GROUP BY 1, 2)) WHERE rk <= $w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |ge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM g
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM g) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |qb AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |b0 AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("e", "q")} AS cos, false AS exp
+       |  FROM embeddings e, qb q
+       |  WHERE e.vec_id = (SELECT min(vec_id) FROM g)),
+       |$roundsSql
+       |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM b$rounds WHERE vec_id >= 5) WHERE rk <= 10""".stripMargin
+  }
+
   /** Per-dimension corpus min/max as two aligned arrays — the scalar
     * quantizer's calibration. One partial-aggregated pass; the result is
     * one tiny row, broadcast to the encode step. */
@@ -1221,6 +1268,68 @@ object Similarity {
         beam.filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }
+    },
+
+    // BATCHED graph search — the production form of s22: a query batch
+    // (s08's convention, vec_id < 5) walks the graph SIMULTANEOUSLY in
+    // shared frames, one (query_id, vec_id) state table instead of N
+    // sequential walks. Every per-round cut becomes a rank window
+    // partitioned by query_id — high-cardinality at production query
+    // volumes, so the cuts execute as map-side WindowGroupLimit, and
+    // the per-round edge join batches ALL queries' frontiers into one
+    // broadcast — round cost is amortized over the batch, which is
+    // exactly why serving stacks batch ANN lookups. Same per-round
+    // state truncation and determinism contract as s22.
+    QueryDef.sql("s23_batch_graph_search",
+      batchGraphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val edges = knnGraphEdges(s, dir)
+        val g = edges.select(col("vec_id"), col("nbr"), col("ne"))
+          .unionByName(edges.select(col("nbr").as("vec_id"),
+            col("vec_id").as("nbr"), col("se").as("ne")))
+          .dropDuplicates("vec_id", "nbr")
+          .localCheckpoint(true)
+        val qb = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .localCheckpoint(true)
+        val entry = g.agg(min(col("vec_id")).as("vec_id"))
+        val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        var beam = emb.join(broadcast(entry), "vec_id")
+          .crossJoin(broadcast(qb))
+          .select(col("query_id"), col("vec_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
+            lit(false).as("exp"))
+          .localCheckpoint(true)
+        for (_ <- 1 to GraphSearchRounds) {
+          val frontier = beam.filter(!col("exp"))
+            .withColumn("rk", row_number().over(wq))
+            .filter(col("rk") <= GraphExpandPerRound)
+            .select("query_id", "vec_id")
+            .localCheckpoint(true) // consumed by both the mark and the expand
+          val marked = beam.join(
+            broadcast(frontier.withColumn("hit", lit(true))),
+            Seq("query_id", "vec_id"), "left")
+            .select(col("query_id"), col("vec_id"), col("cos"),
+              (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
+          val nbrs = g.join(broadcast(frontier), "vec_id")
+            .join(broadcast(qb), Seq("query_id"))
+            .select(col("query_id"), col("nbr").as("vec_id"),
+              VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
+              lit(false).as("exp"))
+          beam = marked.unionByName(nbrs)
+            .groupBy("query_id", "vec_id")
+            .agg(max("cos").as("cos"), max("exp").as("exp"))
+            .withColumn("rk", row_number().over(wq))
+            .filter(col("rk") <= GraphBeamWidth)
+            .drop("rk")
+            .localCheckpoint(true)
+        }
+        beam.filter(col("vec_id") >= 5)
+          .withColumn("rk", row_number().over(wq).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), col("rk"), col("cos"))
       }
     }
   )

@@ -27,6 +27,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s13_pagerank", // per-round rank quantization (12 dp re-sync)
     "s17_knn_graph", // in-bucket cosine ties under rank cut
     "s22_graph_search", // iterative frontier cuts + beam ties
+    "s23_batch_graph_search", // per-query windows over shared frames
     "t25_bpe_encode", // collected merge list + per-doc token agg
     "m10_alignment_filter", // in-order 16-dim fold cosine gate
     "t27_training_order", // hash-ordered two-level shuffle

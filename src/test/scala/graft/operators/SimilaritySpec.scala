@@ -128,4 +128,19 @@ class SimilaritySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("s23 batched walk: full ranked top-10 per query, no query vectors in results") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("s23_batch_graph_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, es) =>
+      assert(es.length === 10, s"query $q returned ${es.length}")
+      assert(es.map(_._3).sorted.toSeq === (1L to 10L), s"ranks of $q")
+      assert(es.forall(_._2 >= 5), s"query $q surfaced a query vector")
+      val ordered = es.sortBy(_._3).map(_._4)
+      assert(ordered.toSeq === ordered.sortBy(-_).toSeq, s"cos order of $q")
+    }
+  }
 }
