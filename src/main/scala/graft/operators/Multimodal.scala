@@ -186,6 +186,102 @@ object Multimodal {
     }
   }
 
+  /** Decoded WAV stats: fmt-chunk fields as parsed + sample statistics. */
+  final case class WavStats(doc_id: Long, n_samples: Long, sample_rate: Long,
+                            channels: Long, bits: Long, mean_amp: Double, peak_amp: Long)
+
+  /** Builds a VALID RIFF/WAVE file per doc: `RIFF` header, canonical
+    * 16-byte PCM `fmt ` chunk (mono, 8 kHz, 16-bit), a 7-byte `JUNK`
+    * chunk WITH its RIFF pad byte (real files carry LIST/cue chunks —
+    * the decoder must walk, not assume, the layout), then the `data`
+    * chunk: little-endian int16 samples with sample n =
+    * ((doc_id·37 + n·11) mod 65536) − 32768. */
+  def encodeWav(ids: Dataset[java.lang.Long]): Dataset[MediaRow] = {
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    ids.mapPartitions { rows =>
+      rows.map { idBoxed =>
+        val id = idBoxed.longValue()
+        val n = (64 + id % 33).toInt
+        val dataBytes = n * 2
+        val riffSize = 4 + (8 + 16) + (8 + 7 + 1) + (8 + dataBytes)
+        val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+          .put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(8000) // sample rate
+          .putInt(8000 * 2) // byte rate
+          .putShort(2) // block align
+          .putShort(16) // bits per sample
+        buf.put("JUNK".getBytes("US-ASCII")).putInt(7)
+          .put(Array.tabulate[Byte](7)(i => i.toByte)).put(0.toByte) // pad to even
+        buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        var s = 0
+        while (s < n) {
+          buf.putShort((((id * 37 + s * 11) % 65536) - 32768).toShort)
+          s += 1
+        }
+        MediaRow(id, buf.array())
+      }
+    }
+  }
+
+  /** A REAL RIFF/WAVE chunk walker at the decode seam: verifies the
+    * RIFF/WAVE magic, then iterates chunks by their declared sizes —
+    * parsing `fmt `, skipping unknown chunks INCLUDING the odd-size pad
+    * rule, and computing PCM sample stats from `data` using the
+    * fmt-declared bit depth and channel count. Nothing about the layout
+    * is assumed: a decoder that didn't honor chunk sizes or the pad
+    * byte would misread every sample and fail the closed-form oracle. */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavStats] = {
+    implicit val enc: Encoder[WavStats] = Encoders.product[WavStats]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourCC(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(fourCC() == "RIFF", "not a RIFF file")
+        buf.getInt // riff size
+        require(fourCC() == "WAVE", "not a WAVE form")
+        var channels = 0L; var rate = 0L; var bits = 0L
+        var nSamples = 0L; var sum = 0L; var peak = 0L
+        while (buf.remaining() >= 8) {
+          val cc = fourCC()
+          val size = buf.getInt
+          val next = buf.position() + size + (size & 1) // chunks pad to even
+          cc match {
+            case "fmt " =>
+              buf.getShort // audio format (1 = PCM)
+              channels = buf.getShort.toLong
+              rate = buf.getInt.toLong
+              buf.getInt // byte rate
+              buf.getShort // block align
+              bits = buf.getShort.toLong
+            case "data" =>
+              require(bits == 16 && channels == 1,
+                s"unsupported PCM layout: $bits-bit, $channels ch")
+              var p = buf.position()
+              while (p + 1 < buf.position() + size) {
+                val v = buf.getShort(p).toLong
+                sum += v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                nSamples += 1
+                p += 2
+              }
+            case _ => () // JUNK/LIST/cue — skip by declared size
+          }
+          buf.position(math.min(next, buf.limit()))
+        }
+        WavStats(r.doc_id, nSamples, rate, channels, bits,
+          sum.toDouble / math.max(nSamples, 1), peak)
+      }
+    }
+  }
+
   /** m01/m07 share one oracle: same logical query, two physical layouts. */
   private val jointStatsOracle =
     """SELECT d.lang, e.label, count(*) AS n,
@@ -532,6 +628,38 @@ object Multimodal {
             round(col("mean_r"), 6).as("mean_r"),
             round(col("mean_g"), 6).as("mean_g"),
             round(col("mean_b"), 6).as("mean_b"))
+      }
+    },
+
+    // The audio sibling of m11: a real RIFF/WAVE chunk walker decoding
+    // valid in-engine-built PCM files — fmt parse, junk-chunk skipping
+    // WITH the odd-size pad rule, sample stats from the fmt-declared
+    // layout. The oracle recomputes everything from the closed-form
+    // sample function, so chunk-size or pad-byte mistakes shift every
+    // sample and fail the hash. Same typed batch-decode slot, zero
+    // shuffles before the final projection.
+    QueryDef.sql("m12_wav_decode",
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    CAST(list_sum(list_transform(range(0, n),
+        |      i -> (doc_id*37 + i*11) % 65536 - 32768)) AS DOUBLE) AS s,
+        |    CAST(list_max(list_transform(range(0, n),
+        |      i -> abs((doc_id*37 + i*11) % 65536 - 32768))) AS BIGINT) AS peak
+        |  FROM dims)
+        |SELECT doc_id, n AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |       round(s / n, 6) AS mean_amp, peak AS peak_amp
+        |FROM sm""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        decodeWav(encodeWav(ids)).toDF()
+          .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+            col("channels"), col("bits"),
+            round(col("mean_amp"), 6).as("mean_amp"), col("peak_amp"))
       }
     }
   )

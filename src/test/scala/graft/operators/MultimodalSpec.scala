@@ -71,6 +71,28 @@ class MultimodalSpec extends SparkSpec {
       || Option(err.getCause).exists(_.getMessage.contains("not a binary PPM")))
   }
 
+  test("decodeWav walks chunks by declared size (junk + pad byte) and rejects non-RIFF") {
+    implicit val enc = Encoders.product[MediaRow]
+    // hand-built: RIFF/WAVE, fmt (PCM mono 8kHz 16-bit), a 3-byte junk
+    // chunk whose pad byte must be skipped, data = samples 100, -200, 300
+    val bb = java.nio.ByteBuffer.allocate(66).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(54).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("LIST".getBytes).putInt(3).put(Array[Byte](9, 9, 9)).put(0.toByte)
+    bb.put("data".getBytes).putInt(6).putShort(100).putShort(-200).putShort(300)
+    val out = Multimodal.decodeWav(
+      spark.createDataset(Seq(MediaRow(3L, bb.array())))).collect().head
+    assert(out === Multimodal.WavStats(3L, 3L, 8000L, 1L, 16L, (100 - 200 + 300) / 3.0, 300L))
+
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(spark.createDataset(
+        Seq(MediaRow(4L, "FORM0000AIFF".getBytes)))).collect()
+    }
+    assert(err.getMessage.contains("not a RIFF")
+      || Option(err.getCause).exists(_.getMessage.contains("not a RIFF")))
+  }
+
   test("encodePpm -> decodePpm round-trips header-declared dimensions") {
     implicit val le = Encoders.LONG
     val ids = spark.createDataset(Seq(0L, 5L, 13L).map(java.lang.Long.valueOf))
