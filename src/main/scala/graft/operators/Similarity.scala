@@ -104,7 +104,7 @@ object Similarity {
     * leaves the traversal too few escape routes from local optima;
     * degree 4 + symmetrization (average degree ~5) is where the s22
     * walk's recall clears the IVF probes on the gated fixtures. */
-  private[operators] val GraphDegree = 4
+  private[graft] val GraphDegree = 4
 
   /** s17/s22 shared oracle chain: the capped-bucket kNN graph as a `g`
     * CTE (vec_id, nbr, cos, rk), rk ≤ [[GraphDegree]]. TWO sign-LSH bands
@@ -146,19 +146,27 @@ object Similarity {
     * symmetrization) scores candidates straight off the edge list and
     * never rejoins the corpus. Shared by s17 (this frame minus the
     * payloads) and s22 (which traverses it). */
-  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // One fused 8-plane bucket pass, split into two independent 4-plane
-    // bands (low/high nibble) — the generator keeps it a single corpus
-    // scan where a two-select union would scan twice.
-    val sig0 = Tables.embeddings(s, dir).select(
+  /** Two-band sign-LSH signature rows (vec_id, embedding, band, bucket)
+    * — 2 rows per vector from ONE fused 8-plane bucket pass split into
+    * low/high nibbles (the generator keeps it a single scan where a
+    * two-select union would scan twice). Shared by the batch graph
+    * build and the streaming graph maintenance
+    * ([[graft.streaming.GraphStreams]]), which keeps this as its
+    * stored signature index. */
+  private[graft] def bandedSig(df: DataFrame): DataFrame = {
+    val sig0 = df.select(
       col("vec_id"), col("embedding"),
       VectorOps.hyperplaneBucket(col("embedding"), planes = 8).as("b8"))
-    val banded = sig0.select(col("vec_id"), col("embedding"),
+    sig0.select(col("vec_id"), col("embedding"),
       explode(array(
         struct(lit(0L).as("band"), col("b8").bitwiseAND(lit(15L)).as("bucket")),
         struct(lit(1L).as("band"), shiftright(col("b8"), 4).as("bucket")))).as("bb"))
       .select(col("vec_id"), col("embedding"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val banded = bandedSig(Tables.embeddings(s, dir))
     val wb = Window.partitionBy("band", "bucket")
     val sig = banded
       .withColumn("bn", count(lit(1)).over(wb))
