@@ -921,6 +921,78 @@ object TextAnalysis {
           .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
             col("total_tokens"), col("avg_quality"), col("n_dups"), col("n_quality_pass"))
       }
+    },
+
+    // Contamination-SAFE split assignment — t08's reproducible hash
+    // split composed with d11's decontamination screen into the one
+    // query a training run actually consumes: every doc gets its hash
+    // split, then any train/val doc sharing a (df-capped) distinct
+    // 5-gram with ANY test-split doc is QUARANTINED — eval integrity
+    // beats corpus size, and the quarantine is explicit rather than a
+    // silent drop so span accounting (d15/d16) can audit it. Scale
+    // shape: the split is a pure md5 projection (retry/engine/partition
+    // stable — t08's argument); the screen is d11's — per-doc-distinct
+    // shingles, hot boilerplate shingles dropped by the df cap BEFORE
+    // the join (observe-surfaced, oracle-mirrored), test×train contact
+    // only ever through the shingle join, never doc×doc.
+    QueryDef.sql("t29_safe_split",
+      s"""WITH $toksCte,
+         |sh5 AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, greatest(len(t)-4, 1)+1),
+         |           i -> array_to_string(t[i:i+4], ' '))) AS sh
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh5),
+         |freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+         |kept AS (SELECT ex.doc_id, ex.shingle FROM ex
+         |         JOIN freq ON ex.shingle = freq.shingle
+         |         WHERE freq.df <= ${Dedup.MaxBucketSize}),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN substr(md5('split:' || doc_id), 1, 1) <= 'b' THEN 'train'
+         |              WHEN substr(md5('split:' || doc_id), 1, 1) <= 'd' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents),
+         |tesh AS (
+         |  SELECT DISTINCT k.shingle FROM kept k
+         |  JOIN sp ON sp.doc_id = k.doc_id AND sp.split = 'test'),
+         |cont AS (
+         |  SELECT DISTINCT k.doc_id FROM kept k
+         |  JOIN sp s ON s.doc_id = k.doc_id AND s.split <> 'test'
+         |  JOIN tesh t ON t.shingle = k.shingle)
+         |SELECT sp.doc_id, sp.split, (c.doc_id IS NOT NULL) AS contaminated,
+         |       CASE WHEN c.doc_id IS NOT NULL THEN 'quarantine' ELSE sp.split END
+         |         AS final_split
+         |FROM sp LEFT JOIN cont c ON c.doc_id = sp.doc_id""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val h1 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+        val sp = docs.select(col("doc_id"),
+          when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test").as("split"))
+          .localCheckpoint(true) // reused: test-shingle side + final join
+        val ex = docs.select(col("doc_id"),
+          explode(Exprs.wordShingles(Exprs.tokens(col("text")), 5)).as("shingle"))
+        val kept = ex
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .observe("safe_split_guard",
+            coalesce(sum(when(col("df") > Dedup.MaxBucketSize, 1L).otherwise(0L)),
+              lit(0L)).as("rows_in_dropped_shingles"))
+          .filter(col("df") <= Dedup.MaxBucketSize)
+          .select("doc_id", "shingle")
+        val keptSp = kept.join(sp, "doc_id")
+        val testSh = keptSp.filter(col("split") === "test")
+          .select("shingle").distinct()
+        val cont = keptSp.filter(col("split") =!= "test")
+          .join(testSh, "shingle")
+          .select("doc_id").distinct()
+          .withColumn("c", lit(true))
+        sp.join(cont, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("split"),
+            coalesce(col("c"), lit(false)).as("contaminated"),
+            when(coalesce(col("c"), lit(false)), "quarantine")
+              .otherwise(col("split")).as("final_split"))
+      }
     }
   )
 

@@ -20,6 +20,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "d02_minhash_lsh", // hash signatures + banded buckets
     "d16_span_dedup_apply", // ordered token rebuild via sort-agg
     "t13_stratified_sample", // hash-gated sampling (retry safety)
+    "t29_safe_split", // hash split × df-capped shingle screen
     "t23_mixture_sample", // derived-rate sampling
     "s01_knn_bruteforce", // rounded cosine ranking
     "t22_quality_classifier", // integer feature sums
