@@ -94,6 +94,85 @@ object GraphRank {
        |SELECT id AS vec_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Directed bounded-degree walk graph: each node keeps its top
+    * [[WalkDeg]] neighbors by (cos DESC, dst ASC) from the symmetrized
+    * d05 pair list. Bounding out-degree is what makes RECURSIVE
+    * traversal safe — path fan-out from one seed is ≤ deg^hops instead
+    * of component-factorial — and the rank window is partitioned by
+    * src (map-side WindowGroupLimit), never a global sort. Ties are
+    * deterministic because `cos` is the 6-decimal-rounded value both
+    * engines compute identically (the d05 contract). */
+  private[operators] def walkEdges(edges: DataFrame, deg: Int = WalkDeg): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    import org.apache.spark.sql.expressions.Window
+    sym.withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= deg)
+      .select("src", "dst")
+  }
+
+  private[operators] val WalkDeg = 2
+  private[operators] val WalkHops = 7
+  private[operators] val WalkSeeds = 5
+
+  /** Iterative BFS over (src, dst) from the top-[[WalkSeeds]] in-degree
+    * hubs — the cluster-scale twin of the q76 recursive CTE. All seeds
+    * walk SIMULTANEOUSLY through one (seed, vec_id) state table (the
+    * s23 batched-walk shape: round cost amortizes over the seed batch);
+    * frontier and visited are localCheckpoint'd per round (truncated
+    * lineage, the s06/s13/t24 loop contract), each round is one join +
+    * one anti-join, and the loop stops on the A6 emptiness guard or
+    * the hop cap, whichever first. Returns (seed, vec_id, min hops). */
+  def bfs(edges: DataFrame, maxHops: Int = WalkHops): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint(true)
+    var visited = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("dst")).limit(WalkSeeds)
+      .select(col("dst").as("seed"), col("dst").as("vec_id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops && frontier.take(1).nonEmpty) {
+      hop += 1
+      frontier = e.join(frontier.select(col("seed"), col("vec_id").as("src")), "src")
+        .select(col("seed"), col("dst").as("vec_id")).distinct()
+        .join(visited.select("seed", "vec_id"), Seq("seed", "vec_id"), "left_anti")
+        .select(col("seed"), col("vec_id"), lit(hop).as("hops"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** The recursive walk both engines run verbatim: anchored at the
+    * top-[[WalkSeeds]] in-degree hubs (deterministic: ties break on
+    * node id), one step per round along the top-deg edges, hop-capped;
+    * min-hop aggregation happens OUTSIDE the recursion (neither engine
+    * allows aggregating the recursive reference). UNION ALL enumerates
+    * paths, which the degree bound caps at deg^hops per seed. */
+  private def walkSql(edgeRel: String): String =
+    s"""walk(seed, id, hops) AS (
+       |  SELECT dst, dst, 0 FROM (
+       |    SELECT dst FROM $edgeRel GROUP BY dst
+       |    ORDER BY count(*) DESC, dst LIMIT $WalkSeeds)
+       |  UNION ALL
+       |  SELECT w.seed, e.dst, w.hops + 1
+       |  FROM walk w JOIN $edgeRel e ON e.src = w.id
+       |  WHERE w.hops < $WalkHops)""".stripMargin
+
+  private def reachabilitySql: String =
+    s"""WITH RECURSIVE ${Dedup.embPairsCtes},
+       |sym AS (SELECT id_a AS src, id_b AS dst, cos FROM prs
+       |        UNION ALL SELECT id_b AS src, id_a AS dst, cos FROM prs),
+       |walk_edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM sym) WHERE rn <= $WalkDeg),
+       |${walkSql("walk_edges")}
+       |SELECT seed, id AS vec_id, CAST(min(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY seed, id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // Hub scores over the d05 embedding near-dup graph, oracle-checked
     // end-to-end: the DuckDB side re-derives the same edge list (d05's
@@ -105,6 +184,27 @@ object GraphRank {
         val edges = Dedup.embeddingPairs(Tables.embeddings(s, dir))
         pageRank(edges, iters = 10)
           .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank"))
+    },
+
+    // Recursive-CTE reachability (q76): min-hop BFS from the walk
+    // graph's top in-degree hubs, run through Spark's NATIVE
+    // `WITH RECURSIVE` support (4.x) on the SQL path — the transitive
+    // "reachable through chains of near-duplicates" question d07
+    // answers corpus-wide, spelled as the standard SQL recursion a
+    // reference user would write, per-seed (the per-cluster-closure
+    // shape). DuckDB runs the byte-identical walk. The hop cap and the
+    // top-2 degree bound make UNION ALL path enumeration finite and
+    // tiny (≤ 2^8 rows per seed); [[bfs]] is the checkpointed
+    // frontier-iteration twin for unbounded-depth traversals at
+    // cluster scale, equivalence-tested in GraphRankSpec.
+    QueryDef.sql("q76_reachability", reachabilitySql) {
+      (s, dir) =>
+        walkEdges(Dedup.embeddingPairs(Tables.embeddings(s, dir)))
+          .createOrReplaceTempView("walk_edges_v")
+        s.sql(
+          s"""WITH RECURSIVE ${walkSql("walk_edges_v")}
+             |SELECT seed, id AS vec_id, CAST(min(hops) AS BIGINT) AS hops
+             |FROM walk GROUP BY seed, id""".stripMargin)
     }
   )
 }

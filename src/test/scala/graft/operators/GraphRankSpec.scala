@@ -55,4 +55,35 @@ class GraphRankSpec extends SparkSpec {
     assert(rows.length.toLong === nodes, "one rank row per graph node")
     assert(rows.map(_.getDouble(1)).sum > 0.0)
   }
+
+  test("bfs on a known graph: exact min-hop levels from the top-indegree hubs") {
+    // Chain 10-11-12-13 plus a reverse edge 11->10 making 10 the in-degree
+    // tie-break winner among equals; directed edges as given (no symmetrize
+    // here — bfs consumes walkEdges output, already direction-resolved).
+    val e = Seq((10L, 11L), (11L, 10L), (11L, 12L), (12L, 13L)).toDF("src", "dst")
+    val got = GraphRank.bfs(e, maxHops = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // top-5 in-degree seeds over 4 distinct dst values = all of 10,11,12,13
+    assert(got((10L, 10L)) === 0L && got((10L, 11L)) === 1L
+      && got((10L, 12L)) === 2L && got((10L, 13L)) === 3L)
+    assert(got((13L, 13L)) === 0L && !got.contains((13L, 10L)),
+      "13 has no out-edges: its walk stays at the seed")
+  }
+
+  test("bfs respects the hop cap") {
+    val e = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphRank.bfs(e, maxHops = 2).collect().map(_.getLong(2))
+    assert(got.max === 2L, "no node beyond the cap")
+  }
+
+  test("q76 native recursive CTE == checkpointed frontier bfs on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val rcte = graft.SparkEntry.queries("q76_reachability")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val iter = GraphRank.bfs(
+        GraphRank.walkEdges(Dedup.embeddingPairs(graft.Tables.embeddings(spark, dir))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rcte === iter, "the two traversal engines must agree exactly")
+    assert(rcte.nonEmpty && rcte.count { case ((s, v), h) => h === 0L && s === v } > 0)
+  }
 }
