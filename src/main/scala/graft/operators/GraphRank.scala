@@ -199,7 +199,12 @@ object GraphRank {
     // cluster scale, equivalence-tested in GraphRankSpec.
     QueryDef.sql("q76_reachability", reachabilitySql) {
       (s, dir) =>
+        // Materialize the edge list once: the recursion re-reads its
+        // anchor relation every round, and an unmaterialized view here
+        // would re-derive the whole LSH pair pass per hop (measured 4 s
+        // → ~1.5 s at sf0.1). Same contract as the bfs twin's first line.
         walkEdges(Dedup.embeddingPairs(Tables.embeddings(s, dir)))
+          .localCheckpoint(true)
           .createOrReplaceTempView("walk_edges_v")
         s.sql(
           s"""WITH RECURSIVE ${walkSql("walk_edges_v")}
