@@ -1339,6 +1339,75 @@ object Similarity {
           .filter(col("rk") <= 10)
           .select(col("query_id"), col("vec_id"), col("rk"), col("cos"))
       }
+    },
+
+    // BM25 lexical retrieval — the scoring function s21's lexical leg
+    // approximates with set-Jaccard, done properly: tf saturation (k1),
+    // document-length normalization (b), and the Robertson/Lucene
+    // always-positive idf ln((N-df+0.5)/(df+0.5)+1). Query = doc 0's
+    // distinct tokens (the s21 convention); corpus = every other doc.
+    // Scale shape: ONE corpus-wide shuffle builds the (doc, term, tf)
+    // table; doc lengths re-aggregate from it; N/avgdl is a scalar
+    // aggregate (exact integer sum, then one division — no float
+    // accumulation-order exposure); df only ever counts the
+    // query-filtered slice via a broadcast semi-join (≤|q| terms, never
+    // a vocabulary-wide pass); scoring joins tf against the BROADCAST
+    // idf table, so the only post-tf exchanges key on doc_id; top-10 is
+    // a TakeOrdered, no global sort. Per-term contributions quantize to
+    // 12 decimals before the per-doc sum (the s13/s06 re-sync contract:
+    // both engines add identical summands, so the 6-decimal output
+    // cannot drift with partition count), and the final order ties on
+    // doc_id.
+    QueryDef.sql("s24_bm25",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM toks
+         |  WHERE doc_id <> 0 GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM tf JOIN qt USING (tok) GROUP BY tok),
+         |idf AS (
+         |  SELECT tok, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM df, stats s),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |         round(i.idf * t.tf * 2.2 /
+         |               (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)), 12) AS c
+         |  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id), stats s)
+         |SELECT doc_id, round(sum(c), 6) AS bm25
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(graft.functions.Exprs.tokens(col("text"))).as("tok"))
+        // Reused by dl, df, and the scoring join: materialize the one
+        // corpus-wide pass instead of re-tokenizing per consumer.
+        val tf = toks.filter(col("doc_id") =!= 0)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).as("n"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val qt = toks.filter(col("doc_id") === 0).select("tok").distinct()
+        val dfq = tf.join(broadcast(qt), "tok").groupBy("tok").agg(count(lit(1)).as("df"))
+        val idf = dfq.crossJoin(broadcast(stats))
+          .select(col("tok"),
+            log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+        tf.join(broadcast(idf), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats.select("avgdl")))
+          .select(col("doc_id"),
+            round(col("idf") * col("tf") * 2.2 /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 12).as("c"))
+          .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      }
     }
   )
 }

@@ -143,4 +143,41 @@ class SimilaritySpec extends SparkSpec {
       assert(ordered.toSeq === ordered.sortBy(-_).toSeq, s"cos order of $q")
     }
   }
+
+  test("s24 BM25 matches a from-first-principles driver model") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("s24_bm25")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // Independent model straight from the Robertson formula over the raw
+    // fixture text — same tokenizer contract as Exprs.tokens.
+    def tok(t: String): Seq[String] =
+      t.trim.toLowerCase match { case "" => Nil; case s => s.split("\\s+").toSeq }
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tok(r.getString(1))).toMap
+    val query = docs(0L).distinct
+    val corpus = docs.removed(0L).filter(_._2.nonEmpty)
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size.toLong).sum.toDouble / n
+    def rnd(x: Double, p: Int) = BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf = query.map { t =>
+      val df = corpus.values.count(_.contains(t))
+      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val scores = corpus.map { case (id, ts) =>
+      val dl = ts.size
+      id -> rnd(query.flatMap { t =>
+        val tf = ts.count(_ == t)
+        if (tf == 0) None
+        else Some(rnd(idf(t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 12))
+      }.sum, 6)
+    }.filter(_._2 != 0.0)
+    val expect = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+
+    assert(got.length === 10)
+    got.zip(expect).foreach { case ((gid, gs), (eid, es)) =>
+      assert(gid === eid && math.abs(gs - es) < 1e-6, s"got ($gid,$gs) want ($eid,$es)")
+    }
+  }
 }
