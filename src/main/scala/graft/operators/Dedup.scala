@@ -504,6 +504,61 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the round count is O(log n) in the worst case where
+    * [[connectedComponents]]'s min-label propagation needs one round per
+    * hop of component DIAMETER. On a chain-shaped component of 10^6
+    * nodes that is the difference between ~20 shuffle rounds and 10^6;
+    * near-dup graphs are usually shallow, so both live here and the spec
+    * proves them equal — this is the one to reach for when the graph's
+    * shape is unknown.
+    *
+    * Edges stay in canonical (hi, lo) orientation. Large-star connects
+    * every strictly-larger neighbor of each node u to m = min(N(u)∪{u})
+    * (full symmetric neighborhoods); small-star connects u and its
+    * smaller neighbors to their minimum (grouping by hi needs no
+    * symmetrize). Both phases emit (bigger, smaller) by construction so
+    * the canonical form is an invariant, each is ~2 shuffles keyed on
+    * the center node, and the fixpoint is a star forest rooted at each
+    * component's minimum — labels read straight off the final edges. */
+  def largeSmallStarComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    var e = edges.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct().localCheckpoint(true)
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy("hi").agg(min("lo").as("m"))
+      val centers = mins.select(col("hi"), col("m").as("lo"))
+      val leaves = cur.join(mins, "hi").filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      centers.unionByName(leaves).distinct()
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // exact fixpoint test on the two (small, checkpointed) edge sets;
+      // count-equality is NOT enough — the set can churn at equal size
+      converged = next.except(e).unionByName(e.except(next)).take(1).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"largeSmallStarComponents did not converge in $maxIters rounds; raise maxIters")
+    // fixpoint ⇒ star forest: every edge is (member, component-min)
+    e.select(col("hi").as("id"), col("lo").as("label"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("label")).distinct())
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: group by content hash, keep-first. One shuffle on the
@@ -643,6 +698,21 @@ object Dedup {
           .groupBy("label").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       }
+    },
+
+    // The same components by the O(log n)-round star algorithm — the
+    // full per-node label assignment this time (what the d08-style keep
+    // pick actually joins against). Oracle: the identical recursive
+    // closure as d07; the two Spark algorithms are equivalence-tested in
+    // DedupSpec, including the chain-shaped graph where propagation's
+    // round count is the component diameter and this one's is its log.
+    QueryDef.sql("d17_star_components",
+      s"""WITH RECURSIVE ${toksCte()},
+         |$shCte,
+         |$candCte,
+         |$componentsCte
+         |SELECT id, label FROM labels""".stripMargin) {
+      (s, dir) => largeSmallStarComponents(candidates(s, dir))
     },
 
     // APPLIED near-dup dedup with quality priority: within each connected

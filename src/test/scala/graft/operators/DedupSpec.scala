@@ -26,6 +26,37 @@ class DedupSpec extends SparkSpec {
     assert(labels.size === 10)
   }
 
+  test("large/small-star equals min-label propagation on mixed components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (31L, 30L)).toDF("id_a", "id_b")
+    val star = Dedup.largeSmallStarComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+  }
+
+  test("large/small-star converges in O(log n) rounds where propagation needs the diameter") {
+    // a 64-hop chain: propagation would need ~63 rounds; the star
+    // alternation must finish inside 10 — the maxIters bound IS the
+    // assertion, because non-convergence throws.
+    val chain = (0L until 64L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val star = Dedup.largeSmallStarComponents(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === 65 && star.values.toSet === Set(0L))
+  }
+
+  test("large/small-star equals propagation on the fixture near-dup graph") {
+    val edges = Dedup.embeddingPairs(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val star = Dedup.largeSmallStarComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(edges, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star.nonEmpty)
+  }
+
   test("semanticClusters: k-means-fitted assignment as a zero-join plan-literal projection") {
     // 16 well-separated stationary clusters: vec_ids 0..15 are scaled
     // one-hots (the fit's init picks exactly these), and each satellite
