@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Bpe.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
-      operators.SourceProbes.defs
+      operators.SourceProbes.defs ++
+      operators.Pca.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

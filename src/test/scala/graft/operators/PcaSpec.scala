@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** s25 is hash-gated against the DuckDB oracle (same quantized iteration
+  * on both engines); this spec pins the MATH — the 8-round quantized
+  * iterate must actually be the top principal direction, judged against
+  * an exact driver-side power iteration run to convergence.
+  */
+class PcaSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus(): Array[Array[Double]] =
+    graft.Tables.embeddings(spark, dir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def center(xs: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = xs.head.length
+    val mu = Array.tabulate(d)(j => xs.map(_(j)).sum / xs.length)
+    xs.map(x => Array.tabulate(d)(j => x(j) - mu(j)))
+  }
+
+  // exact v <- X^T(Xv), no quantization, run far past convergence
+  private def exactPc(cx: Array[Array[Double]], rounds: Int): Array[Double] = {
+    val d = cx.head.length
+    var v = Array.fill(d)(0.125)
+    for (_ <- 0 until rounds) {
+      val y = Array.ofDim[Double](d)
+      cx.foreach { x =>
+        val s = x.indices.map(j => x(j) * v(j)).sum
+        x.indices.foreach(j => y(j) += s * x(j))
+      }
+      val n = math.sqrt(y.map(a => a * a).sum)
+      v = y.map(_ / n)
+    }
+    v
+  }
+
+  private def rayleigh(cx: Array[Array[Double]], v: Array[Double]): Double =
+    cx.map { x => val s = x.indices.map(j => x(j) * v(j)).sum; s * s }.sum
+
+  test("the quantized iterate converges on the top principal direction") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val mu = Pca.meanVector(emb)
+    val fitted = Pca.topComponent(emb, mu)
+    assert(math.abs(math.sqrt(fitted.map(a => a * a).sum) - 1.0) < 1e-4,
+      "unit-norm loadings (within quantization)")
+    val cx = center(corpus())
+    val exact = exactPc(cx, rounds = 300)
+    // fixture spectrum is nearly flat (λ2/λ1 ≈ 0.93 — the slow case);
+    // 20 rounds lands ≈0.97 of the top eigenvalue's variance. Gate at
+    // 0.95 for fixture-regeneration headroom, and require the iteration
+    // to be actually CONVERGING (more rounds → strictly more variance).
+    val captured = rayleigh(cx, fitted) / rayleigh(cx, exact)
+    assert(captured > 0.95,
+      s"fitted direction captures $captured of the top eigenvalue's variance")
+    val early = Pca.topComponent(emb, mu, iters = 8)
+    assert(rayleigh(cx, fitted) > rayleigh(cx, early),
+      "20 rounds must capture strictly more variance than 8")
+  }
+
+  test("s25 projections match a first-principles driver recompute") {
+    val got = graft.SparkEntry.queries("s25_pca_project")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val emb = graft.Tables.embeddings(spark, dir)
+    val mu = Pca.meanVector(emb)
+    val v = Pca.topComponent(emb, mu)
+    val ids = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(got.size === ids.length)
+    ids.foreach { case (id, x) =>
+      val pc1 = x.indices.map(j => (x(j) - mu(j)) * v(j)).sum
+      assert(math.abs(got(id) - pc1) < 1e-6, s"vec $id")
+    }
+  }
+}
