@@ -993,6 +993,66 @@ object TextAnalysis {
             when(coalesce(col("c"), lit(false)), "quarantine")
               .otherwise(col("split")).as("final_split"))
       }
+    },
+
+    // Iterative proportional fitting (raking): per-(lang, source) sample
+    // weights such that the weighted corpus simultaneously matches
+    // UNIFORM marginals over langs and over sources — the mixture
+    // reweighting step t23 samples from when two constraint families
+    // must hold at once (survey raking; the DoReMi-style domain-weight
+    // shape). The IPF state is marginal-bounded — |langs| × |sources|
+    // cells, NEVER corpus-bounded — so the only corpus-scale work is the
+    // one groupBy building the cell counts; the 6 fitting rounds are
+    // windowed projections over the tiny cell table (each half-step
+    // scales cells by target/current within one marginal's partition —
+    // a single predecessor reference per round, so the oracle unrolls as
+    // a LINEAR CTE chain). Quantized to 6 decimals at every half-round
+    // boundary (the s06/s13 re-sync contract). Structural zeros (absent
+    // cells) stay absent, the standard IPF convention.
+    QueryDef.sql("t30_mixture_raking", {
+      val rounds = (1 to 6).map { k =>
+        s"""a$k AS (
+           |  SELECT lang, source,
+           |         round(m * (s.n / s.nl) / sum(m) OVER (PARTITION BY lang), 6) AS m
+           |  FROM m${k - 1}, stats s),
+           |m$k AS (
+           |  SELECT lang, source,
+           |         round(m * (s.n / s.ns) / sum(m) OVER (PARTITION BY source), 6) AS m
+           |  FROM a$k, stats s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT lang, source, CAST(count(*) AS DOUBLE) AS m
+         |  FROM documents GROUP BY lang, source),
+         |stats AS MATERIALIZED (
+         |  SELECT sum(m) AS n, count(DISTINCT lang) AS nl,
+         |         count(DISTINCT source) AS ns FROM m0),
+         |$rounds
+         |SELECT f.lang, f.source, CAST(c.m AS BIGINT) AS n_docs, f.m AS fitted
+         |FROM m6 f JOIN m0 c USING (lang, source)""".stripMargin
+    }) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.documents(s, dir)
+          .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("m"))
+          .localCheckpoint(true) // reused: stats, the chain start, the final ratio
+        val st = cells.agg(sum("m"), countDistinct("lang"), countDistinct("source")).head()
+        val (n, nl, ns) = (st.getDouble(0), st.getLong(1), st.getLong(2))
+        var m = cells
+        for (_ <- 1 to 6) {
+          m = m.withColumn("m",
+            round(col("m") * lit(n / nl) / sum("m").over(Window.partitionBy("lang")), 6))
+          m = m.withColumn("m",
+            round(col("m") * lit(n / ns) / sum("m").over(Window.partitionBy("source")), 6))
+        }
+        // n_docs + fitted, NOT the fitted/count ratio: a 6-decimal value
+        // divided by a small integer lands on exact decimal halves often
+        // (7.060543/14 = 0.5043245), where Spark's shortest-decimal
+        // HALF_UP and DuckDB's binary round() disagree by one ulp. The
+        // consumer derives the per-doc weight as fitted/n_docs.
+        m.join(cells.withColumnRenamed("m", "m0"), Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("m0").cast("long").as("n_docs"),
+            col("m").as("fitted"))
+      }
     }
   )
 

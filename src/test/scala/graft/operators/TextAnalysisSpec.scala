@@ -91,4 +91,23 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("t30 raking: fitted cells hit BOTH uniform marginals and conserve mass") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t30_mixture_raking")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val n = rows.map(_._3).sum.toDouble
+    val nl = rows.map(_._1).distinct.size
+    val ns = rows.map(_._2).distinct.size
+    assert(rows.forall(_._4 > 0.0), "all fitted masses positive")
+    assert(math.abs(rows.map(_._4).sum - n) / n < 1e-6, "total mass conserved")
+    // IPF converges geometrically; 6 rounds lands ~1e-7 relative on this
+    // fixture — 1e-4 is pure headroom, the claim is BOTH families at once
+    rows.groupBy(_._1).foreach { case (lang, cs) =>
+      assert(math.abs(cs.map(_._4).sum - n / nl) / (n / nl) < 1e-4, s"lang $lang marginal")
+    }
+    rows.groupBy(_._2).foreach { case (src, cs) =>
+      assert(math.abs(cs.map(_._4).sum - n / ns) / (n / ns) < 1e-4, s"source $src marginal")
+    }
+  }
 }
