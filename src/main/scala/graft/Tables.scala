@@ -21,21 +21,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events fixture writes INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in [[Sessions]]) the column arrives as a nanos `long`; convert to
-    * a micros timestamp (integral `div` — a double divide would lose
-    * precision above 2^53 ns) so downstream queries see a real timestamp
-    * with exactly the semantics the DuckDB oracle gets reading the same file. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+  /** The events fixture has shipped in two physical forms across driver
+    * rounds: INT64 TIMESTAMP(NANOS) (reads as a nanos `long` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions]]) and
+    * plain `timestamp[us]` with isAdjustedToUTC=false (reads as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Normalize both to a
+    * session-zone TIMESTAMP: the session zone is pinned to UTC, so the
+    * NTZ→LTZ cast re-tags the same wall-clock values DuckDB sees reading
+    * the same file, and the nanos path uses integral `div` (a double
+    * divide would lose precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Shared by the batch loader above and the streaming file sources that
+    * stage the same fixture — ONE place owns the ts-form contract. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -13,25 +13,20 @@ class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Long): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
 
-  /** The events fixture is TIMESTAMP(NANOS) parquet: stream it with ts
-    * as a nanos long and convert exactly as `Tables.events` does for the
-    * batch side. The file stream source wants a directory, so the single
-    * fixture file is staged into a temp dir. Shared by every
-    * batch-parity test so the hand-declared schema exists ONCE. */
+  /** Stream the events fixture with whatever physical ts form this round's
+    * file carries (nanos-long or TIMESTAMP_NTZ — see `Tables.events`): take
+    * the schema from the parquet footer and run the SAME normalization as
+    * the batch loader, so stream/batch parity tests compare identical
+    * semantics. The file stream source wants a directory, so the single
+    * fixture file is staged into a temp dir. */
   private def stagedEventsStream(dir: String): org.apache.spark.sql.DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     val staged = Files.createTempDirectory("graft-events-staged")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
-    spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val footer = spark.read.parquet(staged.toString).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(footer).parquet(staged.toString))
   }
 
   test("hourlyCounts: watermarked tumbling window aggregates by type") {
