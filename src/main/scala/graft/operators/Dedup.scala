@@ -1088,6 +1088,70 @@ object Dedup {
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             coalesce(col("clean_text"), lit("")).as("clean_text"))
       }
+    },
+
+    // Bloom-filter membership screen for incremental dedup: the index
+    // partition (doc_id % 10 <> 0, mirroring d14) sets k=3 deterministic
+    // md5-derived bit positions per document in an m=65536-bit filter;
+    // an incoming doc is `bloom_hit` iff ALL THREE of its positions are
+    // set. The exact verdict rides alongside, so the output exhibits the
+    // filter's contract directly: every exact dup is a hit (no false
+    // negatives — a Bloom guarantee, not a statistical hope) and the
+    // hit∧¬dup rows are the false-positive cost. The 100 TB posture is
+    // the point: the set-bit table is AT MOST m rows (8 KB as a bitmap)
+    // no matter how many petabytes the index partition holds, so the
+    // membership probe is a broadcast join against the arrival stream —
+    // the full md5-equality join (d14's `exact`) runs only behind this
+    // screen, on the hits. Positions derive from md5 hex via the same
+    // 12-hex-digit → BIGINT conversion on both engines (conv base-16 /
+    // '0x' cast), so any hash-mixing drift fails the gate.
+    QueryDef.sql("d18_bloom_screen", {
+      def pos(j: Int) =
+        s"(('0x' || substr(md5('$j:' || text), 1, 12))::BIGINT % 65536)"
+      s"""WITH bits AS (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT unnest([${(0 until 3).map(pos).mkString(", ")}]) AS p
+         |    FROM documents WHERE doc_id % 10 <> 0)),
+         |probes AS (
+         |  SELECT doc_id, unnest([${(0 until 3).map(pos).mkString(", ")}]) AS p
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |hits AS (
+         |  SELECT pr.doc_id,
+         |         CAST(CASE WHEN count(b.p) = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit
+         |  FROM probes pr LEFT JOIN bits b ON pr.p = b.p
+         |  GROUP BY pr.doc_id),
+         |exact AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN md5(text) IN
+         |           (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+         |           THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT h.doc_id, h.bloom_hit, e.is_exact_dup
+         |FROM hits h JOIN exact e ON h.doc_id = e.doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def positions(c: org.apache.spark.sql.Column) = array((0 until 3).map { j =>
+          conv(substring(md5(concat(lit(s"$j:"), c)), 1, 12), 16, 10)
+            .cast("long") % 65536
+        }: _*)
+        val bits = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(explode(positions(col("text"))).as("p")).distinct()
+        val incoming = docs.filter(col("doc_id") % 10 === 0)
+        val hits = incoming
+          .select(col("doc_id"), explode(positions(col("text"))).as("p"))
+          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+          .groupBy("doc_id")
+          .agg(when(count(col("hit")) === 3, 1L).otherwise(0L).as("bloom_hit"))
+        val index = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("h")).distinct()
+        val exact = incoming
+          .join(index, md5(col("text")) === col("h"), "left_semi")
+          .select(col("doc_id"), lit(1L).as("is_exact_dup"))
+        hits.join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))
+      }
     }
   )
 }

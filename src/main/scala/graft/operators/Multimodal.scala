@@ -143,36 +143,47 @@ object Multimodal {
     * payload: width/height/maxval come from the parsed header, so any
     * off-by-one in header parsing or body offset shifts every channel
     * mean and fails the byte-exact oracle. */
+  /** Parsed P6 header: width, height, maxval, and the byte offset of the
+    * first body byte. General parser — magic, `#` comments,
+    * whitespace-separated fields, single post-maxval whitespace byte —
+    * shared by the stats decode and the pixel-addressed resize so both
+    * trust ONLY the payload's own header. */
+  private def parsePpmHeader(b: Array[Byte]): (Int, Int, Int, Int) = {
+    var pos = 0
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+      new String(b, start, pos - start, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P6", s"not a binary PPM: magic '$magic'")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    pos += 1 // exactly ONE whitespace byte separates maxval from the body
+    require(b.length - pos == w * h * 3,
+      s"body is ${b.length - pos} bytes, expected ${w * h * 3}")
+    (w, h, maxval, pos)
+  }
+
   def decodePpm(media: Dataset[MediaRow]): Dataset[PpmStats] = {
     implicit val enc: Encoder[PpmStats] = Encoders.product[PpmStats]
     media.mapPartitions { rows =>
       rows.map { r =>
         val b = r.payload
-        var pos = 0
-        def skipWsAndComments(): Unit = {
-          var go = true
-          while (go && pos < b.length) {
-            val c = b(pos)
-            if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
-            else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
-            else go = false
-          }
-        }
-        def token(): String = {
-          skipWsAndComments()
-          val start = pos
-          while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
-          new String(b, start, pos - start, "US-ASCII")
-        }
-        val magic = token()
-        require(magic == "P6", s"not a binary PPM: magic '$magic'")
-        val w = token().toInt
-        val h = token().toInt
-        val maxval = token().toInt
-        pos += 1 // exactly ONE whitespace byte separates maxval from the body
-        require(b.length - pos == w * h * 3,
-          s"body is ${b.length - pos} bytes, expected ${w * h * 3}")
+        val (w, h, maxval, body) = parsePpmHeader(b)
         val sums = new Array[Long](3)
+        var pos = body
         var k = 0
         while (pos < b.length) {
           sums(k % 3) += b(pos) & 0xff
@@ -181,6 +192,48 @@ object Multimodal {
         }
         val n = (w * h).toDouble
         PpmStats(r.doc_id, w.toLong, h.toLong, maxval.toLong,
+          sums(0) / n, sums(1) / n, sums(2) / n)
+      }
+    }
+  }
+
+  /** Stats of a nearest-neighbor resize to `tw`×`th`. */
+  final case class PpmResized(doc_id: Long, src_w: Long, src_h: Long,
+                              mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pixel-addressed image resize at the codec seam: decode the P6
+    * payload, gather the nearest-neighbor source pixel for every target
+    * pixel (sx = ⌊x·w/tw⌋, sy = ⌊y·h/th⌋ — the standard NN downsample),
+    * and emit per-channel means of the RESIZED image. Unlike
+    * [[resizePayloads]]'s 1-D byte picker, this addresses true (x, y)
+    * pixel coordinates through the parsed header, so any row-stride or
+    * channel-interleave mistake lands on wrong bytes and fails the
+    * byte-exact oracle. Same typed `mapPartitions` batch slot as every
+    * codec op. */
+  def resizePpm(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[PpmResized] = {
+    require(tw > 0 && th > 0)
+    implicit val enc: Encoder[PpmResized] = Encoders.product[PpmResized]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val (w, h, _, body) = parsePpmHeader(b)
+        val sums = new Array[Long](3)
+        var y = 0
+        while (y < th) {
+          val sy = y * h / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * w / tw
+            val p = body + 3 * (sy * w + sx)
+            sums(0) += b(p) & 0xff
+            sums(1) += b(p + 1) & 0xff
+            sums(2) += b(p + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (tw * th).toDouble
+        PpmResized(r.doc_id, w.toLong, h.toLong,
           sums(0) / n, sums(1) / n, sums(2) / n)
       }
     }
@@ -660,6 +713,46 @@ object Multimodal {
           .select(col("doc_id"), col("n_samples"), col("sample_rate"),
             col("channels"), col("bits"),
             round(col("mean_amp"), 6).as("mean_amp"), col("peak_amp"))
+      }
+    },
+
+    // Nearest-neighbor resize through the REAL pixel path: every target
+    // pixel of a 4×3 thumbnail gathers its source pixel through the
+    // parsed header's row stride (sx = ⌊x·w/4⌋, sy = ⌊y·h/3⌋), so the
+    // oracle — which recomputes the SAME 12 gathered bytes from the
+    // closed-form pixel function — fails on any stride, interleave, or
+    // rounding slip. This is the decode→transform→featurize hop of an
+    // image-pretraining pipeline with the transform doing real pixel
+    // addressing, not a byte subsample.
+    QueryDef.sql("m13_ppm_resize",
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |         CAST(6 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, 12), p ->
+        |      (doc_id*131 + (3*((((p//4)*h)//3)*w + (((p%4)*w)//4)) + 0)*7) % 256)) AS DOUBLE) AS sr,
+        |    CAST(list_sum(list_transform(range(0, 12), p ->
+        |      (doc_id*131 + (3*((((p//4)*h)//3)*w + (((p%4)*w)//4)) + 1)*7) % 256)) AS DOUBLE) AS sg,
+        |    CAST(list_sum(list_transform(range(0, 12), p ->
+        |      (doc_id*131 + (3*((((p//4)*h)//3)*w + (((p%4)*w)//4)) + 2)*7) % 256)) AS DOUBLE) AS sb
+        |  FROM dims)
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |       round(sr / 12, 6) AS mean_r,
+        |       round(sg / 12, 6) AS mean_g,
+        |       round(sb / 12, 6) AS mean_b
+        |FROM px""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        resizePpm(encodePpm(ids), tw = 4, th = 3).toDF()
+          .select(col("doc_id"), col("src_w"), col("src_h"),
+            round(col("mean_r"), 6).as("mean_r"),
+            round(col("mean_g"), 6).as("mean_g"),
+            round(col("mean_b"), 6).as("mean_b"))
       }
     }
   )

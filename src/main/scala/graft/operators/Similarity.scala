@@ -1408,6 +1408,127 @@ object Similarity {
           .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id")).limit(10)
       }
+    },
+
+    // Binary (1-bit sign) quantization ANN: each 64-dim vector compresses
+    // to ONE packed bigint (bit d set iff v[d] > 0 — 8 bytes/vector, a
+    // 32× reduction over float32), candidates screen by Hamming distance
+    // popcount(sig XOR qsig) over the packed form, and only the top-100
+    // screen survivors pay the exact-cosine rerank. The 100 TB posture:
+    // the Hamming scan touches a signature table 1/32 the corpus size
+    // with zero shuffle (TakeOrderedAndProject under a broadcast 1-row
+    // query), and the rerank joins 100 ids back to the float table. The
+    // oracle computes the identical Hamming count dim-wise (sign-mismatch
+    // sum), so any packing/endianness bug in the bit form fails the hash.
+    QueryDef.sql("s26_binary_quant",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |hd AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+         |           CASE WHEN (e.embedding[i] > 0) <> (q.embedding[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |cand AS (SELECT vec_id, embedding, hd FROM hd ORDER BY hd, vec_id LIMIT 100)
+         |SELECT c.vec_id, c.hd, ${cosSql("c", "q")} AS cos
+         |FROM cand c, q
+         |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sig = emb.select(col("vec_id"), col("embedding"),
+          expr("""aggregate(
+                 |  transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+                 |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("sig"))
+        val q = sig.filter(col("vec_id") === 0)
+          .select(col("sig").as("qsig"), col("embedding").as("qe"))
+        sig.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qe"),
+            expr("CAST(bit_count(sig ^ qsig) AS BIGINT)").as("hd"))
+          .orderBy(col("hd"), col("vec_id")).limit(100)
+          .select(col("vec_id"), col("hd"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }
+    },
+
+    // MMR (maximal-marginal-relevance) diversity rerank: greedy selection
+    // of 5 results from the query's top-20 cosine candidates, round r
+    // maximizing round(0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s), 6) with
+    // vec_id tiebreak — the standard redundancy-suppressing rerank a
+    // retrieval stack runs ON TOP of ANN candidates. Scale shape: the
+    // candidate set is k rows regardless of corpus size (this composes
+    // over any of s01-s23's candidate generators), so every greedy round
+    // is arithmetic over a broadcast-tiny frame: one corpus-independent
+    // job per round, s06/s13-style, with the selected set checkpointed.
+    // The oracle unrolls the same greedy rounds as chained MATERIALIZED
+    // CTEs with the identical quantize-then-compare contract.
+    QueryDef.sql("s27_mmr_rerank", mmrSql(rounds = 5)) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cosq"))
+          .orderBy(col("cosq").desc, col("vec_id")).limit(20)
+          .localCheckpoint(true)
+        var picked = cand
+          .select(col("vec_id"), col("embedding"), col("cosq"),
+            round(lit(0.7) * col("cosq"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .withColumn("rank", lit(1L))
+          .localCheckpoint(true)
+        for (r <- 2 to 5) {
+          val pick = cand
+            .join(picked.select("vec_id"), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(picked.select(col("embedding").as("se"))))
+            .select(col("vec_id"), col("embedding"), col("cosq"),
+              VectorOps.cosineR(col("embedding"), col("se")).as("ps"))
+            .groupBy("vec_id", "embedding", "cosq").agg(max("ps").as("pen"))
+            .select(col("vec_id"), col("embedding"), col("cosq"),
+              round(lit(0.7) * col("cosq") - lit(0.3) * col("pen"), 6).as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+            .withColumn("rank", lit(r.toLong))
+          picked = picked.unionByName(pick).localCheckpoint(true)
+        }
+        picked.select(col("rank"), col("vec_id"), col("score")).orderBy("rank")
+      }
     }
   )
+
+  /** Unrolled greedy-MMR oracle: round 1 picks argmax 0.7·cosq; each later
+    * round penalizes by the max ROUNDED pairwise cosine against everything
+    * selected so far. sel/rem CTEs are referenced more than once per round
+    * → MATERIALIZED (the s22 lesson: plain CTEs inline exponentially). */
+  private def mmrSql(rounds: Int): String = {
+    val later = (2 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, embedding, score, CAST($r AS BIGINT) AS rank FROM (
+         |    SELECT r.vec_id, r.embedding,
+         |           round(0.7 * r.cosq - 0.3 * max(${cosSql("r", "s")}), 6) AS score
+         |    FROM rem${r - 1} r, sel${r - 1} s
+         |    GROUP BY r.vec_id, r.embedding, r.cosq)
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id, embedding FROM p$r),
+         |rem$r AS MATERIALIZED (
+         |  SELECT * FROM rem${r - 1} WHERE vec_id NOT IN (SELECT vec_id FROM p$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT rank, vec_id, score FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${cosSql("e", "q")} AS cosq
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cosq DESC, e.vec_id LIMIT 20),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, round(0.7 * cosq, 6) AS score, CAST(1 AS BIGINT) AS rank
+       |  FROM cand ORDER BY round(0.7 * cosq, 6) DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id, embedding FROM p1),
+       |rem1 AS MATERIALIZED (
+       |  SELECT * FROM cand WHERE vec_id NOT IN (SELECT vec_id FROM p1)),
+       |$later
+       |$union
+       |ORDER BY rank""".stripMargin
+  }
 }

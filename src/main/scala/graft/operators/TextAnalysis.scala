@@ -1053,6 +1053,58 @@ object TextAnalysis {
           .select(col("lang"), col("source"), col("m0").cast("long").as("n_docs"),
             col("m").as("fitted"))
       }
+    },
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by how much more likely its tokens are under a TARGET
+    // domain's unigram LM (source='src0' here — the pretrain recipe's
+    // high-quality proxy) than under the RAW corpus LM, both add-1
+    // smoothed over the shared vocabulary; weight = Σ_tok ln(p_tgt/p_raw).
+    // Selection then samples ∝ exp(weight) — emitting the per-doc weight
+    // is the operator; any sampler composes downstream (t13/t23). Scale
+    // shape: ONE corpus token pass builds both LMs in a single groupBy
+    // (target counts fold in as a conditional sum, not a second scan);
+    // the log-ratio table is vocab-sized and broadcast back onto the
+    // token stream; scalars (Nt, Nr, V) ride a broadcast 1-row frame.
+    // Per-token ratios quantize to 12 decimals before the per-doc sum
+    // (the s24 re-sync contract) so the 6-decimal output is stable
+    // across engines and partitionings.
+    QueryDef.sql("t31_dsir_weight",
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cr,
+        |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY tok),
+        |st AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM tf),
+        |lr AS (
+        |  SELECT tok, round(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)), 12) AS lr
+        |  FROM tf, st)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks, round(sum(l.lr), 6) AS dsir_w
+        |FROM toks t JOIN lr l USING (tok)
+        |GROUP BY t.doc_id""".stripMargin) {
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), explode(Exprs.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("tok").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+          .localCheckpoint(true) // one corpus pass feeds the scalars AND the ratio table
+        val st = tf.agg(sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
+        val lr = tf.crossJoin(broadcast(st))
+          .select(col("tok"),
+            round(log((col("ct") + lit(1.0)) / (col("nt") + col("v")))
+              - log((col("cr") + lit(1.0)) / (col("nr") + col("v"))), 12).as("lr"))
+        toks.join(broadcast(lr), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), round(sum("lr"), 6).as("dsir_w"))
+      }
     }
   )
 

@@ -49,7 +49,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d16_span_dedup_apply" -> 5, // gram df re-agg + dup/cov distincts + rebuild agg
     "m11_ppm_decode" -> 0, // one typed encode→decode pass, no shuffle at all
     "q75_distinct_rollup_exact" -> 5, // two distinct expansions + daily rollup
-    "jdbc_roundtrip" -> 0) // 4 range-bounded scans, no exchange
+    "jdbc_roundtrip" -> 0, // 4 range-bounded scans, no exchange
+    "s26_binary_quant" -> 0, // packed-sig screen + rerank are TakeOrdered tiers
+    "t31_dsir_weight" -> 2, // vocab LM rides a broadcast; one doc-agg shuffle
+    "d18_bloom_screen" -> 4, // ≤m-row bit set + md5 index distincts; probe aggs
+    "m13_ppm_resize" -> 0) // typed decode→gather pass, no shuffle at all
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

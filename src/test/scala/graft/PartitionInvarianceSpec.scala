@@ -35,7 +35,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t16_curriculum_bins", // distributed ntile via offsets + closed form
     "t19_zipf_fit", // distributed vocab rank feeding regr_* aggs
     "t28_corpus_card", // scaled-integer mean + rollup totals
-    "s21_hybrid_rrf") // count-join ranks + fused ordering
+    "s21_hybrid_rrf", // count-join ranks + fused ordering
+    "s26_binary_quant", // packed-bit Hamming screen under a rank cut
+    "s27_mmr_rerank", // greedy rounds over checkpointed tiny frames
+    "t31_dsir_weight", // 12-dp-quantized log-ratio sums (re-sync contract)
+    "d18_bloom_screen") // md5-position membership + all-k hit counting
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"

@@ -9,7 +9,9 @@ object PlanAuditR8 {
     val dir = "/root/testdata/sf0.01"
     for (name <- Seq("s17_knn_graph", "s22_graph_search",
         "d16_span_dedup_apply", "m11_ppm_decode",
-        "q75_distinct_rollup_exact", "jdbc_roundtrip")) {
+        "q75_distinct_rollup_exact", "jdbc_roundtrip",
+        "s26_binary_quant", "s27_mmr_rerank", "t31_dsir_weight",
+        "d18_bloom_screen", "m13_ppm_resize")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -147,4 +147,25 @@ class DedupSpec extends SparkSpec {
       else assert(kept < total, s"doc $id has dup spans but lost nothing")
     }
   }
+
+  test("d18 bloom screen: zero false negatives, and the probe side is bounded by the filter size") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("d18_bloom_screen")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // The Bloom guarantee: membership NEVER misses — every exact dup hits.
+    rows.foreach { case (id, hit, dup) =>
+      if (dup == 1L) assert(hit === 1L, s"doc $id is an exact dup the bloom screen missed")
+    }
+    // The broadcast side is a set of bit positions in [0, 65536) — bounded
+    // by m regardless of index size (the 100 TB contract).
+    val docs = graft.Tables.documents(spark, dir)
+    def positions(c: org.apache.spark.sql.Column) = array((0 until 3).map { j =>
+      conv(substring(md5(concat(lit(s"$j:"), c)), 1, 12), 16, 10).cast("long") % 65536
+    }: _*)
+    val bits = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(positions(col("text"))).as("p")).distinct()
+      .collect().map(_.getLong(0))
+    assert(bits.length <= 65536 && bits.forall(p => p >= 0 && p < 65536))
+  }
 }

@@ -111,4 +111,31 @@ class MultimodalSpec extends SparkSpec {
       assert(p.mean_r === mean(0) && p.mean_g === mean(1) && p.mean_b === mean(2))
     }
   }
+
+  test("resizePpm gathers true (x, y) pixels through the header, comments included") {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    // 2×2 image with a comment in the header; pixel (x,y) has channels
+    // (3(y·2+x), +1, +2): (0,0)=(0,1,2) (1,0)=(3,4,5) (0,1)=(6,7,8) (1,1)=(9,10,11)
+    val header = "P6\n# thumbnail fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val body = Array.tabulate[Byte](12)(_.toByte)
+    val media = Seq(MediaRow(7L, header ++ body)).toDS()
+
+    // 1×1: NN picks source (0,0) only
+    val one = Multimodal.resizePpm(media, 1, 1).collect().head
+    assert((one.src_w, one.src_h) === ((2L, 2L)))
+    assert((one.mean_r, one.mean_g, one.mean_b) === ((0.0, 1.0, 2.0)))
+
+    // 2×2: identity — means equal the full-image decode means
+    val same = Multimodal.resizePpm(media, 2, 2).collect().head
+    assert((same.mean_r, same.mean_g, same.mean_b) === ((4.5, 5.5, 6.5)))
+
+    // 4×3 upsample: sx per x = 0,0,1,1; sy per y = 0,0,1 → rows y0,y1
+    // replicate source row 0, y2 is source row 1; each row doubles pixels
+    val up = Multimodal.resizePpm(media, 4, 3).collect().head
+    val reds = Seq(0, 0, 3, 3, 0, 0, 3, 3, 6, 6, 9, 9)
+    assert(up.mean_r === reds.sum.toDouble / 12)
+    assert(up.mean_g === reds.map(_ + 1).sum.toDouble / 12)
+    assert(up.mean_b === reds.map(_ + 2).sum.toDouble / 12)
+  }
 }

@@ -180,4 +180,67 @@ class SimilaritySpec extends SparkSpec {
       assert(gid === eid && math.abs(gs - es) < 1e-6, s"got ($gid,$gs) want ($eid,$es)")
     }
   }
+
+  test("s26: packed-bigint Hamming equals the dim-wise sign-mismatch count on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      expr("""aggregate(
+             |  transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+             |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("sig"))
+    val q = sig.filter(col("vec_id") === 0)
+      .select(col("sig").as("qsig"), col("embedding").as("qe"))
+    val both = sig.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr("CAST(bit_count(sig ^ qsig) AS BIGINT)").as("packed"),
+        aggregate(
+          zip_with(col("embedding"), col("qe"),
+            (a, b) => when((a > 0.0) =!= (b > 0.0), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("dimwise"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"vec ${r.getLong(0)}: packed ${r.getLong(1)} != dimwise ${r.getLong(2)}")
+    }
+  }
+
+  test("s27 MMR: picks are distinct top-20 members, round 1 is the relevance argmax, later rounds are penalty-bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("s27_mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._2).distinct.length === 5)
+
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qe = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cosq"))
+      .orderBy(col("cosq").desc, col("vec_id")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.forall(p => cand.contains(p._2)), "every MMR pick must come from the top-20 candidates")
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val best = cand.toSeq.map { case (id, c) => (rnd6(0.7 * c), id) }
+      .sortBy { case (s, id) => (-s, id) }.head
+    assert(got.head._2 === best._2 && got.head._3 === best._1,
+      "round 1 must be the pure-relevance argmax")
+    // rank >= 2: recompute score = round(0.7·cosq − 0.3·max_{s∈picked} cos, 6)
+    // from first principles (penalty can be NEGATIVE — anti-correlated
+    // picks raise the marginal score, which is MMR working as intended).
+    val vecs = emb.filter(col("vec_id").isin(got.map(_._2): _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      rnd6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    got.tail.foreach { case (r, id, s) =>
+      val pen = got.takeWhile(_._1 < r).map(p => cos(vecs(id), vecs(p._2))).max
+      val want = rnd6(0.7 * cand(id) - 0.3 * pen)
+      assert(math.abs(s - want) < 1e-6, s"rank $r pick $id: got $s want $want (pen $pen)")
+    }
+  }
 }

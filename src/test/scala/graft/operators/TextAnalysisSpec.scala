@@ -110,4 +110,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(cs.map(_._4).sum - n / ns) / (n / ns) < 1e-4, s"source $src marginal")
     }
   }
+
+  test("t31 DSIR weights match a from-first-principles driver-side model") {
+    val fdir = "/root/testdata/sf0.001"
+    def tok(t: String): Seq[String] =
+      t.trim.toLowerCase match { case "" => Nil; case s => s.split("\\s+").toSeq }
+    val docs = graft.Tables.documents(spark, fdir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), tok(r.getString(2))))
+    val all = docs.flatMap(_._3)
+    val cr = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = docs.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nr, nt, v) = (all.length.toLong, ct.values.sum, cr.size.toLong)
+    def rnd(x: Double, p: Int) = BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lr = cr.map { case (t, c) =>
+      t -> rnd(math.log((ct.getOrElse(t, 0L) + 1.0) / (nt + v))
+        - math.log((c + 1.0) / (nr + v)), 12)
+    }
+    val expect = docs.filter(_._3.nonEmpty).map { case (id, _, ts) =>
+      id -> ((ts.size.toLong, rnd(ts.map(lr).sum, 6)))
+    }.toMap
+    val got = graft.SparkEntry.queries("t31_dsir_weight")(spark, fdir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, (n, w)) =>
+      assert(n === expect(id)._1, s"doc $id token count")
+      assert(math.abs(w - expect(id)._2) < 1e-6, s"doc $id: got $w want ${expect(id)._2}")
+    }
+  }
 }
