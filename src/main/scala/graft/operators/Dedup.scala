@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Exprs, KMeans, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,36 @@ object Dedup {
     * drop is visible to operators, and the oracle SQL applies the same
     * bound (the cap is the spec, not an approximation of it). */
   private[operators] val MaxBucketSize = 1000
+
+  /** Bloom-filter geometry shared by the d18 batch screen, its DuckDB
+    * oracle (which hardcodes the same m and k — change together), and
+    * the streaming fold ([[graft.streaming.CorpusStreams.bloomMaintain]]). */
+  private[graft] val BloomM = 65536
+  private[graft] val BloomK = 3
+
+  /** The k deterministic bit positions of a text value, in [0, BloomM):
+    * 12 hex chars of a salted md5 → BIGINT, identically derivable in SQL
+    * (`('0x' || substr(md5(j || ':' || text), 1, 12))::BIGINT % m`). */
+  private[graft] def bloomPositions(text: Column): Column =
+    array((0 until BloomK).map { j =>
+      conv(substring(md5(concat(lit(s"$j:"), text)), 1, 12), 16, 10)
+        .cast("long") % BloomM
+    }: _*)
+
+  /** The set-bit table of a document set — AT MOST BloomM rows (8 KB as
+    * a bitmap) no matter how large `docs` is, which is what makes the
+    * probe side a broadcast at any corpus scale. */
+  def bloomBits(docs: DataFrame): DataFrame =
+    docs.select(explode(bloomPositions(col("text"))).as("p")).distinct()
+
+  /** (doc_id, bloom_hit): hit iff ALL k of the doc's positions are set —
+    * no false negatives by construction; false positives are the m/k/n
+    * trade the caller sized. */
+  def bloomProbe(incoming: DataFrame, bits: DataFrame): DataFrame =
+    incoming.select(col("doc_id"), explode(bloomPositions(col("text"))).as("p"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+      .groupBy("doc_id")
+      .agg(when(count(col("hit")) === BloomK, 1L).otherwise(0L).as("bloom_hit"))
 
   /** Screen an incoming batch against an existing corpus index with zero
     * corpus×corpus work — the d14 operator body, factored so the batch
@@ -1131,18 +1161,9 @@ object Dedup {
     }) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        def positions(c: org.apache.spark.sql.Column) = array((0 until 3).map { j =>
-          conv(substring(md5(concat(lit(s"$j:"), c)), 1, 12), 16, 10)
-            .cast("long") % 65536
-        }: _*)
-        val bits = docs.filter(col("doc_id") % 10 =!= 0)
-          .select(explode(positions(col("text"))).as("p")).distinct()
+        val bits = bloomBits(docs.filter(col("doc_id") % 10 =!= 0))
         val incoming = docs.filter(col("doc_id") % 10 === 0)
-        val hits = incoming
-          .select(col("doc_id"), explode(positions(col("text"))).as("p"))
-          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
-          .groupBy("doc_id")
-          .agg(when(count(col("hit")) === 3, 1L).otherwise(0L).as("bloom_hit"))
+        val hits = bloomProbe(incoming, bits)
         val index = docs.filter(col("doc_id") % 10 =!= 0)
           .select(md5(col("text")).as("h")).distinct()
         val exact = incoming

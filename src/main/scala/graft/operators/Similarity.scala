@@ -44,6 +44,21 @@ object Similarity {
        |             $sv[dd]::DOUBLE * (CASE WHEN substr(md5(p || ':' || (dd-1)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))) > 0
        |           THEN 1<<p ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  /** 64-dim sign signature packed into ONE bigint (bit d set iff
+    * embedding[d] > 0) — the binary-quantization screen key shared by
+    * s26 and s28. Kept as a single fused fold so the whole signature
+    * rides one projection pass. */
+  private def packedSig: org.apache.spark.sql.Column =
+    expr("""aggregate(
+           |  transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+
+  /** Dim-wise sign-mismatch Hamming between two embedding-carrying
+    * aliases — the oracle's form of popcount(sigA XOR sigB). */
+  private def hammingSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(range(1, len($a.embedding)+1), i ->
+       |  CASE WHEN ($a.embedding[i] > 0) <> ($b.embedding[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin
+
   private def bucketSql(planes: Int) =
     s"""CAST(list_sum(list_transform(range(0, $planes), p ->
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), dd ->
@@ -1423,9 +1438,7 @@ object Similarity {
     QueryDef.sql("s26_binary_quant",
       s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
          |hd AS (
-         |  SELECT e.vec_id, e.embedding,
-         |         CAST(list_sum(list_transform(range(1, len(e.embedding)+1), i ->
-         |           CASE WHEN (e.embedding[i] > 0) <> (q.embedding[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+         |  SELECT e.vec_id, e.embedding, ${hammingSql("e", "q")} AS hd
          |  FROM embeddings e, q WHERE e.vec_id <> 0),
          |cand AS (SELECT vec_id, embedding, hd FROM hd ORDER BY hd, vec_id LIMIT 100)
          |SELECT c.vec_id, c.hd, ${cosSql("c", "q")} AS cos
@@ -1433,10 +1446,7 @@ object Similarity {
          |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val sig = emb.select(col("vec_id"), col("embedding"),
-          expr("""aggregate(
-                 |  transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-                 |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("sig"))
+        val sig = emb.select(col("vec_id"), col("embedding"), packedSig.as("sig"))
         val q = sig.filter(col("vec_id") === 0)
           .select(col("sig").as("qsig"), col("embedding").as("qe"))
         sig.filter(col("vec_id") =!= 0)
@@ -1491,6 +1501,46 @@ object Similarity {
           picked = picked.unionByName(pick).localCheckpoint(true)
         }
         picked.select(col("rank"), col("vec_id"), col("score")).orderBy("rank")
+      }
+    },
+
+    // The production vector-store composition: IVF coarse quantizer
+    // prunes the scan to the query's inverted list (~1/nlist of the
+    // corpus), the packed-bigint sign signature Hamming-screens WITHIN
+    // the list (8 bytes/vector — the list scan touches 1/32 the float
+    // bytes), and only the top-50 screen survivors pay the exact-cosine
+    // rerank. s05 (IVF alone) scans full vectors in the list; s26 (BQ
+    // alone) screens the whole corpus; this stacks both prunes — at
+    // 100 TB the list scan reads the signature column family only, and
+    // the rerank joins 50 ids back to the float store. Both quantizers'
+    // contracts are already individually hash-gated (s05's assignment,
+    // s26's Hamming); this gates their composition.
+    QueryDef.sql("s28_ivf_bq", {
+      s"""WITH $ivfCtes,
+         |q AS (SELECT vec_id, embedding, clabel FROM assigned WHERE vec_id = 0),
+         |hd AS (
+         |  SELECT a.vec_id, a.embedding, ${hammingSql("a", "q")} AS hd
+         |  FROM assigned a, q WHERE a.clabel = q.clabel AND a.vec_id <> 0),
+         |cand AS (SELECT vec_id, embedding, hd FROM hd ORDER BY hd, vec_id LIMIT 50)
+         |SELECT c.vec_id, c.hd, ${cosSql("c", "q")} AS cos
+         |FROM cand c, q
+         |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin
+    }) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val assigned = ivfAssigned(emb, labelCentroids(emb))
+        val sig = assigned.select(col("vec_id"), col("embedding"), col("clabel"),
+          packedSig.as("sig"))
+        val q = sig.filter(col("vec_id") === 0)
+          .select(col("clabel"), col("sig").as("qsig"), col("embedding").as("qe"))
+        sig.join(broadcast(q), Seq("clabel"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"), col("qe"),
+            expr("CAST(bit_count(sig ^ qsig) AS BIGINT)").as("hd"))
+          .orderBy(col("hd"), col("vec_id")).limit(50)
+          .select(col("vec_id"), col("hd"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
       }
     }
   )

@@ -44,4 +44,41 @@ object CorpusStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** Maintain a PERSISTENT Bloom set-bit table as document files arrive:
+    * each micro-batch is probed against the bits stored at `bitsDir`
+    * (pre-insertion state — the verdict says "seen before this batch")
+    * and then its own positions fold into the store. The store is at
+    * most [[Dedup.BloomM]] rows regardless of how many petabytes have
+    * flowed through, so the fold is a bounded union+distinct and the
+    * probe side broadcasts — this is the always-on front gate that lets
+    * the EXPENSIVE membership machinery (content-hash join, LSH bands)
+    * run only on the rare bloom hits. Same exactly-once file-source
+    * contract as [[screenIncoming]]. */
+  def bloomMaintain(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      bitsDir: String,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bits =
+          if (new java.io.File(bitsDir).exists()) spark.read.parquet(bitsDir)
+          else spark.range(0).select(col("id").as("p"))
+        sink(Dedup.bloomProbe(batch, bits), id)
+        // materialize BEFORE overwriting the path the union reads from
+        val merged = bits.union(Dedup.bloomBits(batch)).distinct()
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(bitsDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -160,11 +160,7 @@ class DedupSpec extends SparkSpec {
     // The broadcast side is a set of bit positions in [0, 65536) — bounded
     // by m regardless of index size (the 100 TB contract).
     val docs = graft.Tables.documents(spark, dir)
-    def positions(c: org.apache.spark.sql.Column) = array((0 until 3).map { j =>
-      conv(substring(md5(concat(lit(s"$j:"), c)), 1, 12), 16, 10).cast("long") % 65536
-    }: _*)
-    val bits = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(explode(positions(col("text"))).as("p")).distinct()
+    val bits = Dedup.bloomBits(docs.filter(col("doc_id") % 10 =!= 0))
       .collect().map(_.getLong(0))
     assert(bits.length <= 65536 && bits.forall(p => p >= 0 && p < 65536))
   }

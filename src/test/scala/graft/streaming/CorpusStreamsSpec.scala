@@ -45,6 +45,47 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(afterFirst < got.size) // the second relay added the delta only
   }
 
+  test("bloomMaintain: pre-insertion probes, bounded fold, and batch-equality of the final bit set") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 10 =!= 0)
+    val b = docs.filter(col("doc_id") % 10 === 0)
+
+    val base = Files.createTempDirectory("bloom-stream").toString
+    val (src, bits, ckpt) = (s"$base/src", s"$base/bits", s"$base/ckpt")
+    val schema = docs.schema
+
+    val byRun = collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    def run(): Unit = {
+      val got = collection.mutable.Map[Long, Long]()
+      CorpusStreams.bloomMaintain(spark, src, schema, bits, ckpt) { (df, _) =>
+        df.collect().foreach(r => got(r.getLong(0)) = r.getLong(1))
+      }
+      byRun += got.toMap
+    }
+
+    a.write.mode("append").parquet(src)
+    run()
+    // first fold: probes ran against an EMPTY filter — nothing can hit
+    assert(byRun(0).nonEmpty && byRun(0).values.forall(_ == 0L))
+    // the store now equals the batch-built bit set of exactly the A docs
+    val storedA = spark.read.parquet(bits).collect().map(_.getLong(0)).toSet
+    assert(storedA === Dedup.bloomBits(a).collect().map(_.getLong(0)).toSet)
+
+    b.write.mode("append").parquet(src)
+    run()
+    // second fold screens ONLY the delta, against the A-state filter —
+    // byte-identical to the batch probe of B against bloomBits(A)
+    val expectB = Dedup.bloomProbe(b, Dedup.bloomBits(a))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRun(1) === expectB)
+    // and the final store equals the batch-built set over A ∪ B
+    val storedAll = spark.read.parquet(bits).collect().map(_.getLong(0)).toSet
+    assert(storedAll === Dedup.bloomBits(a.union(b)).collect().map(_.getLong(0)).toSet)
+    assert(storedAll.size <= 65536)
+  }
+
   test("t21's chunker is batch/stream portable: stateless transform, identical rows") {
     // The chunk operator is one Generate — no state, no watermark — so
     // the SAME function body runs on a readStream unchanged; this is the
