@@ -288,49 +288,97 @@ object Multimodal {
     * fmt-declared bit depth and channel count. Nothing about the layout
     * is assumed: a decoder that didn't honor chunk sizes or the pad
     * byte would misread every sample and fail the closed-form oracle. */
+  /** Parsed RIFF/WAVE layout: fmt fields + the data chunk's byte extent.
+    * One chunk walker (junk skipping, odd-size pad rule) shared by the
+    * stats decode and the resampler, so both trust only the payload. */
+  private def parseWav(payload: Array[Byte]): (Long, Long, Long, Int, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF file")
+    buf.getInt // riff size
+    require(fourCC() == "WAVE", "not a WAVE form")
+    var channels = 0L; var rate = 0L; var bits = 0L
+    var dataStart = -1; var dataSize = 0
+    while (buf.remaining() >= 8) {
+      val cc = fourCC()
+      val size = buf.getInt
+      val next = buf.position() + size + (size & 1) // chunks pad to even
+      cc match {
+        case "fmt " =>
+          buf.getShort // audio format (1 = PCM)
+          channels = buf.getShort.toLong
+          rate = buf.getInt.toLong
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort.toLong
+        case "data" =>
+          require(bits == 16 && channels == 1,
+            s"unsupported PCM layout: $bits-bit, $channels ch")
+          dataStart = buf.position()
+          dataSize = size
+        case _ => () // JUNK/LIST/cue — skip by declared size
+      }
+      buf.position(math.min(next, buf.limit()))
+    }
+    require(dataStart >= 0, "no data chunk")
+    (channels, rate, bits, dataStart, dataSize)
+  }
+
+  private def leShort(b: Array[Byte], p: Int): Long =
+    (((b(p + 1) << 8) | (b(p) & 0xff)).toShort).toLong
+
   def decodeWav(media: Dataset[MediaRow]): Dataset[WavStats] = {
     implicit val enc: Encoder[WavStats] = Encoders.product[WavStats]
     media.mapPartitions { rows =>
       rows.map { r =>
-        val buf = java.nio.ByteBuffer.wrap(r.payload)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def fourCC(): String = {
-          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-        }
-        require(fourCC() == "RIFF", "not a RIFF file")
-        buf.getInt // riff size
-        require(fourCC() == "WAVE", "not a WAVE form")
-        var channels = 0L; var rate = 0L; var bits = 0L
+        val (channels, rate, bits, dataStart, dataSize) = parseWav(r.payload)
         var nSamples = 0L; var sum = 0L; var peak = 0L
-        while (buf.remaining() >= 8) {
-          val cc = fourCC()
-          val size = buf.getInt
-          val next = buf.position() + size + (size & 1) // chunks pad to even
-          cc match {
-            case "fmt " =>
-              buf.getShort // audio format (1 = PCM)
-              channels = buf.getShort.toLong
-              rate = buf.getInt.toLong
-              buf.getInt // byte rate
-              buf.getShort // block align
-              bits = buf.getShort.toLong
-            case "data" =>
-              require(bits == 16 && channels == 1,
-                s"unsupported PCM layout: $bits-bit, $channels ch")
-              var p = buf.position()
-              while (p + 1 < buf.position() + size) {
-                val v = buf.getShort(p).toLong
-                sum += v
-                if (math.abs(v) > peak) peak = math.abs(v)
-                nSamples += 1
-                p += 2
-              }
-            case _ => () // JUNK/LIST/cue — skip by declared size
-          }
-          buf.position(math.min(next, buf.limit()))
+        var p = dataStart
+        while (p + 1 < dataStart + dataSize) {
+          val v = leShort(r.payload, p)
+          sum += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          nSamples += 1
+          p += 2
         }
         WavStats(r.doc_id, nSamples, rate, channels, bits,
           sum.toDouble / math.max(nSamples, 1), peak)
+      }
+    }
+  }
+
+  /** Stats of a decimated (every `factor`-th sample) PCM stream. */
+  final case class WavResampled(doc_id: Long, n_out: Long, rate_out: Long,
+                                mean_amp: Double, peak_amp: Long)
+
+  /** REAL audio downsample at the codec seam: walk the RIFF layout, keep
+    * every `factor`-th 16-bit sample of the data chunk (8 kHz → 8/factor
+    * kHz decimation — the cheap resample a feature-extraction pipeline
+    * runs before windowed analysis), and emit stats of the RESAMPLED
+    * stream. Sample addressing goes through the parsed chunk extent, so
+    * a pad-byte or offset slip selects different samples and fails the
+    * closed-form oracle. */
+  def resampleWav(media: Dataset[MediaRow], factor: Int): Dataset[WavResampled] = {
+    require(factor > 0)
+    implicit val enc: Encoder[WavResampled] = Encoders.product[WavResampled]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, rate, _, dataStart, dataSize) = parseWav(r.payload)
+        var nOut = 0L; var sum = 0L; var peak = 0L
+        var p = dataStart
+        val step = 2 * factor
+        while (p + 1 < dataStart + dataSize) {
+          val v = leShort(r.payload, p)
+          sum += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          nOut += 1
+          p += step
+        }
+        WavResampled(r.doc_id, nOut, rate / factor,
+          sum.toDouble / math.max(nOut, 1), peak)
       }
     }
   }
@@ -753,6 +801,35 @@ object Multimodal {
             round(col("mean_r"), 6).as("mean_r"),
             round(col("mean_g"), 6).as("mean_g"),
             round(col("mean_b"), 6).as("mean_b"))
+      }
+    },
+
+    // 2× decimation through the REAL RIFF walker (the audio sibling of
+    // m13): every second 16-bit sample of the data chunk, addressed
+    // through the parsed chunk extent (the JUNK chunk + pad byte sit in
+    // front of it), stats recomputed by the oracle from the closed-form
+    // sample function at the even indices only.
+    QueryDef.sql("m14_wav_resample",
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, (n + 1) // 2 AS n_out,
+        |    CAST(list_sum(list_transform(range(0, (n + 1) // 2),
+        |      i -> (doc_id*37 + (2*i)*11) % 65536 - 32768)) AS DOUBLE) AS s,
+        |    CAST(list_max(list_transform(range(0, (n + 1) // 2),
+        |      i -> abs((doc_id*37 + (2*i)*11) % 65536 - 32768))) AS BIGINT) AS peak
+        |  FROM dims)
+        |SELECT doc_id, CAST(n_out AS BIGINT) AS n_out,
+        |       CAST(4000 AS BIGINT) AS rate_out,
+        |       round(s / n_out, 6) AS mean_amp, peak AS peak_amp
+        |FROM sm""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        resampleWav(encodeWav(ids), factor = 2).toDF()
+          .select(col("doc_id"), col("n_out"), col("rate_out"),
+            round(col("mean_amp"), 6).as("mean_amp"), col("peak_amp"))
       }
     }
   )

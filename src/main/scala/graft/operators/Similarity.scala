@@ -1542,6 +1542,39 @@ object Similarity {
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
       }
+    },
+
+    // Index observability: the per-inverted-list health card an IVF
+    // deployment watches — list population (balance: a hot list erodes
+    // the 1/nlist prune), mean member-to-centroid cosine (tightness:
+    // drops as the corpus drifts from the fitted centroids), and the
+    // worst member (the vector most likely mis-assigned / most hurt by
+    // single-probe). One assignment pass (the same corpus×broadcast-
+    // centroid scoring s05 runs) re-aggregated by list — nlist rows out,
+    // so at 100 TB this is a dashboard query over the stored assignment,
+    // not a recompute. Members' cosines are 6dp-quantized before the
+    // mean (t18's re-sync contract).
+    QueryDef.sql("s29_ivf_stats",
+      s"""WITH $ivfCtes,
+         |ac AS (
+         |  SELECT clabel, ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rk
+         |    FROM scored) WHERE rk = 1)
+         |SELECT clabel, CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(ccos), 6) AS avg_ccos, min(ccos) AS min_ccos
+         |FROM ac GROUP BY clabel""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cent = labelCentroids(emb)
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+        emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("clabel"),
+            VectorOps.cosineR(col("embedding"), col("cvec")).as("ccos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy("clabel")
+          .agg(count(lit(1)).as("n"),
+            round(avg("ccos"), 6).as("avg_ccos"), min("ccos").as("min_ccos"))
+      }
     }
   )
 

@@ -39,7 +39,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s26_binary_quant", // packed-bit Hamming screen under a rank cut
     "s27_mmr_rerank", // greedy rounds over checkpointed tiny frames
     "t31_dsir_weight", // 12-dp-quantized log-ratio sums (re-sync contract)
-    "d18_bloom_screen") // md5-position membership + all-k hit counting
+    "d18_bloom_screen", // md5-position membership + all-k hit counting
+    "s28_ivf_bq", // stacked quantizer prunes under a rank cut
+    "s29_ivf_stats") // 6dp-quantized means over window-picked assignment
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"

@@ -11,7 +11,8 @@ object PlanAuditR8 {
         "d16_span_dedup_apply", "m11_ppm_decode",
         "q75_distinct_rollup_exact", "jdbc_roundtrip",
         "s26_binary_quant", "s27_mmr_rerank", "t31_dsir_weight",
-        "d18_bloom_screen", "m13_ppm_resize")) {
+        "d18_bloom_screen", "m13_ppm_resize", "s28_ivf_bq",
+        "s29_ivf_stats", "m14_wav_resample")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

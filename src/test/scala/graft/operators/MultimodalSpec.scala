@@ -91,6 +91,16 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("not a RIFF")
       || Option(err.getCause).exists(_.getMessage.contains("not a RIFF")))
+
+    // 2× decimation of the same hand-built file keeps samples 0 and 2
+    // (100, 300) and halves the declared rate through the parsed fmt
+    val half = Multimodal.resampleWav(
+      spark.createDataset(Seq(MediaRow(3L, bb.array()))), 2).collect().head
+    assert(half === Multimodal.WavResampled(3L, 2L, 4000L, (100 + 300) / 2.0, 300L))
+    // factor 1 degenerates to the identity stream
+    val same = Multimodal.resampleWav(
+      spark.createDataset(Seq(MediaRow(3L, bb.array()))), 1).collect().head
+    assert((same.n_out, same.rate_out, same.peak_amp) === ((3L, 8000L, 300L)))
   }
 
   test("encodePpm -> decodePpm round-trips header-declared dimensions") {
