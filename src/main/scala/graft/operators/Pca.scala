@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * iteration in the two-pass `v ← Xᵀ(Xv)` form — the shape that scales to
   * embedding widths where a dim×dim covariance matrix is no longer cheap
   * to materialize (at dim 4096 that matrix is 16M doubles per executor;
-  * the two-pass form never forms it). Each round is ONE distributed job:
-  * the centered projection s_i = (x_i − μ)·v rides the same scan that
-  * pos-explodes the centered vector, a (dim)-group aggregation produces
-  * y = Σ s_i·(x_i − μ), and only dim doubles ever reach the driver — the
+  * the two-pass form never forms it). The centered corpus `cx = x − μ` is
+  * round-invariant, so it is localCheckpointed ONCE before the loop; each
+  * round is then ONE Generate-free job: a codegen'd projection computes
+  * s_i = cx_i·v (native [[graft.plans.DotProduct]], one static call per
+  * row), and a single global aggregate with `dim` sum columns produces
+  * y[d] = Σ s_i·cx_i[d] — map-side partial vectors of dim doubles merged
+  * once, no row expansion, no 64-group shuffle (the round-8 plan
+  * pos-exploded each centered vector 64-wide per round and recomputed the
+  * centering twice per row). Only dim doubles ever reach the driver — the
   * same bounded-collect contract as the k-means centroid means
   * (`functions/KMeans.scala`). The iterate is quantized to 6 decimals at
   * every round boundary (the s06/s13 re-sync contract): both engines
@@ -55,19 +60,41 @@ object Pca {
       .groupBy("d").agg(round(avg(col("x").cast("double")), 6).as("m"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
+  /** Centered corpus, materialized once — centering is round-invariant,
+    * so the 20 iteration rounds (and the final projection) all scan this
+    * checkpoint instead of re-deriving `x − μ` per round. */
+  private[operators] def centeredCorpus(emb: DataFrame, mu: Array[Double]): DataFrame =
+    emb.select(col("vec_id"), centered(col("embedding"), mu.toSeq).as("cx"))
+      .localCheckpoint(true)
+
   /** `iters` rounds of quantized power iteration from the exact dyadic
     * start v₀ = (0.125, …) (1/√64 — exactly representable, so both
-    * engines begin bit-identical). Returns the rounded iterate. */
-  private[operators] def topComponent(
-      emb: DataFrame, mu: Array[Double], iters: Int = Iters): Array[Double] = {
-    val ex = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    * engines begin bit-identical). Returns the rounded iterate.
+    *
+    * Per round: one projection computes s = cx·v once per row (native
+    * codegen dot, bit-equal to the HOF fold per `VectorNativeSpec`), then
+    * a global aggregate folds the dim per-dimension sums s·cx[d] — the
+    * exact same terms the round-8 `posexplode + groupBy(d)` summed, just
+    * accumulated as dim agg buffers in one pass instead of a 64× row
+    * expansion and a 64-group shuffle. Summation order differs between
+    * plans either way (Spark partial-agg vs DuckDB scan order); the
+    * 6-decimal round-boundary quantization is what re-syncs the engines,
+    * exactly as it did for the exploded form. */
+  /** One iteration round's job: project s = cx·v, fold the dim
+    * per-dimension sums as agg buffers. Exposed so `PcaSpec` can audit
+    * the plan (no Generate, one exchange). */
+  private[operators] def roundPlan(cx: DataFrame, v: Array[Double]): DataFrame = {
+    val sums = (0 until Dim).map(d => sum(col("s") * col("cx").getItem(d)).as(s"y$d"))
+    cx.select(col("cx"),
+        graft.functions.VectorOps.dot(col("cx"), typedlit(v.toSeq)).as("s"))
+      .agg(sums.head, sums.tail: _*)
+  }
+
+  private[operators] def topComponent(cx: DataFrame, iters: Int = Iters): Array[Double] = {
     var v = Array.fill(Dim)(0.125)
     for (_ <- 0 until iters) {
-      val cx = centered(col("embedding"), mu.toSeq)
-      val y = ex
-        .select(dotLit(cx, v.toSeq).as("s"), posexplode(cx).as(Seq("d", "c")))
-        .groupBy("d").agg(sum(col("s") * col("c")).as("y"))
-        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+      val row = roundPlan(cx, v).head()
+      val y = Array.tabulate(Dim)(row.getDouble)
       val n = math.sqrt(y.map(x => x * x).sum)
       v = y.map(x => BigDecimal(x / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -120,9 +147,9 @@ object Pca {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val mu = meanVector(emb)
-        val v = topComponent(emb, mu)
-        emb.select(col("vec_id"),
-          round(dotLit(centered(col("embedding"), mu.toSeq), v.toSeq), 6).as("pc1"))
+        val cx = centeredCorpus(emb, mu)
+        val v = topComponent(cx)
+        cx.select(col("vec_id"), round(dotLit(col("cx"), v.toSeq), 6).as("pc1"))
       }
     }
   )

@@ -53,7 +53,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "s26_binary_quant" -> 0, // packed-sig screen + rerank are TakeOrdered tiers
     "t31_dsir_weight" -> 2, // vocab LM rides a broadcast; one doc-agg shuffle
     "d18_bloom_screen" -> 4, // ≤m-row bit set + md5 index distincts; probe aggs
-    "m13_ppm_resize" -> 0) // typed decode→gather pass, no shuffle at all
+    "m13_ppm_resize" -> 0, // typed decode→gather pass, no shuffle at all
+    "s25_pca_project" -> 0) // final projection scans the centered
+                            // checkpoint: dot + round, no exchange (each
+                            // fit round is its own 1-exchange global agg
+                            // job, asserted in PcaSpec's plan test)
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

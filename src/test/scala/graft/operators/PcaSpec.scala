@@ -45,7 +45,8 @@ class PcaSpec extends SparkSpec {
   test("the quantized iterate converges on the top principal direction") {
     val emb = graft.Tables.embeddings(spark, dir)
     val mu = Pca.meanVector(emb)
-    val fitted = Pca.topComponent(emb, mu)
+    val cxDf = Pca.centeredCorpus(emb, mu)
+    val fitted = Pca.topComponent(cxDf)
     assert(math.abs(math.sqrt(fitted.map(a => a * a).sum) - 1.0) < 1e-4,
       "unit-norm loadings (within quantization)")
     val cx = center(corpus())
@@ -57,9 +58,23 @@ class PcaSpec extends SparkSpec {
     val captured = rayleigh(cx, fitted) / rayleigh(cx, exact)
     assert(captured > 0.95,
       s"fitted direction captures $captured of the top eigenvalue's variance")
-    val early = Pca.topComponent(emb, mu, iters = 8)
+    val early = Pca.topComponent(cxDf, iters = 8)
     assert(rayleigh(cx, fitted) > rayleigh(cx, early),
       "20 rounds must capture strictly more variance than 8")
+  }
+
+  test("each fit round is Generate-free with a single global-agg exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.Tables.embeddings(spark, dir)
+    val mu = Pca.meanVector(emb)
+    val cx = Pca.centeredCorpus(emb, mu)
+    val round = Pca.roundPlan(cx, Array.fill(64)(0.125))
+    round.collect()
+    val plan = round.queryExecution.executedPlan
+    val shuffles = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 1, s"one partial→final agg exchange, got $shuffles:\n$plan")
+    assert(!plan.toString.contains("Generate"),
+      "the round must not row-expand the centered vectors (no posexplode)")
   }
 
   test("s25 projections match a first-principles driver recompute") {
@@ -67,7 +82,7 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val emb = graft.Tables.embeddings(spark, dir)
     val mu = Pca.meanVector(emb)
-    val v = Pca.topComponent(emb, mu)
+    val v = Pca.topComponent(Pca.centeredCorpus(emb, mu))
     val ids = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
