@@ -47,11 +47,29 @@ object Similarity {
   /** 64-dim sign signature packed into ONE bigint (bit d set iff
     * embedding[d] > 0) — the binary-quantization screen key shared by
     * s26 and s28. Kept as a single fused fold so the whole signature
-    * rides one projection pass. */
+    * rides one projection pass. `shiftleft`'s shift count wraps mod 64,
+    * so a wider embedding would silently alias bits (and the bit_count
+    * Hamming would diverge from the dim-wise oracle) — the size guard
+    * makes >64-dim inputs fail fast at runtime instead. */
   private def packedSig: org.apache.spark.sql.Column =
-    expr("""aggregate(
-           |  transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+    expr("""CASE WHEN assert_true(size(embedding) <= 64,
+           |      'packedSig requires dim <= 64: shiftleft wraps mod 64') IS NULL
+           |  THEN aggregate(
+           |    transform(embedding, (x, i) -> IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+           |    CAST(0 AS BIGINT), (a, b) -> a + b)
+           |END""".stripMargin)
+
+  /** s27's greedy-MMR contract, shared by the oracle builder AND the
+    * DataFrame loop so the two sides can never drift apart silently:
+    * `MmrRounds` selections from the top-`MmrCandK` cosine candidates,
+    * scoring round(λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), 6). Declared
+    * BEFORE `defs` — the oracle strings are built at object init, so a
+    * later declaration would interpolate the vals' zero defaults. */
+  private[operators] val MmrRounds = 5
+  private[operators] val MmrCandK = 20
+  private[operators] val MmrLambda = 0.7
+  private[operators] val MmrPenalty = 0.3 // 1 − λ, kept literal so both
+                                          // engines see the exact decimal
 
   /** Dim-wise sign-mismatch Hamming between two embedding-carrying
     * aliases — the oracle's form of popcount(sigA XOR sigB). */
@@ -1471,7 +1489,7 @@ object Similarity {
     // job per round, s06/s13-style, with the selected set checkpointed.
     // The oracle unrolls the same greedy rounds as chained MATERIALIZED
     // CTEs with the identical quantize-then-compare contract.
-    QueryDef.sql("s27_mmr_rerank", mmrSql(rounds = 5)) {
+    QueryDef.sql("s27_mmr_rerank", mmrSql(rounds = MmrRounds)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
@@ -1479,15 +1497,15 @@ object Similarity {
           .crossJoin(broadcast(q))
           .select(col("vec_id"), col("embedding"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cosq"))
-          .orderBy(col("cosq").desc, col("vec_id")).limit(20)
+          .orderBy(col("cosq").desc, col("vec_id")).limit(MmrCandK)
           .localCheckpoint(true)
         var picked = cand
           .select(col("vec_id"), col("embedding"), col("cosq"),
-            round(lit(0.7) * col("cosq"), 6).as("score"))
+            round(lit(MmrLambda) * col("cosq"), 6).as("score"))
           .orderBy(col("score").desc, col("vec_id")).limit(1)
           .withColumn("rank", lit(1L))
           .localCheckpoint(true)
-        for (r <- 2 to 5) {
+        for (r <- 2 to MmrRounds) {
           val pick = cand
             .join(picked.select("vec_id"), Seq("vec_id"), "left_anti")
             .crossJoin(broadcast(picked.select(col("embedding").as("se"))))
@@ -1495,7 +1513,7 @@ object Similarity {
               VectorOps.cosineR(col("embedding"), col("se")).as("ps"))
             .groupBy("vec_id", "embedding", "cosq").agg(max("ps").as("pen"))
             .select(col("vec_id"), col("embedding"), col("cosq"),
-              round(lit(0.7) * col("cosq") - lit(0.3) * col("pen"), 6).as("score"))
+              round(lit(MmrLambda) * col("cosq") - lit(MmrPenalty) * col("pen"), 6).as("score"))
             .orderBy(col("score").desc, col("vec_id")).limit(1)
             .withColumn("rank", lit(r.toLong))
           picked = picked.unionByName(pick).localCheckpoint(true)
@@ -1578,7 +1596,7 @@ object Similarity {
     }
   )
 
-  /** Unrolled greedy-MMR oracle: round 1 picks argmax 0.7·cosq; each later
+  /** Unrolled greedy-MMR oracle: round 1 picks argmax λ·cosq; each later
     * round penalizes by the max ROUNDED pairwise cosine against everything
     * selected so far. sel/rem CTEs are referenced more than once per round
     * → MATERIALIZED (the s22 lesson: plain CTEs inline exponentially). */
@@ -1587,7 +1605,7 @@ object Similarity {
       s"""p$r AS MATERIALIZED (
          |  SELECT vec_id, embedding, score, CAST($r AS BIGINT) AS rank FROM (
          |    SELECT r.vec_id, r.embedding,
-         |           round(0.7 * r.cosq - 0.3 * max(${cosSql("r", "s")}), 6) AS score
+         |           round($MmrLambda * r.cosq - $MmrPenalty * max(${cosSql("r", "s")}), 6) AS score
          |    FROM rem${r - 1} r, sel${r - 1} s
          |    GROUP BY r.vec_id, r.embedding, r.cosq)
          |  ORDER BY score DESC, vec_id LIMIT 1),
@@ -1603,10 +1621,10 @@ object Similarity {
        |cand AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, ${cosSql("e", "q")} AS cosq
        |  FROM embeddings e, q WHERE e.vec_id <> 0
-       |  ORDER BY cosq DESC, e.vec_id LIMIT 20),
+       |  ORDER BY cosq DESC, e.vec_id LIMIT $MmrCandK),
        |p1 AS MATERIALIZED (
-       |  SELECT vec_id, embedding, round(0.7 * cosq, 6) AS score, CAST(1 AS BIGINT) AS rank
-       |  FROM cand ORDER BY round(0.7 * cosq, 6) DESC, vec_id LIMIT 1),
+       |  SELECT vec_id, embedding, round($MmrLambda * cosq, 6) AS score, CAST(1 AS BIGINT) AS rank
+       |  FROM cand ORDER BY round($MmrLambda * cosq, 6) DESC, vec_id LIMIT 1),
        |sel1 AS MATERIALIZED (SELECT vec_id, embedding FROM p1),
        |rem1 AS MATERIALIZED (
        |  SELECT * FROM cand WHERE vec_id NOT IN (SELECT vec_id FROM p1)),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -54,14 +55,27 @@ object CorpusStreams {
     * probe side broadcasts — this is the always-on front gate that lets
     * the EXPENSIVE membership machinery (content-hash join, LSH bands)
     * run only on the rare bloom hits. Same exactly-once file-source
-    * contract as [[screenIncoming]]. */
+    * contract as [[screenIncoming]].
+    *
+    * Durability contract (foreachBatch is at-least-once, so both matter):
+    *  - Versions, not overwrites: batch `id` folds into
+    *    `bitsDir/batch=<id>`, written to a temp path and RENAMED into
+    *    place (atomic on HDFS-like stores) — a crash mid-write can never
+    *    lose already-set bits, which would silently break the filter's
+    *    no-false-negative guarantee for previously-seen docs.
+    *  - Idempotent per batchId: a retried batch probes against the
+    *    newest version OLDER than its id (its true pre-insertion state,
+    *    still on disk) and skips the fold if its own version already
+    *    landed — so retries re-emit byte-identical verdicts instead of
+    *    seeing their own insertions as hits.
+    * All store paths go through the Hadoop FileSystem API, so
+    * `hdfs://`/`s3a://` bitsDirs behave the same as local paths. */
   def bloomMaintain(
       spark: SparkSession,
       sourceDir: String,
       schema: StructType,
       bitsDir: String,
       checkpointDir: String)(sink: (DataFrame, Long) => Unit): Unit = {
-    import org.apache.spark.sql.functions.col
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -69,16 +83,72 @@ object CorpusStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val bits =
-          if (new java.io.File(bitsDir).exists()) spark.read.parquet(bitsDir)
-          else spark.range(0).select(col("id").as("p"))
-        sink(Dedup.bloomProbe(batch, bits), id)
-        // materialize BEFORE overwriting the path the union reads from
-        val merged = bits.union(Dedup.bloomBits(batch)).distinct()
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(bitsDir)
+        bloomBatch(batch.sparkSession, bitsDir, batch, id)(sink)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** The current Bloom set-bit table at `bitsDir` — the newest committed
+    * version (empty relation before any fold has landed). */
+  def bloomStore(spark: SparkSession, bitsDir: String): DataFrame =
+    storeVersions(spark, bitsDir).maxOption match {
+      case Some(v) => spark.read.parquet(versionPath(bitsDir, v).toString)
+      case None => emptyBits(spark)
+    }
+
+  /** One (possibly retried) micro-batch of the Bloom fold — see
+    * [[bloomMaintain]] for the durability contract. Package-visible so
+    * the spec can drive a duplicate delivery directly. */
+  private[streaming] def bloomBatch(
+      spark: SparkSession,
+      bitsDir: String,
+      batch: DataFrame,
+      id: Long)(sink: (DataFrame, Long) => Unit): Unit = {
+    val versions = storeVersions(spark, bitsDir)
+    // pre-insertion state for THIS batch: the newest version older than
+    // its id — on a retry, the batch's own landed version is ignored
+    val prior = versions.filter(_ < id)
+    val bits = prior.maxOption match {
+      case Some(v) => spark.read.parquet(versionPath(bitsDir, v).toString)
+      case None => emptyBits(spark)
+    }
+    // materialized before any store mutation, so a sink that defers its
+    // action never reads mid-rename state through lazy lineage
+    sink(Dedup.bloomProbe(batch, bits).localCheckpoint(true), id)
+    if (!versions.contains(id)) {
+      val merged = bits.union(Dedup.bloomBits(batch)).distinct()
+        .localCheckpoint(true)
+      val hfs = fileSystem(spark, bitsDir)
+      val tmp = new Path(bitsDir, s".tmp-$id")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      hfs.rename(tmp, versionPath(bitsDir, id))
+      // superseded versions: everything older than this batch's own
+      // pre-insertion state (which a retry of THIS id still needs)
+      prior.sorted.dropRight(1)
+        .foreach(v => hfs.delete(versionPath(bitsDir, v), true))
+    }
+  }
+
+  private def emptyBits(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.range(0).select(col("id").as("p"))
+  }
+
+  private def versionPath(bitsDir: String, id: Long): Path =
+    new Path(bitsDir, s"batch=$id")
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed (fully renamed) store versions under `bitsDir`. */
+  private def storeVersions(spark: SparkSession, bitsDir: String): Seq[Long] = {
+    val hfs = fileSystem(spark, bitsDir)
+    val root = new Path(bitsDir)
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
   }
 }

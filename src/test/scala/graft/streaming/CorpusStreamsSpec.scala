@@ -70,7 +70,8 @@ class CorpusStreamsSpec extends SparkSpec {
     // first fold: probes ran against an EMPTY filter — nothing can hit
     assert(byRun(0).nonEmpty && byRun(0).values.forall(_ == 0L))
     // the store now equals the batch-built bit set of exactly the A docs
-    val storedA = spark.read.parquet(bits).collect().map(_.getLong(0)).toSet
+    val storedA = CorpusStreams.bloomStore(spark, bits)
+      .collect().map(_.getLong(0)).toSet
     assert(storedA === Dedup.bloomBits(a).collect().map(_.getLong(0)).toSet)
 
     b.write.mode("append").parquet(src)
@@ -81,9 +82,45 @@ class CorpusStreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byRun(1) === expectB)
     // and the final store equals the batch-built set over A ∪ B
-    val storedAll = spark.read.parquet(bits).collect().map(_.getLong(0)).toSet
+    val storedAll = CorpusStreams.bloomStore(spark, bits)
+      .collect().map(_.getLong(0)).toSet
     assert(storedAll === Dedup.bloomBits(a.union(b)).collect().map(_.getLong(0)).toSet)
     assert(storedAll.size <= 65536)
+  }
+
+  test("bloomMaintain: a retried micro-batch re-emits pre-insertion verdicts and leaves the store unchanged") {
+    // foreachBatch is at-least-once: drive the per-batch fold directly
+    // with a duplicate delivery of the same batchId. The retry must probe
+    // against the state as it was BEFORE the batch first ran (not see its
+    // own insertions as hits) and must not re-fold.
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 10 =!= 0)
+    val b = docs.filter(col("doc_id") % 10 === 0)
+    val bits = Files.createTempDirectory("bloom-retry").toString + "/bits"
+
+    def deliver(df: org.apache.spark.sql.DataFrame, id: Long): Map[Long, Long] = {
+      val got = collection.mutable.Map[Long, Long]()
+      CorpusStreams.bloomBatch(spark, bits, df, id) { (out, _) =>
+        out.collect().foreach(r => got(r.getLong(0)) = r.getLong(1))
+      }
+      got.toMap
+    }
+
+    deliver(a, 0L)
+    val first = deliver(b, 1L)
+    assert(first === Dedup.bloomProbe(b, Dedup.bloomBits(a))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val storeAfterFirst = CorpusStreams.bloomStore(spark, bits)
+      .collect().map(_.getLong(0)).toSet
+
+    val retried = deliver(b, 1L) // duplicate delivery of batch 1
+    assert(retried === first,
+      "a retry must re-emit byte-identical pre-insertion verdicts")
+    val storeAfterRetry = CorpusStreams.bloomStore(spark, bits)
+      .collect().map(_.getLong(0)).toSet
+    assert(storeAfterRetry === storeAfterFirst, "the retry must not re-fold")
   }
 
   test("t21's chunker is batch/stream portable: stateless transform, identical rows") {
