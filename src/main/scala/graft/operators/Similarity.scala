@@ -198,12 +198,22 @@ object Similarity {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val banded = bandedSig(Tables.embeddings(s, dir))
+  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    knnGraphEdgesOf(Tables.embeddings(s, dir))
+
+  /** The capped-bucket kNN graph over an arbitrary embedding set — s17's
+    * construction parameterized on the node set so the hierarchical
+    * search (s30) can build its coarse layer over a SAMPLE of the corpus
+    * with the identical banding/cap/rank contract. `guard` names the
+    * observe() metric (one name per layer, so a two-layer plan never
+    * registers the same observation twice). */
+  private def knnGraphEdgesOf(
+      emb: DataFrame, guard: String = "knn_graph_bucket_guard"): DataFrame = {
+    val banded = bandedSig(emb)
     val wb = Window.partitionBy("band", "bucket")
     val sig = banded
       .withColumn("bn", count(lit(1)).over(wb))
-      .observe("knn_graph_bucket_guard",
+      .observe(guard,
         coalesce(sum(when(col("bn") > Dedup.MaxBucketSize, lit(1L)).otherwise(lit(0L))),
           lit(0L)).as("rows_in_overflow_buckets"),
         coalesce(max("bn"), lit(0L)).as("max_bucket_rows"))
@@ -237,6 +247,60 @@ object Similarity {
   private[operators] val GraphSearchRounds = 10
   private[operators] val GraphExpandPerRound = 8
   private[operators] val GraphBeamWidth = 32
+
+  /** s30 layer ladder: every vec_id ≡ 1 (mod `HierCoarseMod`) is promoted
+    * to the coarse layer (the deterministic analog of HNSW's geometric
+    * level draw — content-stable, so both engines sample identically, and
+    * never the query vector since 0 mod anything is 0). The round budget
+    * SPLITS s22's: coarse + fine = [[GraphSearchRounds]], so the
+    * hierarchical walk costs the same number of distributed rounds as the
+    * flat walk it is measured against. Coarse rounds are cheap (the layer
+    * is 1/mod of the corpus) and buy a beam already sitting in the
+    * query's neighborhood when the fine walk starts — the coarse-to-fine
+    * descent that keeps hop counts logarithmic as the corpus grows. */
+  private[operators] val HierCoarseMod = 16
+  private[operators] val HierCoarseRounds = 3
+  private[operators] val HierFineRounds = GraphSearchRounds - HierCoarseRounds
+
+  /** Symmetrize a kNN edge list (forward ∪ reverse, both payloads), the
+    * HNSW bidirectional-link layout — checkpointed: every walk round
+    * rejoins it. Shared by s22/s23/s30. */
+  private def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(col("vec_id"), col("nbr"), col("ne"))
+      .unionByName(edges.select(col("nbr").as("vec_id"),
+        col("vec_id").as("nbr"), col("se").as("ne")))
+      .dropDuplicates("vec_id", "nbr")
+      .localCheckpoint(true)
+
+  /** `rounds` of the s22 ef-search contract over symmetrized graph `g`:
+    * expand the top-`GraphExpandPerRound` unexpanded beam entries, score
+    * their out-neighbors against broadcast query `q` off the edge
+    * payload, keep the best `GraphBeamWidth` with expansion flags
+    * OR-merged; lineage truncated per round. Beam schema
+    * (vec_id, cos, exp). Shared by s22 and both of s30's layers. */
+  private def efSearch(beam0: DataFrame, g: DataFrame, q: DataFrame, rounds: Int): DataFrame = {
+    var beam = beam0
+    for (_ <- 1 to rounds) {
+      val frontier = beam.filter(!col("exp"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(GraphExpandPerRound)
+        .select(col("vec_id"))
+      val marked = beam.join(
+        broadcast(frontier.withColumn("hit", lit(true))), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cos"),
+          (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
+      val nbrs = g.join(broadcast(frontier), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("nbr").as("vec_id"),
+          VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
+          lit(false).as("exp"))
+      beam = marked.unionByName(nbrs)
+        .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
+        .localCheckpoint(true)
+    }
+    beam
+  }
 
   /** The s22 oracle: unrolls the ef-search rounds as chained CTEs over
     * the shared s17 graph chain — x$k = the top-E unexpanded frontier,
@@ -280,6 +344,83 @@ object Similarity {
        |  WHERE e.vec_id = (SELECT min(vec_id) FROM g)),
        |$roundsSql
        |SELECT vec_id, cos FROM b$rounds WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The coarse-layer twin of [[knnGraphCtes]] for s30: the SAME banded
+    * construction (bands, cap, rounded cosine, rank/tiebreak) restricted
+    * to the sampled coarse nodes (vec_id ≡ 1 mod [[HierCoarseMod]]) —
+    * kept textually parallel so the two layers can never drift. */
+  private val coarseGraphCtes =
+    s"""csig0 AS (
+       |  SELECT vec_id, embedding, ${bucketSql(8)} AS b8
+       |  FROM embeddings WHERE vec_id % $HierCoarseMod = 1),
+       |cbanded AS (
+       |  SELECT vec_id, embedding, 0 AS band, b8 & 15 AS bucket FROM csig0
+       |  UNION ALL
+       |  SELECT vec_id, embedding, 1 AS band, b8 >> 4 AS bucket FROM csig0),
+       |cbsz AS (SELECT band, bucket, count(*) AS bn FROM cbanded GROUP BY 1, 2),
+       |csig AS (
+       |  SELECT s.vec_id, s.embedding, s.band, s.bucket FROM cbanded s
+       |  JOIN cbsz ON cbsz.band = s.band AND cbsz.bucket = s.bucket
+       |          AND cbsz.bn <= ${Dedup.MaxBucketSize}),
+       |cp AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr, ${cosSql("a", "b")} AS cos
+       |  FROM csig a JOIN csig b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |cg AS (
+       |  SELECT vec_id, nbr, cos, CAST(rk AS BIGINT) AS rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
+       |    FROM cp) WHERE rk <= $GraphDegree)""".stripMargin
+
+  /** The s30 oracle: the s22 round template instantiated twice — coarse
+    * rounds hb1..hbC over the coarse symmetrized edges `cge`, then fine
+    * rounds fb1..fbF over the full `ge`, seeded from the coarse beam
+    * with expansion flags cleared. Same MATERIALIZED-round requirement
+    * as s22 (three predecessor references per round). */
+  private def hierGraphSearchSql(
+      coarseRounds: Int, fineRounds: Int, e: Int, w: Int): String = {
+    def stage(prefix: String, edge: String, rounds: Int): String = {
+      val neCos = cosColsSql(s"$edge.ne", "q.embedding")
+      (1 to rounds).map { k =>
+        s"""${prefix}x$k AS MATERIALIZED (
+           |  SELECT vec_id FROM ${prefix}b${k - 1} WHERE NOT exp
+           |  ORDER BY cos DESC, vec_id LIMIT $e),
+           |${prefix}c$k AS (
+           |  SELECT b.vec_id, b.cos,
+           |         (b.exp OR b.vec_id IN (SELECT vec_id FROM ${prefix}x$k)) AS exp
+           |  FROM ${prefix}b${k - 1} b
+           |  UNION ALL
+           |  SELECT $edge.nbr AS vec_id, $neCos AS cos, false AS exp
+           |  FROM $edge JOIN ${prefix}x$k x ON $edge.vec_id = x.vec_id, q),
+           |${prefix}b$k AS MATERIALIZED (
+           |  SELECT vec_id, max(cos) AS cos, bool_or(exp) AS exp
+           |  FROM ${prefix}c$k GROUP BY vec_id
+           |  ORDER BY cos DESC, vec_id LIMIT $w)""".stripMargin
+      }.mkString(",\n")
+    }
+    s"""WITH $knnGraphCtes,
+       |$coarseGraphCtes,
+       |ge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM g
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM g) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |cge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM cg
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM cg) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |hb0 AS MATERIALIZED (
+       |  SELECT e.vec_id, ${cosSql("e", "q")} AS cos, false AS exp
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id = (SELECT min(vec_id) FROM cg)),
+       |${stage("h", "cge", coarseRounds)},
+       |fb0 AS MATERIALIZED (
+       |  SELECT vec_id, cos, false AS exp FROM hb$coarseRounds),
+       |${stage("f", "ge", fineRounds)}
+       |SELECT vec_id, cos FROM fb$fineRounds WHERE vec_id <> 0
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -1273,40 +1414,61 @@ object Similarity {
       graphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val edges = knnGraphEdges(s, dir)
-        val g = edges.select(col("vec_id"), col("nbr"), col("ne"))
-          .unionByName(edges.select(col("nbr").as("vec_id"),
-            col("vec_id").as("nbr"), col("se").as("ne")))
-          .dropDuplicates("vec_id", "nbr")
-          .localCheckpoint(true)
+        val g = symmetrized(knnGraphEdges(s, dir))
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
-        var beam = emb.join(broadcast(entry), "vec_id")
+        val beam0 = emb.join(broadcast(entry), "vec_id")
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
             lit(false).as("exp"))
           .localCheckpoint(true)
-        for (_ <- 1 to GraphSearchRounds) {
-          val frontier = beam.filter(!col("exp"))
-            .orderBy(col("cos").desc, col("vec_id"))
-            .limit(GraphExpandPerRound)
-            .select(col("vec_id"))
-          val marked = beam.join(
-            broadcast(frontier.withColumn("hit", lit(true))), Seq("vec_id"), "left")
-            .select(col("vec_id"), col("cos"),
-              (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
-          val nbrs = g.join(broadcast(frontier), "vec_id")
-            .crossJoin(broadcast(q))
-            .select(col("nbr").as("vec_id"),
-              VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
-              lit(false).as("exp"))
-          beam = marked.unionByName(nbrs)
-            .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
-            .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
-            .localCheckpoint(true)
-        }
-        beam.filter(col("vec_id") =!= 0)
+        efSearch(beam0, g, q, GraphSearchRounds)
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }
+    },
+
+    // HIERARCHICAL graph search — the HNSW layer ladder over the s17
+    // graph: a coarse layer of sampled nodes (vec_id ≡ 1 mod 16, the
+    // deterministic analog of HNSW's geometric level draw) gets its own
+    // kNN graph under the identical banded construction; the walk runs
+    // s22's exact ef-search contract first on the coarse graph (3
+    // rounds over 1/16 of the corpus — each round touches 1/16 the
+    // edge list), then RESEEDS the fine walk with the coarse beam
+    // (expansion flags cleared: a node expanded on the coarse layer has
+    // not had its fine-layer neighbors explored) for the remaining 7.
+    // Total distributed rounds = s22's 10, so the comparison is
+    // round-for-round: the flat walk spends its whole budget diffusing
+    // from a fixed arbitrary entry, while the descent arrives at the
+    // fine layer already in the query's neighborhood — the property
+    // that keeps hop counts logarithmic when the corpus grows 100× and
+    // a flat walk's fixed budget stops reaching. HierSearchSpec gates
+    // recall@10 > s22's at the same total rounds; the oracle unrolls
+    // both stages as chained MATERIALIZED CTEs.
+    QueryDef.sql("s30_hier_graph_search",
+      hierGraphSearchSql(HierCoarseRounds, HierFineRounds,
+        GraphExpandPerRound, GraphBeamWidth)) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val fine = symmetrized(knnGraphEdges(s, dir))
+        val coarse = symmetrized(knnGraphEdgesOf(
+          emb.filter(col("vec_id") % HierCoarseMod === 1),
+          guard = "coarse_knn_graph_bucket_guard"))
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
+        val beam0 = emb.join(broadcast(entry), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
+            lit(false).as("exp"))
+          .localCheckpoint(true)
+        val descended = efSearch(beam0, coarse, q, HierCoarseRounds)
+          .select(col("vec_id"), col("cos"), lit(false).as("exp"))
+          .localCheckpoint(true)
+        efSearch(descended, fine, q, HierFineRounds)
+          .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
       }
