@@ -94,6 +94,56 @@ object TextAnalysis {
         (col("top_n") / col("n_bigrams")).as("rep_ratio"))
   }
 
+  /** t30's IPF oracle chain through `m6` (the 6-round quantized raking
+    * fit over (lang, source) cells) — shared by t30 (which emits the
+    * fitted cells) and t32 (which drives the fit through the sampling
+    * gate). Declared before `defs`: oracle strings are built at object
+    * init. */
+  private val rakingCtes = {
+    val rounds = (1 to 6).map { k =>
+      s"""a$k AS (
+         |  SELECT lang, source,
+         |         round(m * (s.n / s.nl) / sum(m) OVER (PARTITION BY lang), 6) AS m
+         |  FROM m${k - 1}, stats s),
+         |m$k AS (
+         |  SELECT lang, source,
+         |         round(m * (s.n / s.ns) / sum(m) OVER (PARTITION BY source), 6) AS m
+         |  FROM a$k, stats s)""".stripMargin
+    }.mkString(",\n")
+    s"""m0 AS MATERIALIZED (
+       |  SELECT lang, source, CAST(count(*) AS DOUBLE) AS m
+       |  FROM documents GROUP BY lang, source),
+       |stats AS MATERIALIZED (
+       |  SELECT sum(m) AS n, count(DISTINCT lang) AS nl,
+       |         count(DISTINCT source) AS ns FROM m0),
+       |$rounds""".stripMargin
+  }
+
+  /** t30's fitted cell table (lang, source, n_docs, fitted): 6 IPF
+    * rounds, each half-step scaling cells toward one marginal's uniform
+    * target within a window partition, quantized to 6 decimals at every
+    * half-round boundary (the s06/s13 re-sync contract). Cell-bounded
+    * state — the only corpus-scale work is the opening groupBy. Shared
+    * by t30 and t32. */
+  private def rakedCellTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs
+      .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("m"))
+      .localCheckpoint(true) // reused: stats, the chain start, the final ratio
+    val st = cells.agg(sum("m"), countDistinct("lang"), countDistinct("source")).head()
+    val (n, nl, ns) = (st.getDouble(0), st.getLong(1), st.getLong(2))
+    var m = cells
+    for (_ <- 1 to 6) {
+      m = m.withColumn("m",
+        round(col("m") * lit(n / nl) / sum("m").over(Window.partitionBy("lang")), 6))
+      m = m.withColumn("m",
+        round(col("m") * lit(n / ns) / sum("m").over(Window.partitionBy("source")), 6))
+    }
+    m.join(cells.withColumnRenamed("m", "m0"), Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("m0").cast("long").as("n_docs"),
+        col("m").as("fitted"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, type-token ratio.
@@ -1009,49 +1059,62 @@ object TextAnalysis {
     // a LINEAR CTE chain). Quantized to 6 decimals at every half-round
     // boundary (the s06/s13 re-sync contract). Structural zeros (absent
     // cells) stay absent, the standard IPF convention.
-    QueryDef.sql("t30_mixture_raking", {
-      val rounds = (1 to 6).map { k =>
-        s"""a$k AS (
-           |  SELECT lang, source,
-           |         round(m * (s.n / s.nl) / sum(m) OVER (PARTITION BY lang), 6) AS m
-           |  FROM m${k - 1}, stats s),
-           |m$k AS (
-           |  SELECT lang, source,
-           |         round(m * (s.n / s.ns) / sum(m) OVER (PARTITION BY source), 6) AS m
-           |  FROM a$k, stats s)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH m0 AS MATERIALIZED (
-         |  SELECT lang, source, CAST(count(*) AS DOUBLE) AS m
-         |  FROM documents GROUP BY lang, source),
-         |stats AS MATERIALIZED (
-         |  SELECT sum(m) AS n, count(DISTINCT lang) AS nl,
-         |         count(DISTINCT source) AS ns FROM m0),
-         |$rounds
+    QueryDef.sql("t30_mixture_raking",
+      s"""WITH $rakingCtes
          |SELECT f.lang, f.source, CAST(c.m AS BIGINT) AS n_docs, f.m AS fitted
-         |FROM m6 f JOIN m0 c USING (lang, source)""".stripMargin
-    }) {
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cells = Tables.documents(s, dir)
-          .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("m"))
-          .localCheckpoint(true) // reused: stats, the chain start, the final ratio
-        val st = cells.agg(sum("m"), countDistinct("lang"), countDistinct("source")).head()
-        val (n, nl, ns) = (st.getDouble(0), st.getLong(1), st.getLong(2))
-        var m = cells
-        for (_ <- 1 to 6) {
-          m = m.withColumn("m",
-            round(col("m") * lit(n / nl) / sum("m").over(Window.partitionBy("lang")), 6))
-          m = m.withColumn("m",
-            round(col("m") * lit(n / ns) / sum("m").over(Window.partitionBy("source")), 6))
-        }
+         |FROM m6 f JOIN m0 c USING (lang, source)""".stripMargin) {
+      (s, dir) =>
         // n_docs + fitted, NOT the fitted/count ratio: a 6-decimal value
         // divided by a small integer lands on exact decimal halves often
         // (7.060543/14 = 0.5043245), where Spark's shortest-decimal
         // HALF_UP and DuckDB's binary round() disagree by one ulp. The
         // consumer derives the per-doc weight as fitted/n_docs.
-        m.join(cells.withColumnRenamed("m", "m0"), Seq("lang", "source"))
-          .select(col("lang"), col("source"), col("m0").cast("long").as("n_docs"),
-            col("m").as("fitted"))
+        rakedCellTable(Tables.documents(s, dir))
+    },
+
+    // APPLIED raking — t30's fitted weights driven through the t13/t23
+    // content-stable hash gate, emitting the actual resampled corpus
+    // (t30 fits the mixture; this closes the loop the way d16 closed
+    // d15's accounting). Per-cell keep-rate = the cell's fitted per-doc
+    // weight scaled so the heaviest cell keeps everything (downsample-
+    // only, no upsampling); membership = md5('rake:'||doc_id) under the
+    // rate's 32-bit hex threshold — reproducible across runs, retries,
+    // partitionings and engines. The emitted mixture is raking's whole
+    // point: expected kept mass per lang is EXACTLY n/(nl·maxw) for
+    // every lang (and per source likewise) — uniform marginals, gated
+    // in TextAnalysisSpec. Scale shape: the fit is cell-bounded (t30),
+    // the rate table is cells-sized and broadcast, the corpus pays one
+    // scan; the division chain stays UNROUNDED doubles (bit-identical
+    // IEEE ops in both engines) — only the hex threshold string, which
+    // is exact, crosses into the output.
+    QueryDef.sql("t32_raked_resample",
+      s"""WITH $rakingCtes,
+         |cells AS (
+         |  SELECT f.lang, f.source, c.m AS n0, f.m AS fitted
+         |  FROM m6 f JOIN m0 c USING (lang, source)),
+         |mx AS (SELECT max(fitted / n0) AS maxw FROM cells),
+         |rates AS (
+         |  SELECT lang, source, (fitted / n0) / maxw AS rate,
+         |         lower(lpad(hex(CAST(floor((fitted / n0) / maxw * 4294967296.0)
+         |           AS BIGINT)), 8, '0')) AS thr
+         |  FROM cells, mx)
+         |SELECT d.doc_id, d.lang, d.source, r.thr
+         |FROM documents d JOIN rates r USING (lang, source)
+         |WHERE r.rate >= 1.0 OR substr(md5('rake:' || d.doc_id), 1, 8) < r.thr""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cells = rakedCellTable(docs)
+        val w = col("fitted") / col("n_docs")
+        val mx = cells.agg(max(w).as("maxw"))
+        val rates = cells.crossJoin(broadcast(mx))
+          .select(col("lang"), col("source"), (w / col("maxw")).as("rate"),
+            lower(lpad(hex(floor(w / col("maxw") * 4294967296.0).cast("long")), 8, "0"))
+              .as("thr"))
+        val gate = col("rate") >= 1.0 ||
+          substring(md5(concat(lit("rake:"), col("doc_id").cast("string"))), 1, 8) < col("thr")
+        docs.join(broadcast(rates), Seq("lang", "source"))
+          .filter(gate)
+          .select(col("doc_id"), col("lang"), col("source"), col("thr"))
       }
     },
 

@@ -54,10 +54,27 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "t31_dsir_weight" -> 2, // vocab LM rides a broadcast; one doc-agg shuffle
     "d18_bloom_screen" -> 4, // ≤m-row bit set + md5 index distincts; probe aggs
     "m13_ppm_resize" -> 0, // typed decode→gather pass, no shuffle at all
-    "s25_pca_project" -> 0) // final projection scans the centered
+    "s25_pca_project" -> 0, // final projection scans the centered
                             // checkpoint: dot + round, no exchange (each
                             // fit round is its own 1-exchange global agg
                             // job, asserted in PcaSpec's plan test)
+    "s23_batch_graph_search" -> 1, // post-checkpoint plan: the one final
+                                   // per-query rank-window cut
+    "s24_bm25" -> 7, // tf/dl/stats/df aggs + doc-keyed score agg; idf
+                     // and stats sides ride broadcasts (5 here)
+    "t30_mixture_raking" -> 12, // 12 IPF half-step windows over the
+                                // CELL table (≤|langs|·|sources| rows —
+                                // corpus pays only the checkpointed
+                                // opening groupBy, outside this plan)
+    "t32_raked_resample" -> 13, // t30's 12 cell-sized half-steps + the
+                                // corpus-side gate join agg
+    "q76_reachability" -> 1, // recursion over the checkpointed edge
+                             // list; one final per-seed agg
+    "m12_wav_decode" -> 0, // typed encode→decode pass, no shuffle
+    "m14_wav_resample" -> 0, // typed decode→resample pass, no shuffle
+    "s30_hier_graph_search" -> 0) // both walk stages are checkpointed
+                                  // rounds (s22's contract); final plan
+                                  // is the last TakeOrdered only
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -111,6 +111,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t32 applied raking: the resampled corpus lands uniform per-lang mass; the heaviest cell keeps all") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kept = graft.SparkEntry.queries("t32_raked_resample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.nonEmpty && kept.length < docs.length, "it actually downsamples")
+    assert(kept.map(_._1).toSet.subsetOf(docs.map(_._1).toSet))
+    // expected kept mass per lang is n/(nl·maxw) for EVERY lang — the
+    // raked uniform marginal. Binomial noise at ~50 kept/lang on this
+    // fixture is σ≈7; gate at ±35% of the cross-lang mean (≈2.5σ).
+    val perLang = kept.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val mean = perLang.values.sum / perLang.size
+    perLang.foreach { case (lang, k) =>
+      assert(math.abs(k - mean) / mean < 0.35,
+        s"lang $lang kept $k vs cross-lang mean $mean — marginal not uniform")
+    }
+    // the most-underrepresented (heaviest-weight) cell is the rate=1
+    // anchor: every one of its docs must survive the gate
+    val fitted = graft.SparkEntry.queries("t30_mixture_raking")(spark, d)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    val (anchor, anchorN, _) = fitted.maxBy { case (_, n0, f) => f / n0 }
+    val anchorKept = kept.count(r => (r._2, r._3) == anchor)
+    assert(anchorKept.toLong === anchorN,
+      s"anchor cell $anchor must keep all $anchorN docs, kept $anchorKept")
+    // and the dominant lang is downsampled hardest: its keep fraction is
+    // the corpus minimum (en is 44% of this fixture)
+    val totalLang = docs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val fracs = perLang.map { case (l, k) => l -> k / totalLang(l) }
+    val dominant = totalLang.maxBy(_._2)._1
+    assert(fracs(dominant) === fracs.values.min,
+      s"dominant lang $dominant keep-fraction ${fracs(dominant)} should be the minimum of $fracs")
+  }
+
   test("t31 DSIR weights match a from-first-principles driver-side model") {
     val fdir = "/root/testdata/sf0.001"
     def tok(t: String): Seq[String] =
