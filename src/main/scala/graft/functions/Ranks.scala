@@ -45,4 +45,32 @@ object Ranks {
       }
     (ranked.drop("__pid"), n)
   }
+
+  /** `df` plus a LongType `sumCol` holding the EXCLUSIVE running sum of
+    * `valueCol` (integer-typed — the sum is exact, so it is partition-
+    * count invariant by arithmetic) in the total order of `sortExprs`:
+    * the same two-phase shape as [[globalRowNumber]] — range-repartition
+    * on the order, collect only the P per-partition SUBTOTALS, broadcast
+    * their running offsets, and finish with a per-partition window. Row
+    * 1's value is 0; nothing corpus-sized touches the driver. */
+  def globalRunningSum(
+      df: DataFrame, sumCol: String, valueCol: Column, sortExprs: Column*): DataFrame = {
+    val parted = df
+      .repartitionByRange(sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol.cast("long"))
+      .localCheckpoint(true)
+    val subtotals = parted.groupBy("__pid").agg(sum(col("__v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (subtotals.isEmpty) return df.withColumn(sumCol, lit(0L))
+    val offsets = subtotals.scanLeft(0 -> 0L) { case ((_, acc), (p, s)) => p -> (acc + s) }
+      .init.map(_._2).zip(subtotals.map(_._1)).map { case (off, p) => p -> off }
+    val offCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.withColumn(sumCol,
+        (offCol + coalesce(sum(col("__v")).over(w), lit(0L))).cast("long"))
+      .drop("__pid", "__v")
+  }
 }

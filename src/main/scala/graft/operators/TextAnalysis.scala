@@ -94,6 +94,11 @@ object TextAnalysis {
         (col("top_n") / col("n_bigrams")).as("rep_ratio"))
   }
 
+  /** t33's fixed sequence token budget (the training context length a
+    * packer targets). Declared before `defs` — oracle strings are built
+    * at object init. */
+  private[operators] val PackBudget = 512
+
   /** t30's IPF oracle chain through `m6` (the 6-round quantized raking
     * fit over (lang, source) cells) — shared by t30 (which emits the
     * fitted cells) and t32 (which drives the fit through the sampling
@@ -1115,6 +1120,50 @@ object TextAnalysis {
         docs.join(broadcast(rates), Seq("lang", "source"))
           .filter(gate)
           .select(col("doc_id"), col("lang"), col("source"), col("thr"))
+      }
+    },
+
+    // Sequence packing — the concat-then-chunk layout LLM pretraining
+    // actually feeds the model (docs concatenated in a deterministic
+    // order, sliced into fixed token-budget sequences; a doc may
+    // straddle a boundary): per doc, its absolute token offset in the
+    // packed stream and the [first, last] sequence ids it lands in.
+    // The offset is an EXCLUSIVE running sum of token counts over the
+    // doc_id total order — computed distributed by the two-phase
+    // range-partition + per-partition-subtotal scan
+    // (`Ranks.globalRunningSum`), NEVER a single-partition window (the
+    // repo invariant); integer arithmetic end to end, so the result is
+    // partition-count invariant by exactness and any engine re-derives
+    // it bit-for-bit. Scale shape: one range exchange + a P-row
+    // subtotal collect; the chunk math is a pure projection.
+    QueryDef.sql("t33_sequence_packing",
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |nz AS (SELECT doc_id, n_toks FROM toks WHERE n_toks > 0),
+         |cum AS (
+         |  SELECT doc_id, n_toks,
+         |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM nz)
+         |SELECT doc_id, n_toks, start_tok,
+         |       CAST(floor(start_tok / $PackBudget) AS BIGINT) AS seq_first,
+         |       CAST(floor((start_tok + n_toks - 1) / $PackBudget) AS BIGINT) AS seq_last,
+         |       CAST(floor((start_tok + n_toks - 1) / $PackBudget)
+         |          - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
+         |FROM cum""".stripMargin) {
+      (s, dir) => {
+        val nz = Tables.documents(s, dir)
+          .select(col("doc_id"), size(Exprs.tokens(col("text"))).cast("long").as("n_toks"))
+          .filter(col("n_toks") > 0)
+        val cum = graft.functions.Ranks.globalRunningSum(
+          nz, "start_tok", col("n_toks"), col("doc_id"))
+        val first = floor(col("start_tok") / PackBudget).cast("long")
+        val last = floor((col("start_tok") + col("n_toks") - 1) / PackBudget).cast("long")
+        cum.select(col("doc_id"), col("n_toks"), col("start_tok"),
+          first.as("seq_first"), last.as("seq_last"),
+          (last - first + 1).as("n_seqs"))
       }
     },
 

@@ -41,7 +41,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t31_dsir_weight", // 12-dp-quantized log-ratio sums (re-sync contract)
     "d18_bloom_screen", // md5-position membership + all-k hit counting
     "s28_ivf_bq", // stacked quantizer prunes under a rank cut
-    "s29_ivf_stats") // 6dp-quantized means over window-picked assignment
+    "s29_ivf_stats", // 6dp-quantized means over window-picked assignment
+    "s30_hier_graph_search", // two-stage iterative beam cuts + reseed
+    "t32_raked_resample", // IPF-fit-derived hash-gated selection
+    "t33_sequence_packing") // two-phase exact-integer prefix sum
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"

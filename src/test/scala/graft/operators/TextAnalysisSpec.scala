@@ -146,6 +146,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"dominant lang $dominant keep-fraction ${fracs(dominant)} should be the minimum of $fracs")
   }
 
+  test("t33 packing: offsets tile the stream exactly; chunk spans match the closed form") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("t33_sequence_packing")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // concat-then-chunk means offsets are gapless and overlap-free: each
+    // doc starts exactly where its predecessor (in doc_id order) ended
+    rows.sliding(2).foreach {
+      case Array((_, n0, s0, _, _, _), (id1, _, s1, _, _, _)) =>
+        assert(s1 === s0 + n0, s"doc $id1 offset must continue the stream")
+      case _ =>
+    }
+    assert(rows.head._3 === 0L, "the stream starts at offset 0")
+    val b = 512L
+    rows.foreach { case (id, n, s, f, l, k) =>
+      assert(f === s / b && l === (s + n - 1) / b && k === l - f + 1,
+        s"doc $id chunk span")
+      // worst case starts at offset b-1 within a sequence:
+      // spans = floor((n + b - 2) / b) + 1
+      assert(k >= 1 && k <= (n + b - 2) / b + 1,
+        s"doc $id spans $k sequences for $n tokens")
+    }
+    // a doc longer than the budget must straddle (exists on this fixture)
+    assert(rows.exists(_._6 > 1), "some doc straddles a sequence boundary")
+  }
+
   test("t31 DSIR weights match a from-first-principles driver-side model") {
     val fdir = "/root/testdata/sf0.001"
     def tok(t: String): Seq[String] =
