@@ -99,6 +99,19 @@ object TextAnalysis {
     * at object init. */
   private[operators] val PackBudget = 512
 
+  /** The packed token stream shared by t33/t34: per non-empty doc, its
+    * token count and EXCLUSIVE running-sum offset in the doc_id total
+    * order ([[graft.functions.Ranks.globalRunningSum]] — two-phase,
+    * never a single-partition window). Checkpointed inside the helper
+    * by the range materialization, so t34's explode reuses the layout. */
+  private def packedStream(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val nz = Tables.documents(s, dir)
+      .select(col("doc_id"), size(Exprs.tokens(col("text"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    graft.functions.Ranks.globalRunningSum(nz, "start_tok", col("n_toks"), col("doc_id"))
+  }
+
   /** t30's IPF oracle chain through `m6` (the 6-round quantized raking
     * fit over (lang, source) cells) — shared by t30 (which emits the
     * fitted cells) and t32 (which drives the fit through the sampling
@@ -1154,16 +1167,62 @@ object TextAnalysis {
          |          - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
          |FROM cum""".stripMargin) {
       (s, dir) => {
-        val nz = Tables.documents(s, dir)
-          .select(col("doc_id"), size(Exprs.tokens(col("text"))).cast("long").as("n_toks"))
-          .filter(col("n_toks") > 0)
-        val cum = graft.functions.Ranks.globalRunningSum(
-          nz, "start_tok", col("n_toks"), col("doc_id"))
+        val cum = packedStream(s, dir)
         val first = floor(col("start_tok") / PackBudget).cast("long")
         val last = floor((col("start_tok") + col("n_toks") - 1) / PackBudget).cast("long")
         cum.select(col("doc_id"), col("n_toks"), col("start_tok"),
           first.as("seq_first"), last.as("seq_last"),
           (last - first + 1).as("n_seqs"))
+      }
+    },
+
+    // The packing MANIFEST — t33 re-keyed to the unit the dataloader
+    // actually reads: one row per fixed-budget sequence, with its doc
+    // membership (count + id range) and its exact token fill. Every doc
+    // explodes to the sequences it straddles (≤ spans, bounded by the
+    // t33 closed form), each contributing the token overlap between its
+    // [start, end] interval and the sequence's [seq·B, (seq+1)·B−1]
+    // window — pure integer interval arithmetic, so the oracle is
+    // bit-exact. The invariant a training job relies on — every
+    // sequence except the stream's last is filled to EXACTLY the budget
+    // (concat-then-chunk leaves no padding) — is gated in
+    // TextAnalysisSpec. Scale shape: t33's range exchange + one
+    // seq_id-keyed aggregation; the explode fan-out is sum(n_seqs) ≈
+    // total_tokens/B + n_docs rows.
+    QueryDef.sql("t34_pack_manifest",
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |nz AS (SELECT doc_id, n_toks FROM toks WHERE n_toks > 0),
+         |cum AS (
+         |  SELECT doc_id, n_toks,
+         |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM nz),
+         |spans AS (
+         |  SELECT doc_id, n_toks, start_tok,
+         |         unnest(range(start_tok // $PackBudget,
+         |                      (start_tok + n_toks - 1) // $PackBudget + 1)) AS seq_id
+         |  FROM cum)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |       CAST(sum(least((seq_id + 1) * $PackBudget - 1, start_tok + n_toks - 1)
+         |              - greatest(seq_id * $PackBudget, start_tok) + 1) AS BIGINT) AS fill
+         |FROM spans GROUP BY seq_id""".stripMargin) {
+      (s, dir) => {
+        val b = lit(PackBudget.toLong)
+        val spans = packedStream(s, dir)
+          .select(col("doc_id"), col("n_toks"), col("start_tok"),
+            explode(sequence(
+              floor(col("start_tok") / PackBudget).cast("long"),
+              floor((col("start_tok") + col("n_toks") - 1) / PackBudget).cast("long")))
+              .as("seq_id"))
+        spans.groupBy("seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+            sum(least((col("seq_id") + 1) * b - 1, col("start_tok") + col("n_toks") - 1)
+              - greatest(col("seq_id") * b, col("start_tok")) + 1).as("fill"))
       }
     },
 

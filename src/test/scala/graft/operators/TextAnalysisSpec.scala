@@ -172,6 +172,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
     // a doc longer than the budget must straddle (exists on this fixture)
     assert(rows.exists(_._6 > 1), "some doc straddles a sequence boundary")
+
+    // the manifest view: every sequence but the stream's last is filled
+    // to EXACTLY the budget (concat-then-chunk leaves no padding), the
+    // last holds the remainder, and doc membership covers the stream
+    val manifest = graft.SparkEntry.queries("t34_pack_manifest")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val totalToks = rows.map(_._2).sum
+    assert(manifest.map(_._1).toSeq === (0L until manifest.length).toSeq,
+      "sequence ids are dense from 0")
+    manifest.init.foreach { case (sq, _, _, _, fill) =>
+      assert(fill === b, s"seq $sq fill $fill != budget $b")
+    }
+    assert(manifest.last._5 === totalToks - b * (manifest.length - 1),
+      "the last sequence holds exactly the remainder")
+    assert(manifest.map(_._5).sum === totalToks, "fills cover every token once")
+    // doc ranges chain: each sequence starts with its predecessor's last
+    // doc (a straddle) or the next packed doc after it (doc_ids may gap)
+    val nextDoc = rows.map(_._1).sliding(2).collect { case Array(a, c) => a -> c }.toMap
+    manifest.sliding(2).foreach {
+      case Array((_, _, _, lastDoc, _), (sq, _, firstDoc, _, _)) =>
+        assert(firstDoc === lastDoc || nextDoc.get(lastDoc).contains(firstDoc),
+          s"seq $sq doc range must continue from its predecessor")
+      case _ =>
+    }
   }
 
   test("t31 DSIR weights match a from-first-principles driver-side model") {
