@@ -891,6 +891,56 @@ object TextAnalysis {
       }
     },
 
+    // Temperature-scaled mixture sampling — t23's derived-rate gate with
+    // the share vector REPLACED by the temperature rebalance multilingual
+    // pretraining actually uses (XLM-R/mT5 style): p_s ∝ n_s^(1/T),
+    // flattening the source distribution so low-resource sources keep a
+    // larger share than their raw frequency. T = 2, i.e. p_s ∝ √n_s —
+    // deliberately: IEEE-754 sqrt is EXACTLY rounded (unlike pow), so
+    // the whole share → budget → rate → hex-threshold chain is
+    // bit-identical across engines with no quantization step. Same
+    // feasible-budget construction as t23 (B = min n_s/p_s, the largest
+    // corpus honoring the mix with no upsampling) and the same
+    // content-stable md5 gate. Scale shape: rate table is sources-sized
+    // and broadcast; one corpus scan + one partial-agg shuffle.
+    QueryDef.sql("t35_temperature_mix",
+      """WITH totals AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(n)) AS z FROM totals),
+        |shares AS (SELECT source, n, sqrt(n) / z AS share FROM totals, z),
+        |budget AS (SELECT min(n / share) AS b FROM shares),
+        |rates AS (
+        |  SELECT source, n, least(1.0, share * b / n) AS rate,
+        |         lower(lpad(hex(CAST(floor(least(1.0, share * b / n) * 4294967296.0)
+        |           AS BIGINT)), 8, '0')) AS thr
+        |  FROM shares, budget)
+        |SELECT d.source, r.n AS n_total,
+        |       CAST(sum(CASE WHEN r.rate >= 1.0
+        |                     OR substr(md5('temp:' || d.doc_id), 1, 8) < r.thr
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(r.rate, 6) AS rate
+        |FROM documents d JOIN rates r USING (source)
+        |GROUP BY d.source, r.n, r.rate""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val z = totals.agg(sum(sqrt(col("n"))).as("z"))
+        val shares = totals.crossJoin(broadcast(z))
+          .select(col("source"), col("n"), (sqrt(col("n")) / col("z")).as("share"))
+        val budget = shares.agg(min(col("n") / col("share")).as("b"))
+        val rate = least(lit(1.0), col("share") * col("b") / col("n"))
+        val rates = shares.crossJoin(broadcast(budget))
+          .select(col("source"), col("n"), rate.as("rate"),
+            lower(lpad(hex(floor(rate * 4294967296.0).cast("long")), 8, "0")).as("thr"))
+        val gate = col("rate") >= 1.0 ||
+          substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8) < col("thr")
+        docs.join(broadcast(rates), Seq("source"))
+          .groupBy(col("source"), col("n").as("n_total"), round(col("rate"), 6).as("rate"))
+          .agg(sum(when(gate, 1L).otherwise(0L)).as("n_kept"))
+          .select("source", "n_total", "n_kept", "rate")
+      }
+    },
+
     // Per-source document caps — the domain-cap retention pass of web
     // corpus prep (a handful of giant domains otherwise dominate the
     // mix): keep at most 15 docs per source, retention priority longest

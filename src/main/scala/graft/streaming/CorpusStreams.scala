@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -90,10 +89,11 @@ object CorpusStreams {
   }
 
   /** The current Bloom set-bit table at `bitsDir` — the newest committed
-    * version (empty relation before any fold has landed). */
+    * version (empty relation before any fold has landed). Bloom versions
+    * are FULL snapshots of the merged bit set. */
   def bloomStore(spark: SparkSession, bitsDir: String): DataFrame =
-    storeVersions(spark, bitsDir).maxOption match {
-      case Some(v) => spark.read.parquet(versionPath(bitsDir, v).toString)
+    VersionedStore.versions(spark, bitsDir).maxOption match {
+      case Some(v) => spark.read.parquet(VersionedStore.path(bitsDir, v).toString)
       case None => emptyBits(spark)
     }
 
@@ -105,50 +105,27 @@ object CorpusStreams {
       bitsDir: String,
       batch: DataFrame,
       id: Long)(sink: (DataFrame, Long) => Unit): Unit = {
-    val versions = storeVersions(spark, bitsDir)
     // pre-insertion state for THIS batch: the newest version older than
     // its id — on a retry, the batch's own landed version is ignored
-    val prior = versions.filter(_ < id)
+    val prior = VersionedStore.versions(spark, bitsDir).filter(_ < id)
     val bits = prior.maxOption match {
-      case Some(v) => spark.read.parquet(versionPath(bitsDir, v).toString)
+      case Some(v) => spark.read.parquet(VersionedStore.path(bitsDir, v).toString)
       case None => emptyBits(spark)
     }
     // materialized before any store mutation, so a sink that defers its
     // action never reads mid-rename state through lazy lineage
     sink(Dedup.bloomProbe(batch, bits).localCheckpoint(true), id)
-    if (!versions.contains(id)) {
-      val merged = bits.union(Dedup.bloomBits(batch)).distinct()
-        .localCheckpoint(true)
-      val hfs = fileSystem(spark, bitsDir)
-      val tmp = new Path(bitsDir, s".tmp-$id")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      hfs.rename(tmp, versionPath(bitsDir, id))
+    val merged = bits.union(Dedup.bloomBits(batch)).distinct()
+      .localCheckpoint(true)
+    if (VersionedStore.commit(spark, bitsDir, id, merged)) {
       // superseded versions: everything older than this batch's own
       // pre-insertion state (which a retry of THIS id still needs)
-      prior.sorted.dropRight(1)
-        .foreach(v => hfs.delete(versionPath(bitsDir, v), true))
+      VersionedStore.prune(spark, bitsDir, prior.sorted.dropRight(1))
     }
   }
 
   private def emptyBits(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.range(0).select(col("id").as("p"))
-  }
-
-  private def versionPath(bitsDir: String, id: Long): Path =
-    new Path(bitsDir, s"batch=$id")
-
-  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Committed (fully renamed) store versions under `bitsDir`. */
-  private def storeVersions(spark: SparkSession, bitsDir: String): Seq[Long] = {
-    val hfs = fileSystem(spark, bitsDir)
-    val root = new Path(bitsDir)
-    if (!hfs.exists(root)) Seq.empty
-    else hfs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
   }
 }

@@ -200,6 +200,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t35 temperature mix: rates flatten the source distribution, anchored at the scarcest source") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("t35_temperature_mix")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // T=2 keep-rate is b/(z·sqrt(n)) capped at 1: strictly decreasing in
+    // source size — bigger sources are downsampled harder
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((sa, na, _, ra), (sb, nb, _, rb)) if na < nb =>
+        assert(ra >= rb, s"rate($sa, n=$na)=$ra must be >= rate($sb, n=$nb)=$rb")
+      case _ =>
+    }
+    // the scarcest source is the feasible-budget anchor: rate 1, keeps all
+    val (s0, n0, k0, r0) = bySize.head
+    assert(r0 === 1.0 && k0 === n0, s"anchor $s0 must keep all $n0 docs (rate $r0, kept $k0)")
+    // kept counts track share·B within binomial noise: expected kept for
+    // source s is rate·n = b/z·sqrt(n); gate each at ±4σ of binomial
+    rows.foreach { case (s, n, k, r) =>
+      val exp = r * n
+      val sd = math.sqrt(n * r * (1 - r)).max(1.0)
+      assert(math.abs(k - exp) <= 4 * sd + 1,
+        s"source $s kept $k vs expected $exp (sd $sd)")
+    }
+  }
+
   test("t31 DSIR weights match a from-first-principles driver-side model") {
     val fdir = "/root/testdata/sf0.001"
     def tok(t: String): Seq[String] =
