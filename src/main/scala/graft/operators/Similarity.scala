@@ -272,6 +272,44 @@ object Similarity {
       .dropDuplicates("vec_id", "nbr")
       .localCheckpoint(true)
 
+  /** The batched form of [[efSearch]] (s23's contract): all queries in
+    * `qb` walk `g` simultaneously through one (query_id, vec_id) state
+    * table; every per-round cut is a rank window partitioned by
+    * query_id (map-side WindowGroupLimit at production query volumes)
+    * and each round batches every query's frontier into ONE broadcast
+    * edge join. Beam schema (query_id, vec_id, cos, exp). Shared by s23
+    * and both of s31's layers. */
+  private def batchEfSearch(
+      beam0: DataFrame, g: DataFrame, qb: DataFrame, rounds: Int): DataFrame = {
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    var beam = beam0
+    for (_ <- 1 to rounds) {
+      val frontier = beam.filter(!col("exp"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= GraphExpandPerRound)
+        .select("query_id", "vec_id")
+        .localCheckpoint(true) // consumed by both the mark and the expand
+      val marked = beam.join(
+        broadcast(frontier.withColumn("hit", lit(true))),
+        Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("vec_id"), col("cos"),
+          (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
+      val nbrs = g.join(broadcast(frontier), "vec_id")
+        .join(broadcast(qb), Seq("query_id"))
+        .select(col("query_id"), col("nbr").as("vec_id"),
+          VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
+          lit(false).as("exp"))
+      beam = marked.unionByName(nbrs)
+        .groupBy("query_id", "vec_id")
+        .agg(max("cos").as("cos"), max("exp").as("exp"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= GraphBeamWidth)
+        .drop("rk")
+        .localCheckpoint(true)
+    }
+    beam
+  }
+
   /** `rounds` of the s22 ef-search contract over symmetrized graph `g`:
     * expand the top-`GraphExpandPerRound` unexpanded beam entries, score
     * their out-neighbors against broadcast query `q` off the edge
@@ -469,6 +507,65 @@ object Similarity {
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
        |  FROM b$rounds WHERE vec_id >= 5) WHERE rk <= 10""".stripMargin
+  }
+
+  /** The s31 oracle: the s23 batched round template instantiated twice —
+    * coarse rounds hb1..hbC over `cge` (per-query rank windows, keyed
+    * frontier joins), then fine rounds fb1..fbF over `ge`, each query's
+    * coarse beam reseeding its fine walk with expansion flags cleared.
+    * Same MATERIALIZED-round requirement as s23. */
+  private def hierBatchGraphSearchSql(
+      coarseRounds: Int, fineRounds: Int, e: Int, w: Int): String = {
+    def stage(prefix: String, edge: String, rounds: Int): String = {
+      val neCos = cosColsSql(s"$edge.ne", "q.embedding")
+      (1 to rounds).map { k =>
+        s"""${prefix}x$k AS MATERIALIZED (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |    FROM ${prefix}b${k - 1} WHERE NOT exp) WHERE rk <= $e),
+           |${prefix}c$k AS (
+           |  SELECT b.query_id, b.vec_id, b.cos,
+           |         (b.exp OR x.vec_id IS NOT NULL) AS exp
+           |  FROM ${prefix}b${k - 1} b LEFT JOIN ${prefix}x$k x
+           |    ON x.query_id = b.query_id AND x.vec_id = b.vec_id
+           |  UNION ALL
+           |  SELECT x.query_id, $edge.nbr AS vec_id, $neCos AS cos, false AS exp
+           |  FROM $edge JOIN ${prefix}x$k x ON $edge.vec_id = x.vec_id
+           |  JOIN qb q ON q.query_id = x.query_id),
+           |${prefix}b$k AS MATERIALIZED (
+           |  SELECT query_id, vec_id, cos, exp FROM (
+           |    SELECT query_id, vec_id, cos, exp,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+           |    FROM (SELECT query_id, vec_id, max(cos) AS cos, bool_or(exp) AS exp
+           |          FROM ${prefix}c$k GROUP BY 1, 2)) WHERE rk <= $w)""".stripMargin
+      }.mkString(",\n")
+    }
+    s"""WITH $knnGraphCtes,
+       |$coarseGraphCtes,
+       |ge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM g
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM g) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |cge AS MATERIALIZED (
+       |  SELECT u.vec_id, u.nbr, e.embedding AS ne
+       |  FROM (SELECT vec_id, nbr FROM cg
+       |        UNION SELECT nbr AS vec_id, vec_id AS nbr FROM cg) u
+       |  JOIN embeddings e ON e.vec_id = u.nbr),
+       |qb AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |hb0 AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("e", "q")} AS cos, false AS exp
+       |  FROM embeddings e, qb q
+       |  WHERE e.vec_id = (SELECT min(vec_id) FROM cg)),
+       |${stage("h", "cge", coarseRounds)},
+       |fb0 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cos, false AS exp FROM hb$coarseRounds),
+       |${stage("f", "ge", fineRounds)}
+       |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM fb$fineRounds WHERE vec_id >= 5) WHERE rk <= 10""".stripMargin
   }
 
   /** Per-dimension corpus min/max as two aligned arrays — the scalar
@@ -1488,48 +1585,61 @@ object Similarity {
       batchGraphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val edges = knnGraphEdges(s, dir)
-        val g = edges.select(col("vec_id"), col("nbr"), col("ne"))
-          .unionByName(edges.select(col("nbr").as("vec_id"),
-            col("vec_id").as("nbr"), col("se").as("ne")))
-          .dropDuplicates("vec_id", "nbr")
-          .localCheckpoint(true)
+        val g = symmetrized(knnGraphEdges(s, dir))
         val qb = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
           .localCheckpoint(true)
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
         val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-        var beam = emb.join(broadcast(entry), "vec_id")
+        val beam0 = emb.join(broadcast(entry), "vec_id")
           .crossJoin(broadcast(qb))
           .select(col("query_id"), col("vec_id"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
             lit(false).as("exp"))
           .localCheckpoint(true)
-        for (_ <- 1 to GraphSearchRounds) {
-          val frontier = beam.filter(!col("exp"))
-            .withColumn("rk", row_number().over(wq))
-            .filter(col("rk") <= GraphExpandPerRound)
-            .select("query_id", "vec_id")
-            .localCheckpoint(true) // consumed by both the mark and the expand
-          val marked = beam.join(
-            broadcast(frontier.withColumn("hit", lit(true))),
-            Seq("query_id", "vec_id"), "left")
-            .select(col("query_id"), col("vec_id"), col("cos"),
-              (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
-          val nbrs = g.join(broadcast(frontier), "vec_id")
-            .join(broadcast(qb), Seq("query_id"))
-            .select(col("query_id"), col("nbr").as("vec_id"),
-              VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
-              lit(false).as("exp"))
-          beam = marked.unionByName(nbrs)
-            .groupBy("query_id", "vec_id")
-            .agg(max("cos").as("cos"), max("exp").as("exp"))
-            .withColumn("rk", row_number().over(wq))
-            .filter(col("rk") <= GraphBeamWidth)
-            .drop("rk")
-            .localCheckpoint(true)
-        }
-        beam.filter(col("vec_id") >= 5)
+        batchEfSearch(beam0, g, qb, GraphSearchRounds)
+          .filter(col("vec_id") >= 5)
+          .withColumn("rk", row_number().over(wq).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), col("rk"), col("cos"))
+      }
+    },
+
+    // BATCHED hierarchical search — the full production serving shape:
+    // s31 is to s30 what s23 is to s22. The query batch (vec_id < 5)
+    // descends the layer ladder TOGETHER: 3 shared coarse rounds over
+    // the 1/16-corpus coarse graph (every query's frontier in one
+    // broadcast edge join), then each query's coarse beam reseeds the
+    // fine walk (expansion flags cleared) for the remaining 7 — the
+    // same 10-round budget as s23, with the round cost amortized over
+    // the batch AND the descent arriving in each query's neighborhood.
+    // Same determinism contract; the oracle unrolls both stages with
+    // per-query rank windows.
+    QueryDef.sql("s31_batch_hier_search",
+      hierBatchGraphSearchSql(HierCoarseRounds, HierFineRounds,
+        GraphExpandPerRound, GraphBeamWidth)) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val fine = symmetrized(knnGraphEdges(s, dir))
+        val coarse = symmetrized(knnGraphEdgesOf(
+          emb.filter(col("vec_id") % HierCoarseMod === 1),
+          guard = "coarse_knn_graph_bucket_guard"))
+        val qb = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .localCheckpoint(true)
+        val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
+        val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        val beam0 = emb.join(broadcast(entry), "vec_id")
+          .crossJoin(broadcast(qb))
+          .select(col("query_id"), col("vec_id"),
+            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
+            lit(false).as("exp"))
+          .localCheckpoint(true)
+        val descended = batchEfSearch(beam0, coarse, qb, HierCoarseRounds)
+          .select(col("query_id"), col("vec_id"), col("cos"), lit(false).as("exp"))
+          .localCheckpoint(true)
+        batchEfSearch(descended, fine, qb, HierFineRounds)
+          .filter(col("vec_id") >= 5)
           .withColumn("rk", row_number().over(wq).cast("long"))
           .filter(col("rk") <= 10)
           .select(col("query_id"), col("vec_id"), col("rk"), col("cos"))

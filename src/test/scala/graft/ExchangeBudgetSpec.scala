@@ -72,9 +72,18 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                              // list; one final per-seed agg
     "m12_wav_decode" -> 0, // typed encode→decode pass, no shuffle
     "m14_wav_resample" -> 0, // typed decode→resample pass, no shuffle
-    "s30_hier_graph_search" -> 0) // both walk stages are checkpointed
+    "s30_hier_graph_search" -> 0, // both walk stages are checkpointed
                                   // rounds (s22's contract); final plan
                                   // is the last TakeOrdered only
+    "t33_sequence_packing" -> 1, // the per-partition window over the
+                                 // checkpointed range layout (the range
+                                 // exchange lives behind the checkpoint)
+    "t34_pack_manifest" -> 2, // t33's window + one seq_id-keyed agg
+    "t35_temperature_mix" -> 5, // totals/z/budget scalar aggs + the
+                                // final source-keyed agg; rate table
+                                // rides broadcasts (3 here)
+    "s31_batch_hier_search" -> 1) // post-checkpoint plan: the one final
+                                  // per-query rank-window cut (s23's)
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -45,7 +45,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s30_hier_graph_search", // two-stage iterative beam cuts + reseed
     "t32_raked_resample", // IPF-fit-derived hash-gated selection
     "t33_sequence_packing", // two-phase exact-integer prefix sum
-    "t34_pack_manifest") // exploded interval overlaps, integer agg
+    "t34_pack_manifest", // exploded interval overlaps, integer agg
+    "s31_batch_hier_search") // batched two-stage beam cuts + reseed
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
