@@ -383,6 +383,44 @@ object Multimodal {
     }
   }
 
+  /** Frame-energy segmentation of a PCM stream (VAD shape). */
+  final case class WavVad(doc_id: Long, n_frames: Long, n_active: Long,
+                          n_segments: Long, active_ratio: Double)
+
+  /** Energy-based voice-activity segmentation at the codec seam — the
+    * speech-curation step that decides which parts of an audio corpus
+    * are worth transcribing/training on: the data chunk is windowed
+    * into fixed `frame`-sample frames, a frame is ACTIVE iff its
+    * summed |amplitude| clears `threshold`·frame (all-integer compare —
+    * no fp anywhere, so the oracle is exact by arithmetic), and
+    * segments are maximal runs of active frames. Sample addressing goes
+    * through the parsed chunk extent, same trust contract as
+    * [[decodeWav]]/[[resampleWav]]. */
+  def vadWav(media: Dataset[MediaRow], frame: Int, threshold: Long): Dataset[WavVad] = {
+    require(frame > 0)
+    implicit val enc: Encoder[WavVad] = Encoders.product[WavVad]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, _, dataStart, dataSize) = parseWav(r.payload)
+        val nf = dataSize / 2 / frame // trailing partial frame dropped
+        var f = 0; var nAct = 0L; var nSeg = 0L; var prev = false
+        while (f < nf) {
+          var j = 0; var sabs = 0L
+          while (j < frame) {
+            sabs += math.abs(leShort(r.payload, dataStart + 2 * (f * frame + j)))
+            j += 1
+          }
+          val act = sabs >= threshold * frame
+          if (act) { nAct += 1; if (!prev) nSeg += 1 }
+          prev = act
+          f += 1
+        }
+        WavVad(r.doc_id, nf, nAct, nSeg,
+          nAct.toDouble / math.max(nf, 1))
+      }
+    }
+  }
+
   /** m01/m07 share one oracle: same logical query, two physical layouts. */
   private val jointStatsOracle =
     """SELECT d.lang, e.label, count(*) AS n,
@@ -830,6 +868,43 @@ object Multimodal {
         resampleWav(encodeWav(ids), factor = 2).toDF()
           .select(col("doc_id"), col("n_out"), col("rate_out"),
             round(col("mean_amp"), 6).as("mean_amp"), col("peak_amp"))
+      }
+    },
+
+    // Energy-based VAD segmentation through the REAL RIFF walker — the
+    // speech-corpus curation step (which stretches of audio carry
+    // signal worth training on): 16-sample frames, a frame is active
+    // iff Σ|amplitude| ≥ 16384·16 (ALL-INTEGER compare — threshold,
+    // sums and run counting never touch floating point, so both
+    // engines agree by arithmetic, not by rounding contract), segments
+    // are maximal active runs counted at their starts. The oracle
+    // recomputes frame sums from the closed-form sample function at
+    // the exact frame offsets — any frame-addressing slip through the
+    // parsed chunk extent shifts every sum and fails the hash.
+    QueryDef.sql("m15_vad_segments",
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n // 16 AS nf,
+        |    list_transform(range(0, n // 16), f ->
+        |      CASE WHEN list_sum(list_transform(range(0, 16),
+        |             j -> abs((doc_id*37 + (16*f + j)*11) % 65536 - 32768)))
+        |           >= 16384*16 THEN 1 ELSE 0 END) AS af
+        |  FROM dims)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(list_sum(af) AS BIGINT) AS n_active,
+        |       CAST(list_sum(list_transform(range(0, nf), f ->
+        |         CASE WHEN af[f+1] = 1 AND (f = 0 OR af[f] = 0)
+        |              THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+        |       round(list_sum(af) * 1.0 / nf, 6) AS active_ratio
+        |FROM fr""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        vadWav(encodeWav(ids), frame = 16, threshold = 16384L).toDF()
+          .select(col("doc_id"), col("n_frames"), col("n_active"),
+            col("n_segments"), round(col("active_ratio"), 6).as("active_ratio"))
       }
     }
   )

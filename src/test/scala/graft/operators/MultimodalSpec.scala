@@ -148,4 +148,28 @@ class MultimodalSpec extends SparkSpec {
     assert(up.mean_g === reds.map(_ + 1).sum.toDouble / 12)
     assert(up.mean_b === reds.map(_ + 2).sum.toDouble / 12)
   }
+
+  test("vadWav counts maximal runs on a hand-built alternating-energy stream") {
+    import spark.implicits._
+    // 4 frames of 4 samples: loud, quiet, loud, loud -> 3 active, 2 runs
+    val loud = Seq(20000, -20000, 20000, -20000)
+    val quiet = Seq(1, -1, 1, -1)
+    val samples = loud ++ quiet ++ loud ++ loud
+    val data = samples.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val header = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+    val payload = header.array() ++ data
+    val media = Seq(Multimodal.MediaRow(7L, payload)).toDS()
+    val got = Multimodal.vadWav(media, frame = 4, threshold = 16384L).collect().head
+    assert(got.n_frames === 4L)
+    assert(got.n_active === 3L, "loud frames clear the threshold, the quiet one doesn't")
+    assert(got.n_segments === 2L, "the quiet frame splits the actives into two runs")
+    assert(got.active_ratio === 0.75)
+  }
 }
