@@ -160,6 +160,10 @@ object TextAnalysis {
     m.join(cells.withColumnRenamed("m", "m0"), Seq("lang", "source"))
       .select(col("lang"), col("source"), col("m0").cast("long").as("n_docs"),
         col("m").as("fitted"))
+      // materialized: the fitted table is cell-sized, and its consumers
+      // (t30's output, t32's mx scalar AND rate table) would otherwise
+      // each replay the 12-window chain into their plans
+      .localCheckpoint(true)
   }
 
   val defs: Seq[QueryDef] = Seq(

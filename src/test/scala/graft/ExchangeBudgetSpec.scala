@@ -62,12 +62,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                    // per-query rank-window cut
     "s24_bm25" -> 7, // tf/dl/stats/df aggs + doc-keyed score agg; idf
                      // and stats sides ride broadcasts (5 here)
-    "t30_mixture_raking" -> 12, // 12 IPF half-step windows over the
-                                // CELL table (≤|langs|·|sources| rows —
-                                // corpus pays only the checkpointed
-                                // opening groupBy, outside this plan)
-    "t32_raked_resample" -> 13, // t30's 12 cell-sized half-steps + the
-                                // corpus-side gate join agg
+    "t30_mixture_raking" -> 0, // the fitted cell table is checkpointed
+                               // (12 cell-sized IPF windows + the
+                               // opening corpus groupBy live behind it)
+    "t32_raked_resample" -> 1, // mx scalar agg over the checkpointed
+                               // fit; the gate is a broadcast join
     "q76_reachability" -> 1, // recursion over the checkpointed edge
                              // list; one final per-seed agg
     "m12_wav_decode" -> 0, // typed encode→decode pass, no shuffle
