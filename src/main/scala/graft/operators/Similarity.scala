@@ -258,9 +258,19 @@ object Similarity {
     * is 1/mod of the corpus) and buy a beam already sitting in the
     * query's neighborhood when the fine walk starts — the coarse-to-fine
     * descent that keeps hop counts logarithmic as the corpus grows. */
-  private[operators] val HierCoarseMod = 16
+  private[graft] val HierCoarseMod = 16
   private[operators] val HierCoarseRounds = 3
   private[operators] val HierFineRounds = GraphSearchRounds - HierCoarseRounds
+
+  /** The batch-built coarse-layer graph in s17's output shape — the
+    * equality twin for the streaming ladder maintenance
+    * ([[graft.streaming.GraphStreams.ladderFold]]). */
+  private[graft] def coarseKnnGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    knnGraphEdgesOf(
+      Tables.embeddings(s, dir).filter(col("vec_id") % HierCoarseMod === 1),
+      guard = "coarse_knn_graph_bucket_guard")
+      .select(col("vec_id"), col("nbr"), col("cos"), col("rk"))
 
   /** Symmetrize a kNN edge list (forward ∪ reverse, both payloads), the
     * HNSW bidirectional-link layout — checkpointed: every walk round

@@ -70,6 +70,27 @@ object GraphStreams {
     (allSig.localCheckpoint(true), adj.localCheckpoint(true))
   }
 
+  /** Streaming maintenance of the s30/s31 LAYER LADDER: the coarse
+    * layer is the identical kNN construction over the promoted members
+    * (vec_id ≡ 1 mod [[Similarity.HierCoarseMod]] — content-stable, so
+    * the split of an arrival batch is deterministic), which makes its
+    * maintenance the SAME [[fold]] applied to the delta's promoted
+    * slice against the coarse state pair. One arrival batch therefore
+    * updates BOTH layers the hierarchical search reads; the coarse
+    * fold touches 1/mod of the delta and its own 1/mod-sized index.
+    * Incremental == batch holds for each layer by the same induction
+    * (asserted per layer in GraphStreamsSpec). */
+  def ladderFold(
+      delta: DataFrame,
+      fine: Option[(DataFrame, DataFrame)],
+      coarse: Option[(DataFrame, DataFrame)])
+      : ((DataFrame, DataFrame), (DataFrame, DataFrame)) = {
+    val f = fold(delta, fine.map(_._1), fine.map(_._2))
+    val promoted = delta.filter(col("vec_id") % Similarity.HierCoarseMod === 1)
+    val c = fold(promoted, coarse.map(_._1), coarse.map(_._2))
+    (f, c)
+  }
+
   /** Renders the maintained adjacency in s17's output shape
     * (vec_id, nbr, cos, rk). */
   def render(adj: DataFrame): DataFrame = {

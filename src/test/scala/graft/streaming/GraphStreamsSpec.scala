@@ -41,4 +41,35 @@ class GraphStreamsSpec extends SparkSpec {
     assert(last.map(edgeKey).toSet === batch)
     assert(batch.nonEmpty)
   }
+
+  test("ladderFold maintains BOTH layers: each equals its batch-built graph after all arrivals") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+
+    // three waves through the ladder fold — incremental on both layers
+    var fine: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None
+    var coarse: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None
+    Seq(0, 1, 2).foreach { wave =>
+      val delta = emb.filter(col("vec_id") % 3 === wave)
+      val (f, c) = GraphStreams.ladderFold(delta, fine, coarse)
+      fine = Some(f); coarse = Some(c)
+    }
+
+    val fineGot = GraphStreams.render(fine.get._2).collect().map(edgeKey).toSet
+    val fineBatch = graft.SparkEntry.queries("s17_knn_graph")(spark, dir)
+      .collect().map(edgeKey).toSet
+    assert(fineGot === fineBatch, "fine layer")
+
+    val coarseGot = GraphStreams.render(coarse.get._2).collect().map(edgeKey).toSet
+    val coarseBatch = graft.operators.Similarity.coarseKnnGraph(spark, dir)
+      .collect().map(edgeKey).toSet
+    assert(coarseGot === coarseBatch, "coarse layer")
+    assert(coarseBatch.nonEmpty, "the sampled layer has edges on this fixture")
+    // the promoted slice really is sparse: the coarse index holds only
+    // vec_id = 1 (mod 16) members
+    val members = coarse.get._1.select("vec_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(members.nonEmpty && members.forall(_ % 16 === 1))
+  }
 }
