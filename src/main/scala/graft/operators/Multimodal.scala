@@ -421,6 +421,35 @@ object Multimodal {
     }
   }
 
+  /** Per-doc zero-crossing count of a PCM stream. */
+  final case class WavZcr(doc_id: Long, n_samples: Long, n_crossings: Long,
+                          zcr: Double)
+
+  /** Zero-crossing rate at the codec seam — with frame energy (m15) the
+    * other classic O(n) audio feature (voiced/unvoiced and noise-vs-
+    * tone discrimination in speech curation): count sign CHANGES
+    * between consecutive samples (zero itself is non-negative — the
+    * `v < 0` convention on both sides, so the count is exact integer
+    * arithmetic end to end). */
+  def zcrWav(media: Dataset[MediaRow]): Dataset[WavZcr] = {
+    implicit val enc: Encoder[WavZcr] = Encoders.product[WavZcr]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, _, dataStart, dataSize) = parseWav(r.payload)
+        val n = dataSize / 2
+        var i = 1; var crossings = 0L
+        while (i < n) {
+          val a = leShort(r.payload, dataStart + 2 * (i - 1)) < 0
+          val b = leShort(r.payload, dataStart + 2 * i) < 0
+          if (a != b) crossings += 1
+          i += 1
+        }
+        WavZcr(r.doc_id, n, crossings,
+          crossings.toDouble / math.max(n - 1, 1))
+      }
+    }
+  }
+
   /** m01/m07 share one oracle: same logical query, two physical layouts. */
   private val jointStatsOracle =
     """SELECT d.lang, e.label, count(*) AS n,
@@ -905,6 +934,36 @@ object Multimodal {
         vadWav(encodeWav(ids), frame = 16, threshold = 16384L).toDF()
           .select(col("doc_id"), col("n_frames"), col("n_active"),
             col("n_segments"), round(col("active_ratio"), 6).as("active_ratio"))
+      }
+    },
+
+    // Zero-crossing rate through the REAL RIFF walker — m15's sibling
+    // feature (voiced/unvoiced discrimination): sign CHANGES between
+    // consecutive samples, `v < 0` on both engines so zero is uniformly
+    // non-negative and the count is exact integer arithmetic end to
+    // end. The oracle recomputes the pairwise sign flips from the
+    // closed-form sample function — an off-by-one in sample addressing
+    // shifts every pair and fails the hash.
+    QueryDef.sql("m16_zero_crossings",
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS BIGINT) AS n FROM documents),
+        |zc AS (
+        |  SELECT doc_id, n,
+        |    CAST(list_sum(list_transform(range(1, n), i ->
+        |      CASE WHEN ((doc_id*37 + (i-1)*11) % 65536 - 32768 < 0)
+        |             <> ((doc_id*37 + i*11) % 65536 - 32768 < 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_crossings
+        |  FROM dims)
+        |SELECT doc_id, n AS n_samples, n_crossings,
+        |       round(n_crossings * 1.0 / (n - 1), 6) AS zcr
+        |FROM zc""".stripMargin) {
+      (s, dir) => {
+        implicit val le: Encoder[java.lang.Long] = Encoders.LONG
+        val ids = Tables.documents(s, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        zcrWav(encodeWav(ids)).toDF()
+          .select(col("doc_id"), col("n_samples"), col("n_crossings"),
+            round(col("zcr"), 6).as("zcr"))
       }
     }
   )

@@ -262,6 +262,33 @@ object Similarity {
   private[operators] val HierCoarseRounds = 3
   private[operators] val HierFineRounds = GraphSearchRounds - HierCoarseRounds
 
+  /** s30's two-stage descent (coarse walk → reseeded fine walk) top-10
+    * (vec_id, cos) — shared by the registered query and the s32 recall
+    * harness. */
+  private def hierSearchTop10(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val fine = symmetrized(knnGraphEdges(s, dir))
+    val coarse = symmetrized(knnGraphEdgesOf(
+      emb.filter(col("vec_id") % HierCoarseMod === 1),
+      guard = "coarse_knn_graph_bucket_guard"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
+    val beam0 = emb.join(broadcast(entry), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
+        lit(false).as("exp"))
+      .localCheckpoint(true)
+    val descended = efSearch(beam0, coarse, q, HierCoarseRounds)
+      .select(col("vec_id"), col("cos"), lit(false).as("exp"))
+      .localCheckpoint(true)
+    efSearch(descended, fine, q, HierFineRounds)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+  }
+
   /** The batch-built coarse-layer graph in s17's output shape — the
     * equality twin for the streaming ladder maintenance
     * ([[graft.streaming.GraphStreams.ladderFold]]). */
@@ -426,7 +453,9 @@ object Similarity {
     * rounds fb1..fbF over the full `ge`, seeded from the coarse beam
     * with expansion flags cleared. Same MATERIALIZED-round requirement
     * as s22 (three predecessor references per round). */
-  private def hierGraphSearchSql(
+  /** The s30 oracle's WITH-body (through the last fine-round beam CTE
+    * `fb<fineRounds>`) — shared by s30 and the s32 recall harness. */
+  private def hierGraphSearchCtes(
       coarseRounds: Int, fineRounds: Int, e: Int, w: Int): String = {
     def stage(prefix: String, edge: String, rounds: Int): String = {
       val neCos = cosColsSql(s"$edge.ne", "q.embedding")
@@ -447,7 +476,7 @@ object Similarity {
            |  ORDER BY cos DESC, vec_id LIMIT $w)""".stripMargin
       }.mkString(",\n")
     }
-    s"""WITH $knnGraphCtes,
+    s"""$knnGraphCtes,
        |$coarseGraphCtes,
        |ge AS MATERIALIZED (
        |  SELECT u.vec_id, u.nbr, e.embedding AS ne
@@ -467,10 +496,14 @@ object Similarity {
        |${stage("h", "cge", coarseRounds)},
        |fb0 AS MATERIALIZED (
        |  SELECT vec_id, cos, false AS exp FROM hb$coarseRounds),
-       |${stage("f", "ge", fineRounds)}
+       |${stage("f", "ge", fineRounds)}""".stripMargin
+  }
+
+  private def hierGraphSearchSql(
+      coarseRounds: Int, fineRounds: Int, e: Int, w: Int): String =
+    s"""WITH ${hierGraphSearchCtes(coarseRounds, fineRounds, e, w)}
        |SELECT vec_id, cos FROM fb$fineRounds WHERE vec_id <> 0
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-  }
 
   /** The s23 oracle: s22's ef-search generalized to a QUERY BATCH — all
     * per-round cuts become rank windows partitioned by query_id, and
@@ -1557,27 +1590,42 @@ object Similarity {
     QueryDef.sql("s30_hier_graph_search",
       hierGraphSearchSql(HierCoarseRounds, HierFineRounds,
         GraphExpandPerRound, GraphBeamWidth)) {
+      (s, dir) => hierSearchTop10(s, dir)
+    },
+
+    // Recall instrumentation for the ladder — the number an operator
+    // watches when sizing layers and round splits (s11/s20's eval
+    // harness pointed at the hierarchical path): ground truth is the
+    // full brute-force top-10, the approximate side is s30's descent,
+    // both ranked engine-stably and joined on vec_id. One distributed
+    // query; the walk result and the exact list are each 10 rows.
+    QueryDef.sql("s32_hier_recall",
+      s"""WITH ${hierGraphSearchCtes(HierCoarseRounds, HierFineRounds,
+           GraphExpandPerRound, GraphBeamWidth)},
+         |res AS (
+         |  SELECT vec_id FROM fb$HierFineRounds WHERE vec_id <> 0
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |exb AS (
+         |  SELECT e.vec_id FROM embeddings e, q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${cosSql("e", "q")} DESC, e.vec_id LIMIT 10)
+         |SELECT CAST((SELECT count(*) FROM res) AS BIGINT) AS n_res,
+         |       CAST(count(*) AS BIGINT) AS n_hit,
+         |       round(count(*) / 10.0, 3) AS recall_at_10
+         |FROM res JOIN exb USING (vec_id)""".stripMargin) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val fine = symmetrized(knnGraphEdges(s, dir))
-        val coarse = symmetrized(knnGraphEdgesOf(
-          emb.filter(col("vec_id") % HierCoarseMod === 1),
-          guard = "coarse_knn_graph_bucket_guard"))
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
-        val beam0 = emb.join(broadcast(entry), "vec_id")
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
-            lit(false).as("exp"))
-          .localCheckpoint(true)
-        val descended = efSearch(beam0, coarse, q, HierCoarseRounds)
-          .select(col("vec_id"), col("cos"), lit(false).as("exp"))
-          .localCheckpoint(true)
-        efSearch(descended, fine, q, HierFineRounds)
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("cos"))
+        val res = hierSearchTop10(s, dir).select("vec_id").localCheckpoint(true)
+        val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+        exact.join(res, "vec_id")
+          .agg(count(lit(1)).as("n_hit"),
+            round(count(lit(1)) / 10.0, 3).as("recall_at_10"))
+          .crossJoin(res.agg(count(lit(1)).as("n_res")))
+          .select("n_res", "n_hit", "recall_at_10")
       }
     },
 

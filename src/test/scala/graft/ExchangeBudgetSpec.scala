@@ -81,8 +81,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "t35_temperature_mix" -> 5, // totals/z/budget scalar aggs + the
                                 // final source-keyed agg; rate table
                                 // rides broadcasts (3 here)
-    "s31_batch_hier_search" -> 1) // post-checkpoint plan: the one final
+    "s31_batch_hier_search" -> 1, // post-checkpoint plan: the one final
                                   // per-query rank-window cut (s23's)
+    "m16_zero_crossings" -> 0, // typed decode→count pass, no shuffle
+    "s32_hier_recall" -> 0) // both 10-row lists ride broadcasts; the
+                            // walk lives behind its checkpoints
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.
