@@ -175,20 +175,61 @@ object Bpe {
     // different plan — their agreement is itself evidence the encode is
     // a pure function of the word). */
     QueryDef.sql("t25_bpe_encode", encodeSql(Rounds)) { (s, dir) =>
-      val mlist = train(words(s, dir), Rounds)
-        .collect().sortBy(_.getInt(0))
-      val enc0 = regexp_replace(col("w"), "(.)", S1 + "$1" + S2)
-      val encoded = mlist.foldLeft(enc0) { (acc, r) =>
-        val (pa, pb) = (r.getString(1), r.getString(2))
-        replace(acc, lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
-      }
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[ -~]+$"))
-        .select(col("doc_id"),
-          size(filter(split(encoded, S2), x => x =!= lit(""))).as("nt"))
+      perWordTokenCounts(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"))
+    },
+
+    // Tokenizer FERTILITY per language — the multilingual health metric
+    // (avg BPE tokens per word): a tokenizer trained on a skewed mix
+    // fragments under-represented languages into more pieces, inflating
+    // their effective sequence lengths; fertility is the number a
+    // tokenizer audit reads per language before committing to a vocab.
+    // Rides the SAME trained merge chain as t24/t25 (one more grouping
+    // of the encode projection — zero extra fit cost); languages whose
+    // words the ASCII-only word filter excludes simply don't appear,
+    // identically on both engines.
+    QueryDef.sql("t36_bpe_fertility",
+      s"""WITH ${bpeChain(Rounds)},
+         |fx AS (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+         |  WHERE regexp_matches(w, '^[ -~]+$$')),
+         |enc AS (
+         |  SELECT fx.doc_id,
+         |         len(list_filter(string_split(v.s, chr(2)), x -> x <> '')) AS nt
+         |  FROM fx JOIN w$Rounds v ON v.word = fx.w)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       round(sum(nt) * 1.0 / count(*), 6) AS fertility
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin) { (s, dir) =>
+      perWordTokenCounts(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"),
+          round(sum("nt") * lit(1.0) / count(lit(1)), 6).as("fertility"))
     }
   )
+
+  /** The t25 encode projection as per-word-occurrence rows
+    * (doc_id, nt): the collected vocab-sized merge list folds into a
+    * chain of codegen `replace`s riding the token scan — no join, no
+    * shuffle. Shared by t25 (per-doc counts) and t36 (per-lang
+    * fertility). */
+  private def perWordTokenCounts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val mlist = train(words(s, dir), Rounds)
+      .collect().sortBy(_.getInt(0))
+    val enc0 = regexp_replace(col("w"), "(.)", S1 + "$1" + S2)
+    val encoded = mlist.foldLeft(enc0) { (acc, r) =>
+      val (pa, pb) = (r.getString(1), r.getString(2))
+      replace(acc, lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[ -~]+$"))
+      .select(col("doc_id"),
+        size(filter(split(encoded, S2), x => x =!= lit(""))).as("nt"))
+  }
 }

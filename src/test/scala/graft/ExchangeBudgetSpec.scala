@@ -84,8 +84,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "s31_batch_hier_search" -> 1, // post-checkpoint plan: the one final
                                   // per-query rank-window cut (s23's)
     "m16_zero_crossings" -> 0, // typed decode→count pass, no shuffle
-    "s32_hier_recall" -> 0) // both 10-row lists ride broadcasts; the
+    "s32_hier_recall" -> 0, // both 10-row lists ride broadcasts; the
                             // walk lives behind its checkpoints
+    "t36_bpe_fertility" -> 1) // projection encode + one lang agg; the
+                              // doc_id→lang side rides a broadcast
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t32_raked_resample", // IPF-fit-derived hash-gated selection
     "t33_sequence_packing", // two-phase exact-integer prefix sum
     "t34_pack_manifest", // exploded interval overlaps, integer agg
-    "s31_batch_hier_search") // batched two-stage beam cuts + reseed
+    "s31_batch_hier_search", // batched two-stage beam cuts + reseed
+    "s32_hier_recall", // descent + brute-force lists joined on id
+    "t35_temperature_mix", // sqrt-derived rates, hash-gated membership
+    "m15_vad_segments") // all-integer frame energies + run counting
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
