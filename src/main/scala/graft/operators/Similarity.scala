@@ -696,6 +696,63 @@ object Similarity {
       }
     },
 
+    // Quantization-error audit — the ops metric a vector store watches
+    // before and after committing to a compression level (the quant
+    // lifecycle's missing instrument next to s09's search and s11/s20/
+    // s32's recall): per dimension, the uint8 scalar-quantizer's
+    // reconstruction error |x − (mn + code·(mx−mn)/255)| aggregated as
+    // max and total over the corpus. Per-element errors quantize to 12
+    // decimals before the sum (the t31/s24 re-sync contract — both
+    // engines add identical summands) and max is order-free; a dim
+    // whose error distribution drifts after an index rebuild is the
+    // re-calibration trigger. One codes⋈corpus pass re-using the s09
+    // calibration + encode; dim-keyed agg, 64 rows out.
+    QueryDef.sql("s33_quant_error",
+      """WITH dims AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim),
+        |bounds AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM b),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |         list_transform(range(1, len(e.embedding)+1), i ->
+        |           CASE WHEN bo.mxs[i] > bo.mns[i]
+        |                THEN greatest(0, least(255,
+        |                  CAST(floor((e.embedding[i]::DOUBLE - bo.mns[i]) / (bo.mxs[i] - bo.mns[i]) * 255 + 0.5) AS BIGINT)))
+        |                ELSE 0 END) AS qc
+        |  FROM embeddings e, bounds bo),
+        |errsrc AS (
+        |  SELECT generate_subscripts(c.qc, 1) AS dim, unnest(c.qc) AS code,
+        |         unnest(e.embedding)::DOUBLE AS x
+        |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |err AS (
+        |  SELECT s.dim, round(abs(s.x - (b.mn + s.code * (b.mx - b.mn) / 255)), 12) AS err
+        |  FROM errsrc s JOIN b USING (dim))
+        |SELECT err.dim AS dim, b.mn, b.mx,
+        |       max(err) AS max_err, round(sum(err), 6) AS total_err
+        |FROM err JOIN b USING (dim)
+        |GROUP BY err.dim, b.mn, b.mx""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val bounds = quantBounds(emb)
+        val codes = quantized(emb, bounds).localCheckpoint(true)
+        val dimIdx = col("d0") + 1
+        emb.join(codes, "vec_id")
+          .crossJoin(broadcast(bounds))
+          .select(posexplode(arrays_zip(col("embedding"), col("qc"))).as(Seq("d0", "z")),
+            col("mns"), col("mxs"))
+          .select(dimIdx.cast("long").as("dim"),
+            col("z.embedding").cast("double").as("x"), col("z.qc").as("code"),
+            element_at(col("mns"), dimIdx.cast("int")).as("mn"),
+            element_at(col("mxs"), dimIdx.cast("int")).as("mx"))
+          .select(col("dim"), col("mn"), col("mx"),
+            round(abs(col("x") - (col("mn") + col("code") * (col("mx") - col("mn")) / 255)), 12)
+              .as("err"))
+          .groupBy("dim", "mn", "mx")
+          .agg(max("err").as("max_err"), round(sum("err"), 6).as("total_err"))
+      }
+    },
+
     // Exact top-10 nearest neighbors of vec_id=0 by cosine. Deterministic
     // order: rank on the ROUNDED cosine with vec_id tiebreak.
     QueryDef.sql("s01_knn_bruteforce",

@@ -86,8 +86,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "m16_zero_crossings" -> 0, // typed decode→count pass, no shuffle
     "s32_hier_recall" -> 0, // both 10-row lists ride broadcasts; the
                             // walk lives behind its checkpoints
-    "t36_bpe_fertility" -> 1) // projection encode + one lang agg; the
+    "t36_bpe_fertility" -> 1, // projection encode + one lang agg; the
                               // doc_id→lang side rides a broadcast
+    "s33_quant_error" -> 3) // calibration dim-agg + bounds collect +
+                            // the final dim-keyed error agg
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

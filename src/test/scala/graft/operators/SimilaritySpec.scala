@@ -116,6 +116,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"recall@10 = $hits/10")
   }
 
+  test("s33: every dimension's max reconstruction error respects the half-step quantization bound") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("s33_quant_error")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === 64, "one audit row per dimension")
+    rows.foreach { case (dim, mn, mx, maxErr, totalErr) =>
+      assert(mx >= mn, s"dim $dim bounds")
+      // round-to-nearest uint8 over in-range values cannot err by more
+      // than half a step (+ the 12-dp error quantization itself)
+      val halfStep = (mx - mn) / 255 / 2
+      assert(maxErr <= halfStep + 1e-9, s"dim $dim max_err $maxErr > half-step $halfStep")
+      assert(totalErr >= maxErr - 1e-9, s"dim $dim total under max")
+    }
+  }
+
   test("s18 upsert: every vector lands in a cell; the ingest path joins nothing") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.SparkEntry.queries("s18_ivf_upsert")(spark, dir)
