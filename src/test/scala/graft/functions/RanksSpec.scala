@@ -28,4 +28,25 @@ class RanksSpec extends SparkSpec {
     assert(n === 0L)
     assert(ranked.count() === 0L)
   }
+
+  test("globalRunningSum equals the naive exclusive prefix sum under any partition layout") {
+    // values vary in magnitude so a subtotal/offset mix-up shows up
+    // immediately; duplicated sort prefixes exercise the tiebreak
+    val rows = (1 to 211).map(i => (i.toLong, ((i * 31) % 97 + 1).toLong))
+    val expected = {
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    }
+    for (parts <- Seq(1, 4, 17)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val cum = Ranks.globalRunningSum(df, "run", col("v"), col("id"))
+      val got = cum.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("globalRunningSum on an empty frame returns the zero column") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Ranks.globalRunningSum(df, "run", col("v"), col("id")).count() === 0L)
+  }
 }
