@@ -49,7 +49,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s31_batch_hier_search", // batched two-stage beam cuts + reseed
     "s32_hier_recall", // descent + brute-force lists joined on id
     "t35_temperature_mix", // sqrt-derived rates, hash-gated membership
-    "m15_vad_segments") // all-integer frame energies + run counting
+    "m15_vad_segments", // all-integer frame energies + run counting
+    "m16_zero_crossings", // exact-integer pairwise sign flips
+    "t36_bpe_fertility", // integer token counts over the collected fit
+    "s33_quant_error") // 12dp-quantized summands + order-free max
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
