@@ -112,6 +112,25 @@ object TextAnalysis {
     graft.functions.Ranks.globalRunningSum(nz, "start_tok", col("n_toks"), col("doc_id"))
   }
 
+  /** t34's manifest derivation over ANY packed stream with columns
+    * (doc_id, n_toks, start_tok) — shared by the registered query and
+    * the streaming equality spec (the incrementally-maintained
+    * [[graft.streaming.PackStreams]] store feeds the same function). */
+  private[graft] def manifestOf(cum: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = lit(PackBudget.toLong)
+    val spans = cum
+      .select(col("doc_id"), col("n_toks"), col("start_tok"),
+        explode(sequence(
+          floor(col("start_tok") / PackBudget).cast("long"),
+          floor((col("start_tok") + col("n_toks") - 1) / PackBudget).cast("long")))
+          .as("seq_id"))
+    spans.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum(least((col("seq_id") + 1) * b - 1, col("start_tok") + col("n_toks") - 1)
+          - greatest(col("seq_id") * b, col("start_tok")) + 1).as("fill"))
+  }
+
   /** t30's IPF oracle chain through `m6` (the 6-round quantized raking
     * fit over (lang, source) cells) — shared by t30 (which emits the
     * fitted cells) and t32 (which drives the fit through the sampling
@@ -1264,20 +1283,7 @@ object TextAnalysis {
          |       CAST(sum(least((seq_id + 1) * $PackBudget - 1, start_tok + n_toks - 1)
          |              - greatest(seq_id * $PackBudget, start_tok) + 1) AS BIGINT) AS fill
          |FROM spans GROUP BY seq_id""".stripMargin) {
-      (s, dir) => {
-        val b = lit(PackBudget.toLong)
-        val spans = packedStream(s, dir)
-          .select(col("doc_id"), col("n_toks"), col("start_tok"),
-            explode(sequence(
-              floor(col("start_tok") / PackBudget).cast("long"),
-              floor((col("start_tok") + col("n_toks") - 1) / PackBudget).cast("long")))
-              .as("seq_id"))
-        spans.groupBy("seq_id")
-          .agg(count(lit(1)).as("n_docs"),
-            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-            sum(least((col("seq_id") + 1) * b - 1, col("start_tok") + col("n_toks") - 1)
-              - greatest(col("seq_id") * b, col("start_tok")) + 1).as("fill"))
-      }
+      (s, dir) => manifestOf(packedStream(s, dir))
     },
 
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection

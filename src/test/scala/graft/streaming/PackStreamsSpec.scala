@@ -46,6 +46,18 @@ class PackStreamsSpec extends SparkSpec {
     val stored = PackStreams.packedStore(spark, store)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(stored === batch, "the store IS the batch assignment")
+
+    // and the dataloader view derives identically from the maintained
+    // store: manifest(store) == batch t34
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val fromStore = graft.operators.TextAnalysis
+      .manifestOf(PackStreams.packedStore(spark, store))
+      .collect().map(key).toSet
+    val batchManifest = graft.SparkEntry.queries("t34_pack_manifest")(spark, dir)
+      .collect().map(key).toSet
+    assert(fromStore === batchManifest,
+      "the manifest over the streamed store equals the batch manifest")
   }
 
   test("a retried micro-batch re-emits identical offsets and never duplicates the store") {
