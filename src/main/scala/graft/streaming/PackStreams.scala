@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: each batch pays t33's two-phase running sum on the
   * BATCH only (range exchange + P-row subtotal collect); the store
-  * contributes one scalar (its committed token total) per batch — never
-  * a rescan of history rows into the assignment itself. State lives in
+  * contributes one scalar per batch — the newest non-empty version's
+  * max(start + n), a delta-sized read, never a scan over the whole
+  * store. State lives in
   * a [[VersionedStore]] of per-batch DELTA versions (atomic
   * temp+rename commits; a retried batch recomputes its assignment from
   * the same pre-batch total and skips the re-append, so at-least-once
@@ -69,13 +70,18 @@ object PackStreams {
       batch: DataFrame,
       id: Long)(sink: (DataFrame, Long) => Unit): Unit = {
     val prior = VersionedStore.versions(spark, storeDir).filter(_ < id)
-    // one scalar from history: the committed token total before this batch
-    val base: Long = prior.sorted match {
-      case Seq() => 0L
-      case vs => vs.map(v => spark.read.parquet(VersionedStore.path(storeDir, v).toString))
-        .reduce(_ unionByName _)
-        .agg(coalesce(sum("n_toks"), lit(0L))).head().getLong(0)
-    }
+    // one scalar from history: the committed token total before this
+    // batch. Offsets are gapless, so the NEWEST non-empty version's
+    // max(start + n) IS the total — one delta-sized read in the common
+    // case, never a scan over the whole store (empty committed versions
+    // fall through to their predecessor).
+    val base: Long = prior.sorted.reverseIterator
+      .map { v =>
+        spark.read.parquet(VersionedStore.path(storeDir, v).toString)
+          .agg(max(col("start_tok") + col("n_toks"))).head().get(0)
+      }
+      .collectFirst { case x: java.lang.Long => x.longValue() }
+      .getOrElse(0L)
     val nz = batch
       .select(col("doc_id"), size(Exprs.tokens(col("text"))).cast("long").as("n_toks"))
       .filter(col("n_toks") > 0)

@@ -89,5 +89,18 @@ class PackStreamsSpec extends SparkSpec {
     val totalA = a.select(graft.functions.Exprs.tokens(col("text")).as("t"))
       .select(sum(size(col("t")).cast("long"))).head().getLong(0)
     assert(first.values.min === totalA, "batch 1's first offset continues batch 0's stream")
+
+    // an EMPTY committed version (a batch whose docs all filter out)
+    // must not lose the running total: the base falls through to the
+    // newest non-empty predecessor
+    val none = docs.filter(col("doc_id") < 0)
+    assert(deliver(none, 2L).isEmpty)
+    val c = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    val third = deliver(c, 3L)
+    val totalAB = a.unionByName(b)
+      .select(graft.functions.Exprs.tokens(col("text")).as("t"))
+      .select(sum(size(col("t")).cast("long"))).head().getLong(0)
+    assert(third.values.min === totalAB,
+      "batch 3 continues through the empty version without resetting")
   }
 }
