@@ -946,7 +946,10 @@ object TextAnalysis {
         |GROUP BY d.source, r.n, r.rate""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // sources-sized; its three consumers (z, shares, budget) would
+        // otherwise each replay the corpus groupBy into their plans
         val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         val z = totals.agg(sum(sqrt(col("n"))).as("z"))
         val shares = totals.crossJoin(broadcast(z))
           .select(col("source"), col("n"), (sqrt(col("n")) / col("z")).as("share"))

@@ -78,9 +78,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                  // checkpointed range layout (the range
                                  // exchange lives behind the checkpoint)
     "t34_pack_manifest" -> 2, // t33's window + one seq_id-keyed agg
-    "t35_temperature_mix" -> 5, // totals/z/budget scalar aggs + the
-                                // final source-keyed agg; rate table
-                                // rides broadcasts (3 here)
+    "t35_temperature_mix" -> 3, // z/budget scalar aggs over the
+                                // checkpointed totals + the final
+                                // source-keyed agg; rate table rides
+                                // broadcasts (3 here)
     "s31_batch_hier_search" -> 1, // post-checkpoint plan: the one final
                                   // per-query rank-window cut (s23's)
     "m16_zero_crossings" -> 0, // typed decode→count pass, no shuffle
