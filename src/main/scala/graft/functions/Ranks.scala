@@ -12,12 +12,26 @@ import org.apache.spark.sql.functions._
   * whole table" steps. This computes the identical 1-based rank
   * distributed: range-repartition on the total order (materialized once
   * so partition ids are stable across jobs), collect only the P
-  * per-partition COUNTS, broadcast their running offsets back as a map
-  * literal, and each row's global rank is offset(pid) + its rank within
-  * a per-partition window. Two jobs, one range exchange, nothing
-  * corpus-sized on the driver.
+  * per-partition COUNTS, broadcast their running offsets back as a dense
+  * array literal indexed by pid, and each row's global rank is
+  * offset(pid) + its rank within a per-partition window. Two jobs, one
+  * range exchange, nothing corpus-sized on the driver.
   */
 object Ranks {
+
+  /** Running-offset probe: `element_at` on a MAP literal is a linear
+    * scan of the entries per row — O(P) work per row, which grows with
+    * the cluster's partition count. Range partitioning yields dense pids
+    * 0..P-1, so the offsets pack into a plain array literal and the
+    * probe is an O(1) codegen'd index (`element_at` on ARRAY is random
+    * access, 1-based). Empty partitions have no rows to probe; their
+    * slots carry the running value so the array is monotone regardless. */
+  private def offsetProbe(offsets: Seq[(Int, Long)]): Column = {
+    val dense = Array.fill(offsets.map(_._1).max + 1)(0L)
+    offsets.foreach { case (p, o) => dense(p) = o }
+    for (i <- 1 until dense.length) if (dense(i) == 0L) dense(i) = dense(i - 1)
+    element_at(lit(dense), col("__pid") + 1)
+  }
 
   /** `df` plus a LongType `rankCol` holding the 1-based global rank in
     * the total order of `sortExprs` (which must be a total order — add
@@ -37,10 +51,8 @@ object Ranks {
     val ranked =
       if (offsets.isEmpty) parted.withColumn(rankCol, lit(0L))
       else {
-        val offCol = element_at(
-          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
         parted.withColumn(rankCol,
-          (offCol + row_number().over(
+          (offsetProbe(offsets) + row_number().over(
             Window.partitionBy("__pid").orderBy(sortExprs: _*))).cast("long"))
       }
     (ranked.drop("__pid"), n)
@@ -60,17 +72,18 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", valueCol.cast("long"))
       .localCheckpoint(true)
-    val subtotals = parted.groupBy("__pid").agg(sum(col("__v")).as("s"))
+    // coalesce: a partition whose values are all NULL yields a null sum
+    // and a bare getLong would NPE with no hint at the cause.
+    val subtotals = parted.groupBy("__pid")
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (subtotals.isEmpty) return df.withColumn(sumCol, lit(0L))
     val offsets = subtotals.scanLeft(0 -> 0L) { case ((_, acc), (p, s)) => p -> (acc + s) }
       .init.map(_._2).zip(subtotals.map(_._1)).map { case (off, p) => p -> off }
-    val offCol = element_at(
-      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
     val w = Window.partitionBy("__pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted.withColumn(sumCol,
-        (offCol + coalesce(sum(col("__v")).over(w), lit(0L))).cast("long"))
+        (offsetProbe(offsets) + coalesce(sum(col("__v")).over(w), lit(0L))).cast("long"))
       .drop("__pid", "__v")
   }
 }

@@ -67,6 +67,16 @@ object Pca {
     emb.select(col("vec_id"), centered(col("embedding"), mu.toSeq).as("cx"))
       .localCheckpoint(true)
 
+  /** One iteration round's job: project s = cx·v, fold the dim
+    * per-dimension sums as agg buffers. Exposed so `PcaSpec` can audit
+    * the plan (no Generate, one exchange). */
+  private[operators] def roundPlan(cx: DataFrame, v: Array[Double]): DataFrame = {
+    val sums = (0 until Dim).map(d => sum(col("s") * col("cx").getItem(d)).as(s"y$d"))
+    cx.select(col("cx"),
+        graft.functions.VectorOps.dot(col("cx"), typedlit(v.toSeq)).as("s"))
+      .agg(sums.head, sums.tail: _*)
+  }
+
   /** `iters` rounds of quantized power iteration from the exact dyadic
     * start v₀ = (0.125, …) (1/√64 — exactly representable, so both
     * engines begin bit-identical). Returns the rounded iterate.
@@ -80,16 +90,6 @@ object Pca {
     * plans either way (Spark partial-agg vs DuckDB scan order); the
     * 6-decimal round-boundary quantization is what re-syncs the engines,
     * exactly as it did for the exploded form. */
-  /** One iteration round's job: project s = cx·v, fold the dim
-    * per-dimension sums as agg buffers. Exposed so `PcaSpec` can audit
-    * the plan (no Generate, one exchange). */
-  private[operators] def roundPlan(cx: DataFrame, v: Array[Double]): DataFrame = {
-    val sums = (0 until Dim).map(d => sum(col("s") * col("cx").getItem(d)).as(s"y$d"))
-    cx.select(col("cx"),
-        graft.functions.VectorOps.dot(col("cx"), typedlit(v.toSeq)).as("s"))
-      .agg(sums.head, sums.tail: _*)
-  }
-
   private[operators] def topComponent(cx: DataFrame, iters: Int = Iters): Array[Double] = {
     var v = Array.fill(Dim)(0.125)
     for (_ <- 0 until iters) {

@@ -67,8 +67,11 @@ object CorpusStreams {
     *    still on disk) and skips the fold if its own version already
     *    landed — so retries re-emit byte-identical verdicts instead of
     *    seeing their own insertions as hits.
-    * All store paths go through the Hadoop FileSystem API, so
-    * `hdfs://`/`s3a://` bitsDirs behave the same as local paths. */
+    * All store paths go through the Hadoop FileSystem API; the rename
+    * atomicity the versioning relies on holds on HDFS-like filesystems
+    * (HDFS, local). Object stores (`s3a://`) rename by copy+delete, so
+    * they additionally need a marker-file commit — see the
+    * [[VersionedStore]] scaladoc. */
   def bloomMaintain(
       spark: SparkSession,
       sourceDir: String,

@@ -10,8 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * immutable per-batch version directories instead:
   *
   *  - [[commit]] writes to a temp path and RENAMES into `batch=<id>`
-  *    (atomic on HDFS-like stores) — a crash mid-write leaves only an
-  *    invisible temp dir, never a half-written committed version;
+  *    (atomic on HDFS-like filesystems — HDFS, local, anything where
+  *    directory rename is a metadata op) — a crash mid-write leaves only
+  *    an invisible temp dir, never a half-written committed version.
+  *    Object stores (s3a://) implement directory rename as a non-atomic
+  *    copy+delete, so a crash mid-rename CAN surface a partial committed
+  *    version there; on such stores the store dir needs a marker-file
+  *    commit (write `batch=<id>/_COMMITTED` last and filter
+  *    [[versions]] on it) — not implemented here, so point the store at
+  *    an HDFS-like filesystem;
   *  - a retried batch sees its own version already committed and skips
   *    the write, so re-deliveries can recompute their emitted output
   *    from the PRE-batch state (`versions(...).filter(_ < id)`) and get
@@ -43,14 +50,28 @@ private[streaming] object VersionedStore {
   }
 
   /** Atomically commit `df` as version `id` unless that version already
-    * exists (the retry case). Returns true iff this call wrote it. */
+    * exists (the retry case). Returns true iff this call wrote it.
+    *
+    * The rename's boolean result is checked: if the destination appeared
+    * between the [[versions]] probe and the rename (a concurrent retry
+    * won the slot) this returns false like any other lost race — the
+    * caller must NOT prune prior versions or otherwise assume its
+    * snapshot landed. Any other rename failure (filesystem error) throws
+    * so the streaming query fails loudly instead of silently folding
+    * from stale state. */
   def commit(spark: SparkSession, dir: String, id: Long, df: DataFrame): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val hfs = fs(spark, dir)
     val tmp = new Path(dir, s".tmp-$id")
     df.write.mode("overwrite").parquet(tmp.toString)
-    hfs.rename(tmp, path(dir, id))
-    true
+    if (hfs.rename(tmp, path(dir, id))) true
+    else {
+      hfs.delete(tmp, true)
+      if (versions(spark, dir).contains(id)) false // concurrent/retry winner
+      else throw new java.io.IOException(
+        s"VersionedStore: rename $tmp -> ${path(dir, id)} failed and the " +
+          "version does not exist; refusing to continue from unknown state")
+    }
   }
 
   /** Delete committed versions, e.g. ones superseded by a snapshot. */

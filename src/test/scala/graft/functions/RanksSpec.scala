@@ -49,4 +49,19 @@ class RanksSpec extends SparkSpec {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(Ranks.globalRunningSum(df, "run", col("v"), col("id")).count() === 0L)
   }
+
+  test("globalRunningSum degrades predictably when a partition's values are all NULL") {
+    // a sort range whose rows all carry NULL used to NPE in the driver's
+    // subtotal read; NULLs must contribute 0 and not poison the offsets
+    val rows = (1 to 60).map(i => (i.toLong, if (i <= 20) None else Some(i.toLong)))
+    val df = rows.toDF("id", "v").repartition(5)
+    val cum = Ranks.globalRunningSum(df, "run", col("v"), col("id"))
+    val got = cum.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = {
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(
+        sorted.map(_._2.getOrElse(0L)).scanLeft(0L)(_ + _).init).toMap
+    }
+    assert(got === expected)
+  }
 }

@@ -35,4 +35,28 @@ class VersionedStoreSpec extends SparkSpec {
     VersionedStore.prune(spark, dir, Seq(7L))
     assert(VersionedStore.versions(spark, dir) === Seq(8L))
   }
+
+  test("a failed rename surfaces loudly instead of reporting a committed version") {
+    val dir = Files.createTempDirectory("vstore").toString + "/store"
+    val df = spark.range(3).select(col("id"))
+    assert(VersionedStore.commit(spark, dir, 1L, df))
+
+    // Block the rename target with a plain FILE named like the version
+    // dir: versions() only lists directories, so the pre-check passes,
+    // but the rename cannot land — the shape of losing the slot to
+    // something unexpected. commit must NOT return true (the old bug:
+    // callers then pruned prior versions believing their snapshot
+    // landed); with no committed version to attribute the loss to, it
+    // throws.
+    val hfs = VersionedStore.fs(spark, dir)
+    val blocked = VersionedStore.path(dir, 2L)
+    hfs.create(blocked, false).close()
+    val e = intercept[Exception] { VersionedStore.commit(spark, dir, 2L, df) }
+    assert(e.getMessage.contains("refusing to continue") ||
+      e.getMessage.toLowerCase.contains("rename"),
+      s"unexpected failure shape: ${e.getMessage}")
+    // the temp dir was cleaned up and version 1 is untouched
+    assert(VersionedStore.versions(spark, dir) === Seq(1L))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp-2")))
+  }
 }
