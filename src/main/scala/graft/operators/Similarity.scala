@@ -87,7 +87,7 @@ object Similarity {
     * quantizer both IVF probes share. Checkpointed eagerly: the table is
     * tiny (nlist rows) but its lineage is a full corpus aggregation, and
     * the probes reference it from more than one side of their plans. */
-  private def labelCentroids(emb: DataFrame): DataFrame =
+  private[operators] def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("clabel", "dim").agg(avg(col("v").cast("double")).as("mean"))
       .groupBy("clabel")
@@ -100,7 +100,7 @@ object Similarity {
     * is the IVF index build, the thing a real ANN deployment persists.
     * Without the checkpoint every plan that references the assignment
     * twice would run the corpus×centroid scoring twice. */
-  private def ivfAssigned(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def ivfAssigned(emb: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("clabel"),
@@ -1435,6 +1435,77 @@ object Similarity {
       }
     },
 
+    // Compaction APPLIED — closes the loop s19 opens: s19 only FLAGS
+    // lists where 4·dead > total; this pass rewrites exactly those
+    // lists minus their tombstoned members and leaves every unflagged
+    // list untouched (dead entries included — they stay until their
+    // list crosses the threshold, which is what makes compaction an
+    // incremental maintenance job instead of a full-index rewrite).
+    // The delete log here is CLUSTER-CORRELATED (even cells lose every
+    // third vector on top of the uniform %7 churn) — deletes in real
+    // corpora arrive by tenant/content and land unevenly across cells,
+    // and it is exactly that skew that makes SOME lists cross the
+    // threshold while others idle, exercising both branches at once.
+    // Plan shape at 100 TB: the tombstone set broadcasts (≪ corpus),
+    // the flag table is one nlist-sized agg broadcast back, and the
+    // rewrite is a filter riding the index scan — the corpus never
+    // shuffles. Search-equivalence (tombstone-filtered probes are
+    // byte-identical over the original and compacted index, rewritten
+    // lists report dead=0) is pinned in CompactIndexSpec.
+    QueryDef.sql("s34_ann_compaction",
+      s"""WITH ${Dedup.kmeansCtes(8, 2, 4, 6)},
+         |fd AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${Dedup.sqDistSql("e.embedding", "c.ce", 6)} AS d2
+         |  FROM embeddings e, cent2 c),
+         |asn AS (
+         |  SELECT vec_id,
+         |         vec_id % 7 = 0 OR (cluster % 2 = 0 AND vec_id % 3 = 0) AS dead,
+         |         cluster
+         |  FROM (
+         |    SELECT vec_id, cid AS cluster FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |      FROM fd) WHERE rk = 1)),
+         |flags AS (
+         |  SELECT cluster, 4 * sum(CASE WHEN dead THEN 1 ELSE 0 END) > count(*) AS compact_due
+         |  FROM asn GROUP BY cluster),
+         |compacted AS (
+         |  SELECT a.vec_id, a.dead, a.cluster FROM asn a JOIN flags f USING (cluster)
+         |  WHERE NOT (f.compact_due AND a.dead)),
+         |pre AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_before FROM asn GROUP BY cluster),
+         |post AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_after,
+         |         CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_after
+         |  FROM compacted GROUP BY cluster)
+         |SELECT b.cluster, f.compact_due, b.n_before,
+         |       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+         |       CAST(COALESCE(a.n_dead_after, 0) AS BIGINT) AS n_dead_after
+         |FROM pre b JOIN flags f USING (cluster) LEFT JOIN post a USING (cluster)""".stripMargin) {
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.functions.KMeans.fit(emb, "embedding", "vec_id",
+          k = 8, iters = 2, meanDecimals = 4, distDecimals = 6)
+        val asn = emb.select(col("vec_id"),
+          model.clusterOf(col("embedding"), 6).cast("long").as("cluster"))
+          .withColumn("dead",
+            col("vec_id") % 7 === 0 || (col("cluster") % 2 === 0 && col("vec_id") % 3 === 0))
+          .localCheckpoint(true) // the delete log and the index must agree
+        val tomb = asn.filter(col("dead")).select("vec_id")
+        val compacted = compactIndex(asn, tomb)
+        val before = asn.groupBy("cluster").agg(
+          count(lit(1)).as("n_before"),
+          (lit(4) * sum(when(col("dead"), 1L).otherwise(0L)) > count(lit(1)))
+            .as("compact_due"))
+        val after = compacted.groupBy("cluster").agg(
+          count(lit(1)).as("n_after"),
+          sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead_after"))
+        before.join(after, Seq("cluster"), "left")
+          .select(col("cluster"), col("compact_due"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("n_dead_after"), lit(0L)).as("n_dead_after"))
+      }
+    },
+
     // Recall of the FILTERED search — s11's eval harness pointed at the
     // path where recall actually degrades in production: a selective
     // metadata filter shrinks every inverted list, so the probed cells
@@ -1982,6 +2053,39 @@ object Similarity {
       }
     }
   )
+
+  /** s34's rewrite pass: apply the compaction flag s19 computes.
+    *
+    * `index` is any inverted-list relation carrying a `vec_id` and a
+    * `cluster` column (every other column rides along untouched);
+    * `tombstones` is the delete log (`vec_id`). Lists where
+    * 4·dead > total are rewritten WITHOUT their tombstoned members;
+    * every other list passes through byte-identical — dead entries in
+    * healthy lists stay until their list crosses the threshold, so the
+    * pass is incremental maintenance, not a full rewrite. Integer
+    * arithmetic only (s19's flag contract), so the decision is
+    * engine- and partitioning-independent.
+    *
+    * 100 TB shape: the tombstone set is broadcast for the membership
+    * mark (deletes ≪ corpus — the same asymmetry every search probe
+    * already exploits), the per-list flag is an nlist-sized aggregate
+    * broadcast back, and the rewrite itself is a filter riding the
+    * index scan. The corpus is never shuffled; on a partitioned store
+    * only flagged lists' files need rewriting. */
+  def compactIndex(index: DataFrame, tombstones: DataFrame,
+      clusterCol: String = "cluster"): DataFrame = {
+    val tomb = tombstones.select(col("vec_id").as("__tomb_id")).distinct()
+    val marked = index
+      .join(broadcast(tomb), col("vec_id") === col("__tomb_id"), "left")
+      .withColumn("__dead", col("__tomb_id").isNotNull)
+      .drop("__tomb_id")
+    val flags = marked.groupBy(clusterCol)
+      .agg((lit(4) * sum(when(col("__dead"), 1L).otherwise(0L)) > count(lit(1)))
+        .as("__due"))
+    marked.join(broadcast(flags), Seq(clusterCol))
+      .filter(!(col("__due") && col("__dead")))
+      .drop("__due", "__dead")
+  }
 
   /** Unrolled greedy-MMR oracle: round 1 picks argmax λ·cosq; each later
     * round penalizes by the max ROUNDED pairwise cosine against everything
