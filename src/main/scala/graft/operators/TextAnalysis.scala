@@ -819,44 +819,52 @@ object TextAnalysis {
           .select(col("doc_id"), Exprs.tokens(col("text")).as("t")))
     },
 
-    // Hashed linear quality classifier (fasttext-shaped): every token
-    // hashes into one of 16 weight buckets (last md5 nibble — the same
-    // engine-portable hex convention as the LSH family), the doc's
-    // feature sum is an INTEGER dot product with the weight table, and
-    // the gate is a pure integer comparison (2·s > 3·n ⇔ mean weight
-    // > 1.5) — every arithmetic step exact in both engines, no fp
-    // summation-order hazard. Scale shape: one projection, weights are
-    // a 16-element literal (a production 2^20-bucket model rides a
-    // broadcast array the same way), no shuffle at all.
+    // Hashed linear quality classifier (fasttext-shaped), now reading
+    // TRAINED weights: t37's in-engine fit replaces the former literal
+    // weight table, and inference stays the scaled-integer discipline —
+    // the doc's feature sum Σ round(wᵦ·10⁶)·cᵦ is exact BIGINT
+    // arithmetic, the keep gate 2·fs > 10⁶·n ⇔ mean bucket weight > ½
+    // is a pure integer comparison. Scale shape: the fit is t37's
+    // per-round single aggregate; inference is one projection over the
+    // checkpointed feature frame with the weights as plan literals (a
+    // production 2^20-bucket model broadcasts the same way), no join.
     QueryDef.sql("t22_quality_classifier", {
-      val w = "[3, 1, 4, 1, 5, 0, 2, 6, 1, 3, 0, 2, 4, 1, 2, 3]"
+      val fsSql = (0 until QualityTrain.Buckets)
+        .map(b => s"CAST(round(w.w$b * 1000000.0) AS BIGINT) * l.c$b").mkString(" + ")
       s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |f AS (
-         |  SELECT doc_id,
-         |         CAST(sum(list_extract($w,
-         |             strpos('0123456789abcdef', substr(md5(tok), 32, 1))))
-         |           AS BIGINT) AS feat_sum,
-         |         count(*) AS n_tokens
-         |  FROM ex GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, feat_sum,
-         |       CAST(feat_sum AS DOUBLE) / n_tokens AS mean_w,
-         |       CAST(CASE WHEN 2*feat_sum > 3*n_tokens THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM f""".stripMargin
+         |${QualityTrain.ctes()},
+         |inf AS (SELECT l.doc_id, l.n, $fsSql AS fs FROM lab l, w${QualityTrain.Rounds} w)
+         |SELECT doc_id, n AS n_tokens, fs AS feat_scaled,
+         |       fs / 1000000.0 / n AS mean_w,
+         |       CAST(CASE WHEN 2*fs > 1000000*n THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM inf""".stripMargin
     }) {
       (s, dir) => {
-        val weights = array(Seq(3, 1, 4, 1, 5, 0, 2, 6, 1, 3, 0, 2, 4, 1, 2, 3)
-          .map(w => lit(w.toLong)): _*)
-        val bucket = instr(lit("0123456789abcdef"), substring(md5(col("tok")), 32, 1))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), explode(Exprs.tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), element_at(weights, bucket.cast("int")).as("w"))
-          .groupBy("doc_id")
-          .agg(sum("w").as("feat_sum"), count(lit(1)).as("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"), col("feat_sum"),
-            (col("feat_sum").cast("double") / col("n_tokens")).as("mean_w"),
-            when(lit(2) * col("feat_sum") > lit(3) * col("n_tokens"), 1L).otherwise(0L)
-              .as("keep"))
+        val feat = QualityTrain.features(Tables.documents(s, dir))
+        QualityTrain.classify(feat, QualityTrain.fit(feat))
+      }
+    },
+
+    // The training half of t22, surfaced as its own operator: the fitted
+    // 16-bucket weight table. Four squared-loss gradient rounds over the
+    // checkpointed hashed-bucket features — one global 16-sum aggregate
+    // and a 16-double driver round-trip per round, per-doc gradient
+    // terms 6dp-quantized and summed as exact BIGINTs (partition-order
+    // invariant), weights re-quantized to 6dp at every round boundary so
+    // both engines enter each round bit-identical. The oracle unrolls
+    // the rounds as a linear CTE chain (w1..w4) over the MATERIALIZED
+    // feature frame. Convergence (≈92% train accuracy vs ≈51% majority
+    // baseline) is pinned in QualityTrainSpec.
+    QueryDef.sql("t37_quality_train",
+      s"""WITH $toksCte,
+         |${QualityTrain.ctes()}
+         |SELECT CAST(unnest(range(0, ${QualityTrain.Buckets})) AS BIGINT) AS bucket,
+         |       unnest([${(0 until QualityTrain.Buckets).map(b => s"w$b").mkString(", ")}]) AS weight
+         |FROM w${QualityTrain.Rounds}""".stripMargin) {
+      (s, dir) => {
+        import s.implicits._
+        val w = QualityTrain.fit(QualityTrain.features(Tables.documents(s, dir)))
+        w.zipWithIndex.map { case (x, b) => (b.toLong, x) }.toSeq.toDF("bucket", "weight")
       }
     },
 

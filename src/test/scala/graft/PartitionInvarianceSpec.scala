@@ -52,7 +52,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "m15_vad_segments", // all-integer frame energies + run counting
     "m16_zero_crossings", // exact-integer pairwise sign flips
     "t36_bpe_fertility", // integer token counts over the collected fit
-    "s33_quant_error") // 12dp-quantized summands + order-free max
+    "s33_quant_error", // 12dp-quantized summands + order-free max
+    "s34_ann_compaction", // broadcast tombstone mark + integer flag agg
+    "t37_quality_train") // scaled-int gradient sums, 6dp round boundaries
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
