@@ -71,6 +71,46 @@ object Similarity {
   private[operators] val MmrPenalty = 0.3 // 1 − λ, kept literal so both
                                           // engines see the exact decimal
 
+  /** s21's hybrid-retrieval oracle chain, ending in `rrf10(doc_id, rrf)`
+    * — the RRF-fused top-10 candidate list. Shared verbatim by s21 and
+    * the s35 MaxSim reranker (declared before `defs`: oracle strings
+    * interpolate at object init). Also leaves `toks(doc_id, t)` —
+    * distinct whitespace tokens per doc — in scope for s35's
+    * token-level scoring. */
+  private val rrfCtes: String =
+    s"""q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |d20 AS (
+       |  SELECT e.vec_id AS doc_id, ${cosColsSql("e.embedding", "q.embedding")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY cos DESC, e.vec_id LIMIT 20),
+       |dtop AS (
+       |  SELECT a.doc_id, 1 + count(b.doc_id) AS dr
+       |  FROM d20 a LEFT JOIN d20 b
+       |    ON b.cos > a.cos OR (b.cos = a.cos AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id),
+       |toks AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+       |  FROM documents),
+       |qt AS (SELECT t AS qtok FROM toks WHERE doc_id = 0),
+       |l20 AS (
+       |  SELECT d.doc_id,
+       |         round(len(list_intersect(d.t, qt.qtok)) * 1.0 /
+       |               len(list_distinct(list_concat(d.t, qt.qtok))), 6) AS jac
+       |  FROM toks d, qt WHERE d.doc_id <> 0
+       |  ORDER BY jac DESC, d.doc_id LIMIT 20),
+       |ltop AS (
+       |  SELECT a.doc_id, 1 + count(b.doc_id) AS lr
+       |  FROM l20 a LEFT JOIN l20 b
+       |    ON b.jac > a.jac OR (b.jac = a.jac AND b.doc_id < a.doc_id)
+       |  GROUP BY a.doc_id),
+       |rrf10 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         round(coalesce(1.0 / (60 + dr), 0) + coalesce(1.0 / (60 + lr), 0), 6)
+       |           AS rrf
+       |  FROM dtop FULL OUTER JOIN ltop USING (doc_id)
+       |  ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+
   /** Dim-wise sign-mismatch Hamming between two embedding-carrying
     * aliases — the oracle's form of popcount(sigA XOR sigB). */
   private def hammingSql(a: String, b: String) =
@@ -1585,72 +1625,48 @@ object Similarity {
     // codebase's invariant is ZERO such windows in any registered plan,
     // and on a 20×20 broadcast the count form is free.
     QueryDef.sql("s21_hybrid_rrf",
-      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |d20 AS (
-         |  SELECT e.vec_id AS doc_id, ${cosSql("e", "q")} AS cos
-         |  FROM embeddings e, q WHERE e.vec_id <> 0
-         |  ORDER BY cos DESC, e.vec_id LIMIT 20),
-         |dtop AS (
-         |  SELECT a.doc_id, 1 + count(b.doc_id) AS dr
-         |  FROM d20 a LEFT JOIN d20 b
-         |    ON b.cos > a.cos OR (b.cos = a.cos AND b.doc_id < a.doc_id)
-         |  GROUP BY a.doc_id),
-         |toks AS (
-         |  SELECT doc_id, list_distinct(list_filter(
-         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
-         |  FROM documents),
-         |qt AS (SELECT t AS qtok FROM toks WHERE doc_id = 0),
-         |l20 AS (
-         |  SELECT d.doc_id,
-         |         round(len(list_intersect(d.t, qt.qtok)) * 1.0 /
-         |               len(list_distinct(list_concat(d.t, qt.qtok))), 6) AS jac
-         |  FROM toks d, qt WHERE d.doc_id <> 0
-         |  ORDER BY jac DESC, d.doc_id LIMIT 20),
-         |ltop AS (
-         |  SELECT a.doc_id, 1 + count(b.doc_id) AS lr
-         |  FROM l20 a LEFT JOIN l20 b
-         |    ON b.jac > a.jac OR (b.jac = a.jac AND b.doc_id < a.doc_id)
-         |  GROUP BY a.doc_id)
-         |SELECT doc_id,
-         |       round(coalesce(1.0 / (60 + dr), 0) + coalesce(1.0 / (60 + lr), 0), 6)
-         |         AS rrf
-         |FROM dtop FULL OUTER JOIN ltop USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) {
+      s"""WITH $rrfCtes
+         |SELECT doc_id, rrf FROM rrf10""".stripMargin) {
+      (s, dir) => rrfTop10(s, dir)
+    },
+
+    // Late-interaction (ColBERT-style) MaxSim rerank — the precision
+    // stage between s21's candidate fusion and the final answer: for
+    // each RRF candidate, score = Σ over DISTINCT query tokens of the
+    // max cosine between that query token's 16-dim hash embedding (the
+    // s15 "text encoder" stand-in) and any candidate-doc token's
+    // embedding. Token-level interaction is what catches "right words,
+    // wrong emphasis" docs a single pooled vector cannot. Scale shape:
+    // the candidate list is k rows by construction, so the rerank is a
+    // broadcast join of candidates INTO the documents scan + one
+    // projection computing the whole MaxSim matrix per doc via HOFs
+    // over pre-hashed token-vector arrays (each token md5'd once — the
+    // t21 lesson) — NO corpus shuffle, no exchange at all after the
+    // candidate cut (pinned in MaxSimSpec). Per-query-token maxima are
+    // 6dp-rounded and summed as scaled BIGINTs, so the score is
+    // order-invariant by arithmetic.
+    QueryDef.sql("s35_maxsim_rerank", {
+      val tokVecs =
+        """list_transform({S}, tok -> list_transform(range(1, 17), i ->
+          |    strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 8.5))""".stripMargin
+      val cos16 =
+        """round(list_sum(list_transform(range(1, 17), i -> qe[i] * de[i]))
+          |  / (sqrt(list_sum(list_transform(range(1, 17), i -> qe[i] * qe[i])))
+          |   * sqrt(list_sum(list_transform(range(1, 17), i -> de[i] * de[i])))), 6)""".stripMargin
+      s"""WITH $rrfCtes,
+         |qv AS (SELECT ${tokVecs.replace("{S}", "t")} AS qvecs FROM toks WHERE doc_id = 0),
+         |dv AS (
+         |  SELECT c.doc_id, c.rrf, ${tokVecs.replace("{S}", "tk.t")} AS dvecs
+         |  FROM rrf10 c JOIN toks tk USING (doc_id))
+         |SELECT d.doc_id, d.rrf,
+         |       list_sum(list_transform(qv.qvecs, qe ->
+         |         CAST(round(1000000.0 * list_max(list_transform(d.dvecs, de -> $cos16)))
+         |           AS BIGINT))) / 1000000.0 AS maxsim
+         |FROM dv d, qv""".stripMargin
+    }) {
       (s, dir) => {
-        def countRank(top: DataFrame, score: String): DataFrame = {
-          val b = top.select(col("doc_id").as("bid"), col(score).as("bs"))
-          top.join(broadcast(b),
-            col("bs") > col(score) || (col("bs") === col(score) && col("bid") < col("doc_id")),
-            "left")
-            .groupBy("doc_id").agg((count(col("bid")) + 1).as(s"${score}_rank"))
-        }
-        val emb = Tables.embeddings(s, dir)
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        val d20 = emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id").as("doc_id"),
-            VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
-          .orderBy(col("cos").desc, col("doc_id")).limit(20)
-          .localCheckpoint(true)
-        val dtop = countRank(d20, "cos").select(col("doc_id"), col("cos_rank").as("dr"))
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            array_distinct(graft.functions.Exprs.tokens(col("text"))).as("t"))
-        val qt = toks.filter(col("doc_id") === 0).select(col("t").as("qtok"))
-        val jac = round(
-          size(array_intersect(col("t"), col("qtok"))) * lit(1.0) /
-            size(array_distinct(concat(col("t"), col("qtok")))), 6)
-        val l20 = toks.filter(col("doc_id") =!= 0)
-          .crossJoin(broadcast(qt))
-          .select(col("doc_id"), jac.as("jac"))
-          .orderBy(col("jac").desc, col("doc_id")).limit(20)
-          .localCheckpoint(true)
-        val ltop = countRank(l20, "jac").select(col("doc_id"), col("jac_rank").as("lr"))
-        dtop.join(ltop, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            round(coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)), 6).as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        val cand = rrfTop10(s, dir).localCheckpoint(true)
+        maxSimRerank(s, dir, cand)
       }
     },
 
@@ -2053,6 +2069,84 @@ object Similarity {
       }
     }
   )
+
+  /** s21's hybrid-retrieval chain: dense cosine top-20 + lexical
+    * Jaccard top-20, RRF-fused, top-10 out. Ranks within each 20-row
+    * list come from a count-based self-join (1 + rows strictly ahead),
+    * not a window: a global row_number would plan a single-partition
+    * WindowExec — harmless on 20 rows but this codebase's invariant is
+    * ZERO such windows in any registered plan. */
+  private[operators] def rrfTop10(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def countRank(top: DataFrame, score: String): DataFrame = {
+      val b = top.select(col("doc_id").as("bid"), col(score).as("bs"))
+      top.join(broadcast(b),
+        col("bs") > col(score) || (col("bs") === col(score) && col("bid") < col("doc_id")),
+        "left")
+        .groupBy("doc_id").agg((count(col("bid")) + 1).as(s"${score}_rank"))
+    }
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val d20 = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .localCheckpoint(true)
+    val dtop = countRank(d20, "cos").select(col("doc_id"), col("cos_rank").as("dr"))
+    val toks = distinctToks(s, dir)
+    val qt = toks.filter(col("doc_id") === 0).select(col("t").as("qtok"))
+    val jac = round(
+      size(array_intersect(col("t"), col("qtok"))) * lit(1.0) /
+        size(array_distinct(concat(col("t"), col("qtok")))), 6)
+    val l20 = toks.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qt))
+      .select(col("doc_id"), jac.as("jac"))
+      .orderBy(col("jac").desc, col("doc_id")).limit(20)
+      .localCheckpoint(true)
+    val ltop = countRank(l20, "jac").select(col("doc_id"), col("jac_rank").as("lr"))
+    dtop.join(ltop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  /** Distinct whitespace tokens per doc — the token table s21's lexical
+    * leg and s35's token-level scoring share. */
+  private def distinctToks(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.Exprs.tokens(col("text"))).as("t"))
+
+  /** s35's late-interaction scoring over a (doc_id, rrf) candidate
+    * frame: MaxSim = Σ_{query tokens} max_{doc tokens} cos₆(qe, de)
+    * over 16-dim token-hash embeddings. Candidates broadcast INTO the
+    * documents scan; each token is md5-hashed exactly once and its
+    * vector materialized before the pair loop (non-lambda-var
+    * expressions inside HOF lambdas re-evaluate per element — the t21
+    * lesson); per-query-token maxima are 6dp-rounded and folded as
+    * scaled BIGINTs so the sum is order-invariant. Zero exchanges
+    * after the candidate cut. */
+  private[operators] def maxSimRerank(
+      s: org.apache.spark.sql.SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    def tokVecs(t: org.apache.spark.sql.Column) =
+      transform(transform(t, tok => md5(tok)),
+        h => transform(sequence(lit(1), lit(16)),
+          i => conv(h.substr(i.cast("int"), lit(1)), 16, 10).cast("double") - 7.5))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val toks = distinctToks(s, dir)
+    val qv = toks.filter(col("doc_id") === 0).select(tokVecs(col("t")).as("qvecs"))
+    val scored = toks.join(broadcast(cand), "doc_id")
+      .select(col("doc_id"), col("rrf"), tokVecs(col("t")).as("dvecs"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("rrf"),
+        (aggregate(col("qvecs"), lit(0L), (acc, qe) =>
+          acc + round(lit(1000000.0) * array_max(transform(col("dvecs"), de =>
+            round(dot(qe, de) / (sqrt(dot(qe, qe)) * sqrt(dot(de, de))), 6))))
+            .cast("long")) / lit(1000000.0)).as("maxsim"))
+    scored.orderBy(col("maxsim").desc, col("doc_id")).limit(10)
+  }
 
   /** s34's rewrite pass: apply the compaction flag s19 computes.
     *

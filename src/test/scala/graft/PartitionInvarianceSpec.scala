@@ -54,7 +54,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t36_bpe_fertility", // integer token counts over the collected fit
     "s33_quant_error", // 12dp-quantized summands + order-free max
     "s34_ann_compaction", // broadcast tombstone mark + integer flag agg
-    "t37_quality_train") // scaled-int gradient sums, 6dp round boundaries
+    "t37_quality_train", // scaled-int gradient sums, 6dp round boundaries
+    "s35_maxsim_rerank") // 6dp-rounded maxima folded as scaled BIGINTs
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
