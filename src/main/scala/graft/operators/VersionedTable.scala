@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.streaming.VersionedStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated batch tables: layout maintenance without the swap.
+  *
+  * [[Compaction.compact]] rewrites a directory in place behind a
+  * rename-pair swap — crash-recoverable, but a reader that listed the old
+  * directory mid-swap races the delete, and there is no committed history
+  * to fall back to or time-travel into. This generalizes the streaming
+  * durability seam ([[graft.streaming.VersionedStore]]) to batch layout
+  * maintenance:
+  *
+  *  - every rewrite COMMITS a new immutable full-snapshot version
+  *    directory (`batch=<n>`, temp-write + atomic rename — the store's
+  *    crash contract applies verbatim: a crashed rewrite leaves only an
+  *    invisible temp dir and the prior version stays the newest
+  *    committed one);
+  *  - readers resolve the NEWEST COMMITTED version at plan time and scan
+  *    only that directory — a concurrent rewrite can never mutate or
+  *    delete files under a running scan (versions are immutable until
+  *    [[vacuum]], which a deployment runs only past its read horizon);
+  *  - time travel is exact: version N−1 is the byte-identical directory
+  *    that was committed as N−1, not a reconstruction.
+  *
+  * 100 TB posture: a version here is ONE table (or one partition
+  * directory of a partitioned table — point the store at the partition
+  * dir and compact partition-by-partition, exactly the
+  * [[Compaction]] contract). Snapshots are cheap because layout
+  * maintenance rewrites the partitions it touches, not the table: the
+  * rewrite cost is the same files the swap-based path rewrites, plus one
+  * directory rename. Version listing is a metadata op on the store root
+  * (O(#versions), pruned by vacuum), never a data scan.
+  */
+object VersionedTable {
+
+  /** Newest committed version id, if any version exists. */
+  def latest(spark: SparkSession, dir: String): Option[Long] = {
+    val vs = VersionedStore.versions(spark, dir)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Commit `df` as the next version. Returns the committed id. A lost
+    * race against a concurrent committer retries on the next id — both
+    * snapshots land, in commit order (last committer is the newest), and
+    * neither can clobber the other. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    var id = latest(spark, dir).map(_ + 1).getOrElse(0L)
+    var attempts = 0
+    while (!VersionedStore.commit(spark, dir, id, df)) {
+      attempts += 1
+      require(attempts < 64, s"VersionedTable: lost $attempts commit races under $dir")
+      id = latest(spark, dir).map(_ + 1).getOrElse(0L)
+    }
+    id
+  }
+
+  /** Read a committed snapshot: the newest one, or `asOf` for time
+    * travel. Fails loudly on an empty store or an uncommitted id rather
+    * than returning an empty frame that looks like data. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = VersionedStore.versions(spark, dir)
+    require(vs.nonEmpty, s"VersionedTable: no committed versions under $dir")
+    val id = asOf.getOrElse(vs.max)
+    require(vs.contains(id),
+      s"VersionedTable: version $id not committed under $dir (have ${vs.sorted.mkString(",")})")
+    spark.read.parquet(VersionedStore.path(dir, id).toString)
+  }
+
+  /** Compaction as a versioned rewrite: bin-pack the newest snapshot to
+    * `targetBytes` (preserving `cluster` order when given, the
+    * [[Compaction.compact]] rule) and commit the packed layout as a new
+    * version. Returns (newVersionId, filesBefore, filesAfter). The prior
+    * version stays readable throughout and afterwards. */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      cluster: Option[Column] = None): (Long, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val cur = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable: nothing to compact under $dir"))
+    val curPath = VersionedStore.path(dir, cur).toString
+    val (before, totalBytes) = Compaction.layoutStats(spark, curPath)
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(curPath)
+    val packed = cluster match {
+      case Some(c) => df.repartitionByRange(n, c).sortWithinPartitions(c)
+      case None => df.repartition(n)
+    }
+    val id = commit(spark, dir, packed)
+    val (after, _) = Compaction.layoutStats(spark, VersionedStore.path(dir, id).toString)
+    (id, before, after)
+  }
+
+  /** Drop all but the newest `keep` versions (the read horizon: only run
+    * past the oldest reader a deployment still serves). Returns the
+    * pruned ids. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"vacuum must keep >= 1 version, got $keep")
+    val vs = VersionedStore.versions(spark, dir).sorted
+    val drop = vs.dropRight(keep)
+    VersionedStore.prune(spark, dir, drop)
+    drop
+  }
+
+  /** Per-JVM scratch root for the q77 probe (the SourceProbes pattern:
+    * one temp dir per process, removed at exit; per-invocation state is
+    * reset inside the query so repeated bench passes stay deterministic). */
+  private lazy val workDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-versioned-table")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(d.toFile)
+    }
+    d
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Snapshot isolation + exact time travel, hash-gated: commit the
+    // lineitem fixture as version 0, commit a clustered compaction
+    // rewrite as version 1, then aggregate BOTH versions. The rewrite
+    // changes layout, never content, so the two versions must agree with
+    // each other and with the oracle reading the source table directly —
+    // a half-written or content-mutating rewrite breaks the hash.
+    QueryDef.sql("q77_time_travel",
+      """SELECT v.version, l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM (VALUES (0), (1)) v(version) CROSS JOIN lineitem
+        |GROUP BY v.version, l_returnflag""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q77_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      commit(s, store, Tables.lineitem(s, dir))
+      compact(s, store, targetBytes = 64L * 1024 * 1024,
+        cluster = Some(col("l_shipdate")))
+      val byVersion = Seq(0L, 1L).map { v =>
+        read(s, store, asOf = Some(v)).withColumn("version", lit(v.toInt))
+      }.reduce(_ unionByName _)
+      byVersion.groupBy("version", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }
+  )
+}

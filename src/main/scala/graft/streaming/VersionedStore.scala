@@ -30,8 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the merged bit set; superseded versions are pruned) or a DELTA
   * (packing: each version is one batch's assignment; the state is the
   * union of all versions) is the caller's contract.
+  *
+  * The batch side reuses the same seam: [[graft.operators.VersionedTable]]
+  * commits layout rewrites (compaction, Z-order) as full-snapshot
+  * versions, giving readers snapshot isolation and exact time travel.
   */
-private[streaming] object VersionedStore {
+private[graft] object VersionedStore {
 
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
