@@ -162,10 +162,16 @@ object TextAnalysis {
     * half-round boundary (the s06/s13 re-sync contract). Cell-bounded
     * state — the only corpus-scale work is the opening groupBy. Shared
     * by t30 and t32. */
-  private def rakedCellTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def rakedCellTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rakedFit(docs.groupBy("lang", "source").agg(count(lit(1)).cast("double").as("m")))
+
+  /** The IPF fit chain from a (lang, source, m) cell table — shared by
+    * the batch queries above and the streaming maintenance fold
+    * ([[graft.streaming.MixStreams]]), so the streamed fit equals the
+    * batch fit by construction, not by parallel implementation. */
+  private[graft] def rakedFit(cells0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = docs
-      .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("m"))
+    val cells = cells0
       .localCheckpoint(true) // reused: stats, the chain start, the final ratio
     val st = cells.agg(sum("m"), countDistinct("lang"), countDistinct("source")).head()
     val (n, nl, ns) = (st.getDouble(0), st.getLong(1), st.getLong(2))
@@ -183,6 +189,26 @@ object TextAnalysis {
       // (t30's output, t32's mx scalar AND rate table) would otherwise
       // each replay the 12-window chain into their plans
       .localCheckpoint(true)
+  }
+
+  /** t35's temperature chain (p_s ∝ √n_s, B = min n_s/p_s, 32-bit hex
+    * threshold) from a per-source totals table (source, n) — shared by
+    * the batch query and the streaming maintenance fold
+    * ([[graft.streaming.MixStreams]]), so rates derived from a live
+    * folded totals store equal the batch rates by construction. The
+    * totals table is sources-sized; its three consumers (z, shares,
+    * budget) would otherwise each replay the producer into their plans,
+    * hence the checkpoint. */
+  private[graft] def temperatureRates(totals0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val totals = totals0.localCheckpoint(true)
+    val z = totals.agg(sum(sqrt(col("n"))).as("z"))
+    val shares = totals.crossJoin(broadcast(z))
+      .select(col("source"), col("n"), (sqrt(col("n")) / col("z")).as("share"))
+    val budget = shares.agg(min(col("n") / col("share")).as("b"))
+    val rate = least(lit(1.0), col("share") * col("b") / col("n"))
+    shares.crossJoin(broadcast(budget))
+      .select(col("source"), col("n"), rate.as("rate"),
+        lower(lpad(hex(floor(rate * 4294967296.0).cast("long")), 8, "0")).as("thr"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -954,18 +980,8 @@ object TextAnalysis {
         |GROUP BY d.source, r.n, r.rate""".stripMargin) {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // sources-sized; its three consumers (z, shares, budget) would
-        // otherwise each replay the corpus groupBy into their plans
-        val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        val z = totals.agg(sum(sqrt(col("n"))).as("z"))
-        val shares = totals.crossJoin(broadcast(z))
-          .select(col("source"), col("n"), (sqrt(col("n")) / col("z")).as("share"))
-        val budget = shares.agg(min(col("n") / col("share")).as("b"))
-        val rate = least(lit(1.0), col("share") * col("b") / col("n"))
-        val rates = shares.crossJoin(broadcast(budget))
-          .select(col("source"), col("n"), rate.as("rate"),
-            lower(lpad(hex(floor(rate * 4294967296.0).cast("long")), 8, "0")).as("thr"))
+        val rates = temperatureRates(
+          docs.groupBy("source").agg(count(lit(1)).as("n")))
         val gate = col("rate") >= 1.0 ||
           substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8) < col("thr")
         docs.join(broadcast(rates), Seq("source"))
