@@ -137,7 +137,54 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.startsWith("\"") => v.toDouble }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary}""")
+    // Scaling-slope audit: the 2× gate is measured at ONE scale factor,
+    // which is blind to a quadratic hiding under a small fixture — a
+    // query can sit comfortably inside the gate at sf0.1 and still be
+    // the one that falls over at 100 TB. When the 10×-smaller sibling
+    // directory exists, time the same board there (same protocol: one
+    // untimed warm pass — plans differ per SF — then interleaved medians)
+    // and report the per-query wall-time ratio. With 10× the data, a
+    // scan-bound query rides ≤10× and a fixed-overhead-bound one near
+    // 1×; anything whose big-SF time exceeds 10× its small-SF time AND
+    // is expensive enough that fixed overhead can't explain it
+    // (>1 s) is flagged super-linear for the round's judge to read.
+    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    val scaling = if (smallDir != sfDir &&
+      new java.io.File(smallDir).isDirectory) {
+      selected.sortBy(_._1).foreach { case (name, fn) =>
+        if (!failed(name)) {
+          try fn(spark, smallDir).write.format("noop").mode("overwrite").save()
+          catch { case NonFatal(_) => () }
+        }
+      }
+      val small = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val smallFailed = scala.collection.mutable.Set.empty[String]
+      for (_ <- 1 to TimedPasses;
+           (name, fn) <- board if !failed(name) && !smallFailed(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, smallDir).write.format("noop").mode("overwrite").save()
+          small(name) = ((System.nanoTime() - t0) / 1e9) :: small(name)
+        } catch { case NonFatal(_) => smallFailed += name }
+      }
+      val ratios = board.flatMap { case (name, _) =>
+        val times = small(name)
+        if (failed(name) || smallFailed(name) || times.size != TimedPasses) None
+        else {
+          val med = times.sorted.apply(TimedPasses / 2)
+          val big = samples(name).sorted.apply(TimedPasses / 2)
+          Some((name, big / math.max(med, 1e-3), big))
+        }
+      }
+      val flaggedNames = ratios.collect {
+        case (name, r, big) if r > 10.0 && big > 1.0 => name
+      }
+      val rs = ratios.map { case (k, r, _) =>
+        "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      val fl = flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","scaling":{"small_sf":"$smallDir","ratio_big_over_small":$rs,"superlinear_flagged":$fl}"""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary$scaling}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
