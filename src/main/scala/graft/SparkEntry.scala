@@ -21,7 +21,9 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.SourceProbes.defs ++
-      operators.Pca.defs
+      operators.Pca.defs ++
+      operators.VersionedTable.defs ++
+      operators.Unigram.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

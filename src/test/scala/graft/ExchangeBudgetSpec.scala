@@ -89,8 +89,15 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                             // walk lives behind its checkpoints
     "t36_bpe_fertility" -> 1, // projection encode + one lang agg; the
                               // doc_id→lang side rides a broadcast
-    "s33_quant_error" -> 3) // calibration dim-agg + bounds collect +
+    "s33_quant_error" -> 3, // calibration dim-agg + bounds collect +
                             // the final dim-keyed error agg
+    "t38_unigram_train" -> 0, // the fit's rounds are checkpointed; the
+                              // returned vocab frame is its checkpoint
+    "t39_unigram_fertility" -> 1, // Viterbi encode is a map-literal
+                                  // projection; one lang-keyed agg
+    "q77_time_travel" -> 1) // two committed-snapshot scans union into
+                            // one grouped agg; the rewrite's jobs live
+                            // outside the returned plan
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -55,7 +55,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s33_quant_error", // 12dp-quantized summands + order-free max
     "s34_ann_compaction", // broadcast tombstone mark + integer flag agg
     "t37_quality_train", // scaled-int gradient sums, 6dp round boundaries
-    "s35_maxsim_rerank") // 6dp-rounded maxima folded as scaled BIGINTs
+    "s35_maxsim_rerank", // 6dp-rounded maxima folded as scaled BIGINTs
+    "t38_unigram_train", // Viterbi-EM fit: quantized products, top-k prunes
+    "t39_unigram_fertility", // encode projection over the collected fit
+    "q77_time_travel") // versioned snapshots must agree under any fan-out
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
