@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus contributes ONE groupBy (the word-frequency
   * table); the EM loop runs entirely on that vocabulary-sized table —
-  * the Viterbi DP is a pure codegen projection per word (the collected
-  * vocab rides along as a ≤(chars+[[SeedMulti]])-entry map literal, the
-  * t25 discipline), each round is one shuffle over the word table, and
-  * the only driver traffic is the vocab-sized score table per round.
+  * the Viterbi DP is a per-word projection (the collected vocab rides
+  * along as a ≤(chars+[[SeedMulti]])-entry map literal), each round is
+  * one shuffle over the word table, and the only driver traffic is the
+  * vocab-sized score table per round. The DP fold itself is an
+  * INTERPRETED higher-order expression (HOF lambdas don't
+  * whole-stage-codegen), which is fine exactly because it only ever
+  * runs over the distinct-word table — anything corpus-sized joins the
+  * encoded word table instead of re-running the DP (t39).
   * Words are capped at [[MaxWordLen]] chars (with the printable-ASCII
   * filter, applied identically on both engines) so the oracle's DP
   * unroll depth is fixed; at corpus scale the cap also bounds DP state.
@@ -60,7 +64,7 @@ object Unigram {
 
   /** DP unroll depth: words longer than this are excluded (both
     * engines), exactly like the printable-ASCII word filter. */
-  private[operators] val MaxWordLen = 12
+  private[graft] val MaxWordLen = 12
 
   private[operators] def words(s: SparkSession, dir: String): DataFrame =
     Bpe.words(s, dir).filter(length(col("word")) <= MaxWordLen)
@@ -156,7 +160,7 @@ object Unigram {
 
   /** The full fit: returns the final scored vocab frame
     * (piece, usage, p) and its collected map (for the encode path). */
-  private[operators] def train(
+  private[graft] def train(
       s: SparkSession, wordFreq: DataFrame): (DataFrame, Map[String, Double]) = {
     var vocab = seedScores(wordFreq)
     var scored: DataFrame = null
@@ -294,19 +298,25 @@ object Unigram {
     // measures BPE on — the two tokenizer families' health metrics land
     // in directly comparable tables (join on lang, compare `fertility`).
     QueryDef.sql("t39_unigram_fertility", fertilitySql) { (s, dir) =>
-      val (_, vocab) = train(s, words(s, dir))
-      // the encode is a PURE projection (the t25/t36 discipline): the
-      // collected vocab rides as a map literal and the Viterbi runs per
-      // token occurrence — no join, one lang-keyed agg shuffle. The
-      // oracle instead encodes per distinct word and joins occurrences
-      // back; their agreement is evidence the encode is a pure function
-      // of the word.
+      val wf = words(s, dir)
+      val (_, vocab) = train(s, wf)
+      // Encode per DISTINCT word, not per occurrence: the Viterbi DP is
+      // an interpreted higher-order-function fold (HOF lambdas don't
+      // whole-stage-codegen), so running it once per token occurrence
+      // multiplies an expensive expression by corpus size — measured
+      // 40× slower at sf0.1. Per distinct word it runs |vocab| times;
+      // the checkpointed (word, nt) table then broadcast-joins the
+      // codegen'd occurrence scan (exactly the oracle's shape: encode
+      // the word table, join occurrences back).
       val vmap = typedLit(vocab)
+      val wnt = wf.select(col("word").as("w"),
+        size(piecesCol(col("word"), dpCol(col("word"), vmap))).cast("long").as("nt"))
+        .localCheckpoint(true)
       val w = col("w")
       Tables.documents(s, dir)
         .select(col("lang"), explode(Exprs.tokens(col("text"))).as("w"))
         .filter(w.rlike("^[ -~]+$") && length(w) <= MaxWordLen)
-        .select(col("lang"), size(piecesCol(w, dpCol(w, vmap))).cast("long").as("nt"))
+        .join(broadcast(wnt), "w")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"),
           round(sum("nt") * lit(1.0) / count(lit(1)), 6).as("fertility"))
