@@ -96,6 +96,34 @@ object VersionedTable {
     (id, before, after)
   }
 
+  /** MERGE a CDC batch into the newest snapshot and commit the result
+    * as a new version — the lakehouse MERGE INTO shape over the
+    * immutable-version store. `changes` carries the base table's
+    * columns plus `opCol` ∈ {"upsert", "delete"}; matched base rows are
+    * replaced (upsert) or dropped (delete), unmatched upserts insert.
+    * `changes` must hold ONE row per key — pre-collapse a changelog
+    * with q48's ranked last-wins pattern first.
+    *
+    * Shape: one distinct on the (batch-sized) change keys, one
+    * broadcast anti join against the base — a CDC batch is orders of
+    * magnitude smaller than the table, so the base never shuffles —
+    * then a union with the upserts. This is copy-on-write at the
+    * store's version granularity: point the store at a partition
+    * directory (the [[Compaction]] rule) and a merge rewrites one
+    * partition, not the table. Returns the committed version id. */
+  def merge(
+      spark: SparkSession,
+      dir: String,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op"): Long = {
+    val base = read(spark, dir)
+    val keys = changes.select(keyCol).distinct()
+    val kept = base.join(broadcast(keys), Seq(keyCol), "left_anti")
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    commit(spark, dir, kept.unionByName(upserts))
+  }
+
   /** Drop all but the newest `keep` versions (the read horizon: only run
     * past the oldest reader a deployment still serves). Returns the
     * pruned ids. */
@@ -150,6 +178,48 @@ object VersionedTable {
           sum("l_quantity").as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
+    },
+
+    // Versioned MERGE (CDC apply), hash-gated: commit orders as version
+    // 0, apply a deterministic change batch — keys ≡ 3 (mod 10) upsert
+    // with +100 on o_totalprice, keys ≡ 7 (mod 10) delete — through
+    // [[merge]], then aggregate BOTH versions. The oracle recomputes
+    // each version's content from the source table with the same
+    // closed-form edit, so a merge that loses, duplicates, or
+    // half-applies a row breaks the hash; version 0's row proves the
+    // pre-merge snapshot stayed exact (time travel across a mutation).
+    QueryDef.sql("q78_versioned_merge",
+      """WITH v0 AS (SELECT o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT o_orderstatus,
+        |              CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+        |                   ELSE o_totalprice END AS o_totalprice
+        |       FROM orders WHERE o_orderkey % 10 <> 7)
+        |SELECT 0 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v0 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 1 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q78_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders)
+      val touched = col("o_orderkey") % 10
+      val changes = orders.filter(touched.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 3, "upsert").otherwise("delete"))
+      merge(s, store, changes, "o_orderkey")
+      val byVersion = Seq(0L, 1L).map { v =>
+        read(s, store, asOf = Some(v)).withColumn("version", lit(v.toInt))
+      }.reduce(_ unionByName _)
+      byVersion.groupBy("version", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
     }
   )
 }

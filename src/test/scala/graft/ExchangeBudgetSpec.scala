@@ -93,11 +93,14 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                             // the final dim-keyed error agg
     "t38_unigram_train" -> 0, // the fit's rounds are checkpointed; the
                               // returned vocab frame is its checkpoint
-    "t39_unigram_fertility" -> 1, // Viterbi encode is a map-literal
-                                  // projection; one lang-keyed agg
-    "q77_time_travel" -> 1) // two committed-snapshot scans union into
+    "t39_unigram_fertility" -> 1, // occurrences broadcast-join the
+                                  // checkpointed encoded word table;
+                                  // one lang-keyed agg
+    "q77_time_travel" -> 1, // two committed-snapshot scans union into
                             // one grouped agg; the rewrite's jobs live
                             // outside the returned plan
+    "q78_versioned_merge" -> 1) // same shape; the merge's broadcast
+                                // anti join happens in the commit job
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -91,6 +91,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() === 2000)
   }
 
+  test("merge applies upsert/insert/delete exactly once and the pre-merge snapshot survives") {
+    val dir = freshStore()
+    VersionedTable.commit(spark, dir,
+      spark.range(10).select(col("id").as("k"), (col("id") * 10).as("v")))
+
+    import spark.implicits._
+    val changes = Seq(
+      (3L, 999L, "upsert"), // replace existing
+      (42L, 777L, "upsert"), // insert new key
+      (7L, 0L, "delete") // drop existing
+    ).toDF("k", "v", "op")
+    assert(VersionedTable.merge(spark, dir, changes, "k") === 1L)
+
+    val after = VersionedTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === 10, "10 - 1 delete + 1 insert")
+    assert(after(3L) === 999L, "matched upsert replaces")
+    assert(after(42L) === 777L, "unmatched upsert inserts")
+    assert(!after.contains(7L), "delete drops the key")
+    assert(after(5L) === 50L, "untouched rows pass through")
+
+    // the mutation is a new version; the pre-merge snapshot is intact
+    val before = VersionedTable.read(spark, dir, asOf = Some(0L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before === (0L until 10L).map(i => i -> i * 10).toMap)
+  }
+
   test("a Z-order rewrite commits as a version: 2-D skipping improves, the old layout stays exact") {
     val dir = freshStore()
     // a layout clustered on NEITHER dimension: random-ish scatter of
