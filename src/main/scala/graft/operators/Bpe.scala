@@ -42,16 +42,23 @@ object Bpe {
   private val S2 = "\u0002" // closes a symbol (chr(2))
 
   /** Rounds are fixed so the oracle can unroll them. */
-  private[operators] val Rounds = 10
+  private[graft] val Rounds = 10
 
-  /** (word, freq) table from the documents fixture: whitespace tokens,
+  /** (word, freq) table from any (…, text) frame: whitespace tokens,
     * printable-ASCII-only (guarantees the u0001/u0002 delimiters are
-    * collision-free), with corpus-wide occurrence counts. */
-  private[operators] def words(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * collision-free), with occurrence counts. Shared by the batch
+    * queries and the streaming vocab fold
+    * ([[graft.streaming.VocabStreams]]), so both derive words under the
+    * exact same filter. */
+  private[graft] def wordsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(Exprs.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[ -~]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** The corpus-wide word table of the documents fixture. */
+  private[operators] def words(s: SparkSession, dir: String): DataFrame =
+    wordsOf(Tables.documents(s, dir))
 
   /** Decodes the wrapped-symbol string back to its symbol array. */
   private def symsOf(s: Column): Column =
