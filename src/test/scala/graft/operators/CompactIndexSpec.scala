@@ -98,4 +98,26 @@ class CompactIndexSpec extends SparkSpec {
       === search(compacted, tomb, cent, col("vec_id") % 2 === 0),
       "filtered search must not observe the rewrite")
   }
+
+  test("the index lifecycle composes with the snapshot store: compaction commits as a version") {
+    val (assigned, tomb, cent) = fixture
+    val store = java.nio.file.Files
+      .createTempDirectory("ann-versioned").toString + "/index"
+    // serving index at version 0; the maintenance pass commits the
+    // compacted layout as version 1 — a searcher mid-probe on v0 races
+    // nothing, and a crashed rewrite would leave v0 the newest version
+    // (VersionedTableSpec's contract; here we pin the SEARCH semantics)
+    VersionedTable.commit(spark, store, assigned)
+    VersionedTable.commit(spark, store,
+      Similarity.compactIndex(assigned, tomb))
+
+    val live = VersionedTable.read(spark, store)
+    assert(search(assigned, tomb, cent) === search(live, tomb, cent),
+      "search over the committed compacted version must equal pre-compaction")
+    // time travel: the pre-compaction index is byte-exact, so an
+    // audit can re-run any historical probe
+    val v0 = VersionedTable.read(spark, store, asOf = Some(0L))
+    assert(v0.count() === assigned.count())
+    assert(search(v0, tomb, cent) === search(assigned, tomb, cent))
+  }
 }
