@@ -124,6 +124,42 @@ object VersionedTable {
     commit(spark, dir, kept.unionByName(upserts))
   }
 
+  /** Change data feed between two committed versions — the inverse of
+    * [[merge]]: recover the row-level delta a consumer (a downstream
+    * sync, an incremental materialized view, an audit) must apply to
+    * get from version `from` to version `to`. Emits the TO-side image
+    * (FROM-side for deletes) plus an `op` column:
+    * "insert" (key only in `to`), "delete" (key only in `from`),
+    * "update" (key in both, any non-key column differs); identical
+    * rows emit nothing.
+    *
+    * Shape: one full outer join on the key between two committed
+    * snapshots plus a codegen'd struct comparison — no driver
+    * traffic, and the diff never materializes unchanged rows. */
+  def changes(
+      spark: SparkSession,
+      dir: String,
+      from: Long,
+      to: Long,
+      keyCol: String): DataFrame = {
+    val a = read(spark, dir, asOf = Some(from))
+    val b = read(spark, dir, asOf = Some(to))
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq == cols,
+      s"changes() needs matching schemas; v$from has $cols, v$to has ${b.columns.toSeq}")
+    val payload = cols.filterNot(_ == keyCol)
+    val av = a.select(col(keyCol), struct(payload.map(col): _*).as("__a"))
+    val bv = b.select(col(keyCol), struct(payload.map(col): _*).as("__b"))
+    av.join(bv, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__a").isNull, "insert")
+          .when(col("__b").isNull, "delete")
+          .when(col("__a") =!= col("__b"), "update"))
+      .filter(col("op").isNotNull)
+      .select(Seq(col(keyCol), col("op")) ++
+        payload.map(c => coalesce(col(s"__b.$c"), col(s"__a.$c")).as(c)): _*)
+  }
+
   /** Drop all but the newest `keep` versions (the read horizon: only run
     * past the oldest reader a deployment still serves). Returns the
     * pruned ids. */
@@ -220,6 +256,42 @@ object VersionedTable {
       byVersion.groupBy("version", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Change data feed, hash-gated: build two versions with a known
+    // closed-form delta — v0 = orders minus keys ≡1 (mod 10), v1 =
+    // merge(insert ≡1, update ≡3 with +100, delete ≡7) — then recover
+    // the delta with [[changes]] and aggregate per op. The oracle
+    // derives the same three row sets straight from the source table,
+    // so a diff that misses a row, invents one, or misclassifies an op
+    // breaks the hash.
+    QueryDef.sql("q79_version_diff",
+      """SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 'update' AS op, o_orderkey FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 'insert' AS op, o_orderkey FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT 'delete' AS op, o_orderkey FROM orders WHERE o_orderkey % 10 = 7)
+        |GROUP BY op""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q79_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val orders = Tables.orders(s, dir)
+      val touched = col("o_orderkey") % 10
+      commit(s, store, orders.filter(touched =!= 1))
+      val delta = orders.filter(touched.isin(1, 3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 7, "delete").otherwise("upsert"))
+      merge(s, store, delta, "o_orderkey")
+      changes(s, store, from = 0L, to = 1L, "o_orderkey")
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").cast("long").as("key_sum"))
     }
   )
 }

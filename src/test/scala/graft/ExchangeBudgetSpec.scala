@@ -99,8 +99,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q77_time_travel" -> 1, // two committed-snapshot scans union into
                             // one grouped agg; the rewrite's jobs live
                             // outside the returned plan
-    "q78_versioned_merge" -> 1) // same shape; the merge's broadcast
+    "q78_versioned_merge" -> 1, // same shape; the merge's broadcast
                                 // anti join happens in the commit job
+    "q79_version_diff" -> 3) // snapshot-vs-snapshot full outer join
+                             // (2 key exchanges under SMJ) + op agg
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

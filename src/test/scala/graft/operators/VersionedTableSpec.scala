@@ -116,6 +116,13 @@ class VersionedTableSpec extends SparkSpec {
     val before = VersionedTable.read(spark, dir, asOf = Some(0L)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(before === (0L until 10L).map(i => i -> i * 10).toMap)
+
+    // and the change feed recovers exactly the applied delta — the
+    // merge/changes pair round-trips (unchanged rows emit nothing)
+    val feed = VersionedTable.changes(spark, dir, 0L, 1L, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed === Set((3L, "update", 999L), (42L, "insert", 777L),
+      (7L, "delete", 70L)))
   }
 
   test("a Z-order rewrite commits as a version: 2-D skipping improves, the old layout stays exact") {
