@@ -141,7 +141,8 @@ object VersionedTable {
       dir: String,
       from: Long,
       to: Long,
-      keyCol: String): DataFrame = {
+      keyCol: String,
+      preImages: Boolean = false): DataFrame = {
     val a = read(spark, dir, asOf = Some(from))
     val b = read(spark, dir, asOf = Some(to))
     val cols = a.columns.toSeq
@@ -150,14 +151,49 @@ object VersionedTable {
     val payload = cols.filterNot(_ == keyCol)
     val av = a.select(col(keyCol), struct(payload.map(col): _*).as("__a"))
     val bv = b.select(col(keyCol), struct(payload.map(col): _*).as("__b"))
+    def ev(op: String, img: Column) =
+      struct(lit(op).as("op"), img.as("img"))
+    val updateEvents =
+      if (preImages) array(ev("update_pre", col("__a")), ev("update_post", col("__b")))
+      else array(ev("update", col("__b")))
+    // one pass: each key yields 0..2 typed (op, image) events; the
+    // empty case is a 0-length slice so the array stays typed without
+    // a hand-written DDL cast
+    val events =
+      when(col("__a").isNull, array(ev("insert", col("__b"))))
+        .when(col("__b").isNull, array(ev("delete", col("__a"))))
+        .when(col("__a") =!= col("__b"), updateEvents)
+        .otherwise(slice(array(ev("none", col("__a"))), 1, 0))
     av.join(bv, Seq(keyCol), "full_outer")
-      .withColumn("op",
-        when(col("__a").isNull, "insert")
-          .when(col("__b").isNull, "delete")
-          .when(col("__a") =!= col("__b"), "update"))
-      .filter(col("op").isNotNull)
-      .select(Seq(col(keyCol), col("op")) ++
-        payload.map(c => coalesce(col(s"__b.$c"), col(s"__a.$c")).as(c)): _*)
+      .select(col(keyCol), explode(events).as("__e"))
+      .select(Seq(col(keyCol), col("__e.op").as("op")) ++
+        payload.map(c => col(s"__e.img.$c").as(c)): _*)
+  }
+
+  /** Incremental maintenance of a sum/count view from a [[changes]]
+    * feed emitted with `preImages = true` — the consumer the change
+    * feed exists for: refresh a grouped aggregate by applying the
+    * delta, never rescanning the table. View contract:
+    * (groupCol, sum_v, n) with `sum_v = sum(valueCol)`,
+    * `n = count(*)`. Post-images add, pre-images and deletes
+    * subtract (an update's pre/post pair nets the count to zero);
+    * groups whose count reaches zero drop out, matching a recompute.
+    * Shape: one aggregation over the (delta-sized) feed + one outer
+    * join against the (groups-sized) view. */
+  def maintainSumCount(
+      view: DataFrame, feed: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
+    val sign = when(col("op").isin("insert", "update_post"), 1L)
+      .when(col("op").isin("delete", "update_pre"), -1L)
+      .otherwise(raise_error(concat(lit("maintainSumCount: feed needs " +
+        "preImages=true ops, got "), col("op"))))
+    val delta = feed.groupBy(groupCol).agg(
+      sum(col(valueCol) * sign).as("__dv"), sum(sign).as("__dn"))
+    view.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sum_v"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
   }
 
   /** Drop all but the newest `keep` versions (the read horizon: only run

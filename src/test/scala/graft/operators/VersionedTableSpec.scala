@@ -125,6 +125,43 @@ class VersionedTableSpec extends SparkSpec {
       (7L, "delete", 70L)))
   }
 
+  test("incremental view maintenance from the pre-image change feed equals recompute") {
+    import spark.implicits._
+    val dir = freshStore()
+    VersionedTable.commit(spark, dir, spark.range(100).select(
+      col("id").as("k"), (col("id") % 3).as("g"), col("id").as("v")))
+
+    def recompute() = VersionedTable.read(spark, dir)
+      .groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    var view = recompute().localCheckpoint(true)
+
+    // merge 1: update, delete, and insert a brand-new group 9
+    VersionedTable.merge(spark, dir, Seq(
+      (3L, 0L, 1003L, "upsert"), (7L, 0L, 0L, "delete"),
+      (200L, 9L, 5L, "upsert"), (201L, 9L, 7L, "upsert")
+    ).toDF("k", "g", "v", "op"), "k")
+    view = VersionedTable.maintainSumCount(view,
+      VersionedTable.changes(spark, dir, 0L, 1L, "k", preImages = true), "g", "v")
+    assert(rows(view) === rows(recompute()),
+      "incremental refresh after merge 1 must equal recompute")
+
+    // merge 2: drop group 9 entirely and MOVE key 10 into group 2 —
+    // the pre/post pair must subtract from the old group and add to
+    // the new one
+    VersionedTable.merge(spark, dir, Seq(
+      (200L, 9L, 0L, "delete"), (201L, 9L, 0L, "delete"),
+      (10L, 2L, 10L, "upsert")
+    ).toDF("k", "g", "v", "op"), "k")
+    view = VersionedTable.maintainSumCount(view,
+      VersionedTable.changes(spark, dir, 1L, 2L, "k", preImages = true), "g", "v")
+    assert(rows(view) === rows(recompute()),
+      "incremental refresh after merge 2 must equal recompute")
+    assert(!rows(view).exists(_._1 == 9L), "emptied group 9 must drop out")
+  }
+
   test("a Z-order rewrite commits as a version: 2-D skipping improves, the old layout stays exact") {
     val dir = freshStore()
     // a layout clustered on NEITHER dimension: random-ish scatter of
