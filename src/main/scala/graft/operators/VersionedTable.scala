@@ -239,7 +239,12 @@ object VersionedTable {
         "q77_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       val hfs = VersionedStore.fs(s, store)
       hfs.delete(new org.apache.hadoop.fs.Path(store), true)
-      commit(s, store, Tables.lineitem(s, dir))
+      // snapshot only the columns the probe reads — the same pruning a
+      // scan would do, applied at the rewrite: the layout story
+      // (commit, compact, time travel) is identical, at 1/3 the bytes
+      commit(s, store, Tables.lineitem(s, dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate"))
       compact(s, store, targetBytes = 64L * 1024 * 1024,
         cluster = Some(col("l_shipdate")))
       val byVersion = Seq(0L, 1L).map { v =>

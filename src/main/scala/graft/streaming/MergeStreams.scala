@@ -51,7 +51,8 @@ object MergeStreams {
       checkpointDir: String,
       keyCol: String,
       opCol: String,
-      orderCols: Seq[String]): Unit = {
+      orderCols: Seq[String],
+      feedSink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -59,7 +60,8 @@ object MergeStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch.sparkSession, storeDir, batch, id, keyCol, opCol, orderCols)
+        mergeBatch(batch.sparkSession, storeDir, batch, id,
+          keyCol, opCol, orderCols, feedSink)
       }
       .start()
     q.awaitTermination()
@@ -72,7 +74,19 @@ object MergeStreams {
       spark.read.parquet(VersionedStore.path(storeDir, v).toString))
 
   /** One (possibly retried) micro-batch of the merge fold.
-    * Package-visible so the spec can drive a duplicate delivery. */
+    * Package-visible so the spec can drive a duplicate delivery.
+    *
+    * After the batch's version is committed (or found already
+    * committed — the retry), `feedSink` receives the pre-image change
+    * feed between the batch's pre-merge version and its own — the CDC
+    * OUT side: a downstream view maintainer
+    * ([[graft.operators.VersionedTable.maintainSumCount]]) or replica
+    * consumes it without rescanning the table. A redelivered batch
+    * recomputes the feed from the SAME version pair (the pre-merge
+    * version is never pruned past the retry horizon), so the sink sees
+    * byte-identical rows — make it idempotent per batch id, the same
+    * contract as every emitting stream here (PackStreams,
+    * CorpusStreams). */
   private[streaming] def mergeBatch(
       spark: SparkSession,
       storeDir: String,
@@ -80,7 +94,8 @@ object MergeStreams {
       id: Long,
       keyCol: String,
       opCol: String,
-      orderCols: Seq[String]): Unit = {
+      orderCols: Seq[String],
+      feedSink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
     // last-wins collapse WITHIN the batch: one window over the
     // changelog batch, ordered by the caller's total order
     val w = Window.partitionBy(keyCol)
@@ -108,5 +123,20 @@ object MergeStreams {
       // state (which a retry of THIS id still needs)
       VersionedStore.prune(spark, storeDir, prior.sorted.dropRight(1))
     }
+    // CDC out: the committed delta this batch applied. Against an
+    // empty store every committed row is an insert (the diff from
+    // nothing), keeping the feed's shape identical to changes().
+    val feed = prior.maxOption match {
+      case Some(v) =>
+        graft.operators.VersionedTable
+          .changes(spark, storeDir, v, id, keyCol, preImages = true)
+      case None =>
+        val committed = spark.read.parquet(
+          VersionedStore.path(storeDir, id).toString)
+        val payload = committed.columns.toSeq.filterNot(_ == keyCol)
+        committed.select(Seq(col(keyCol), lit("insert").as("op")) ++
+          payload.map(col): _*)
+    }
+    feedSink(feed.localCheckpoint(true), id)
   }
 }

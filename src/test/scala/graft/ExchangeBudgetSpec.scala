@@ -101,8 +101,17 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                             // outside the returned plan
     "q78_versioned_merge" -> 1, // same shape; the merge's broadcast
                                 // anti join happens in the commit job
-    "q79_version_diff" -> 3) // snapshot-vs-snapshot full outer join
+    "q79_version_diff" -> 3, // snapshot-vs-snapshot full outer join
                              // (2 key exchanges under SMJ) + op agg
+    "s34_ann_compaction" -> 4, // assignment derivation + before/after
+                               // cluster aggs; the tombstone mark,
+                               // flag table and report join ride
+                               // broadcasts — all index-sized, the
+                               // corpus never exchanges
+    "s35_maxsim_rerank" -> 4, // RRF candidate tiers + the chunk-token
+                              // MaxSim agg; query side is broadcast
+    "t37_quality_train" -> 1) // gradient rounds are checkpointed; the
+                              // output is the bucket-weight agg
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

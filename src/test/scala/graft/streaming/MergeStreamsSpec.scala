@@ -59,6 +59,56 @@ class MergeStreamsSpec extends SparkSpec {
       "streamed merge must equal the batch merge of the same changelog")
   }
 
+  test("a sum/count view maintained from the emitted feeds equals recompute; retries re-emit identical feeds") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("merge-feed").toString + "/store"
+    // table (k, g, v); changelog adds op + seq
+    val b0 = Seq(
+      (1L, 0L, 10L, 1L, "upsert"), (2L, 1L, 20L, 2L, "upsert"),
+      (3L, 0L, 30L, 3L, "upsert"), (4L, 1L, 40L, 4L, "upsert")
+    ).toDF("k", "g", "v", "seq", "op")
+    // update 1 (+990), move 2 to group 0, delete 3, insert 5
+    val b1 = Seq(
+      (1L, 0L, 1000L, 5L, "upsert"), (2L, 0L, 20L, 6L, "upsert"),
+      (3L, 0L, 0L, 7L, "delete"), (5L, 2L, 50L, 8L, "upsert")
+    ).toDF("k", "g", "v", "seq", "op")
+
+    val feeds = collection.mutable.Map[Long, Seq[(Long, String, Long, Long)]]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      feeds(id) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+    var view = spark.range(0).select(col("id").as("g"),
+      col("id").as("sum_v"), col("id").as("n"))
+    def viewRows = view.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    def recompute = MergeStreams.tableState(spark, store).get
+      .groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    MergeStreams.mergeBatch(spark, store, b0, 0L, "k", "op", Seq("seq"), sink)
+    view = graft.operators.VersionedTable
+      .maintainSumCount(view, feeds(0L).toDF("k", "op", "g", "v"), "g", "v")
+      .localCheckpoint(true)
+    assert(viewRows === recompute, "view after batch 0 must equal recompute")
+
+    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), sink)
+    val firstFeed1 = feeds(1L)
+    view = graft.operators.VersionedTable
+      .maintainSumCount(view, firstFeed1.toDF("k", "op", "g", "v"), "g", "v")
+      .localCheckpoint(true)
+    assert(viewRows === recompute, "view after batch 1 must equal recompute")
+    assert(viewRows === Seq((0L, 1020L, 2L), (1L, 40L, 1L), (2L, 50L, 1L)))
+
+    // a redelivered batch re-emits the byte-identical feed (computed
+    // from the same pre-merge version), so an idempotent-per-id sink
+    // applies it once
+    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), sink)
+    assert(feeds(1L) === firstFeed1, "retry must re-emit the identical feed")
+  }
+
   test("a redelivered changelog batch applies exactly once") {
     import spark.implicits._
     val store = Files.createTempDirectory("merge-retry").toString + "/store"
