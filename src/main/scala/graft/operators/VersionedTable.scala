@@ -333,6 +333,52 @@ object VersionedTable {
         .groupBy("op")
         .agg(count(lit(1)).as("n_rows"),
           sum("o_orderkey").cast("long").as("key_sum"))
+    },
+
+    // Expectations-gated commit, hash-gated: split lineitem by two
+    // named rules (one with real violations in the fixture, one
+    // all-pass — its zero row must still appear), commit the CLEAN
+    // side as a version, quarantine the rest, and report per-rule
+    // violation counts plus the committed/quarantined totals. The
+    // __kept row is counted from the COMMITTED version read back, so
+    // a gate that commits a dirty row (or drops a clean one) breaks
+    // the hash, not just the report.
+    QueryDef.sql("q80_expectations",
+      """SELECT 'low_discount' AS rule, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE NOT coalesce(l_discount <= 0.05, false)
+        |UNION ALL
+        |SELECT 'qty_positive' AS rule, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE NOT coalesce(l_quantity > 0, false)
+        |UNION ALL
+        |SELECT '__kept' AS rule, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE coalesce(l_discount <= 0.05, false)
+        |                AND coalesce(l_quantity > 0, false)
+        |UNION ALL
+        |SELECT '__quarantined' AS rule, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE NOT (coalesce(l_discount <= 0.05, false)
+        |                     AND coalesce(l_quantity > 0, false))""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = workDir.resolve(
+        "q80_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val rules = Seq(
+        "low_discount" -> (col("l_discount") <= 0.05),
+        "qty_positive" -> (col("l_quantity") > 0))
+      val (clean, dirty) = Expectations.split(
+        Tables.lineitem(s, dir).select("l_discount", "l_quantity"), rules)
+      commit(s, store, clean)
+      // quarantine side reduced to its rule tags before the checkpoint
+      // — three consumers, none needs the payload
+      val quarantine = dirty.select("violated").localCheckpoint(true)
+      val perRule = rules.map(_._1).toDF("rule")
+        .join(Expectations.violationCounts(quarantine), Seq("rule"), "left")
+        .na.fill(0L, Seq("n"))
+      val kept = read(s, store)
+        .agg(count(lit(1)).as("n")).select(lit("__kept").as("rule"), col("n"))
+      val quar = quarantine
+        .agg(count(lit(1)).as("n")).select(lit("__quarantined").as("rule"), col("n"))
+      perRule.unionByName(kept).unionByName(quar)
     }
   )
 }

@@ -110,8 +110,12 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                // corpus never exchanges
     "s35_maxsim_rerank" -> 4, // RRF candidate tiers + the chunk-token
                               // MaxSim agg; query side is broadcast
-    "t37_quality_train" -> 1) // gradient rounds are checkpointed; the
+    "t37_quality_train" -> 1, // gradient rounds are checkpointed; the
                               // output is the bucket-weight agg
+    "q80_expectations" -> 4) // rule-count agg over the checkpointed
+                             // quarantine (+tiny rule-list join) and
+                             // two scalar count aggs; the gate itself
+                             // is a shuffle-free projection
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -60,7 +60,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t39_unigram_fertility", // encode projection over the collected fit
     "q77_time_travel", // versioned snapshots must agree under any fan-out
     "q78_versioned_merge", // merge semantics can't depend on partitioning
-    "q79_version_diff") // full-outer diff + struct compare, any fan-out
+    "q79_version_diff", // full-outer diff + struct compare, any fan-out
+    "q80_expectations") // gate counts + committed-version readback
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
