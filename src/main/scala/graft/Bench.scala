@@ -179,8 +179,11 @@ object Bench {
       val flaggedNames = ratios.collect {
         case (name, r, big) if r > 10.0 && big > 1.0 => name
       }
+      // locale-independent 2dp rendering (f"" uses the JVM default
+      // locale — a comma-decimal locale would corrupt the JSON line)
       val rs = ratios.map { case (k, r, _) =>
-        "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+        "\"" + k + "\":" + (math.round(r * 100) / 100.0).toString
+      }.mkString("{", ",", "}")
       val fl = flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","scaling":{"small_sf":"$smallDir","ratio_big_over_small":$rs,"superlinear_flagged":$fl}"""
     } else ""

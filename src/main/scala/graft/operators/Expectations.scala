@@ -28,6 +28,9 @@ object Expectations {
     * array of the failed rule names (never empty). */
   def split(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "expectations need at least one rule")
+    require(!df.columns.contains("violated"),
+      "expectations: input already has a 'violated' column — the split " +
+        "would silently overwrite it (rename it before gating)")
     val names = rules.map(_._1)
     require(names.distinct.size == names.size, s"duplicate rule names in $names")
     val failed = array(rules.map { case (n, p) =>

@@ -268,8 +268,14 @@ object Unigram {
        |SELECT piece, u AS usage, p FROM v$R""".stripMargin
 
   /** Fertility rides one more Viterbi chain against the FINAL vocab —
-    * the t36 harness shape, so BPE and unigram fertility are directly
-    * comparable per language. */
+    * the t36 harness SHAPE (lang, n_words, n_tokens, fertility), so BPE
+    * and unigram health metrics land in joinable tables. The corpus
+    * SLICES differ by construction whenever a word exceeds
+    * [[MaxWordLen]]: t39 caps occurrence length (the DP is quadratic in
+    * word length) while t36 does not, so a strict per-word
+    * apples-to-apples comparison holds only on the ≤[[MaxWordLen]]
+    * subset — `UnigramSpec` pins where the slices coincide and where
+    * they diverge. */
   private def fertilitySql: String =
     s"""WITH $trainChain,
        |${vitChain(R + 1)},
@@ -294,9 +300,11 @@ object Unigram {
       train(s, words(s, dir))._1
     },
 
-    // Unigram fertility per language over the SAME corpus slice t36
-    // measures BPE on — the two tokenizer families' health metrics land
-    // in directly comparable tables (join on lang, compare `fertility`).
+    // Unigram fertility per language in t36's harness shape — the two
+    // tokenizer families' health metrics land in joinable tables. NOTE
+    // the slice caveat on fertilitySql: words longer than MaxWordLen are
+    // excluded here but counted by t36, so n_words can diverge between
+    // the two at scale factors whose corpus contains such words.
     QueryDef.sql("t39_unigram_fertility", fertilitySql) { (s, dir) =>
       val wf = words(s, dir)
       val (_, vocab) = train(s, wf)

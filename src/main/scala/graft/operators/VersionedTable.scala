@@ -120,7 +120,13 @@ object VersionedTable {
     val base = read(spark, dir)
     val keys = changes.select(keyCol).distinct()
     val kept = base.join(broadcast(keys), Seq(keyCol), "left_anti")
-    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    // fail-loud op validation: this filter evaluates the checked
+    // expression for EVERY change row, so a typo'd op raises instead
+    // of silently dropping the key through the anti join
+    val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))))
+    val upserts = changes.filter(checkedOp === "upsert").drop(opCol)
     commit(spark, dir, kept.unionByName(upserts))
   }
 

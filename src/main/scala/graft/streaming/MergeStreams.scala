@@ -40,9 +40,10 @@ object MergeStreams {
 
   /** Relay changelog files from `sourceDir` into the merge fold at
     * `storeDir`. `changes` rows carry the table's columns plus
-    * `opCol` ∈ {"upsert", "delete"}; `orderCols` break last-wins ties
-    * within a batch (make them total, e.g. a change sequence number).
-    * Blocks until the AvailableNow drain finishes. */
+    * `opCol` ∈ {"upsert", "delete"} (any other value fails the batch
+    * loudly — a typo'd op must not silently delete); `orderCols` break
+    * last-wins ties within a batch (make them total, e.g. a change
+    * sequence number). Blocks until the AvailableNow drain finishes. */
   def mergeMaintain(
       spark: SparkSession,
       sourceDir: String,
@@ -52,7 +53,7 @@ object MergeStreams {
       keyCol: String,
       opCol: String,
       orderCols: Seq[String],
-      feedSink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -77,16 +78,19 @@ object MergeStreams {
     * Package-visible so the spec can drive a duplicate delivery.
     *
     * After the batch's version is committed (or found already
-    * committed — the retry), `feedSink` receives the pre-image change
-    * feed between the batch's pre-merge version and its own — the CDC
-    * OUT side: a downstream view maintainer
+    * committed — the retry), a registered `feedSink` receives the
+    * pre-image change feed between the batch's pre-merge version and
+    * its own — the CDC OUT side: a downstream view maintainer
     * ([[graft.operators.VersionedTable.maintainSumCount]]) or replica
     * consumes it without rescanning the table. A redelivered batch
     * recomputes the feed from the SAME version pair (the pre-merge
     * version is never pruned past the retry horizon), so the sink sees
     * byte-identical rows — make it idempotent per batch id, the same
     * contract as every emitting stream here (PackStreams,
-    * CorpusStreams). */
+    * CorpusStreams). With NO sink registered (`None`, the default) the
+    * feed — a full-outer join of two table snapshots — is never
+    * computed at all: a consumer-less merge stream pays only the merge
+    * itself, never a table-sized diff per micro-batch. */
   private[streaming] def mergeBatch(
       spark: SparkSession,
       storeDir: String,
@@ -95,7 +99,7 @@ object MergeStreams {
       keyCol: String,
       opCol: String,
       orderCols: Seq[String],
-      feedSink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
     // last-wins collapse WITHIN the batch: one window over the
     // changelog batch, ordered by the caller's total order
     val w = Window.partitionBy(keyCol)
@@ -104,7 +108,13 @@ object MergeStreams {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true) // reused: keys, upserts; batch-sized
-    val upserts = collapsed.filter(col(opCol) === "upsert")
+    // fail-loud op validation: the filter evaluates this expression for
+    // EVERY collapsed row (both branches below go through `upserts`),
+    // so an unknown op raises instead of silently deleting the key
+    val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"MergeStreams: $opCol must be upsert|delete, got "), col(opCol))))
+    val upserts = collapsed.filter(checkedOp === "upsert")
       .drop(opCol).drop(orderCols: _*)
     // pre-batch state: the newest version older than this id — on a
     // retry, the batch's own landed version is ignored
@@ -123,20 +133,24 @@ object MergeStreams {
       // state (which a retry of THIS id still needs)
       VersionedStore.prune(spark, storeDir, prior.sorted.dropRight(1))
     }
-    // CDC out: the committed delta this batch applied. Against an
-    // empty store every committed row is an insert (the diff from
-    // nothing), keeping the feed's shape identical to changes().
-    val feed = prior.maxOption match {
-      case Some(v) =>
-        graft.operators.VersionedTable
-          .changes(spark, storeDir, v, id, keyCol, preImages = true)
-      case None =>
-        val committed = spark.read.parquet(
-          VersionedStore.path(storeDir, id).toString)
-        val payload = committed.columns.toSeq.filterNot(_ == keyCol)
-        committed.select(Seq(col(keyCol), lit("insert").as("op")) ++
-          payload.map(col): _*)
+    // CDC out, computed ONLY when a sink is registered (the feed is a
+    // full-outer join of two table snapshots — never pay it for a
+    // no-op sink). Against an empty store every committed row is an
+    // insert (the diff from nothing), keeping the feed's shape
+    // identical to changes().
+    feedSink.foreach { sink =>
+      val feed = prior.maxOption match {
+        case Some(v) =>
+          graft.operators.VersionedTable
+            .changes(spark, storeDir, v, id, keyCol, preImages = true)
+        case None =>
+          val committed = spark.read.parquet(
+            VersionedStore.path(storeDir, id).toString)
+          val payload = committed.columns.toSeq.filterNot(_ == keyCol)
+          committed.select(Seq(col(keyCol), lit("insert").as("op")) ++
+            payload.map(col): _*)
+      }
+      sink(feed.localCheckpoint(true), id)
     }
-    feedSink(feed.localCheckpoint(true), id)
   }
 }

@@ -40,5 +40,12 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.split(df, Seq("a" -> lit(true), "a" -> lit(false)))
     }
     assert(dup.getMessage.contains("duplicate"))
+
+    // a pre-existing 'violated' column would be silently overwritten
+    // (and dropped from the clean side) — refuse it up front
+    val collide = intercept[IllegalArgumentException] {
+      Expectations.split(df.withColumn("violated", lit("caller data")), rules)
+    }
+    assert(collide.getMessage.contains("violated"))
   }
 }

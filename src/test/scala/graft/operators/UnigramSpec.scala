@@ -60,9 +60,17 @@ class UnigramSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
     assert(uni.keySet === bpe.keySet,
       "both tokenizers must measure the same language slice")
-    // identical corpus slice: the word filter (ASCII, <=MaxWordLen) is
-    // a superset question — t36 has no length cap, but the fixture's
-    // words are all <= MaxWordLen, so the slices coincide here
+    // The per-word comparison below is valid ONLY while the two corpus
+    // slices coincide: t39 excludes words longer than MaxWordLen (the
+    // Viterbi DP is quadratic in word length) and t36 does not. Verify
+    // that precondition against the fixture itself — if a longer word
+    // ever appears, n_words diverges BY DESIGN and this equality (not
+    // the engines) is what must be relaxed to the <=MaxWordLen subset.
+    import org.apache.spark.sql.functions.{length => slen}
+    val overCap = graft.operators.Bpe.words(spark, dir)
+      .filter(slen(col("word")) > Unigram.MaxWordLen).count()
+    assert(overCap === 0,
+      s"fixture grew $overCap words over MaxWordLen — t36/t39 slices now diverge")
     uni.foreach { case (lang, (nWords, fert)) =>
       assert(nWords === bpe(lang)._1, s"word count mismatch for $lang")
       assert(fert >= 1.0, s"fertility below 1 for $lang")

@@ -125,6 +125,21 @@ class VersionedTableSpec extends SparkSpec {
       (7L, "delete", 70L)))
   }
 
+  test("merge fails loudly on an unknown op instead of silently deleting the key") {
+    val dir = freshStore()
+    VersionedTable.commit(spark, dir,
+      spark.range(10).select(col("id").as("k"), (col("id") * 10).as("v")))
+    import spark.implicits._
+    // "upsrt" (typo) must raise, not be treated as a delete
+    val bad = Seq((3L, 999L, "upsrt")).toDF("k", "v", "op")
+    val e = intercept[Exception] { VersionedTable.merge(spark, dir, bad, "k") }
+    assert(e.getMessage.contains("upsert|delete") ||
+      Option(e.getCause).exists(_.getMessage.contains("upsert|delete")))
+    // the failed merge committed nothing and key 3 is intact
+    assert(VersionedTable.latest(spark, dir) === Some(0L))
+    assert(VersionedTable.read(spark, dir).filter(col("k") === 3).count() === 1)
+  }
+
   test("incremental view maintenance from the pre-image change feed equals recompute") {
     import spark.implicits._
     val dir = freshStore()

@@ -88,13 +88,13 @@ class MergeStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
 
-    MergeStreams.mergeBatch(spark, store, b0, 0L, "k", "op", Seq("seq"), sink)
+    MergeStreams.mergeBatch(spark, store, b0, 0L, "k", "op", Seq("seq"), Some(sink))
     view = graft.operators.VersionedTable
       .maintainSumCount(view, feeds(0L).toDF("k", "op", "g", "v"), "g", "v")
       .localCheckpoint(true)
     assert(viewRows === recompute, "view after batch 0 must equal recompute")
 
-    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), sink)
+    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), Some(sink))
     val firstFeed1 = feeds(1L)
     view = graft.operators.VersionedTable
       .maintainSumCount(view, firstFeed1.toDF("k", "op", "g", "v"), "g", "v")
@@ -105,7 +105,7 @@ class MergeStreamsSpec extends SparkSpec {
     // a redelivered batch re-emits the byte-identical feed (computed
     // from the same pre-merge version), so an idempotent-per-id sink
     // applies it once
-    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), sink)
+    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"), Some(sink))
     assert(feeds(1L) === firstFeed1, "retry must re-emit the identical feed")
   }
 
