@@ -14,11 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    directory rename is a metadata op) — a crash mid-write leaves only
   *    an invisible temp dir, never a half-written committed version.
   *    Object stores (s3a://) implement directory rename as a non-atomic
-  *    copy+delete, so a crash mid-rename CAN surface a partial committed
-  *    version there; on such stores the store dir needs a marker-file
-  *    commit (write `batch=<id>/_COMMITTED` last and filter
-  *    [[versions]] on it) — not implemented here, so point the store at
-  *    an HDFS-like filesystem;
+  *    copy+delete, so a crash mid-rename CAN surface a partial version
+  *    directory there; for such stores [[enableMarkerCommits]] switches
+  *    the store to a marker-file protocol: [[commit]] creates
+  *    `batch=<id>/_COMMITTED` as its LAST step (a single-object PUT —
+  *    atomic on every store) and [[versions]] counts only marked
+  *    directories, so a half-copied rename is invisible and the
+  *    directory is garbage a retried commit clears. Marker mode assumes
+  *    ONE committer per store dir (the streaming contract already holds
+  *    it: one query owns one checkpoint/store pair);
   *  - a retried batch sees its own version already committed and skips
   *    the write, so re-deliveries can recompute their emitted output
   *    from the PRE-batch state (`versions(...).filter(_ < id)`) and get
@@ -42,15 +46,47 @@ private[graft] object VersionedStore {
 
   def path(dir: String, id: Long): Path = new Path(dir, s"batch=$id")
 
-  /** Committed (fully renamed) version ids under `dir`. */
+  /** Store-root flag file that switches the store to the marker-commit
+    * protocol; per-version marker written last by [[commit]]. Both are
+    * `_`-prefixed, so Spark's parquet reader never sees them as data. */
+  private val MarkerFlag = "_marker_commits"
+  private val Marker = "_COMMITTED"
+
+  /** Opt this store into marker commits (object-store mode). Call once
+    * at store creation, BEFORE the first commit — flipping a store that
+    * already has rename-committed (marker-less) versions would make
+    * them invisible, so that is refused. Idempotent. */
+  def enableMarkerCommits(spark: SparkSession, dir: String): Unit = {
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(new Path(dir, MarkerFlag))) {
+      require(versions(spark, dir).isEmpty,
+        s"enableMarkerCommits: $dir already has rename-committed versions " +
+          "— enabling markers would hide them; create a fresh store instead")
+      hfs.mkdirs(new Path(dir))
+      hfs.create(new Path(dir, MarkerFlag), false).close()
+    }
+  }
+
+  private def usesMarkers(hfs: FileSystem, dir: String): Boolean =
+    hfs.exists(new Path(dir, MarkerFlag))
+
+  /** Committed version ids under `dir`: fully renamed directories, and
+    * in marker mode only those whose `_COMMITTED` marker landed — a
+    * half-copied object-store rename has no marker and stays invisible. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val hfs = fs(spark, dir)
     val root = new Path(dir)
     if (!hfs.exists(root)) Seq.empty
-    else hfs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
+    else {
+      val dirs = hfs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+      val committed =
+        if (usesMarkers(hfs, dir)) dirs.filter(p => hfs.exists(new Path(p, Marker)))
+        else dirs
+      committed.map(_.getName.stripPrefix("batch=").toLong)
+    }
   }
 
   /** Atomically commit `df` as version `id` unless that version already
@@ -67,14 +103,33 @@ private[graft] object VersionedStore {
     if (versions(spark, dir).contains(id)) return false
     val hfs = fs(spark, dir)
     val tmp = new Path(dir, s".tmp-$id")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (hfs.rename(tmp, path(dir, id))) true
-    else {
-      hfs.delete(tmp, true)
-      if (versions(spark, dir).contains(id)) false // concurrent/retry winner
-      else throw new java.io.IOException(
-        s"VersionedStore: rename $tmp -> ${path(dir, id)} failed and the " +
-          "version does not exist; refusing to continue from unknown state")
+    val dest = path(dir, id)
+    if (usesMarkers(hfs, dir)) {
+      // marker protocol (object-store mode, single committer): an
+      // UNMARKED dest dir is garbage from a crashed non-atomic rename —
+      // clear it, redo the copy, and only then PUT the marker (the
+      // atomic commit point). A crash anywhere before the marker leaves
+      // the version invisible and this path re-runs on retry.
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (hfs.exists(dest)) hfs.delete(dest, true)
+      if (!hfs.rename(tmp, dest)) {
+        hfs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"VersionedStore: marker-mode rename $tmp -> $dest failed; " +
+            "refusing to continue from unknown state")
+      }
+      hfs.create(new Path(dest, Marker), false).close()
+      true
+    } else {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (hfs.rename(tmp, dest)) true
+      else {
+        hfs.delete(tmp, true)
+        if (versions(spark, dir).contains(id)) false // concurrent/retry winner
+        else throw new java.io.IOException(
+          s"VersionedStore: rename $tmp -> $dest failed and the " +
+            "version does not exist; refusing to continue from unknown state")
+      }
     }
   }
 

@@ -59,4 +59,50 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.versions(spark, dir) === Seq(1L))
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp-2")))
   }
+
+  test("marker mode: a half-copied non-atomic rename is invisible and the retry commits over it") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("vstore-marker").toString + "/store"
+    VersionedStore.enableMarkerCommits(spark, dir)
+    VersionedStore.enableMarkerCommits(spark, dir) // idempotent
+    val df = spark.range(5).select(col("id"))
+
+    assert(VersionedStore.commit(spark, dir, 0L, df))
+    assert(VersionedStore.versions(spark, dir) === Seq(0L))
+    val hfs = VersionedStore.fs(spark, dir)
+    assert(hfs.exists(new Path(VersionedStore.path(dir, 0L), "_COMMITTED")),
+      "marker mode writes the per-version marker last")
+
+    // simulate an object store's non-atomic rename crashing mid-copy:
+    // a PARTIAL version directory exists at the committed path (data
+    // files present, no marker) — exactly what s3a's copy+delete
+    // rename leaves behind
+    spark.range(2).toDF("id").write.parquet(
+      VersionedStore.path(dir, 1L).toString)
+    assert(VersionedStore.versions(spark, dir) === Seq(0L),
+      "a half-copied version without its marker must be invisible")
+
+    // the retried commit clears the garbage and lands the real content
+    assert(VersionedStore.commit(spark, dir, 1L, df))
+    assert(VersionedStore.versions(spark, dir).sorted === Seq(0L, 1L))
+    assert(spark.read.parquet(VersionedStore.path(dir, 1L).toString).count() === 5,
+      "the committed content is the retry's, not the half-copy's")
+
+    // redelivery of a marked version: first-writer-wins, immutable
+    assert(!VersionedStore.commit(spark, dir, 1L, spark.range(99).toDF("id")))
+    assert(spark.read.parquet(VersionedStore.path(dir, 1L).toString).count() === 5)
+
+    // the whole VersionedTable stack rides the marker store unchanged
+    graft.operators.VersionedTable.commit(spark, dir, spark.range(7).toDF("id"))
+    assert(graft.operators.VersionedTable.latest(spark, dir) === Some(2L))
+    assert(graft.operators.VersionedTable.read(spark, dir).count() === 7)
+
+    // flipping an existing rename-committed store is refused
+    val plain = Files.createTempDirectory("vstore-plain").toString + "/store"
+    VersionedStore.commit(spark, plain, 0L, df)
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.enableMarkerCommits(spark, plain)
+    }
+    assert(e.getMessage.contains("fresh store"))
+  }
 }
