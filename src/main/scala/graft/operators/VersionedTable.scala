@@ -37,25 +37,71 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
+  /** Commit-history metadata recorded with a version — the
+    * `DESCRIBE HISTORY` surface an operator reads first during an
+    * incident: what committed, how many rows went in and out, how many
+    * a gate quarantined. `rowsIn = None` means "same as the written
+    * row count" (a plain snapshot commit). `at` is a caller-pinned tag
+    * (a change-batch id, a pipeline run id — never wall-clock, so
+    * reruns are deterministic). Tags must not contain `"`. */
+  final case class CommitInfo(
+      operation: String,
+      rowsIn: Option[Long] = None,
+      quarantined: Long = 0L,
+      at: String = "") {
+    require(!operation.contains("\"") && !at.contains("\""),
+      s"CommitInfo tags must not contain quotes: $operation / $at")
+    private[VersionedTable] def json(rowsOut: Long): String =
+      s"""{"operation":"$operation","rows_in":${rowsIn.getOrElse(rowsOut)},""" +
+        s""""rows_out":$rowsOut,"quarantined":$quarantined,"at":"$at"}"""
+  }
+
   /** Newest committed version id, if any version exists. */
   def latest(spark: SparkSession, dir: String): Option[Long] = {
     val vs = VersionedStore.versions(spark, dir)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Commit `df` as the next version. Returns the committed id. A lost
-    * race against a concurrent committer retries on the next id — both
+  /** Commit `df` as the next version, recording `info` in the version's
+    * atomic metadata sidecar. Returns the committed id. A lost race
+    * against a concurrent committer retries on the next id — both
     * snapshots land, in commit order (last committer is the newest), and
     * neither can clobber the other. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  def commit(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      info: CommitInfo = CommitInfo("commit")): Long = {
     var id = latest(spark, dir).map(_ + 1).getOrElse(0L)
     var attempts = 0
-    while (!VersionedStore.commit(spark, dir, id, df)) {
+    while (!VersionedStore.commit(spark, dir, id, df, Some(info.json(_)))) {
       attempts += 1
       require(attempts < 64, s"VersionedTable: lost $attempts commit races under $dir")
       id = latest(spark, dir).map(_ + 1).getOrElse(0L)
     }
     id
+  }
+
+  /** The table's commit history as a queryable frame:
+    * (version, operation, rows_in, rows_out, quarantined, at), one row
+    * per committed version that carries a metadata sidecar (versions
+    * written by raw [[graft.streaming.VersionedStore]] folds predate /
+    * bypass history and are skipped). Reading it is a metadata op —
+    * #versions tiny driver-side file reads, never a data scan. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("operation", StringType), StructField("rows_in", LongType),
+      StructField("rows_out", LongType), StructField("quarantined", LongType),
+      StructField("at", StringType)))
+    val rows = VersionedStore.versions(spark, dir).sorted.flatMap(v =>
+      VersionedStore.readMeta(spark, dir, v).map(v -> _))
+    import spark.implicits._
+    rows.toDF("version", "js")
+      .select(col("version"), from_json(col("js"), schema).as("m"))
+      .select(col("version"), col("m.operation").as("operation"),
+        col("m.rows_in").as("rows_in"), col("m.rows_out").as("rows_out"),
+        col("m.quarantined").as("quarantined"), col("m.at").as("at"))
   }
 
   /** Read a committed snapshot: the newest one, or `asOf` for time
@@ -91,7 +137,7 @@ object VersionedTable {
       case Some(c) => df.repartitionByRange(n, c).sortWithinPartitions(c)
       case None => df.repartition(n)
     }
-    val id = commit(spark, dir, packed)
+    val id = commit(spark, dir, packed, CommitInfo("compact"))
     val (after, _) = Compaction.layoutStats(spark, VersionedStore.path(dir, id).toString)
     (id, before, after)
   }
@@ -116,9 +162,11 @@ object VersionedTable {
       dir: String,
       changes: DataFrame,
       keyCol: String,
-      opCol: String = "op"): Long = {
+      opCol: String = "op",
+      at: String = ""): Long = {
     val base = read(spark, dir)
-    val keys = changes.select(keyCol).distinct()
+    val batch = changes.localCheckpoint(true) // reused: keys, upserts, history count
+    val keys = batch.select(keyCol).distinct()
     val kept = base.join(broadcast(keys), Seq(keyCol), "left_anti")
     // fail-loud op validation: this filter evaluates the checked
     // expression for EVERY change row, so a typo'd op raises instead
@@ -126,8 +174,9 @@ object VersionedTable {
     val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))))
-    val upserts = changes.filter(checkedOp === "upsert").drop(opCol)
-    commit(spark, dir, kept.unionByName(upserts))
+    val upserts = batch.filter(checkedOp === "upsert").drop(opCol)
+    commit(spark, dir, kept.unionByName(upserts),
+      CommitInfo("merge", rowsIn = Some(batch.count()), at = at))
   }
 
   /** Change data feed between two committed versions — the inverse of
@@ -339,6 +388,43 @@ object VersionedTable {
         .groupBy("op")
         .agg(count(lit(1)).as("n_rows"),
           sum("o_orderkey").cast("long").as("key_sum"))
+    },
+
+    // Commit history, hash-gated: script a deterministic three-commit
+    // sequence (snapshot commit, CDC merge, compaction) and read the
+    // history table back. Every figure — per-operation rows_in /
+    // rows_out — is recomputed closed-form by the oracle from the
+    // source table, so a history row that under- or over-counts what
+    // its commit actually wrote breaks the hash. Tags are pinned
+    // params, never wall-clock, so reruns are byte-stable.
+    QueryDef.sql("q83_commit_history",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) c FROM orders),
+        |c37 AS (SELECT CAST(count(*) AS BIGINT) c FROM orders
+        |        WHERE o_orderkey % 10 IN (3, 7)),
+        |c7 AS (SELECT CAST(count(*) AS BIGINT) c FROM orders
+        |       WHERE o_orderkey % 10 = 7)
+        |SELECT CAST(0 AS BIGINT) AS version, 'commit' AS operation,
+        |       n.c AS rows_in, n.c AS rows_out,
+        |       CAST(0 AS BIGINT) AS quarantined, 't0' AS "at" FROM n
+        |UNION ALL
+        |SELECT 1, 'merge', c37.c, n.c - c7.c, 0, 't1' FROM n, c37, c7
+        |UNION ALL
+        |SELECT 2, 'compact', n.c - c7.c, n.c - c7.c, 0, '' FROM n, c7""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q83_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, CommitInfo("commit", at = "t0"))
+      val touched = col("o_orderkey") % 10
+      val batch = orders.filter(touched.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 3, "upsert").otherwise("delete"))
+      merge(s, store, batch, "o_orderkey", at = "t1")
+      compact(s, store, targetBytes = 64L * 1024 * 1024)
+      history(s, store)
     },
 
     // Expectations-gated commit, hash-gated: split lineitem by two

@@ -52,6 +52,24 @@ private[graft] object VersionedStore {
   private val MarkerFlag = "_marker_commits"
   private val Marker = "_COMMITTED"
 
+  /** Per-version commit-metadata sidecar ([[graft.operators.VersionedTable.history]]).
+    * Written into the TEMP dir before the rename, so it commits
+    * atomically with the version's data — a version either has its
+    * history row or doesn't exist. `_`-prefixed: invisible to reads. */
+  private[graft] val MetaFile = "_graft_commit.json"
+
+  /** Driver-side read of a committed version's metadata sidecar. */
+  private[graft] def readMeta(spark: SparkSession, dir: String, id: Long): Option[String] = {
+    val hfs = fs(spark, dir)
+    val p = new Path(path(dir, id), MetaFile)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   /** Opt this store into marker commits (object-store mode). Call once
     * at store creation, BEFORE the first commit — flipping a store that
     * already has rename-committed (marker-less) versions would make
@@ -99,11 +117,30 @@ private[graft] object VersionedStore {
     * snapshot landed. Any other rename failure (filesystem error) throws
     * so the streaming query fails loudly instead of silently folding
     * from stale state. */
-  def commit(spark: SparkSession, dir: String, id: Long, df: DataFrame): Boolean = {
+  def commit(spark: SparkSession, dir: String, id: Long, df: DataFrame): Boolean =
+    commit(spark, dir, id, df, None)
+
+  /** As [[commit]], with an optional metadata sidecar: `metaOf` receives
+    * the written version's exact row count (a footer-driven count of the
+    * temp write — the plan is never executed twice) and returns the JSON
+    * to stage as [[MetaFile]] INSIDE the temp dir, so metadata and data
+    * land in the same atomic rename/marker commit. */
+  def commit(
+      spark: SparkSession,
+      dir: String,
+      id: Long,
+      df: DataFrame,
+      metaOf: Option[Long => String]): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val hfs = fs(spark, dir)
     val tmp = new Path(dir, s".tmp-$id")
     val dest = path(dir, id)
+    def stageMeta(): Unit = metaOf.foreach { f =>
+      val rowsOut = spark.read.parquet(tmp.toString).count()
+      val out = hfs.create(new Path(tmp, MetaFile), true)
+      try out.write(f(rowsOut).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (usesMarkers(hfs, dir)) {
       // marker protocol (object-store mode, single committer): an
       // UNMARKED dest dir is garbage from a crashed non-atomic rename —
@@ -111,6 +148,7 @@ private[graft] object VersionedStore {
       // atomic commit point). A crash anywhere before the marker leaves
       // the version invisible and this path re-runs on retry.
       df.write.mode("overwrite").parquet(tmp.toString)
+      stageMeta()
       if (hfs.exists(dest)) hfs.delete(dest, true)
       if (!hfs.rename(tmp, dest)) {
         hfs.delete(tmp, true)
@@ -122,6 +160,7 @@ private[graft] object VersionedStore {
       true
     } else {
       df.write.mode("overwrite").parquet(tmp.toString)
+      stageMeta()
       if (hfs.rename(tmp, dest)) true
       else {
         hfs.delete(tmp, true)

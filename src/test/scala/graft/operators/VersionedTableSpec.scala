@@ -125,6 +125,39 @@ class VersionedTableSpec extends SparkSpec {
       (7L, "delete", 70L)))
   }
 
+  test("commit history rides the atomic commit: exact rows per operation, no row for a crashed commit") {
+    val dir = freshStore()
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      VersionedTable.CommitInfo("commit", at = "run-1"))
+    import spark.implicits._
+    VersionedTable.merge(spark, dir, Seq(
+      (3L, 999L, "upsert"), (200L, 1L, "upsert"), (7L, 0L, "delete")
+    ).toDF("k", "v", "op"), "k", at = "run-2")
+
+    // a crashed commit must leave NO history row (sidecar is staged in
+    // the temp dir, so it commits atomically with the data)
+    intercept[Exception] {
+      VersionedTable.commit(spark, dir, spark.range(10)
+        .select(col("id"), assert_true(col("id") < 5).as("chk")))
+    }
+
+    val h = VersionedTable.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(h === Seq(
+      (0L, "commit", 100L, 100L, 0L, "run-1"),
+      (1L, "merge", 3L, 100L, 0L, "run-2")), // 100 - 1 delete + 1 insert
+      s"unexpected history: $h")
+
+    // versions written by raw VersionedStore folds (no sidecar) read
+    // fine and are simply absent from history
+    graft.streaming.VersionedStore.commit(spark, dir, 5L, spark.range(3)
+      .select(col("id").as("k"), col("id").as("v")))
+    assert(VersionedTable.read(spark, dir).count() === 3)
+    assert(VersionedTable.history(spark, dir).count() === 2)
+  }
+
   test("merge fails loudly on an unknown op instead of silently deleting the key") {
     val dir = freshStore()
     VersionedTable.commit(spark, dir,
