@@ -23,6 +23,7 @@ object SparkEntry {
       operators.SourceProbes.defs ++
       operators.Pca.defs ++
       operators.VersionedTable.defs ++
+      operators.PartitionedTable.defs ++
       operators.Unigram.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

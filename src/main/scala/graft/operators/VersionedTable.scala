@@ -197,15 +197,25 @@ object VersionedTable {
       from: Long,
       to: Long,
       keyCol: String,
-      preImages: Boolean = false): DataFrame = {
-    val a = read(spark, dir, asOf = Some(from))
-    val b = read(spark, dir, asOf = Some(to))
+      preImages: Boolean = false): DataFrame =
+    diffFrames(read(spark, dir, asOf = Some(from)),
+      read(spark, dir, asOf = Some(to)), Seq(keyCol), preImages)
+
+  /** The row-level diff two snapshots imply, keyed by `keyCols` —
+    * shared by [[changes]] and the partition-aware feed
+    * ([[PartitionedTable.changes]], which calls it per CHANGED
+    * partition only). One full outer join + a codegen'd struct
+    * comparison; unchanged rows never materialize. */
+  private[operators] def diffFrames(
+      a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], preImages: Boolean): DataFrame = {
     val cols = a.columns.toSeq
-    require(b.columns.toSeq == cols,
-      s"changes() needs matching schemas; v$from has $cols, v$to has ${b.columns.toSeq}")
-    val payload = cols.filterNot(_ == keyCol)
-    val av = a.select(col(keyCol), struct(payload.map(col): _*).as("__a"))
-    val bv = b.select(col(keyCol), struct(payload.map(col): _*).as("__b"))
+    require(b.columns.toSet == cols.toSet,
+      s"diff needs matching schemas; got $cols vs ${b.columns.toSeq}")
+    val bAligned = if (b.columns.toSeq == cols) b else b.select(cols.map(col): _*)
+    val payload = cols.filterNot(keyCols.contains)
+    val av = a.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__a"): _*)
+    val bv = bAligned.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__b"): _*)
     def ev(op: String, img: Column) =
       struct(lit(op).as("op"), img.as("img"))
     val updateEvents =
@@ -219,9 +229,9 @@ object VersionedTable {
         .when(col("__b").isNull, array(ev("delete", col("__a"))))
         .when(col("__a") =!= col("__b"), updateEvents)
         .otherwise(slice(array(ev("none", col("__a"))), 1, 0))
-    av.join(bv, Seq(keyCol), "full_outer")
-      .select(col(keyCol), explode(events).as("__e"))
-      .select(Seq(col(keyCol), col("__e.op").as("op")) ++
+    av.join(bv, keyCols, "full_outer")
+      .select(keyCols.map(col) :+ explode(events).as("__e"): _*)
+      .select(keyCols.map(col) ++ Seq(col("__e.op").as("op")) ++
         payload.map(c => col(s"__e.img.$c").as(c)): _*)
   }
 

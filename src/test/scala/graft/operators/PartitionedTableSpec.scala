@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.VersionedStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The partition-scoped table's contracts: a merge rewrites ONLY
+  * touched partitions (file-level byte identity on the rest), the
+  * manifest rename is the single commit point (no torn multi-partition
+  * merge, ever), and the change feed never scans unchanged partitions.
+  */
+class PartitionedTableSpec extends SparkSpec {
+
+  private def freshStore(): String =
+    Files.createTempDirectory("ptable").toString + "/table"
+
+  /** (path, length, mtime) of every data file under a partition dir —
+    * byte-identity proxy across table versions. */
+  private def files(dir: String, part: String): Seq[(String, Long, Long)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    def walk(p: Path): Seq[(String, Long, Long)] =
+      hfs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+    walk(new Path(dir, part)).sortBy(_._1)
+  }
+
+  private def table(n: Int) = spark.range(n).select(
+    col("id").as("k"),
+    concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+    (col("id") * 10).as("v"))
+
+  test("merge commits only touched partitions; untouched files are byte-identical across versions") {
+    import spark.implicits._
+    val dir = freshStore()
+    assert(PartitionedTable.commit(spark, dir, table(100), "part") === 0L)
+    assert(PartitionedTable.read(spark, dir).count() === 100)
+
+    val before = Seq("__part=p0", "__part=p2", "__part=p3").map(p => p -> files(dir, p)).toMap
+
+    // a batch confined to partition p1: update k=1, delete k=5, insert k=401
+    val batch = Seq(
+      (1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"),
+      (401L, "p1", 4010L, "upsert")).toDF("k", "part", "v", "op")
+    assert(PartitionedTable.merge(spark, dir, batch, "k", "part") === 1L)
+
+    // content: exactly the p1 edit, nothing else
+    val after = PartitionedTable.read(spark, dir)
+    assert(after.count() === 100, "100 - 1 delete + 1 insert")
+    assert(after.filter(col("k") === 1).head.getLong(2) === 111L)
+    assert(after.filter(col("k") === 5).count() === 0)
+    assert(after.filter(col("k") === 401).head.getLong(2) === 4010L)
+    // time travel: version 0 is intact
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L)).count() === 100)
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L))
+      .filter(col("k") === 1).head.getLong(2) === 10L)
+
+    // the heart of the contract: untouched partitions' FILES are the
+    // same physical files (path + length + mtime unchanged)
+    before.foreach { case (p, fs0) =>
+      assert(files(dir, p) === fs0, s"untouched partition $p was rewritten")
+    }
+    // and only p1's pointer moved in the manifest
+    val m0 = PartitionedTable.manifest(spark, dir, 0L)
+    val m1 = PartitionedTable.manifest(spark, dir, 1L)
+    assert(m0.keySet === m1.keySet)
+    assert(m1("__part=p1") !== m0("__part=p1"))
+    assert((m0 - "__part=p1") === (m1 - "__part=p1"))
+  }
+
+  test("the manifest rename is the commit point: orphan partition versions are invisible, retry recovers") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    val v0 = PartitionedTable.read(spark, dir).orderBy("k").collect().toSeq
+
+    // simulate a merge crashing AFTER landing p1's new store version
+    // but BEFORE the manifest rename: an orphan store version appears
+    val p1Store = s"$dir/__part=p1"
+    val orphanId = VersionedStore.versions(spark, p1Store).max + 1
+    VersionedStore.commit(spark, p1Store, orphanId,
+      Seq((1L, "p1", 999999L)).toDF("k", "part", "v"))
+
+    // readers still resolve the old manifest — the torn merge is invisible
+    assert(PartitionedTable.latest(spark, dir) === Some(0L))
+    assert(PartitionedTable.read(spark, dir).orderBy("k").collect().toSeq === v0,
+      "a landed-but-unmanifested partition version must never be read")
+
+    // the retried merge skips over the orphan id and commits consistently
+    val batch = Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op")
+    assert(PartitionedTable.merge(spark, dir, batch, "k", "part") === 1L)
+    val m1 = PartitionedTable.manifest(spark, dir, 1L)
+    assert(m1("__part=p1") > orphanId, "retry must mint a fresh id past the orphan")
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") === 1).head.getLong(2) === 111L)
+  }
+
+  test("partition-aware change feed: unchanged partitions are never scanned; events are exact") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    val batch = Seq(
+      (1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"),
+      (401L, "p1", 4010L, "upsert")).toDF("k", "part", "v", "op")
+    PartitionedTable.merge(spark, dir, batch, "k", "part")
+
+    assert(PartitionedTable.changedPartitions(spark, dir, 0L, 1L) === Seq("__part=p1"))
+    val feed = PartitionedTable.changes(spark, dir, 0L, 1L, "k", "part")
+    // the scan provably touches only the changed partition's dirs
+    val scanned = feed.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("__part=p1")),
+      s"feed scanned outside the changed partition: $scanned")
+
+    // feed columns: (part, k, op, v) — key columns lead
+    val events = feed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(events === Set(
+      ("p1", 1L, "update", 111L), ("p1", 5L, "delete", 50L),
+      ("p1", 401L, "insert", 4010L)))
+
+    // a partition emptied by deletes drops from the manifest and feeds
+    // pure deletes (an add/remove-only diff exercises the empty side)
+    val wipeP2 = table(100).filter(col("part") === "p2")
+      .withColumn("op", lit("delete"))
+    PartitionedTable.merge(spark, dir, wipeP2, "k", "part")
+    assert(!PartitionedTable.manifest(spark, dir, 2L).contains("__part=p2"))
+    val feed2 = PartitionedTable.changes(spark, dir, 1L, 2L, "k", "part")
+    assert(feed2.inputFiles.toSeq.forall(_.contains("__part=p2")))
+    assert(feed2.select("op").distinct().collect().map(_.getString(0)).toSeq === Seq("delete"))
+    assert(feed2.count() === 25)
+    // and the table still reads (p2 absent)
+    assert(PartitionedTable.read(spark, dir).count() === 75)
+  }
+
+  test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+
+    // same logical changes through the flat VersionedTable
+    val flat = Files.createTempDirectory("ptable-flat").toString + "/t"
+    VersionedTable.commit(spark, flat, table(40))
+    val batch = Seq(
+      (2L, "p2", 222L, "upsert"), (3L, "p3", 0L, "delete"),
+      (77L, "p1", 770L, "upsert")).toDF("k", "part", "v", "op")
+    PartitionedTable.merge(spark, dir, batch, "k", "part")
+    VersionedTable.merge(spark, flat, batch, "k")
+    val a = PartitionedTable.read(spark, dir).orderBy("k", "part").collect().toSeq
+    val b = VersionedTable.read(spark, flat)
+      .select("k", "part", "v").orderBy("k", "part").collect().toSeq
+    assert(a === b, "partitioned merge must equal the flat merge")
+
+    val bad = Seq((2L, "p2", 9L, "upsrt")).toDF("k", "part", "v", "op")
+    intercept[Exception] { PartitionedTable.merge(spark, dir, bad, "k", "part") }
+    assert(PartitionedTable.latest(spark, dir) === Some(1L),
+      "a failed merge must not commit a manifest")
+
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.commit(spark, freshStore(),
+        spark.range(5).select(col("id").as("k"), (col("id") % 2).as("part")), "part")
+    }
+    assert(e.getMessage.contains("string"))
+  }
+}
