@@ -66,20 +66,85 @@ object VersionedTable {
     * atomic metadata sidecar. Returns the committed id. A lost race
     * against a concurrent committer retries on the next id — both
     * snapshots land, in commit order (last committer is the newest), and
-    * neither can clobber the other. */
+    * neither can clobber the other.
+    *
+    * `statsCols` additionally stages a per-file min/max stats manifest
+    * (the data-skipping half of the Z-order story): one footer-cheap
+    * pass over the just-written files, stored as a `_stats` parquet
+    * sidecar INSIDE the version (atomic with it, invisible to data
+    * reads), consumed by [[readWhere]] to prune files before the scan. */
   def commit(
       spark: SparkSession,
       dir: String,
       df: DataFrame,
-      info: CommitInfo = CommitInfo("commit")): Long = {
+      info: CommitInfo = CommitInfo("commit"),
+      statsCols: Seq[String] = Nil): Long = {
+    val stage: Option[org.apache.hadoop.fs.Path => Unit] =
+      if (statsCols.isEmpty) None
+      else Some { tmp =>
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        spark.read.parquet(tmp.toString)
+          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.parquet(new org.apache.hadoop.fs.Path(tmp, StatsDir).toString)
+      }
     var id = latest(spark, dir).map(_ + 1).getOrElse(0L)
     var attempts = 0
-    while (!VersionedStore.commit(spark, dir, id, df, Some(info.json(_)))) {
+    while (!VersionedStore.commit(spark, dir, id, df, Some(info.json(_)), stage)) {
       attempts += 1
       require(attempts < 64, s"VersionedTable: lost $attempts commit races under $dir")
       id = latest(spark, dir).map(_ + 1).getOrElse(0L)
     }
     id
+  }
+
+  /** Per-file stats sidecar dir inside a version ("_"-prefixed: never
+    * listed as data by the parquet reader). */
+  private val StatsDir = "_stats"
+
+  /** The per-file min/max stats manifest a version committed with
+    * `statsCols`, if any: (file, min_<c>, max_<c>, ...). */
+  def fileStats(spark: SparkSession, dir: String, version: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(VersionedStore.path(dir, version), StatsDir)
+    if (VersionedStore.fs(spark, dir).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Selective read of `[lo, hi]` on `c` with manifest-driven file
+    * skipping: files whose committed min/max can't overlap the range
+    * are never opened (the reading half of what the Z-order/cluster
+    * machinery writes — commit with `statsCols` or
+    * [[compact]]`(cluster=…, statsCols=…)` first). The residual
+    * filter stays on the scan, so the result is EXACT regardless of
+    * how coarse the pruning is; a stats-less version falls back to a
+    * full scan + filter. Rows with a NULL `c` are outside any range,
+    * matching SQL BETWEEN. */
+  def readWhere(
+      spark: SparkSession,
+      dir: String,
+      c: String,
+      lo: Column,
+      hi: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = VersionedStore.versions(spark, dir)
+    require(vs.nonEmpty, s"VersionedTable: no committed versions under $dir")
+    val v = asOf.getOrElse(vs.max)
+    val pred = col(c) >= lo && col(c) <= hi
+    fileStats(spark, dir, v) match {
+      case Some(stats) if stats.columns.contains(s"min_$c") =>
+        val kept = stats
+          .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+          .select("file").collect().map(_.getString(0)) // file-count-sized
+        if (kept.isEmpty) read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
+        else {
+          val base = VersionedStore.path(dir, v)
+          spark.read.parquet(kept.toSeq.sorted.map(f =>
+            new org.apache.hadoop.fs.Path(base, f).toString): _*).filter(pred)
+        }
+      case _ => read(spark, dir, Some(v)).filter(pred)
+    }
   }
 
   /** The table's commit history as a queryable frame:
@@ -125,7 +190,8 @@ object VersionedTable {
       spark: SparkSession,
       dir: String,
       targetBytes: Long,
-      cluster: Option[Column] = None): (Long, Int, Int) = {
+      cluster: Option[Column] = None,
+      statsCols: Seq[String] = Nil): (Long, Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val cur = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable: nothing to compact under $dir"))
@@ -137,7 +203,7 @@ object VersionedTable {
       case Some(c) => df.repartitionByRange(n, c).sortWithinPartitions(c)
       case None => df.repartition(n)
     }
-    val id = commit(spark, dir, packed, CommitInfo("compact"))
+    val id = commit(spark, dir, packed, CommitInfo("compact"), statsCols)
     val (after, _) = Compaction.layoutStats(spark, VersionedStore.path(dir, id).toString)
     (id, before, after)
   }
@@ -398,6 +464,42 @@ object VersionedTable {
         .groupBy("op")
         .agg(count(lit(1)).as("n_rows"),
           sum("o_orderkey").cast("long").as("key_sum"))
+    },
+
+    // Stats-manifest file skipping, hash-gated: commit a scattered
+    // lineitem snapshot, compact it CLUSTERED on l_shipdate with a
+    // per-file min/max stats manifest, then answer a one-year (1996) range
+    // query through readWhere — the manifest prunes non-overlapping
+    // files before the scan and the residual filter keeps the result
+    // exact, so the hash must equal DuckDB filtering the source table
+    // directly. The pruning itself (files touched ≤ the clustered
+    // bound, < the scattered full count) is asserted in
+    // VersionedTableSpec; here the gate is exactness under skipping.
+    QueryDef.sql("q82_stats_skipping",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q82_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      commit(s, store, Tables.lineitem(s, dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate").repartition(8))
+      val (_, bytes) = Compaction.layoutStats(
+        s, VersionedStore.path(store, 0L).toString)
+      compact(s, store, targetBytes = math.max(1L, bytes / 12),
+        cluster = Some(col("l_shipdate")), statsCols = Seq("l_shipdate"))
+      readWhere(s, store, "l_shipdate",
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-31")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
     },
 
     // Commit history, hash-gated: script a deterministic three-commit

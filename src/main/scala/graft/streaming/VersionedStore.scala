@@ -130,16 +130,22 @@ private[graft] object VersionedStore {
       dir: String,
       id: Long,
       df: DataFrame,
-      metaOf: Option[Long => String]): Boolean = {
+      metaOf: Option[Long => String],
+      stage: Option[Path => Unit] = None): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val hfs = fs(spark, dir)
     val tmp = new Path(dir, s".tmp-$id")
     val dest = path(dir, id)
-    def stageMeta(): Unit = metaOf.foreach { f =>
-      val rowsOut = spark.read.parquet(tmp.toString).count()
-      val out = hfs.create(new Path(tmp, MetaFile), true)
-      try out.write(f(rowsOut).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    def stageMeta(): Unit = {
+      // caller-staged sidecars (e.g. the per-file stats manifest) land
+      // in the temp dir too, inside the same atomic commit
+      stage.foreach(f => f(tmp))
+      metaOf.foreach { f =>
+        val rowsOut = spark.read.parquet(tmp.toString).count()
+        val out = hfs.create(new Path(tmp, MetaFile), true)
+        try out.write(f(rowsOut).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
     if (usesMarkers(hfs, dir)) {
       // marker protocol (object-store mode, single committer): an

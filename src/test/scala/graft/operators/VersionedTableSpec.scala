@@ -125,6 +125,50 @@ class VersionedTableSpec extends SparkSpec {
       (7L, "delete", 70L)))
   }
 
+  test("stats-manifest file skipping: selective reads touch <= the clustered bound, results stay exact") {
+    val dir = freshStore()
+    // 40k rows over a 0..9999 key, committed SCATTERED across 16 files
+    val df = spark.range(40000).select(
+      ((col("id") * 2654435761L) % 10000).as("x"), (col("id") % 100).as("g"))
+    VersionedTable.commit(spark, dir, df.repartition(16), statsCols = Seq("x"))
+    // clustered rewrite with the stats manifest
+    val (_, bytes) = Compaction.layoutStats(spark,
+      graft.streaming.VersionedStore.path(dir, 0L).toString)
+    VersionedTable.compact(spark, dir, targetBytes = math.max(1L, bytes / 16),
+      cluster = Some(col("x")), statsCols = Seq("x"))
+
+    def probe(v: Long) = VersionedTable.readWhere(
+      spark, dir, "x", lit(1000L), lit(1999L), asOf = Some(v))
+    // the reader's own min-max test (ZOrder.candidateFiles semantics)
+    // bounds what a selective read may touch; the clustered layout
+    // must beat the scattered one, which overlaps everywhere
+    val statsV1 = VersionedTable.fileStats(spark, dir, 1L).get
+    val bound = statsV1.filter(col("max_x") >= 1000L && col("min_x") <= 1999L).count()
+    val total1 = statsV1.count()
+    assert(probe(1L).inputFiles.length.toLong === bound,
+      "readWhere must open exactly the manifest-overlapping files")
+    assert(bound < total1, s"clustered probe must skip files ($bound of $total1)")
+    assert(probe(0L).inputFiles.length === 16,
+      "the scattered layout overlaps every file — nothing skippable")
+
+    // exactness under skipping: both layouts agree with the brute filter
+    val expect = df.filter(col("x") >= 1000 && col("x") <= 1999)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .orderBy("g").collect().toSeq
+    Seq(0L, 1L).foreach { v =>
+      val got = probe(v).groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+        .orderBy("g").collect().toSeq
+      assert(got === expect, s"selective read on v$v diverged from brute filter")
+    }
+
+    // an empty range prunes everything and still returns a typed frame
+    assert(VersionedTable.readWhere(spark, dir, "x",
+      lit(20000L), lit(30000L)).count() === 0)
+    // a stats-less column falls back to full scan + filter, same rows
+    assert(VersionedTable.readWhere(spark, dir, "g", lit(5L), lit(5L))
+      .count() === df.filter(col("g") === 5).count())
+  }
+
   test("commit history rides the atomic commit: exact rows per operation, no row for a crashed commit") {
     val dir = freshStore()
     VersionedTable.commit(spark, dir,
