@@ -327,6 +327,44 @@ object VersionedTable {
       .filter(col("n") > 0)
   }
 
+  /** The flag-then-rewrite lifecycle (the ANN index's s19→s34 pattern)
+    * applied to the table store itself: when version count or the
+    * newest snapshot's small-file ratio crosses its bound, fold to one
+    * freshly bin-packed version and vacuum to the read horizon —
+    * otherwise do nothing (the flag probe is two FS metadata calls,
+    * safe to run after every commit). Returns the fold's
+    * (newVersionId, filesBefore, filesAfter) when it ran.
+    *
+    * The fold is a content-identical [[compact]] commit, so snapshot
+    * isolation holds throughout: readers of the pre-fold version keep
+    * their immutable directory until vacuum passes the horizon. */
+  def autoCompact(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      maxVersions: Int = 8,
+      smallFileRatio: Double = 2.0,
+      keep: Int = 2,
+      cluster: Option[Column] = None,
+      statsCols: Seq[String] = Nil): Option[(Long, Int, Int)] = {
+    require(maxVersions >= 1 && smallFileRatio >= 1.0 && keep >= 1,
+      s"bad autoCompact policy: maxVersions=$maxVersions ratio=$smallFileRatio keep=$keep")
+    val vs = VersionedStore.versions(spark, dir)
+    if (vs.isEmpty) None
+    else {
+      val newest = VersionedStore.path(dir, vs.max).toString
+      val (files, bytes) = Compaction.layoutStats(spark, newest)
+      val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val flagged = vs.size > maxVersions || (bytes > 0 && files > smallFileRatio * ideal)
+      if (!flagged) None
+      else {
+        val r = compact(spark, dir, targetBytes, cluster, statsCols)
+        vacuum(spark, dir, keep)
+        Some(r)
+      }
+    }
+  }
+
   /** Drop all but the newest `keep` versions (the read horizon: only run
     * past the oldest reader a deployment still serves). Returns the
     * pruned ids. */

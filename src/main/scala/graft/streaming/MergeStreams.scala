@@ -53,7 +53,8 @@ object MergeStreams {
       keyCol: String,
       opCol: String,
       orderCols: Seq[String],
-      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None,
+      compactTargetBytes: Option[Long] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -62,7 +63,7 @@ object MergeStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch.sparkSession, storeDir, batch, id,
-          keyCol, opCol, orderCols, feedSink)
+          keyCol, opCol, orderCols, feedSink, compactTargetBytes)
       }
       .start()
     q.awaitTermination()
@@ -99,7 +100,8 @@ object MergeStreams {
       keyCol: String,
       opCol: String,
       orderCols: Seq[String],
-      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None,
+      compactTargetBytes: Option[Long] = None): Unit = {
     // last-wins collapse WITHIN the batch: one window over the
     // changelog batch, ordered by the caller's total order
     val w = Window.partitionBy(keyCol)
@@ -132,6 +134,22 @@ object MergeStreams {
       // superseded: everything older than this batch's own pre-merge
       // state (which a retry of THIS id still needs)
       VersionedStore.prune(spark, storeDir, prior.sorted.dropRight(1))
+      // incremental auto-compaction (the s19→s34 flag-then-rewrite,
+      // streaming flavor): every merge commit inherits the shuffle's
+      // file count, so small files accrete version over version. When
+      // the just-committed snapshot exceeds 2x its bin-packed ideal,
+      // fold it IN PLACE (content-identical layout rewrite behind
+      // Compaction's crash-safe swap) — the version id stays the batch
+      // id, so exactly-once resolution and retries are untouched; the
+      // store's versions carry no sidecars, so the swap loses nothing.
+      // Only the committing call compacts (a retry skips with commit).
+      compactTargetBytes.foreach { target =>
+        val vdir = VersionedStore.path(storeDir, id).toString
+        val (files, bytes) = graft.operators.Compaction.layoutStats(spark, vdir)
+        val ideal = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+        if (bytes > 0 && files > 2.0 * ideal)
+          graft.operators.Compaction.compact(spark, vdir, target)
+      }
     }
     // CDC out, computed ONLY when a sink is registered (the feed is a
     // full-outer join of two table snapshots — never pay it for a

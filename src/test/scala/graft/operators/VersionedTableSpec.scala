@@ -125,6 +125,40 @@ class VersionedTableSpec extends SparkSpec {
       (7L, "delete", 70L)))
   }
 
+  test("autoCompact folds when flagged (versions or small files), no-ops otherwise, content-identical") {
+    val dir = freshStore()
+    // a healthy single version below both bounds: no-op
+    VersionedTable.commit(spark, dir, spark.range(1000).toDF("id").coalesce(1))
+    val (_, bytes) = Compaction.layoutStats(spark,
+      graft.streaming.VersionedStore.path(dir, 0L).toString)
+    assert(VersionedTable.autoCompact(spark, dir, targetBytes = bytes).isEmpty,
+      "below both bounds autoCompact must not rewrite anything")
+    assert(VersionedTable.latest(spark, dir) === Some(0L))
+
+    // small-file flag: a 16-file shred of the same bytes trips the ratio
+    VersionedTable.commit(spark, dir,
+      spark.range(1000).toDF("id").repartition(16))
+    val folded = VersionedTable.autoCompact(spark, dir, targetBytes = bytes)
+    assert(folded.nonEmpty, "16 files vs a 1-file ideal must flag")
+    val (fid, before, after) = folded.get
+    assert(before === 16 && after < before)
+    // fold committed + vacuumed to the horizon (keep=2)
+    assert(graft.streaming.VersionedStore.versions(spark, dir).sorted === Seq(1L, fid))
+    assert(VersionedTable.read(spark, dir).agg(sum("id")).head.getLong(0) === 499500L)
+    // history records the fold as a compact operation
+    val ops = VersionedTable.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(fid) === "compact")
+
+    // version-count flag: accrete healthy versions past maxVersions
+    (1 to 4).foreach(_ => VersionedTable.commit(spark, dir,
+      VersionedTable.read(spark, dir).coalesce(1)))
+    assert(VersionedTable.autoCompact(spark, dir, targetBytes = bytes,
+      maxVersions = 3).nonEmpty, "version count past the bound must flag")
+    assert(graft.streaming.VersionedStore.versions(spark, dir).size === 2,
+      "the fold vacuums to the read horizon")
+  }
+
   test("stats-manifest file skipping: selective reads touch <= the clustered bound, results stay exact") {
     val dir = freshStore()
     // 40k rows over a 0..9999 key, committed SCATTERED across 16 files

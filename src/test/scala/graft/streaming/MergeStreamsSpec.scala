@@ -109,6 +109,42 @@ class MergeStreamsSpec extends SparkSpec {
     assert(feeds(1L) === firstFeed1, "retry must re-emit the identical feed")
   }
 
+  test("incremental auto-compaction folds small-file snapshots without changing state or retry semantics") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("merge-compact").toString + "/store"
+    def layout(id: Long) = graft.operators.Compaction.layoutStats(
+      spark, VersionedStore.path(store, id).toString)
+
+    // each batch lands 64 keys; the shuffle shreds every snapshot
+    def batchDf(b: Long) = spark.range(64)
+      .select((col("id") + b * 64).as("k"), (col("id") + b).as("v"),
+        lit(b).as("seq"), lit("upsert").as("op")).repartition(8)
+    val target = 32L * 1024 * 1024 // any snapshot here is far below one file's worth
+
+    MergeStreams.mergeBatch(spark, store, batchDf(0), 0L, "k", "op", Seq("seq"),
+      compactTargetBytes = Some(target))
+    MergeStreams.mergeBatch(spark, store, batchDf(1), 1L, "k", "op", Seq("seq"),
+      compactTargetBytes = Some(target))
+    val (files1, _) = layout(1L)
+    assert(files1 <= 2, s"auto-compaction must fold the 8-file shred, got $files1")
+    assert(state(store).size === 128)
+    assert(state(store)(70L) === 7L)
+
+    // redelivery after an in-place fold: same id, same content, no new version
+    val before = state(store)
+    MergeStreams.mergeBatch(spark, store, batchDf(1), 1L, "k", "op", Seq("seq"),
+      compactTargetBytes = Some(target))
+    assert(state(store) === before)
+    assert(VersionedStore.versions(spark, store).sorted === Seq(0L, 1L))
+
+    // and equal to the uncompacted run of the same changelog
+    val plain = Files.createTempDirectory("merge-plain").toString + "/store"
+    MergeStreams.mergeBatch(spark, plain, batchDf(0), 0L, "k", "op", Seq("seq"))
+    MergeStreams.mergeBatch(spark, plain, batchDf(1), 1L, "k", "op", Seq("seq"))
+    assert(state(store) === state(plain),
+      "auto-compaction is layout-only; folded and plain stores must agree")
+  }
+
   test("a redelivered changelog batch applies exactly once") {
     import spark.implicits._
     val store = Files.createTempDirectory("merge-retry").toString + "/store"
