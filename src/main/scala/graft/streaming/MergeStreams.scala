@@ -54,7 +54,9 @@ object MergeStreams {
       opCol: String,
       orderCols: Seq[String],
       feedSink: Option[(DataFrame, Long) => Unit] = None,
-      compactTargetBytes: Option[Long] = None): Unit = {
+      compactTargetBytes: Option[Long] = None,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      quarantineDir: Option[String] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -63,7 +65,8 @@ object MergeStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch.sparkSession, storeDir, batch, id,
-          keyCol, opCol, orderCols, feedSink, compactTargetBytes)
+          keyCol, opCol, orderCols, feedSink, compactTargetBytes,
+          expectations, quarantineDir)
       }
       .start()
     q.awaitTermination()
@@ -101,12 +104,32 @@ object MergeStreams {
       opCol: String,
       orderCols: Seq[String],
       feedSink: Option[(DataFrame, Long) => Unit] = None,
-      compactTargetBytes: Option[Long] = None): Unit = {
+      compactTargetBytes: Option[Long] = None,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      quarantineDir: Option[String] = None): Unit = {
+    // Expectations gate BEFORE the collapse (the q80 fail-closed split
+    // streamed): an upsert row violating a rule is quarantined and
+    // never participates — an earlier clean change for the same key
+    // wins the collapse instead, exactly as if the dirty row had never
+    // arrived. Deletes carry no data and pass ungated. Quarantined rows
+    // commit (with their per-rule `violated` tags) as version `id` of
+    // the sibling quarantine store — the same exactly-once contract as
+    // the table itself, so a redelivered batch never double-quarantines.
+    val gated =
+      if (expectations.isEmpty) batch
+      else {
+        val qDir = quarantineDir.getOrElse(throw new IllegalArgumentException(
+          "mergeBatch: expectations require a quarantineDir"))
+        val (clean, dirty) = graft.operators.Expectations.split(
+          batch.filter(col(opCol) === "upsert"), expectations)
+        VersionedStore.commit(spark, qDir, id, dirty.localCheckpoint(true)): Unit
+        clean.unionByName(batch.filter(col(opCol) =!= "upsert"))
+      }
     // last-wins collapse WITHIN the batch: one window over the
     // changelog batch, ordered by the caller's total order
     val w = Window.partitionBy(keyCol)
       .orderBy(orderCols.map(col(_).desc): _*)
-    val collapsed = batch
+    val collapsed = gated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true) // reused: keys, upserts; batch-sized

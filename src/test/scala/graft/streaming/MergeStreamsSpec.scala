@@ -145,6 +145,80 @@ class MergeStreamsSpec extends SparkSpec {
       "auto-compaction is layout-only; folded and plain stores must agree")
   }
 
+  test("streaming expectations gate: dirty upserts quarantine per-rule before the merge, == batch gate, retry-safe") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("merge-gate").toString
+    val (store, qdir) = (s"$base/store", s"$base/quarantine")
+    val rules = Seq(
+      "v_positive" -> (col("v") > 0L),
+      "v_small" -> (col("v") < 1000L))
+
+    // batch 0: k=2's LAST change is dirty (v=-5) — quarantined, so the
+    // earlier clean change (v=20) wins the collapse; k=3 fails
+    // v_positive; k=5 fails v_small; k=6's NULL fails BOTH (fail-closed)
+    val b0 = Seq(
+      (1L, Some(10L), 1L, "upsert"), (2L, Some(20L), 2L, "upsert"),
+      (2L, Some(-5L), 3L, "upsert"), (3L, Some(-2000L), 4L, "upsert"),
+      (5L, Some(5000L), 5L, "upsert"), (6L, None, 6L, "upsert")
+    ).toDF("k", "v", "seq", "op")
+    MergeStreams.mergeBatch(spark, store, b0, 0L, "k", "op", Seq("seq"),
+      expectations = rules, quarantineDir = Some(qdir))
+    assert(state(store) === Map(1L -> 10L, 2L -> 20L),
+      "dirty rows must not apply; the earlier clean change wins the collapse")
+
+    // batch 1: delete passes ungated even though v violates the rules
+    val b1 = Seq((1L, Some(-999L), 7L, "delete"), (4L, Some(40L), 8L, "upsert"))
+      .toDF("k", "v", "seq", "op")
+    MergeStreams.mergeBatch(spark, store, b1, 1L, "k", "op", Seq("seq"),
+      expectations = rules, quarantineDir = Some(qdir))
+    assert(state(store) === Map(2L -> 20L, 4L -> 40L),
+      "deletes carry no data and must pass the gate")
+
+    // quarantine rides the same versioned store, tagged per rule
+    def quarantined(id: Long) = spark.read
+      .parquet(VersionedStore.path(qdir, id).toString)
+      .select(col("k"), col("violated")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(quarantined(0L) === Map(
+      2L -> Set("v_positive"), 3L -> Set("v_positive"),
+      5L -> Set("v_small"), 6L -> Set("v_positive", "v_small")))
+    assert(quarantined(1L) === Map.empty)
+
+    // redelivery: no state change, no new quarantine version, same tags
+    MergeStreams.mergeBatch(spark, store, b0, 0L, "k", "op", Seq("seq"),
+      expectations = rules, quarantineDir = Some(qdir))
+    assert(state(store) === Map(2L -> 20L, 4L -> 40L))
+    assert(VersionedStore.versions(spark, qdir).sorted === Seq(0L, 1L))
+    assert(quarantined(0L) === Map(
+      2L -> Set("v_positive"), 3L -> Set("v_positive"),
+      5L -> Set("v_small"), 6L -> Set("v_positive", "v_small")))
+
+    // streamed == batch: the same changelog through split + flat merge
+    val flat = s"$base/flat"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("seq").desc)
+    def gateCollapse(df: org.apache.spark.sql.DataFrame) = {
+      val (clean, _) = graft.operators.Expectations.split(
+        df.filter(col("op") === "upsert"), rules)
+      clean.unionByName(df.filter(col("op") =!= "upsert"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "seq")
+    }
+    graft.operators.VersionedTable.commit(spark, flat,
+      gateCollapse(b0).filter(col("op") === "upsert").drop("op"))
+    graft.operators.VersionedTable.merge(spark, flat, gateCollapse(b1), "k")
+    val flatState = graft.operators.VersionedTable.read(spark, flat)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state(store) === flatState,
+      "the streamed gate+merge must equal the batch gate+merge")
+
+    // expectations without a quarantine store are refused
+    intercept[IllegalArgumentException] {
+      MergeStreams.mergeBatch(spark, store, b1, 2L, "k", "op", Seq("seq"),
+        expectations = rules)
+    }
+  }
+
   test("a redelivered changelog batch applies exactly once") {
     import spark.implicits._
     val store = Files.createTempDirectory("merge-retry").toString + "/store"
