@@ -112,10 +112,22 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                               // MaxSim agg; query side is broadcast
     "t37_quality_train" -> 1, // gradient rounds are checkpointed; the
                               // output is the bucket-weight agg
-    "q80_expectations" -> 4) // rule-count agg over the checkpointed
+    "q80_expectations" -> 4, // rule-count agg over the checkpointed
                              // quarantine (+tiny rule-list join) and
                              // two scalar count aggs; the gate itself
                              // is a shuffle-free projection
+    "q81_partitioned_merge" -> 1, // two manifest-resolved version scans
+                                  // union into one grouped agg; the
+                                  // merge's broadcast anti join and the
+                                  // touched-partition rewrite live in
+                                  // the commit jobs, untouched
+                                  // partitions never scanned
+    "q82_stats_skipping" -> 1, // pruned-file scan + residual filter
+                               // into one grouped agg; the stats probe
+                               // is a file-count-sized driver read
+    "q83_commit_history" -> 0) // a #versions-sized local relation of
+                               // parsed sidecars — no exchange, no
+                               // data scan at all
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.
