@@ -95,25 +95,38 @@ object PartitionedTable {
     }.toMap
   }
 
-  /** Atomically commit `mapping` as the next manifest version. The
-    * file rename is the table's commit point. */
-  private def commitManifest(
-      spark: SparkSession, dir: String, mapping: Map[String, Long]): Long = {
+  /** Atomically commit `mapping` as manifest version `v`. Returns
+    * false iff `v` already exists (the streaming-retry no-op); any
+    * other rename failure throws. The file rename is the table's
+    * commit point. */
+  private def commitManifestAt(
+      spark: SparkSession, dir: String, v: Long, mapping: Map[String, Long]): Boolean = {
+    if (versions(spark, dir).contains(v)) return false
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
-    val v = latest(spark, dir).map(_ + 1).getOrElse(0L)
     val tmp = new Path(new Path(dir, ManifestDir), s".tmp-$v")
     val out = hfs.create(tmp, true)
     try out.write(mapping.toSeq.sortBy(_._1)
       .map { case (name, sv) => s"$sv\t$name" }.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!hfs.rename(tmp, manifestPath(dir, v))) {
+    if (hfs.rename(tmp, manifestPath(dir, v))) true
+    else {
       hfs.delete(tmp, true)
-      throw new java.io.IOException(
+      if (versions(spark, dir).contains(v)) false
+      else throw new java.io.IOException(
         s"PartitionedTable: manifest rename to v=$v failed under $dir " +
           "(concurrent committer?); table is single-committer")
     }
+  }
+
+  /** Atomically commit `mapping` as the next manifest version. */
+  private def commitManifest(
+      spark: SparkSession, dir: String, mapping: Map[String, Long]): Long = {
+    val v = latest(spark, dir).map(_ + 1).getOrElse(0L)
+    require(commitManifestAt(spark, dir, v, mapping),
+      s"PartitionedTable: lost the manifest slot v=$v under $dir; " +
+        "table is single-committer")
     v
   }
 
@@ -192,7 +205,45 @@ object PartitionedTable {
     val cur = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to merge into under $dir"))
-    val m = manifest(spark, dir, cur)
+    commitManifest(spark, dir, applyMerge(spark, dir,
+      manifest(spark, dir, cur), changes, keyCol, partCol, opCol))
+  }
+
+  /** Exactly-once MERGE for streaming folds (manifest version = batch
+    * id, the [[graft.streaming.MergeStreams]] contract ported to the
+    * partition-scoped table): a retried batch merges against the
+    * newest manifest OLDER than its id and no-ops if its own manifest
+    * already landed — so a redelivered changelog batch can never
+    * double-apply, and a crash before the manifest rename leaves only
+    * orphan store versions a later [[vacuum]] collects. Returns true
+    * iff this call committed. An empty table (no manifest yet) treats
+    * every upsert as an insert and deletes as no-ops. */
+  def mergeAt(
+      spark: SparkSession,
+      dir: String,
+      changes: DataFrame,
+      keyCol: String,
+      partCol: String,
+      opCol: String,
+      id: Long): Boolean = {
+    if (versions(spark, dir).contains(id)) return false
+    val base = versions(spark, dir).filter(_ < id).maxOption
+      .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
+    commitManifestAt(spark, dir, id,
+      applyMerge(spark, dir, base, changes, keyCol, partCol, opCol))
+  }
+
+  /** The merge computation against an explicit base mapping; lands
+    * touched partitions' new store versions and returns the new
+    * table mapping (commit point NOT included — callers commit). */
+  private def applyMerge(
+      spark: SparkSession,
+      dir: String,
+      m: Map[String, Long],
+      changes: DataFrame,
+      keyCol: String,
+      partCol: String,
+      opCol: String): Map[String, Long] = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     val touchedVals = batch.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -220,7 +271,7 @@ object PartitionedTable {
       merged.select(tableCols.map(col): _*), partCol)
     // touched partitions that landed update their pointer; touched
     // partitions with no surviving rows drop out; the rest carry over
-    commitManifest(spark, dir, (m -- touchedNames) ++ committed)
+    (m -- touchedNames) ++ committed
   }
 
   /** Table versions `from` and `to` differ exactly on partitions whose
@@ -265,6 +316,40 @@ object PartitionedTable {
     }
     VersionedTable.diffFrames(
       side(a, b), side(b, a), Seq(partCol, keyCol), preImages)
+  }
+
+  /** Drop all but the newest `keep` manifests, then garbage-collect
+    * every per-partition store version no kept manifest references —
+    * including orphans from crashed merges (landed but never
+    * manifested) and partitions that dropped out entirely. Returns
+    * (prunedManifests, prunedStoreVersions). Single-committer
+    * maintenance: run it from the committer (an in-flight merge's
+    * freshly-landed, not-yet-manifested versions look exactly like
+    * orphans to anyone else). */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): (Seq[Long], Int) = {
+    require(keep >= 1, s"vacuum must keep >= 1 manifest, got $keep")
+    val hfs = VersionedStore.fs(spark, dir)
+    val vs = versions(spark, dir).sorted
+    val dropped = vs.dropRight(keep)
+    val kept = vs.takeRight(keep)
+    val referenced: Set[(String, Long)] = kept.flatMap(v =>
+      manifest(spark, dir, v).toSeq.map { case (name, sv) => (name, sv) }).toSet
+    dropped.foreach(v => hfs.delete(manifestPath(dir, v), false))
+    val partDirs = hfs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
+    var prunedStores = 0
+    partDirs.foreach { p =>
+      val name = p.getPath.getName
+      val storeDir = p.getPath.toString
+      VersionedStore.versions(spark, storeDir).foreach { sv =>
+        if (!referenced.contains((name, sv))) {
+          VersionedStore.prune(spark, storeDir, Seq(sv))
+          prunedStores += 1
+        }
+      }
+      if (hfs.listStatus(p.getPath).isEmpty) hfs.delete(p.getPath, true): Unit
+    }
+    (dropped, prunedStores)
   }
 
   /** Per-JVM scratch root (the [[VersionedTable]] pattern: one temp dir

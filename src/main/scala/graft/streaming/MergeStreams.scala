@@ -78,6 +78,61 @@ object MergeStreams {
     VersionedStore.versions(spark, storeDir).maxOption.map(v =>
       spark.read.parquet(VersionedStore.path(storeDir, v).toString))
 
+  /** Streaming MERGE into a PARTITION-SCOPED table — the true 100 TB
+    * CDC shape: each micro-batch collapses last-wins per
+    * (partition, key), then [[graft.operators.PartitionedTable.mergeAt]]
+    * rewrites ONLY the touched partitions and commits the manifest at
+    * the batch id (exactly-once under redelivery: a retried batch
+    * merges against the newest manifest older than its id and no-ops
+    * if its own landed). After each committed batch the table vacuums
+    * to a 2-manifest horizon — pruning superseded manifests AND
+    * garbage-collecting orphan store versions from any crashed earlier
+    * attempt. Blocks until the AvailableNow drain finishes. */
+  def mergePartitionedMaintain(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      tableDir: String,
+      checkpointDir: String,
+      keyCol: String,
+      partCol: String,
+      opCol: String,
+      orderCols: Seq[String]): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergePartitionedBatch(batch.sparkSession, tableDir, batch, id,
+          keyCol, partCol, opCol, orderCols)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One (possibly retried) micro-batch of the partitioned merge fold.
+    * Package-visible so the spec can drive duplicate deliveries. */
+  private[streaming] def mergePartitionedBatch(
+      spark: SparkSession,
+      tableDir: String,
+      batch: DataFrame,
+      id: Long,
+      keyCol: String,
+      partCol: String,
+      opCol: String,
+      orderCols: Seq[String]): Unit = {
+    val w = Window.partitionBy(partCol, keyCol)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val collapsed = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").drop(orderCols: _*)
+    if (graft.operators.PartitionedTable.mergeAt(
+        spark, tableDir, collapsed, keyCol, partCol, opCol, id))
+      graft.operators.PartitionedTable.vacuum(spark, tableDir, keep = 2): Unit
+  }
+
   /** One (possibly retried) micro-batch of the merge fold.
     * Package-visible so the spec can drive a duplicate delivery.
     *

@@ -136,6 +136,39 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.read(spark, dir).count() === 75)
   }
 
+  test("vacuum prunes old manifests and garbage-collects unreferenced store versions incl. orphans") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    // plus an orphan from a simulated crashed merge
+    val p3Store = s"$dir/__part=p3"
+    VersionedStore.commit(spark, p3Store,
+      VersionedStore.versions(spark, p3Store).max + 1,
+      Seq((3L, "p3", 999L)).toDF("k", "part", "v"))
+
+    val expect = PartitionedTable.read(spark, dir).orderBy("k").collect().toSeq
+    val (droppedManifests, prunedStores) = PartitionedTable.vacuum(spark, dir, keep = 1)
+    assert(droppedManifests === Seq(0L, 1L))
+    // GC'd: p1's old version (repointed at v1), p2's old version
+    // (repointed at v2), and the p3 orphan = 3
+    assert(prunedStores === 3, s"expected 3 GC'd store versions, got $prunedStores")
+    assert(PartitionedTable.read(spark, dir).orderBy("k").collect().toSeq === expect,
+      "vacuum must not change the newest version's content")
+    // every surviving store version is referenced by the kept manifest
+    val m = PartitionedTable.manifest(spark, dir, 2L)
+    m.foreach { case (name, sv) =>
+      assert(VersionedStore.versions(spark, s"$dir/$name") === Seq(sv))
+    }
+    // time travel past the horizon now fails loudly
+    intercept[IllegalArgumentException] {
+      PartitionedTable.read(spark, dir, asOf = Some(0L))
+    }
+  }
+
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
     import spark.implicits._
     val dir = freshStore()

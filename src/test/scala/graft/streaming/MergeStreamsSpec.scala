@@ -219,6 +219,73 @@ class MergeStreamsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned streaming merge: touched-partition rewrites, exactly-once redelivery, == batch merge") {
+    import graft.operators.PartitionedTable
+    import spark.implicits._
+    val base = Files.createTempDirectory("pmerge-stream").toString
+    val (src, table, ckpt) = (s"$base/src", s"$base/table", s"$base/ckpt")
+
+    // batch 1 seeds three partitions; k=2 appears twice — seq 11 wins
+    val b1 = Seq(
+      (1L, "p0", 10L, 1L, "upsert"), (2L, "p1", 20L, 2L, "upsert"),
+      (2L, "p1", 21L, 11L, "upsert"), (3L, "p2", 30L, 3L, "upsert"),
+      (4L, "p0", 40L, 4L, "upsert")).toDF("k", "part", "v", "seq", "op")
+    // batch 2 touches ONLY p1: update 2, insert 5
+    val b2 = Seq(
+      (2L, "p1", 22L, 5L, "upsert"), (5L, "p1", 50L, 6L, "upsert")
+    ).toDF("k", "part", "v", "seq", "op")
+
+    b1.write.mode("append").parquet(src)
+    MergeStreams.mergePartitionedMaintain(spark, src, b1.schema, table, ckpt,
+      "k", "part", "op", Seq("seq"))
+    def tableState = PartitionedTable.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(tableState === Map(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 40L))
+
+    // p0/p2 files before the p1-only batch
+    def files(part: String) = {
+      val hfs = VersionedStore.fs(spark, table)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        hfs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+        }
+      walk(new org.apache.hadoop.fs.Path(table, part)).sortBy(_._1)
+    }
+    val before = Seq("__part=p0", "__part=p2").map(p => p -> files(p)).toMap
+
+    b2.write.mode("append").parquet(src)
+    MergeStreams.mergePartitionedMaintain(spark, src, b2.schema, table, ckpt,
+      "k", "part", "op", Seq("seq"))
+    assert(tableState === Map(1L -> 10L, 2L -> 22L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+    before.foreach { case (p, fs0) =>
+      assert(files(p) === fs0, s"untouched partition $p was rewritten by the stream")
+    }
+
+    // redelivery of batch 1 (driven directly): exactly-once no-op
+    val manifests = PartitionedTable.versions(spark, table).sorted
+    MergeStreams.mergePartitionedBatch(spark, table, b1, manifests.head,
+      "k", "part", "op", Seq("seq"))
+    assert(tableState === Map(1L -> 10L, 2L -> 22L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+    assert(PartitionedTable.versions(spark, table).sorted === manifests,
+      "a redelivered batch must not mint a manifest")
+
+    // equality with the batch path over the same changelog
+    val flat = s"$base/batch-table"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part", "k").orderBy(col("seq").desc)
+    def collapsed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    PartitionedTable.commit(spark, flat,
+      collapsed(b1).filter(col("op") === "upsert").drop("op"), "part")
+    PartitionedTable.merge(spark, flat, collapsed(b2), "k", "part")
+    val batchState = PartitionedTable.read(spark, flat)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(tableState === batchState,
+      "streamed partitioned merge must equal the batch merge")
+  }
+
   test("a redelivered changelog batch applies exactly once") {
     import spark.implicits._
     val store = Files.createTempDirectory("merge-retry").toString + "/store"
