@@ -189,6 +189,29 @@ object PartitionedTable {
       VersionedStore.path(new Path(dir, name).toString, sv).toString
     }
 
+  /** Manifest-driven partition pruning: read ONLY the named partition
+    * values' pinned version dirs — the first-level data skip a
+    * partitioned table exists for (O(#requested) metadata resolution,
+    * other partitions never listed or opened). Unknown values are
+    * simply absent (they hold no rows by definition). */
+  def readPartitions(
+      spark: SparkSession,
+      dir: String,
+      values: Seq[String],
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"PartitionedTable: manifest v=$v not committed under $dir")
+    val m = manifest(spark, dir, v)
+    val wanted = values.map(escape).toSet
+    val live = m.filter(kv => wanted.contains(kv._1))
+    require(live.nonEmpty,
+      s"PartitionedTable: none of $values exist in table version $v")
+    spark.read.parquet(partPaths(dir, live): _*)
+  }
+
   /** MERGE a CDC batch, rewriting ONLY touched partitions. `changes`
     * carries the table's columns plus `opCol` ∈ {"upsert", "delete"}
     * (anything else raises), one row per (partition, key) —

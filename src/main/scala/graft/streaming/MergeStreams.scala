@@ -97,7 +97,9 @@ object MergeStreams {
       keyCol: String,
       partCol: String,
       opCol: String,
-      orderCols: Seq[String]): Unit = {
+      orderCols: Seq[String],
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      quarantineDir: Option[String] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -106,14 +108,16 @@ object MergeStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergePartitionedBatch(batch.sparkSession, tableDir, batch, id,
-          keyCol, partCol, opCol, orderCols)
+          keyCol, partCol, opCol, orderCols, expectations, quarantineDir)
       }
       .start()
     q.awaitTermination()
   }
 
   /** One (possibly retried) micro-batch of the partitioned merge fold.
-    * Package-visible so the spec can drive duplicate deliveries. */
+    * Package-visible so the spec can drive duplicate deliveries.
+    * Expectations gate exactly as in [[mergeBatch]]: dirty upserts
+    * quarantine per-rule before the collapse, deletes pass ungated. */
   private[streaming] def mergePartitionedBatch(
       spark: SparkSession,
       tableDir: String,
@@ -122,10 +126,22 @@ object MergeStreams {
       keyCol: String,
       partCol: String,
       opCol: String,
-      orderCols: Seq[String]): Unit = {
+      orderCols: Seq[String],
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      quarantineDir: Option[String] = None): Unit = {
+    val gated =
+      if (expectations.isEmpty) batch
+      else {
+        val qDir = quarantineDir.getOrElse(throw new IllegalArgumentException(
+          "mergePartitionedBatch: expectations require a quarantineDir"))
+        val (clean, dirty) = graft.operators.Expectations.split(
+          batch.filter(col(opCol) === "upsert"), expectations)
+        VersionedStore.commit(spark, qDir, id, dirty.localCheckpoint(true)): Unit
+        clean.unionByName(batch.filter(col(opCol) =!= "upsert"))
+      }
     val w = Window.partitionBy(partCol, keyCol)
       .orderBy(orderCols.map(col(_).desc): _*)
-    val collapsed = batch
+    val collapsed = gated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").drop(orderCols: _*)
     if (graft.operators.PartitionedTable.mergeAt(

@@ -284,6 +284,26 @@ class MergeStreamsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
     assert(tableState === batchState,
       "streamed partitioned merge must equal the batch merge")
+
+    // manifest-driven partition pruning reads only the asked partition
+    val p1Only = PartitionedTable.readPartitions(spark, table, Seq("p1"))
+    assert(p1Only.inputFiles.forall(_.contains("__part=p1")))
+    assert(p1Only.collect().map(_.getAs[Long]("k")).toSet === Set(2L, 5L))
+
+    // the gated partitioned stream quarantines dirty upserts per-rule
+    val (gTable, gQuar) = (s"$base/gated", s"$base/gquar")
+    val rules = Seq("v_positive" -> (col("v") > 0L))
+    val gb = Seq(
+      (1L, "p0", 10L, 1L, "upsert"), (2L, "p1", -5L, 2L, "upsert")
+    ).toDF("k", "part", "v", "seq", "op")
+    MergeStreams.mergePartitionedBatch(spark, gTable, gb, 0L,
+      "k", "part", "op", Seq("seq"), rules, Some(gQuar))
+    assert(PartitionedTable.read(spark, gTable)
+      .collect().map(_.getAs[Long]("k")).toSet === Set(1L))
+    val quar = spark.read.parquet(VersionedStore.path(gQuar, 0L).toString)
+      .select("k", "violated").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(quar === Map(2L -> Set("v_positive")))
   }
 
   test("a redelivered changelog batch applies exactly once") {
