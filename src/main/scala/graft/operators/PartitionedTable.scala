@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.streaming.VersionedStore
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -130,17 +130,48 @@ object PartitionedTable {
     v
   }
 
+  /** Per-version stats sidecar dir (underscore-prefixed: invisible to
+    * data reads of the version dir). */
+  private val StatsDir = "_stats"
+
   /** Land `df` (already carrying `partCol`) as new store versions of
-    * exactly the partitions present in it: ONE partitionBy write job,
-    * then O(#touched) metadata renames. Returns dirName -> committed
-    * store version. Crash anywhere here = orphan store versions only;
-    * no manifest references them. */
+    * exactly the partitions present in it: ONE partitionBy write job
+    * (plus one stats job when `statsCols` is set), then O(#touched)
+    * metadata renames. Stats sidecars are staged INSIDE each temp
+    * partition dir before the landing rename, so they are atomic with
+    * their version. Returns dirName -> committed store version. Crash
+    * anywhere here = orphan store versions only; no manifest
+    * references them. */
   private def landPartitions(
-      spark: SparkSession, dir: String, df: DataFrame, partCol: String): Map[String, Long] = {
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String] = Nil): Map[String, Long] = {
     val hfs = VersionedStore.fs(spark, dir)
     val tmp = new Path(dir, s".tmp-land-${java.util.UUID.randomUUID}")
     df.withColumn(PartDir, col(partCol))
       .write.partitionBy(PartDir).parquet(tmp.toString)
+    if (statsCols.nonEmpty) {
+      // one job over the landed files: per-(partition, file) min/max,
+      // written partitionBy so each partition's slice renames into its
+      // own temp dir as the _stats sidecar
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val statsTmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
+      spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
+        .groupBy(col(PartDir),
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("part", col(PartDir))
+        .write.partitionBy(PartDir).parquet(statsTmp.toString)
+      hfs.listStatus(statsTmp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
+        .foreach { s =>
+          val dest = new Path(new Path(tmp, s.getPath.getName), StatsDir)
+          if (!hfs.rename(s.getPath, dest))
+            throw new java.io.IOException(
+              s"PartitionedTable: stats rename ${s.getPath} -> $dest failed")
+        }
+      hfs.delete(statsTmp, true)
+    }
     val landed = hfs.listStatus(tmp).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
     val committed = landed.map { s =>
@@ -162,12 +193,14 @@ object PartitionedTable {
   /** Commit `df` as a full table snapshot partitioned by `partCol`
     * (the initial load / full-refresh path; incremental mutation goes
     * through [[merge]]). Returns the manifest version. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame, partCol: String): Long = {
+  def commit(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String] = Nil): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
     val committed = landPartitions(spark, dir,
-      df.filter(col(partCol).isNotNull), partCol)
+      df.filter(col(partCol).isNotNull), partCol, statsCols)
     commitManifest(spark, dir, committed)
   }
 
@@ -224,12 +257,13 @@ object PartitionedTable {
       changes: DataFrame,
       keyCol: String,
       partCol: String,
-      opCol: String = "op"): Long = {
+      opCol: String = "op",
+      statsCols: Seq[String] = Nil): Long = {
     val cur = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to merge into under $dir"))
     commitManifest(spark, dir, applyMerge(spark, dir,
-      manifest(spark, dir, cur), changes, keyCol, partCol, opCol))
+      manifest(spark, dir, cur), changes, keyCol, partCol, opCol, statsCols))
   }
 
   /** Exactly-once MERGE for streaming folds (manifest version = batch
@@ -266,7 +300,8 @@ object PartitionedTable {
       changes: DataFrame,
       keyCol: String,
       partCol: String,
-      opCol: String): Map[String, Long] = {
+      opCol: String,
+      statsCols: Seq[String] = Nil): Map[String, Long] = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     val touchedVals = batch.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -291,10 +326,57 @@ object PartitionedTable {
     // every store version's files share one schema layout
     val tableCols = batch.columns.toSeq.filterNot(_ == opCol)
     val committed = landPartitions(spark, dir,
-      merged.select(tableCols.map(col): _*), partCol)
+      merged.select(tableCols.map(col): _*), partCol, statsCols)
     // touched partitions that landed update their pointer; touched
     // partitions with no surviving rows drop out; the rest carry over
     (m -- touchedNames) ++ committed
+  }
+
+  /** Both skip levels composed: resolve a manifest, prune PARTITIONS
+    * to `partValues` (when given), then within each surviving
+    * partition prune FILES whose committed min/max on `c` can't
+    * overlap `[lo, hi]` — versions without a stats sidecar contribute
+    * all their files. The residual filter stays on the scan, so the
+    * result is exact at any pruning coarseness. One stats read + one
+    * data read regardless of partition count. */
+  def readWhere(
+      spark: SparkSession,
+      dir: String,
+      c: String,
+      lo: Column,
+      hi: Column,
+      partValues: Option[Seq[String]] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    val m = manifest(spark, dir, v)
+    val wanted = partValues.map(_.map(escape).toSet)
+    val live = m.filter(kv => wanted.forall(_.contains(kv._1)))
+    val pred = col(c) >= lo && col(c) <= hi
+    if (live.isEmpty) return read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
+    val hfs = VersionedStore.fs(spark, dir)
+    val versionDir: ((String, Long)) => Path = { case (name, sv) =>
+      VersionedStore.path(new Path(dir, name).toString, sv) }
+    val (withStats, without) = live.toSeq.partition(kv =>
+      hfs.exists(new Path(versionDir(kv), StatsDir)))
+    val keptStatFiles: Seq[String] =
+      if (withStats.isEmpty) Nil
+      else {
+        val stats = spark.read.parquet(withStats.map(kv =>
+          new Path(versionDir(kv), StatsDir).toString): _*)
+        if (!stats.columns.contains(s"min_$c"))
+          withStats.map(kv => versionDir(kv).toString) // stats on other columns
+        else {
+          val dirByName = withStats.map(kv => kv._1 -> versionDir(kv).toString).toMap
+          stats.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+            .select("part", "file").collect() // file-count-sized
+            .map(r => s"${dirByName(escape(r.getString(0)))}/${r.getString(1)}").toSeq
+        }
+      }
+    val paths = keptStatFiles ++ without.map(kv => versionDir(kv).toString)
+    if (paths.isEmpty) read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
+    else spark.read.parquet(paths.sorted: _*).filter(pred)
   }
 
   /** Table versions `from` and `to` differ exactly on partitions whose
@@ -437,6 +519,42 @@ object PartitionedTable {
         read(s, store, asOf = Some(v)).withColumn("version", lit(v.toInt))
       }.reduce(_ unionByName _)
       byVersion.groupBy("version", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Two-level data skipping, hash-gated: commit orders partitioned
+    // by o_orderstatus AND range-clustered on o_orderdate within each
+    // partition (repartitionByRange on (status, date) before the
+    // partitionBy write → per-partition files hold disjoint date
+    // ranges) with a per-file min/max stats sidecar. The probe then
+    // answers "status F, year 1996" through readWhere: the manifest
+    // prunes partitions O/P entirely, the stats sidecar prunes F's
+    // out-of-range files, and the residual filter keeps the result
+    // exact — the hash must equal DuckDB filtering the source
+    // directly. File/partition pruning counts are asserted in
+    // PartitionedTableSpec; here the gate is exactness.
+    QueryDef.sql("q84_two_level_skipping",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q84_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority",
+        "o_totalprice")
+      commit(s, store,
+        orders.repartitionByRange(24, col("o_orderstatus"), col("o_orderdate")),
+        "o_orderstatus", statsCols = Seq("o_orderdate"))
+      readWhere(s, store, "o_orderdate",
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-31")),
+        partValues = Some(Seq("F")))
+        .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

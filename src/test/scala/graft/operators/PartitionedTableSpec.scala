@@ -136,6 +136,53 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.read(spark, dir).count() === 75)
   }
 
+  test("two-level skipping: manifest prunes partitions, stats sidecar prunes files, results exact") {
+    val dir = freshStore()
+    // 4 partitions x clustered x-ranges: repartitionByRange on
+    // (part, x) gives each partition's files disjoint x ranges
+    val df = spark.range(8000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      ((col("id") * 2654435761L) % 1000).as("x"))
+    PartitionedTable.commit(spark, dir,
+      df.repartitionByRange(16, col("part"), col("x")), "part",
+      statsCols = Seq("x"))
+
+    val probe = PartitionedTable.readWhere(spark, dir, "x",
+      lit(100L), lit(299L), partValues = Some(Seq("p1")))
+    val scanned = probe.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("__part=p1")),
+      s"partition pruning leaked: $scanned")
+    // file skipping within the partition: fewer files than p1 holds
+    val p1All = PartitionedTable.readPartitions(spark, dir, Seq("p1"))
+      .inputFiles.length
+    assert(scanned.length < p1All,
+      s"stats pruning must skip files (${scanned.length} of $p1All)")
+
+    // exactness vs the brute filter
+    val expect = df.filter(col("part") === "p1" &&
+        col("x") >= 100 && col("x") <= 299)
+      .agg(count(lit(1)), sum("x")).head
+    val got = probe.agg(count(lit(1)), sum("x")).head
+    assert(got === expect, "skipping path diverged from brute filter")
+
+    // no partition filter: stats still prune across ALL partitions
+    val all = PartitionedTable.readWhere(spark, dir, "x", lit(100L), lit(299L))
+    val totalFiles = PartitionedTable.read(spark, dir).inputFiles.length
+    assert(all.inputFiles.length < totalFiles)
+    assert(all.agg(count(lit(1))).head.getLong(0) ===
+      df.filter(col("x") >= 100 && col("x") <= 299).count())
+
+    // a merge WITHOUT stats leaves that partition full-scan but exact
+    import spark.implicits._
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 150L, "upsert")).toDF("k", "part", "x", "op"), "k", "part")
+    val after = PartitionedTable.readWhere(spark, dir, "x", lit(100L), lit(299L),
+      partValues = Some(Seq("p1")))
+    assert(after.filter(col("k") === 1).count() === 1,
+      "post-merge reads must include the stats-less rewritten partition")
+  }
+
   test("vacuum prunes old manifests and garbage-collects unreferenced store versions incl. orphans") {
     import spark.implicits._
     val dir = freshStore()
