@@ -58,6 +58,24 @@ private[graft] object VersionedStore {
     * history row or doesn't exist. `_`-prefixed: invisible to reads. */
   private[graft] val MetaFile = "_graft_commit.json"
 
+  /** Exact row count of a just-written parquet dir from file FOOTERS —
+    * a driver-side metadata read (#files footer opens), never a Spark
+    * job, so recording commit metadata costs no executor time. */
+  private def footerRowCount(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hfs = dir.getFileSystem(conf)
+    hfs.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Driver-side read of a committed version's metadata sidecar. */
   private[graft] def readMeta(spark: SparkSession, dir: String, id: Long): Option[String] = {
     val hfs = fs(spark, dir)
@@ -141,9 +159,9 @@ private[graft] object VersionedStore {
       // in the temp dir too, inside the same atomic commit
       stage.foreach(f => f(tmp))
       metaOf.foreach { f =>
-        val rowsOut = spark.read.parquet(tmp.toString).count()
         val out = hfs.create(new Path(tmp, MetaFile), true)
-        try out.write(f(rowsOut).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(f(footerRowCount(spark, tmp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
     }

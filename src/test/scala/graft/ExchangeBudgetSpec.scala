@@ -125,9 +125,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q82_stats_skipping" -> 1, // pruned-file scan + residual filter
                                // into one grouped agg; the stats probe
                                // is a file-count-sized driver read
-    "q83_commit_history" -> 0) // a #versions-sized local relation of
+    "q83_commit_history" -> 0, // a #versions-sized local relation of
                                // parsed sidecars — no exchange, no
                                // data scan at all
+    "q84_two_level_skipping" -> 1) // partition+stats-pruned file scan
+                                   // into one grouped agg
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.
