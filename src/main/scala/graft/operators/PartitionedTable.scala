@@ -214,13 +214,21 @@ object PartitionedTable {
       s"PartitionedTable: manifest v=$v not committed under $dir (have ${vs.sorted.mkString(",")})")
     val m = manifest(spark, dir, v)
     require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
-    spark.read.parquet(partPaths(dir, m): _*)
+    readParquet(spark, partPaths(dir, m))
   }
 
   private def partPaths(dir: String, m: Map[String, Long]): Seq[String] =
     m.toSeq.sortBy(_._1).map { case (name, sv) =>
       VersionedStore.path(new Path(dir, name).toString, sv).toString
     }
+
+  /** All multi-partition reads merge footer schemas: after a
+    * schema-evolving merge, untouched partitions' files lack the new
+    * columns — the superset schema null-fills them, and inference must
+    * never depend on which file gets sampled first. Footer merging is
+    * a metadata cost on the selected dirs only. */
+  private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   /** Manifest-driven partition pruning: read ONLY the named partition
     * values' pinned version dirs — the first-level data skip a
@@ -242,7 +250,7 @@ object PartitionedTable {
     val live = m.filter(kv => wanted.contains(kv._1))
     require(live.nonEmpty,
       s"PartitionedTable: none of $values exist in table version $v")
-    spark.read.parquet(partPaths(dir, live): _*)
+    readParquet(spark, partPaths(dir, live))
   }
 
   /** MERGE a CDC batch, rewriting ONLY touched partitions. `changes`
@@ -258,12 +266,14 @@ object PartitionedTable {
       keyCol: String,
       partCol: String,
       opCol: String = "op",
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Long = {
     val cur = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to merge into under $dir"))
     commitManifest(spark, dir, applyMerge(spark, dir,
-      manifest(spark, dir, cur), changes, keyCol, partCol, opCol, statsCols))
+      manifest(spark, dir, cur), changes, keyCol, partCol, opCol, statsCols,
+      allowSchemaEvolution))
   }
 
   /** Exactly-once MERGE for streaming folds (manifest version = batch
@@ -301,30 +311,43 @@ object PartitionedTable {
       keyCol: String,
       partCol: String,
       opCol: String,
-      statsCols: Seq[String] = Nil): Map[String, Long] = {
+      statsCols: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Map[String, Long] = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     val touchedVals = batch.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq
     val touchedNames = touchedVals.map(escape)
     val baseTouched = touchedNames.filter(m.contains) match {
       case Nil => None
-      case live => Some(spark.read.parquet(
-        partPaths(dir, m.filter(kv => live.contains(kv._1))): _*))
+      case live => Some(readParquet(spark,
+        partPaths(dir, m.filter(kv => live.contains(kv._1)))))
     }
     val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))))
     val upserts = batch.filter(checkedOp === "upsert").drop(opCol)
+    // schema evolution (opt-in, the Delta mergeSchema semantic): change
+    // columns the base lacks null-fill on kept rows, base columns the
+    // changes lack null-fill on inserted rows. Only TOUCHED partitions
+    // rewrite with the widened schema — untouched partitions' files
+    // keep the old one, which is why every multi-partition read here
+    // merges footer schemas ([[readParquet]]). Off = strict error.
     val merged = baseTouched match {
       case Some(base) =>
         base.join(broadcast(batch.select(partCol, keyCol).distinct()),
             Seq(partCol, keyCol), "left_anti")
-          .unionByName(upserts)
+          .unionByName(upserts, allowSchemaEvolution)
       case None => upserts // all-new partitions; deletes are no-ops
     }
-    // the join put its keys first — restore the table's column order so
-    // every store version's files share one schema layout
-    val tableCols = batch.columns.toSeq.filterNot(_ == opCol)
+    // the join put its keys first — restore the table's column order
+    // (base order, then evolved additions) so every store version's
+    // files share one schema layout
+    val tableCols = baseTouched match {
+      case Some(base) if allowSchemaEvolution =>
+        val bc = base.columns.toSeq
+        bc ++ batch.columns.toSeq.filterNot(c => c == opCol || bc.contains(c))
+      case _ => batch.columns.toSeq.filterNot(_ == opCol)
+    }
     val committed = landPartitions(spark, dir,
       merged.select(tableCols.map(col): _*), partCol, statsCols)
     // touched partitions that landed update their pointer; touched
@@ -376,7 +399,7 @@ object PartitionedTable {
       }
     val paths = keptStatFiles ++ without.map(kv => versionDir(kv).toString)
     if (paths.isEmpty) read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
-    else spark.read.parquet(paths.sorted: _*).filter(pred)
+    else readParquet(spark, paths.sorted).filter(pred)
   }
 
   /** Table versions `from` and `to` differ exactly on partitions whose
@@ -409,18 +432,63 @@ object PartitionedTable {
     val changed = changedPartitions(spark, dir, from, to)
     def side(m: Map[String, Long], other: Map[String, Long]): DataFrame = {
       val live = changed.filter(m.contains)
-      if (live.nonEmpty) spark.read.parquet(
-        partPaths(dir, m.filter(kv => live.contains(kv._1))): _*)
+      if (live.nonEmpty) readParquet(spark,
+        partPaths(dir, m.filter(kv => live.contains(kv._1))))
       else {
         // no changed partition exists on this side (pure adds/removes):
         // an empty frame with the table schema, taken from the other side
-        val donor = spark.read.parquet(
-          partPaths(dir, other.filter(kv => changed.contains(kv._1))): _*)
+        val donor = readParquet(spark,
+          partPaths(dir, other.filter(kv => changed.contains(kv._1))))
         donor.limit(0)
       }
     }
     VersionedTable.diffFrames(
       side(a, b), side(b, a), Seq(partCol, keyCol), preImages)
+  }
+
+  /** Per-partition auto-compaction — [[VersionedTable.autoCompact]]'s
+    * flag-then-rewrite lifecycle at partition scope: flag every
+    * partition whose pinned version's file count exceeds
+    * `smallFileRatio` × its bin-packed ideal, rewrite ONLY flagged
+    * partitions (one ranged write job over their union — partitions
+    * with more bytes get proportionally more output files), and commit
+    * a manifest where unflagged partitions carry their pointers (and
+    * files) over untouched. Returns the flagged partition dir names
+    * (empty = no-op, the probe is #partitions metadata calls). */
+  def compactPartitions(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      smallFileRatio: Double = 2.0,
+      partCol: String = "part",
+      cluster: Option[Column] = None,
+      statsCols: Seq[String] = Nil): Seq[String] = {
+    require(targetBytes > 0 && smallFileRatio >= 1.0,
+      s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
+    val cur = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: nothing to compact under $dir"))
+    val m = manifest(spark, dir, cur)
+    val flagged = m.toSeq.sortBy(_._1).filter { case (name, sv) =>
+      val vdir = VersionedStore.path(new Path(dir, name).toString, sv).toString
+      val (files, bytes) = Compaction.layoutStats(spark, vdir)
+      val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      bytes > 0 && files > smallFileRatio * ideal
+    }
+    if (flagged.isEmpty) return Nil
+    val flaggedMap = flagged.toMap
+    val totalBytes = flagged.map { case (name, sv) =>
+      Compaction.layoutStats(spark,
+        VersionedStore.path(new Path(dir, name).toString, sv).toString)._2
+    }.sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = readParquet(spark, partPaths(dir, flaggedMap))
+    val shapeCols = col(partCol) +: cluster.toSeq
+    val packed = df.repartitionByRange(n, shapeCols: _*)
+      .sortWithinPartitions(shapeCols: _*)
+    val committed = landPartitions(spark, dir, packed, partCol, statsCols)
+    commitManifest(spark, dir, m ++ committed)
+    flagged.map(_._1)
   }
 
   /** Drop all but the newest `keep` manifests, then garbage-collect

@@ -229,7 +229,8 @@ object VersionedTable {
       changes: DataFrame,
       keyCol: String,
       opCol: String = "op",
-      at: String = ""): Long = {
+      at: String = "",
+      allowSchemaEvolution: Boolean = false): Long = {
     val base = read(spark, dir)
     val batch = changes.localCheckpoint(true) // reused: keys, upserts, history count
     val keys = batch.select(keyCol).distinct()
@@ -241,7 +242,12 @@ object VersionedTable {
       .otherwise(raise_error(concat(
         lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))))
     val upserts = batch.filter(checkedOp === "upsert").drop(opCol)
-    commit(spark, dir, kept.unionByName(upserts),
+    // schema evolution (opt-in, the Delta mergeSchema semantic): change
+    // columns the base lacks are added null-filled to untouched rows;
+    // base columns the changes lack stay null on inserted rows. The
+    // snapshot rewrite makes the new version's files homogeneous, so
+    // readers never need mergeSchema. Off = strict unionByName error.
+    commit(spark, dir, kept.unionByName(upserts, allowSchemaEvolution),
       CommitInfo("merge", rowsIn = Some(batch.count()), at = at))
   }
 

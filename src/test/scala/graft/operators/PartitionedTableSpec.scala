@@ -216,6 +216,84 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("per-partition compaction folds only flagged partitions; unflagged files byte-identical") {
+    val dir = freshStore()
+    import spark.implicits._
+    // p0 healthy (1 file), p1 shredded (8 tiny files via a post-commit merge)
+    PartitionedTable.commit(spark, dir, table(100).coalesce(1), "part")
+    val shred = table(100).filter(col("part") === "p1")
+      .withColumn("v", col("v") + 1).withColumn("op", lit("upsert"))
+      .repartition(8)
+    PartitionedTable.merge(spark, dir, shred, "k", "part")
+    val m1 = PartitionedTable.manifest(spark, dir, 1L)
+    def layout(name: String) = Compaction.layoutStats(spark,
+      VersionedStore.path(s"$dir/$name", m1(name)).toString)
+    val (p1Files, p1Bytes) = layout("__part=p1")
+    assert(p1Files === 8)
+    val healthyBefore = Seq("__part=p0", "__part=p2", "__part=p3")
+      .map(p => p -> files(dir, p)).toMap
+    val expect = PartitionedTable.read(spark, dir).orderBy("k", "part").collect().toSeq
+
+    val flagged = PartitionedTable.compactPartitions(
+      spark, dir, targetBytes = p1Bytes, partCol = "part")
+    assert(flagged === Seq("__part=p1"), s"only the shred must flag, got $flagged")
+    val m2 = PartitionedTable.manifest(spark, dir, 2L)
+    val (p1After, _) = Compaction.layoutStats(spark,
+      VersionedStore.path(s"$dir/__part=p1", m2("__part=p1")).toString)
+    assert(p1After < p1Files, s"fold must shrink the shred: $p1After vs $p1Files")
+    healthyBefore.foreach { case (p, fs0) =>
+      assert(files(dir, p) === fs0, s"unflagged partition $p was rewritten")
+    }
+    assert(PartitionedTable.read(spark, dir).orderBy("k", "part").collect().toSeq
+      === expect, "compaction is layout-only")
+    // below-threshold second run is a no-op
+    assert(PartitionedTable.compactPartitions(
+      spark, dir, targetBytes = p1Bytes, partCol = "part").isEmpty)
+    assert(PartitionedTable.latest(spark, dir) === Some(2L))
+  }
+
+  test("schema evolution on merge: new columns null-fill, untouched partitions readable, time travel keeps old schema") {
+    val dir = freshStore()
+    import spark.implicits._
+    PartitionedTable.commit(spark, dir, table(40), "part")
+
+    // evolved batch adds a 'score' column, touching only p1
+    val evolved = Seq(
+      (1L, "p1", 111L, 0.9, "upsert"), (401L, "p1", 4010L, 0.5, "upsert")
+    ).toDF("k", "part", "v", "score", "op")
+    // strict mode refuses the widened schema
+    intercept[Exception] {
+      PartitionedTable.merge(spark, dir, evolved, "k", "part")
+    }
+    PartitionedTable.merge(spark, dir, evolved, "k", "part",
+      allowSchemaEvolution = true)
+
+    val cur = PartitionedTable.read(spark, dir)
+    assert(cur.columns.toSeq === Seq("k", "part", "v", "score"),
+      "the evolved column joins the table schema, base order first")
+    assert(cur.count() === 41)
+    val scores = cur.collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[Any]("score"))).toMap
+    assert(scores(1L) === Some(0.9) && scores(401L) === Some(0.5))
+    assert(scores(2L) === None, "untouched rows null-fill the new column")
+    assert(scores(0L) === None, "untouched PARTITIONS null-fill too (merged footer schema)")
+    // kept rows inside the touched partition also null-fill
+    assert(scores(5L) === None)
+
+    // time travel to the pre-evolution version keeps the old schema
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L)).columns.toSeq
+      === Seq("k", "part", "v"))
+
+    // merging into a not-yet-rewritten partition still needs the flag
+    // (its files carry the old schema until first touched — schema
+    // lives in the files, not a central log)
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, 0.1, "upsert")).toDF("k", "part", "v", "score", "op"),
+      "k", "part", allowSchemaEvolution = true)
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") === 2).head.getAs[Double]("score") === 0.1)
+  }
+
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
     import spark.implicits._
     val dir = freshStore()

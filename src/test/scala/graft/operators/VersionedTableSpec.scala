@@ -236,6 +236,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, dir).count() === 2)
   }
 
+  test("flat merge schema evolution: opt-in widening null-fills both directions, snapshot stays homogeneous") {
+    val dir = freshStore()
+    import spark.implicits._
+    VersionedTable.commit(spark, dir,
+      spark.range(5).select(col("id").as("k"), (col("id") * 10).as("v")))
+    val evolved = Seq((1L, 111L, 0.5, "upsert"), (9L, 90L, 0.7, "upsert"))
+      .toDF("k", "v", "score", "op")
+    intercept[Exception] { VersionedTable.merge(spark, dir, evolved, "k") }
+    VersionedTable.merge(spark, dir, evolved, "k", allowSchemaEvolution = true)
+    val cur = VersionedTable.read(spark, dir)
+    assert(cur.columns.toSeq === Seq("k", "v", "score"))
+    val scores = cur.collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[Any]("score"))).toMap
+    assert(scores(1L) === Some(0.5) && scores(9L) === Some(0.7))
+    assert(scores(2L) === None, "kept rows null-fill the new column")
+    // the full-snapshot rewrite is homogeneous: a plain read of the
+    // new version (no mergeSchema) sees the widened schema
+    assert(VersionedTable.read(spark, dir, asOf = Some(0L)).columns.toSeq
+      === Seq("k", "v"))
+  }
+
   test("merge fails loudly on an unknown op instead of silently deleting the key") {
     val dir = freshStore()
     VersionedTable.commit(spark, dir,
