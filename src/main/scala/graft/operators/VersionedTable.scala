@@ -281,12 +281,25 @@ object VersionedTable {
   private[operators] def diffFrames(
       a: DataFrame, b: DataFrame,
       keyCols: Seq[String], preImages: Boolean): DataFrame = {
-    val cols = a.columns.toSeq
-    require(b.columns.toSet == cols.toSet,
-      s"diff needs matching schemas; got $cols vs ${b.columns.toSeq}")
-    val bAligned = if (b.columns.toSeq == cols) b else b.select(cols.map(col): _*)
+    // schema evolution across the diffed versions: widen each side
+    // with null columns for the other's additions (key columns must
+    // exist on both). A pre-evolution row then compares null-vs-null
+    // on the new column and emits nothing unless something real
+    // changed — the evolution itself is not an event, matching a
+    // reader's null-filled view of old files.
+    require(keyCols.forall(k => a.columns.contains(k) && b.columns.contains(k)),
+      s"diff key columns $keyCols must exist on both sides " +
+        s"(${a.columns.toSeq} vs ${b.columns.toSeq})")
+    val aOnly = a.columns.filterNot(b.columns.contains)
+    val bOnly = b.columns.filterNot(a.columns.contains)
+    val aw = bOnly.foldLeft(a)((df, c) => df.withColumn(c, lit(null).cast(
+      b.schema(c).dataType)))
+    val bw = aOnly.foldLeft(b)((df, c) => df.withColumn(c, lit(null).cast(
+      a.schema(c).dataType)))
+    val cols = aw.columns.toSeq
+    val bAligned = if (bw.columns.toSeq == cols) bw else bw.select(cols.map(col): _*)
     val payload = cols.filterNot(keyCols.contains)
-    val av = a.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__a"): _*)
+    val av = aw.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__a"): _*)
     val bv = bAligned.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__b"): _*)
     def ev(op: String, img: Column) =
       struct(lit(op).as("op"), img.as("img"))

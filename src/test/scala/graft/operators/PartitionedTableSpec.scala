@@ -292,6 +292,16 @@ class PartitionedTableSpec extends SparkSpec {
       "k", "part", allowSchemaEvolution = true)
     assert(PartitionedTable.read(spark, dir)
       .filter(col("k") === 2).head.getAs[Double]("score") === 0.1)
+
+    // the change feed crosses the evolution: the widened diff emits
+    // only real edits — schema widening itself is not an event
+    val feed = PartitionedTable.changes(spark, dir, 0L, 1L, "k", "part")
+    assert(feed.columns.toSeq === Seq("part", "k", "op", "v", "score"))
+    val events = feed.collect()
+      .map(r => (r.getLong(1), r.getString(2), Option(r.getAs[Any]("score")))).toSet
+    assert(events === Set(
+      (1L, "update", Some(0.9)), (401L, "insert", Some(0.5))),
+      s"unexpected evolved feed: $events")
   }
 
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
