@@ -455,6 +455,11 @@ object PartitionedTable {
     * a manifest where unflagged partitions carry their pointers (and
     * files) over untouched. Returns the flagged partition dir names
     * (empty = no-op, the probe is #partitions metadata calls). */
+  /** BATCH tables only: this commits a manifest at latest+1, which in a
+    * [[mergeAt]] stream (manifest version = batch id) would occupy the
+    * NEXT batch's id and silently swallow that batch — streams fold
+    * with [[compactPartitionsInPlace]] instead, which never mints a
+    * version. */
   def compactPartitions(
       spark: SparkSession,
       dir: String,
@@ -489,6 +494,33 @@ object PartitionedTable {
     val committed = landPartitions(spark, dir, packed, partCol, statsCols)
     commitManifest(spark, dir, m ++ committed)
     flagged.map(_._1)
+  }
+
+  /** The streaming-safe per-partition fold: rewrite each flagged
+    * partition's PINNED version dir in place (content-identical,
+    * behind [[Compaction.compact]]'s crash-safe swap) — no manifest is
+    * minted, so [[mergeAt]]'s version-id = batch-id contract is
+    * untouched. Single committer/reader (the stream) holds the swap's
+    * safety; the swap replaces the whole dir, so only use on versions
+    * without stats sidecars (the streaming fold writes none). Returns
+    * the flagged partition dir names. */
+  def compactPartitionsInPlace(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      smallFileRatio: Double = 2.0): Seq[String] = {
+    require(targetBytes > 0 && smallFileRatio >= 1.0,
+      s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
+    val cur = latest(spark, dir).getOrElse(return Nil)
+    manifest(spark, dir, cur).toSeq.sortBy(_._1).flatMap { case (name, sv) =>
+      val vdir = VersionedStore.path(new Path(dir, name).toString, sv).toString
+      val (files, bytes) = Compaction.layoutStats(spark, vdir)
+      val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (bytes > 0 && files > smallFileRatio * ideal) {
+        Compaction.compact(spark, vdir, targetBytes)
+        Some(name)
+      } else None
+    }
   }
 
   /** Drop all but the newest `keep` manifests, then garbage-collect

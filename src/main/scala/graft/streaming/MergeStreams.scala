@@ -99,7 +99,8 @@ object MergeStreams {
       opCol: String,
       orderCols: Seq[String],
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None,
+      compactTargetBytes: Option[Long] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -108,7 +109,8 @@ object MergeStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergePartitionedBatch(batch.sparkSession, tableDir, batch, id,
-          keyCol, partCol, opCol, orderCols, expectations, quarantineDir)
+          keyCol, partCol, opCol, orderCols, expectations, quarantineDir,
+          compactTargetBytes)
       }
       .start()
     q.awaitTermination()
@@ -128,7 +130,8 @@ object MergeStreams {
       opCol: String,
       orderCols: Seq[String],
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None,
+      compactTargetBytes: Option[Long] = None): Unit = {
     val gated =
       if (expectations.isEmpty) batch
       else {
@@ -145,8 +148,13 @@ object MergeStreams {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").drop(orderCols: _*)
     if (graft.operators.PartitionedTable.mergeAt(
-        spark, tableDir, collapsed, keyCol, partCol, opCol, id))
+        spark, tableDir, collapsed, keyCol, partCol, opCol, id)) {
       graft.operators.PartitionedTable.vacuum(spark, tableDir, keep = 2): Unit
+      // in-place fold only — compactPartitions would mint a manifest at
+      // latest+1, occupying the NEXT batch's id and swallowing it
+      compactTargetBytes.foreach(t => graft.operators.PartitionedTable
+        .compactPartitionsInPlace(spark, tableDir, t): Unit)
+    }
   }
 
   /** One (possibly retried) micro-batch of the merge fold.

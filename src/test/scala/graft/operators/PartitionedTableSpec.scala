@@ -304,6 +304,38 @@ class PartitionedTableSpec extends SparkSpec {
       s"unexpected evolved feed: $events")
   }
 
+  test("incremental view maintenance from the partitioned pre-image feed equals recompute") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+
+    def recompute() = PartitionedTable.read(spark, dir)
+      .groupBy("part").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    var view = recompute().localCheckpoint(true)
+
+    // merge 1: update in p1, delete in p2, insert into a NEW partition
+    PartitionedTable.merge(spark, dir, Seq(
+      (1L, "p1", 1001L, "upsert"), (2L, "p2", 0L, "delete"),
+      (500L, "p9", 5L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val feed1 = PartitionedTable.changes(spark, dir, 0L, 1L, "k", "part",
+      preImages = true)
+    view = VersionedTable.maintainSumCount(view, feed1, "part", "v")
+      .localCheckpoint(true)
+    assert(rows(view) === rows(recompute()),
+      "incremental refresh after merge 1 must equal recompute")
+
+    // merge 2: empty p9 again — the group must drop out of the view
+    PartitionedTable.merge(spark, dir,
+      Seq((500L, "p9", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    view = VersionedTable.maintainSumCount(view,
+      PartitionedTable.changes(spark, dir, 1L, 2L, "k", "part", preImages = true),
+      "part", "v")
+    assert(rows(view) === rows(recompute()))
+    assert(!rows(view).exists(_._1 == "p9"), "emptied partition group must drop out")
+  }
+
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
     import spark.implicits._
     val dir = freshStore()

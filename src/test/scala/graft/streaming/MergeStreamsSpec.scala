@@ -306,6 +306,46 @@ class MergeStreamsSpec extends SparkSpec {
     assert(quar === Map(2L -> Set("v_positive")))
   }
 
+  test("streaming in-place partition fold: files shrink, batch ids never collide, state exact") {
+    import graft.operators.PartitionedTable
+    import spark.implicits._
+    val table = Files.createTempDirectory("pmerge-fold").toString + "/table"
+    // every batch shreds its touched partition into 8 tiny files
+    def batchDf(b: Long) = spark.range(64)
+      .select((col("id") + b * 64).as("k"), lit("p0").as("part"),
+        (col("id") + b).as("v"), lit(b).as("seq"), lit("upsert").as("op"))
+      .repartition(8)
+    val target = 32L * 1024 * 1024
+
+    MergeStreams.mergePartitionedBatch(spark, table, batchDf(0), 0L,
+      "k", "part", "op", Seq("seq"), compactTargetBytes = Some(target))
+    MergeStreams.mergePartitionedBatch(spark, table, batchDf(1), 1L,
+      "k", "part", "op", Seq("seq"), compactTargetBytes = Some(target))
+    // the fold kept the pinned version dir small WITHOUT minting a
+    // manifest — batch ids stay the manifest ids
+    assert(PartitionedTable.versions(spark, table).sorted === Seq(0L, 1L),
+      "in-place folds must not occupy future batch ids")
+    val m = PartitionedTable.manifest(spark, table, 1L)
+    val (files, _) = graft.operators.Compaction.layoutStats(spark,
+      VersionedStore.path(s"$table/__part=p0", m("__part=p0")).toString)
+    assert(files <= 2, s"fold must shrink the shred, got $files")
+
+    // batch 2 still applies (nothing swallowed its id)
+    MergeStreams.mergePartitionedBatch(spark, table, batchDf(2), 2L,
+      "k", "part", "op", Seq("seq"), compactTargetBytes = Some(target))
+    val state = PartitionedTable.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state.size === 192 && state(130L) === 4L)
+
+    // equality with the unfolded run of the same changelog
+    val plain = Files.createTempDirectory("pmerge-plain").toString + "/table"
+    (0L to 2L).foreach(b => MergeStreams.mergePartitionedBatch(
+      spark, plain, batchDf(b), b, "k", "part", "op", Seq("seq")))
+    val plainState = PartitionedTable.read(spark, plain)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state === plainState, "the fold is layout-only")
+  }
+
   test("a redelivered changelog batch applies exactly once") {
     import spark.implicits._
     val store = Files.createTempDirectory("merge-retry").toString + "/store"
