@@ -543,13 +543,17 @@ object VersionedTable {
         "q82_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       val hfs = VersionedStore.fs(s, store)
       hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      // ONE clustered commit (range partition + in-file sort on the
+      // probe column) with the stats manifest — the commit+compact
+      // lifecycle is q77's story; here only the skipping read is under
+      // test, so a single write keeps the probe's cost the operation
+      // being proved
       commit(s, store, Tables.lineitem(s, dir).select(
-        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount",
-        "l_shipdate").repartition(8))
-      val (_, bytes) = Compaction.layoutStats(
-        s, VersionedStore.path(store, 0L).toString)
-      compact(s, store, targetBytes = math.max(1L, bytes / 12),
-        cluster = Some(col("l_shipdate")), statsCols = Seq("l_shipdate"))
+          "l_returnflag", "l_quantity", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .repartitionByRange(12, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate"),
+        statsCols = Seq("l_shipdate"))
       readWhere(s, store, "l_shipdate",
         to_date(lit("1996-01-01")), to_date(lit("1996-12-31")))
         .groupBy("l_returnflag")
