@@ -40,11 +40,19 @@ import org.apache.spark.sql.types.StringType
   * O(#touched) driver-side metadata renames — the table itself never
   * shuffles (change keys broadcast into the anti join) and never
   * rewrites beyond the touched partitions. Manifest reads are
-  * O(#partitions) text lines, never a data scan. Single committer per
-  * table dir (the streaming contract); partition values must be
-  * non-null strings (cast upstream — the Hive convention) and key
-  * identity is (partition, key): a change row applies WITHIN the
+  * O(#partitions) text lines, never a data scan. Partition values
+  * must be non-null strings (cast upstream — the Hive convention) and
+  * key identity is (partition, key): a change row applies WITHIN the
   * partition it names, the standard static-partition MERGE semantic.
+  *
+  * Concurrency: batch [[merge]]s are OPTIMISTIC multi-writer — losing
+  * the manifest slot to a writer whose commit touched none of my
+  * partitions rebases and retakes the next slot; an overlapping
+  * winner forces a recompute from its snapshot (serializable outcome
+  * either way, the Delta conflict protocol). The streaming [[mergeAt]]
+  * path and maintenance ops ([[vacuum]], [[compactPartitions]]) stay
+  * single-committer: their correctness leans on ids and GC scopes only
+  * one committer can own.
   */
 object PartitionedTable {
 
@@ -99,7 +107,7 @@ object PartitionedTable {
     * false iff `v` already exists (the streaming-retry no-op); any
     * other rename failure throws. The file rename is the table's
     * commit point. */
-  private def commitManifestAt(
+  private[operators] def commitManifestAt(
       spark: SparkSession, dir: String, v: Long, mapping: Map[String, Long]): Boolean = {
     if (versions(spark, dir).contains(v)) return false
     val hfs = VersionedStore.fs(spark, dir)
@@ -268,12 +276,44 @@ object PartitionedTable {
       opCol: String = "op",
       statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false): Long = {
-    val cur = latest(spark, dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"PartitionedTable: nothing to merge into under $dir"))
-    commitManifest(spark, dir, applyMerge(spark, dir,
-      manifest(spark, dir, cur), changes, keyCol, partCol, opCol, statsCols,
-      allowSchemaEvolution))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 16,
+        s"PartitionedTable: merge lost $attempts optimistic rounds under $dir")
+      val cur = latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"PartitionedTable: nothing to merge into under $dir"))
+      val base = manifest(spark, dir, cur)
+      val (committed, touched) = applyMergeParts(spark, dir, base, changes,
+        keyCol, partCol, opCol, statsCols, allowSchemaEvolution)
+      // optimistic commit with rebase (the Delta conflict protocol):
+      // losing the manifest slot to a writer whose commit left every
+      // partition I merged against untouched is NOT a conflict — my
+      // landed versions are still exact, so rebase them onto the
+      // winner's mapping and take the next slot. A winner that moved
+      // any partition I read invalidates my merge: abandon the landed
+      // versions (orphans, collected by vacuum) and recompute from the
+      // new snapshot. Serializable outcome either way.
+      var v = cur + 1
+      var mapping = (base -- touched) ++ committed
+      var conflicted = false
+      var done = false
+      while (!done && !conflicted) {
+        if (commitManifestAt(spark, dir, v, mapping)) done = true
+        else {
+          val winner = manifest(spark, dir, v)
+          if (touched.exists(n => winner.get(n) != base.get(n))) conflicted = true
+          else {
+            mapping = (winner -- touched) ++ committed
+            v += 1
+          }
+        }
+      }
+      if (done) return v
+      // conflicted: loop re-reads the new snapshot and re-merges
+    }
+    -1L // unreachable
   }
 
   /** Exactly-once MERGE for streaming folds (manifest version = batch
@@ -296,14 +336,19 @@ object PartitionedTable {
     if (versions(spark, dir).contains(id)) return false
     val base = versions(spark, dir).filter(_ < id).maxOption
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
-    commitManifestAt(spark, dir, id,
-      applyMerge(spark, dir, base, changes, keyCol, partCol, opCol))
+    val (committed, touched) = applyMergeParts(spark, dir, base, changes,
+      keyCol, partCol, opCol)
+    commitManifestAt(spark, dir, id, (base -- touched) ++ committed)
   }
 
   /** The merge computation against an explicit base mapping; lands
-    * touched partitions' new store versions and returns the new
-    * table mapping (commit point NOT included — callers commit). */
-  private def applyMerge(
+    * touched partitions' new store versions and returns
+    * (landed dirName -> store version, ALL touched dir names — landed
+    * plus emptied). Commit point NOT included; callers build the new
+    * mapping as `(base -- touched) ++ landed` and commit.
+    * `private[operators]` so the concurrency spec can interleave two
+    * writers' land and commit steps deterministically. */
+  private[operators] def applyMergeParts(
       spark: SparkSession,
       dir: String,
       m: Map[String, Long],
@@ -312,7 +357,7 @@ object PartitionedTable {
       partCol: String,
       opCol: String,
       statsCols: Seq[String] = Nil,
-      allowSchemaEvolution: Boolean = false): Map[String, Long] = {
+      allowSchemaEvolution: Boolean = false): (Map[String, Long], Seq[String]) = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     val touchedVals = batch.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -351,8 +396,9 @@ object PartitionedTable {
     val committed = landPartitions(spark, dir,
       merged.select(tableCols.map(col): _*), partCol, statsCols)
     // touched partitions that landed update their pointer; touched
-    // partitions with no surviving rows drop out; the rest carry over
-    (m -- touchedNames) ++ committed
+    // partitions with no surviving rows drop out of the mapping the
+    // caller builds; the rest carry over
+    (committed, touchedNames)
   }
 
   /** Both skip levels composed: resolve a manifest, prune PARTITIONS

@@ -336,6 +336,55 @@ class PartitionedTableSpec extends SparkSpec {
     assert(!rows(view).exists(_._1 == "p9"), "emptied partition group must drop out")
   }
 
+  test("optimistic concurrency: disjoint writers rebase, overlapping writers recompute — both serializable") {
+    import spark.implicits._
+
+    // DISJOINT: writer A lands its p1 merge, then writer B commits a
+    // p2 merge before A takes the slot — A's merge() path must rebase
+    // A's landed versions over B's mapping (no recompute, no loss)
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    val m0 = PartitionedTable.manifest(spark, dir, 0L)
+    // A lands but does not commit yet (the interleaving seam)
+    val (aCommitted, aTouched) = PartitionedTable.applyMergeParts(spark, dir, m0,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part", "op")
+    // B wins slot 1 with a p2 merge
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    // A resumes: slot 1 is taken, p1 untouched by the winner → rebase
+    assert(!PartitionedTable.commitManifestAt(spark, dir, 1L,
+      (m0 -- aTouched) ++ aCommitted))
+    val winner = PartitionedTable.manifest(spark, dir, 1L)
+    assert(!aTouched.exists(n => winner.get(n) != m0.get(n)), "no overlap")
+    assert(PartitionedTable.commitManifestAt(spark, dir, 2L,
+      (winner -- aTouched) ++ aCommitted))
+    val state = PartitionedTable.read(spark, dir)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state(1L) === 111L && state(2L) === 222L,
+      "both disjoint writers' edits must survive")
+
+    // OVERLAPPING: A lands on p1, B commits on p1 first — A's stale
+    // landed version must be detected and the merge recomputed, so the
+    // final state equals sequential application
+    val dir2 = freshStore()
+    PartitionedTable.commit(spark, dir2, table(40), "part")
+    val n0 = PartitionedTable.manifest(spark, dir2, 0L)
+    val (_, bTouched) = PartitionedTable.applyMergeParts(spark, dir2, n0,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part", "op")
+    PartitionedTable.merge(spark, dir2,
+      Seq((5L, "p1", 555L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val winner2 = PartitionedTable.manifest(spark, dir2, 1L)
+    assert(bTouched.exists(n => winner2.get(n) != n0.get(n)),
+      "the conflict predicate must fire on an overlapping winner")
+    // the public merge() drives exactly this detect-and-recompute loop
+    PartitionedTable.merge(spark, dir2,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val state2 = PartitionedTable.read(spark, dir2)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state2(1L) === 111L && state2(5L) === 555L,
+      "sequentially-equivalent outcome after the conflict")
+  }
+
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
     import spark.implicits._
     val dir = freshStore()
