@@ -88,34 +88,71 @@ object PartitionedTable {
 
   /** The (partitionDirName -> pinned store version) mapping of table
     * version `v`. Lines are `<storeVersion>\t<dirName>`; dir names are
-    * Hive-escaped, so the format is unambiguous. */
+    * Hive-escaped, so the format is unambiguous. A leading `#`-line
+    * carries the commit's history metadata ([[history]]). */
   def manifest(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
+    manifestText(spark, dir, v).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(sv, name) = line.split("\t", 2)
+        name -> sv.toLong
+      }.toMap
+  }
+
+  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
     val hfs = VersionedStore.fs(spark, dir)
     val p = manifestPath(dir, v)
     require(hfs.exists(p), s"PartitionedTable: manifest v=$v missing under $dir")
     val in = hfs.open(p)
-    val text =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(sv, name) = line.split("\t", 2)
-      name -> sv.toLong
-    }.toMap
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
-  /** Atomically commit `mapping` as manifest version `v`. Returns
-    * false iff `v` already exists (the streaming-retry no-op); any
-    * other rename failure throws. The file rename is the table's
-    * commit point. */
+  /** The table's commit history — one row per manifest version:
+    * (version, operation, touched, partitions, at). `touched` counts
+    * the partitions the commit rewrote; `partitions` the table's live
+    * total after it; `at` is the caller's pinned tag. Reading it is
+    * #versions tiny driver-side file reads, never a data scan. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("operation", StringType), StructField("touched", LongType),
+      StructField("partitions", LongType), StructField("at", StringType)))
+    val rows = versions(spark, dir).sorted.map { v =>
+      val header = manifestText(spark, dir, v).split("\n")
+        .find(_.startsWith("#")).map(_.stripPrefix("#")).getOrElse("{}")
+      (v, header)
+    }
+    import spark.implicits._
+    rows.toDF("version", "js")
+      .select(col("version"), from_json(col("js"), schema).as("m"))
+      .select(col("version"), col("m.operation").as("operation"),
+        col("m.touched").as("touched"), col("m.partitions").as("partitions"),
+        col("m.at").as("at"))
+  }
+
+  /** History header staged with the mapping — committed by the same
+    * rename, so a manifest either has its history row or doesn't
+    * exist. Tags must not contain quotes or newlines. */
+  private def metaLine(operation: String, touched: Int, partitions: Int, at: String): String = {
+    require(!operation.contains("\"") && !at.contains("\"") && !at.contains("\n"),
+      s"history tags must not contain quotes/newlines: $operation / $at")
+    s"""#{"operation":"$operation","touched":$touched,"partitions":$partitions,"at":"$at"}"""
+  }
+
+  /** Atomically commit `mapping` (with its history header) as manifest
+    * version `v`. Returns false iff `v` already exists (the
+    * streaming-retry / lost-slot case); any other rename failure
+    * throws. The file rename is the table's commit point. */
   private[operators] def commitManifestAt(
-      spark: SparkSession, dir: String, v: Long, mapping: Map[String, Long]): Boolean = {
+      spark: SparkSession, dir: String, v: Long, mapping: Map[String, Long],
+      meta: Option[String] = None): Boolean = {
     if (versions(spark, dir).contains(v)) return false
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
     val tmp = new Path(new Path(dir, ManifestDir), s".tmp-$v")
     val out = hfs.create(tmp, true)
-    try out.write(mapping.toSeq.sortBy(_._1)
-      .map { case (name, sv) => s"$sv\t$name" }.mkString("\n")
+    try out.write((meta.toSeq ++ mapping.toSeq.sortBy(_._1)
+      .map { case (name, sv) => s"$sv\t$name" }).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (hfs.rename(tmp, manifestPath(dir, v))) true
@@ -130,9 +167,10 @@ object PartitionedTable {
 
   /** Atomically commit `mapping` as the next manifest version. */
   private def commitManifest(
-      spark: SparkSession, dir: String, mapping: Map[String, Long]): Long = {
+      spark: SparkSession, dir: String, mapping: Map[String, Long],
+      meta: Option[String] = None): Long = {
     val v = latest(spark, dir).map(_ + 1).getOrElse(0L)
-    require(commitManifestAt(spark, dir, v, mapping),
+    require(commitManifestAt(spark, dir, v, mapping, meta),
       s"PartitionedTable: lost the manifest slot v=$v under $dir; " +
         "table is single-committer")
     v
@@ -203,13 +241,14 @@ object PartitionedTable {
     * through [[merge]]). Returns the manifest version. */
   def commit(
       spark: SparkSession, dir: String, df: DataFrame, partCol: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, at: String = ""): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
     val committed = landPartitions(spark, dir,
       df.filter(col(partCol).isNotNull), partCol, statsCols)
-    commitManifest(spark, dir, committed)
+    commitManifest(spark, dir, committed,
+      Some(metaLine("commit", committed.size, committed.size, at)))
   }
 
   /** Read a committed table version: the newest manifest, or `asOf`.
@@ -275,7 +314,8 @@ object PartitionedTable {
       partCol: String,
       opCol: String = "op",
       statsCols: Seq[String] = Nil,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      at: String = ""): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -300,7 +340,8 @@ object PartitionedTable {
       var conflicted = false
       var done = false
       while (!done && !conflicted) {
-        if (commitManifestAt(spark, dir, v, mapping)) done = true
+        if (commitManifestAt(spark, dir, v, mapping,
+            Some(metaLine("merge", touched.size, mapping.size, at)))) done = true
         else {
           val winner = manifest(spark, dir, v)
           if (touched.exists(n => winner.get(n) != base.get(n))) conflicted = true
@@ -338,7 +379,9 @@ object PartitionedTable {
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
     val (committed, touched) = applyMergeParts(spark, dir, base, changes,
       keyCol, partCol, opCol)
-    commitManifestAt(spark, dir, id, (base -- touched) ++ committed)
+    val mapping = (base -- touched) ++ committed
+    commitManifestAt(spark, dir, id, mapping,
+      Some(metaLine("stream_merge", touched.size, mapping.size, s"batch=$id")))
   }
 
   /** The merge computation against an explicit base mapping; lands
@@ -538,7 +581,8 @@ object PartitionedTable {
     val packed = df.repartitionByRange(n, shapeCols: _*)
       .sortWithinPartitions(shapeCols: _*)
     val committed = landPartitions(spark, dir, packed, partCol, statsCols)
-    commitManifest(spark, dir, m ++ committed)
+    commitManifest(spark, dir, m ++ committed,
+      Some(metaLine("compact", flagged.size, (m ++ committed).size, "")))
     flagged.map(_._1)
   }
 

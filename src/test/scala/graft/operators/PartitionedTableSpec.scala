@@ -336,6 +336,26 @@ class PartitionedTableSpec extends SparkSpec {
     assert(!rows(view).exists(_._1 == "p9"), "emptied partition group must drop out")
   }
 
+  test("manifest history records every table commit with its operation and touch scope") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part", at = "load-1")
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", at = "cdc-7")
+    PartitionedTable.mergeAt(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", "op", 2L)
+
+    val h = PartitionedTable.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(h === Seq(
+      (0L, "commit", 4L, 4L, "load-1"),
+      (1L, "merge", 1L, 4L, "cdc-7"),
+      (2L, "stream_merge", 1L, 4L, "batch=2")), s"unexpected history: $h")
+  }
+
   test("optimistic concurrency: disjoint writers rebase, overlapping writers recompute — both serializable") {
     import spark.implicits._
 
