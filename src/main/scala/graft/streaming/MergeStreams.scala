@@ -100,7 +100,8 @@ object MergeStreams {
       orderCols: Seq[String],
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       quarantineDir: Option[String] = None,
-      compactTargetBytes: Option[Long] = None): Unit = {
+      compactTargetBytes: Option[Long] = None,
+      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -110,7 +111,7 @@ object MergeStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergePartitionedBatch(batch.sparkSession, tableDir, batch, id,
           keyCol, partCol, opCol, orderCols, expectations, quarantineDir,
-          compactTargetBytes)
+          compactTargetBytes, feedSink)
       }
       .start()
     q.awaitTermination()
@@ -131,7 +132,9 @@ object MergeStreams {
       orderCols: Seq[String],
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       quarantineDir: Option[String] = None,
-      compactTargetBytes: Option[Long] = None): Unit = {
+      compactTargetBytes: Option[Long] = None,
+      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
+    import graft.operators.PartitionedTable
     val gated =
       if (expectations.isEmpty) batch
       else {
@@ -147,13 +150,36 @@ object MergeStreams {
     val collapsed = gated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").drop(orderCols: _*)
-    if (graft.operators.PartitionedTable.mergeAt(
+    if (PartitionedTable.mergeAt(
         spark, tableDir, collapsed, keyCol, partCol, opCol, id)) {
-      graft.operators.PartitionedTable.vacuum(spark, tableDir, keep = 2): Unit
+      // 2-manifest horizon: keeps this batch's pre-merge version, which
+      // both a retry of THIS id and the feed below resolve against
+      PartitionedTable.vacuum(spark, tableDir, keep = 2): Unit
       // in-place fold only — compactPartitions would mint a manifest at
       // latest+1, occupying the NEXT batch's id and swallowing it
-      compactTargetBytes.foreach(t => graft.operators.PartitionedTable
-        .compactPartitionsInPlace(spark, tableDir, t): Unit)
+      compactTargetBytes.foreach(t =>
+        PartitionedTable.compactPartitionsInPlace(spark, tableDir, t): Unit)
+    }
+    // CDC out (computed only for a registered sink): the PARTITION-AWARE
+    // pre-image feed between the batch's pre-merge manifest and its own
+    // — untouched partitions are never scanned. A redelivered batch
+    // recomputes from the same manifest pair (the horizon keeps it), so
+    // the sink sees byte-identical rows: idempotent-per-id, the same
+    // contract as the flat stream's feed.
+    feedSink.foreach { sink =>
+      val feed = PartitionedTable.versions(spark, tableDir)
+        .filter(_ < id).maxOption match {
+        case Some(prior) =>
+          PartitionedTable.changes(spark, tableDir, prior, id,
+            keyCol, partCol, preImages = true)
+        case None =>
+          val committed = PartitionedTable.read(spark, tableDir, Some(id))
+          val payload = committed.columns.toSeq
+            .filterNot(c => c == keyCol || c == partCol)
+          committed.select(Seq(col(partCol), col(keyCol),
+            lit("insert").as("op")) ++ payload.map(col): _*)
+      }
+      sink(feed.localCheckpoint(true), id)
     }
   }
 

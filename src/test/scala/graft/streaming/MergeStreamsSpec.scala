@@ -306,6 +306,59 @@ class MergeStreamsSpec extends SparkSpec {
     assert(quar === Map(2L -> Set("v_positive")))
   }
 
+  test("partitioned CDC out: partition-aware pre-image feeds maintain a view == recompute; retries re-emit identically") {
+    import graft.operators.{PartitionedTable, VersionedTable}
+    import spark.implicits._
+    val table = Files.createTempDirectory("pmerge-feed").toString + "/table"
+    val feeds = collection.mutable.Map[Long, Seq[Row2]]()
+    case class Row2(part: String, k: Long, op: String, v: Any)
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      feeds(id) = df.collect().map(r => Row2(r.getString(0), r.getLong(1),
+        r.getString(2), r.get(3))).sortBy(t => (t.part, t.k, t.op)).toSeq
+
+    val b0 = Seq(
+      (1L, "p0", 10L, 1L, "upsert"), (2L, "p1", 20L, 2L, "upsert"),
+      (3L, "p1", 30L, 3L, "upsert")).toDF("k", "part", "v", "seq", "op")
+    val b1 = Seq( // touches ONLY p1: update 2, delete 3, insert 4
+      (2L, "p1", 22L, 4L, "upsert"), (3L, "p1", 0L, 5L, "delete"),
+      (4L, "p1", 40L, 6L, "upsert")).toDF("k", "part", "v", "seq", "op")
+
+    MergeStreams.mergePartitionedBatch(spark, table, b0, 0L,
+      "k", "part", "op", Seq("seq"), feedSink = Some(sink _))
+    var view = spark.range(0).select(col("id").cast("string").as("part"),
+      col("id").as("sum_v"), col("id").as("n"))
+    def applyFeed(id: Long) = {
+      val f = feeds(id).map(t => (t.part, t.k, t.op,
+        Option(t.v).map(_.asInstanceOf[Long]).getOrElse(0L)))
+        .toDF("part", "k", "op", "v")
+      view = VersionedTable.maintainSumCount(view, f, "part", "v")
+        .localCheckpoint(true)
+    }
+    applyFeed(0L)
+    def viewRows = view.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    def recompute = PartitionedTable.read(spark, table)
+      .groupBy("part").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(viewRows === recompute, "view after batch 0 must equal recompute")
+
+    MergeStreams.mergePartitionedBatch(spark, table, b1, 1L,
+      "k", "part", "op", Seq("seq"), feedSink = Some(sink _))
+    // the feed only scanned the touched partition's dirs
+    val first1 = feeds(1L)
+    assert(first1.map(_.part).toSet === Set("p1"),
+      "untouched partitions must not appear in the feed")
+    applyFeed(1L)
+    assert(viewRows === recompute, "view after batch 1 must equal recompute")
+    assert(viewRows === Seq(("p0", 10L, 1L), ("p1", 62L, 2L)))
+
+    // redelivery re-emits the byte-identical feed from the same pair
+    MergeStreams.mergePartitionedBatch(spark, table, b1, 1L,
+      "k", "part", "op", Seq("seq"), feedSink = Some(sink _))
+    assert(feeds(1L) === first1, "retry must re-emit the identical feed")
+  }
+
   test("streaming in-place partition fold: files shrink, batch ids never collide, state exact") {
     import graft.operators.PartitionedTable
     import spark.implicits._
