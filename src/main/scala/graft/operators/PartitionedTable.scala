@@ -261,7 +261,7 @@ object PartitionedTable {
       s"PartitionedTable: manifest v=$v not committed under $dir (have ${vs.sorted.mkString(",")})")
     val m = manifest(spark, dir, v)
     require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
-    readParquet(spark, partPaths(dir, m))
+    readMapped(spark, dir, m)
   }
 
   private def partPaths(dir: String, m: Map[String, Long]): Seq[String] =
@@ -276,6 +276,64 @@ object PartitionedTable {
     * a metadata cost on the selected dirs only. */
   private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Deletion-vector delta versions: a delete-only merge lands a tiny
+    * version dir holding ONLY `_dv/` — (part, file, row_index) rows to
+    * suppress — plus `_base.txt` naming the FULL store version it
+    * filters; the partition's data files are never rewritten. Bases
+    * chain one level at most: a delta on a delta reuses the original
+    * base with the union of both DVs, and any rewriting merge or
+    * compaction folds back to a full version. */
+  private val DvDir = "_dv"
+  private val BaseFile = "_base.txt"
+
+  /** The FULL version `sv` resolves to: itself, or its DV base. */
+  private def dvBaseOf(spark: SparkSession, storeDir: String, sv: Long): Option[Long] = {
+    val hfs = VersionedStore.fs(spark, storeDir)
+    val p = new Path(VersionedStore.path(storeDir, sv), BaseFile)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** One partition's pinned version as a frame — a full version scans
+    * its dir; a DV delta scans its BASE and anti-joins the (broadcast,
+    * tombstone-sized) deletion vector on (file_name, row_index), the
+    * stable row identity immutable files guarantee. */
+  private[operators] def readPartitionDf(
+      spark: SparkSession, dir: String, name: String, sv: Long): DataFrame = {
+    val storeDir = new Path(dir, name).toString
+    val vdir = VersionedStore.path(storeDir, sv)
+    dvBaseOf(spark, storeDir, sv) match {
+      case None => readParquet(spark, Seq(vdir.toString))
+      case Some(b) =>
+        val dv = spark.read.parquet(new Path(vdir, DvDir).toString)
+          .select(col("file").as("__file"), col("row_index").as("__ri"))
+        readParquet(spark, Seq(VersionedStore.path(storeDir, b).toString))
+          .withColumn("__file", col("_metadata.file_name"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("__file", "__ri"), "left_anti")
+          .drop("__file", "__ri")
+    }
+  }
+
+  /** A mapping's rows: plain partitions ride ONE multi-dir scan; DV
+    * deltas union in with their anti-joined base scans. */
+  private def readMapped(
+      spark: SparkSession, dir: String, m: Map[String, Long]): DataFrame = {
+    require(m.nonEmpty, "readMapped: empty partition mapping")
+    val (delta, plain) = m.toSeq.sortBy(_._1).partition { case (name, sv) =>
+      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined
+    }
+    val parts =
+      (if (plain.nonEmpty) Seq(readParquet(spark, partPaths(dir, plain.toMap))) else Nil) ++
+        delta.map { case (name, sv) => readPartitionDf(spark, dir, name, sv) }
+    parts.reduce(_.unionByName(_, true))
+  }
 
   /** Manifest-driven partition pruning: read ONLY the named partition
     * values' pinned version dirs — the first-level data skip a
@@ -297,7 +355,7 @@ object PartitionedTable {
     val live = m.filter(kv => wanted.contains(kv._1))
     require(live.nonEmpty,
       s"PartitionedTable: none of $values exist in table version $v")
-    readParquet(spark, partPaths(dir, live))
+    readMapped(spark, dir, live)
   }
 
   /** MERGE a CDC batch, rewriting ONLY touched partitions. `changes`
@@ -402,18 +460,33 @@ object PartitionedTable {
       statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false): (Map[String, Long], Seq[String]) = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
-    val touchedVals = batch.select(partCol).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val touchedNames = touchedVals.map(escape)
-    val baseTouched = touchedNames.filter(m.contains) match {
-      case Nil => None
-      case live => Some(readParquet(spark,
-        partPaths(dir, m.filter(kv => live.contains(kv._1)))))
-    }
-    val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+    // per-partition op census; the when-chain validates EVERY row's op
+    // here (fail-loud), since the DV path below never re-filters them
+    val opFlag = when(col(opCol) === "upsert", 1L)
+      .when(col(opCol) === "delete", 0L)
       .otherwise(raise_error(concat(
-        lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))))
-    val upserts = batch.filter(checkedOp === "upsert").drop(opCol)
+        lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))).cast("long"))
+    val census = batch.groupBy(partCol).agg(sum(opFlag).as("ups"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val touchedVals = census.map(_._1)
+    val touchedNames = touchedVals.map(escape)
+    // DELETE-ONLY partitions that already exist take the deletion-vector
+    // fast path: no data rewrite, just a tombstone sidecar version
+    val dvVals = census.collect {
+      case (v, ups) if ups == 0 && m.contains(escape(v)) => v
+    }
+    val dvCommitted = landDeletionVectors(spark, dir, m, batch, dvVals,
+      keyCol, partCol)
+    val rwVals = touchedVals.filterNot(dvVals.contains)
+    if (rwVals.isEmpty) return (dvCommitted, touchedNames)
+    val rwNames = rwVals.map(escape)
+    val rwBatch = batch.filter(col(partCol).isin(rwVals: _*))
+    val baseTouched = rwNames.filter(m.contains) match {
+      case Nil => None
+      case live => Some(readMapped(spark, dir,
+        m.filter(kv => live.contains(kv._1))))
+    }
+    val upserts = rwBatch.filter(col(opCol) === "upsert").drop(opCol)
     // schema evolution (opt-in, the Delta mergeSchema semantic): change
     // columns the base lacks null-fill on kept rows, base columns the
     // changes lack null-fill on inserted rows. Only TOUCHED partitions
@@ -422,7 +495,7 @@ object PartitionedTable {
     // merges footer schemas ([[readParquet]]). Off = strict error.
     val merged = baseTouched match {
       case Some(base) =>
-        base.join(broadcast(batch.select(partCol, keyCol).distinct()),
+        base.join(broadcast(rwBatch.select(partCol, keyCol).distinct()),
             Seq(partCol, keyCol), "left_anti")
           .unionByName(upserts, allowSchemaEvolution)
       case None => upserts // all-new partitions; deletes are no-ops
@@ -441,7 +514,82 @@ object PartitionedTable {
     // touched partitions that landed update their pointer; touched
     // partitions with no surviving rows drop out of the mapping the
     // caller builds; the rest carry over
-    (committed, touchedNames)
+    (dvCommitted ++ committed, touchedNames)
+  }
+
+  /** Land deletion-vector delta versions for delete-only partitions:
+    * ONE metadata-projected scan of their base versions semi-joined
+    * with the (broadcast, batch-sized) delete keys yields the new
+    * tombstones; existing DVs (same base) union in; each partition's
+    * slice assembles as `batch=<next>/{_dv, _base.txt}` in a dot-tmp
+    * and renames into place — the partition's DATA FILES are never
+    * read beyond metadata+key columns and never rewritten. */
+  private def landDeletionVectors(
+      spark: SparkSession,
+      dir: String,
+      m: Map[String, Long],
+      batch: DataFrame,
+      dvVals: Seq[String],
+      keyCol: String,
+      partCol: String): Map[String, Long] = {
+    if (dvVals.isEmpty) return Map.empty
+    val hfs = VersionedStore.fs(spark, dir)
+    // per partition: the pinned version and the FULL base it resolves to
+    val resolved = dvVals.map { v =>
+      val name = escape(v)
+      val storeDir = new Path(dir, name).toString
+      val sv = m(name)
+      val base = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
+      (v, name, storeDir, sv, base)
+    }
+    val baseDirs = resolved.map { case (_, _, storeDir, _, base) =>
+      VersionedStore.path(storeDir, base).toString }
+    val delKeys = batch.filter(col(partCol).isin(dvVals: _*))
+      .select(col(partCol).as("part"), col(keyCol).as("__k")).distinct()
+    val newDv = readParquet(spark, baseDirs)
+      .select(col(partCol).as("part"), col(keyCol).as("__k"),
+        col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("row_index"))
+      .join(broadcast(delKeys), Seq("part", "__k"), "left_semi")
+      .select("part", "file", "row_index")
+    val oldDvDirs = resolved.collect {
+      case (_, _, storeDir, sv, base) if sv != base =>
+        new Path(VersionedStore.path(storeDir, sv), DvDir).toString
+    }
+    val allDv =
+      if (oldDvDirs.isEmpty) newDv
+      else newDv.unionByName(spark.read.parquet(oldDvDirs: _*)
+        .select("part", "file", "row_index")).distinct()
+    val dvTmp = new Path(dir, s".tmp-dv-${java.util.UUID.randomUUID}")
+    allDv.withColumn(PartDir, col("part"))
+      .write.partitionBy(PartDir).parquet(dvTmp.toString)
+    val committed = resolved.map { case (v, name, storeDir, _, base) =>
+      val next = VersionedStore.versions(spark, storeDir)
+        .maxOption.map(_ + 1).getOrElse(0L)
+      val stage = new Path(storeDir, s".tmp-dv-$next")
+      hfs.delete(stage, true)
+      hfs.mkdirs(stage)
+      val slice = new Path(dvTmp, escape(v))
+      if (hfs.exists(slice)) {
+        if (!hfs.rename(slice, new Path(stage, DvDir)))
+          throw new java.io.IOException(
+            s"PartitionedTable: DV rename $slice failed")
+      } else {
+        // a delete batch matching no stored rows still mints a version
+        // (uniform merge semantics) — its DV is a typed empty parquet
+        allDv.limit(0).write.parquet(new Path(stage, DvDir).toString)
+      }
+      val out = hfs.create(new Path(stage, BaseFile), true)
+      try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dest = VersionedStore.path(storeDir, next)
+      if (!hfs.rename(stage, dest))
+        throw new java.io.IOException(
+          s"PartitionedTable: DV version rename $stage -> $dest failed")
+      name -> next
+    }.toMap
+    hfs.delete(dvTmp, true)
+    committed
   }
 
   /** Both skip levels composed: resolve a manifest, prune PARTITIONS
@@ -470,7 +618,19 @@ object PartitionedTable {
     val hfs = VersionedStore.fs(spark, dir)
     val versionDir: ((String, Long)) => Path = { case (name, sv) =>
       VersionedStore.path(new Path(dir, name).toString, sv) }
-    val (withStats, without) = live.toSeq.partition(kv =>
+    // DV delta partitions route through the tombstone-filtered reader
+    // (their version dir holds no data files; stats belong to the
+    // base and could mis-prune rows the DV later resurrects — keep it
+    // simple and exact: full partition read + residual filter)
+    val (asDelta, solid) = live.toSeq.partition { case (name, sv) =>
+      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined }
+    val deltaDf = asDelta.map { case (name, sv) =>
+      readPartitionDf(spark, dir, name, sv).filter(pred) }
+      .reduceOption(_.unionByName(_, true))
+    if (solid.isEmpty)
+      return deltaDf.getOrElse(
+        read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
+    val (withStats, without) = solid.partition(kv =>
       hfs.exists(new Path(versionDir(kv), StatsDir)))
     val keptStatFiles: Seq[String] =
       if (withStats.isEmpty) Nil
@@ -487,8 +647,11 @@ object PartitionedTable {
         }
       }
     val paths = keptStatFiles ++ without.map(kv => versionDir(kv).toString)
-    if (paths.isEmpty) read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
-    else readParquet(spark, paths.sorted).filter(pred)
+    val solidDf =
+      if (paths.isEmpty) None
+      else Some(readParquet(spark, paths.sorted).filter(pred))
+    (solidDf.toSeq ++ deltaDf.toSeq).reduceOption(_.unionByName(_, true))
+      .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
   }
 
   /** Table versions `from` and `to` differ exactly on partitions whose
@@ -521,13 +684,13 @@ object PartitionedTable {
     val changed = changedPartitions(spark, dir, from, to)
     def side(m: Map[String, Long], other: Map[String, Long]): DataFrame = {
       val live = changed.filter(m.contains)
-      if (live.nonEmpty) readParquet(spark,
-        partPaths(dir, m.filter(kv => live.contains(kv._1))))
+      if (live.nonEmpty) readMapped(spark, dir,
+        m.filter(kv => live.contains(kv._1)))
       else {
         // no changed partition exists on this side (pure adds/removes):
         // an empty frame with the table schema, taken from the other side
-        val donor = readParquet(spark,
-          partPaths(dir, other.filter(kv => changed.contains(kv._1))))
+        val donor = readMapped(spark, dir,
+          other.filter(kv => changed.contains(kv._1)))
         donor.limit(0)
       }
     }
@@ -564,19 +727,25 @@ object PartitionedTable {
         s"PartitionedTable: nothing to compact under $dir"))
     val m = manifest(spark, dir, cur)
     val flagged = m.toSeq.sortBy(_._1).filter { case (name, sv) =>
-      val vdir = VersionedStore.path(new Path(dir, name).toString, sv).toString
-      val (files, bytes) = Compaction.layoutStats(spark, vdir)
-      val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      bytes > 0 && files > smallFileRatio * ideal
+      val storeDir = new Path(dir, name).toString
+      // DV deltas always fold: compaction is what materializes the
+      // tombstone-filtered rows back into plain full files
+      dvBaseOf(spark, storeDir, sv).isDefined || {
+        val vdir = VersionedStore.path(storeDir, sv).toString
+        val (files, bytes) = Compaction.layoutStats(spark, vdir)
+        val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        bytes > 0 && files > smallFileRatio * ideal
+      }
     }
     if (flagged.isEmpty) return Nil
     val flaggedMap = flagged.toMap
     val totalBytes = flagged.map { case (name, sv) =>
-      Compaction.layoutStats(spark,
-        VersionedStore.path(new Path(dir, name).toString, sv).toString)._2
+      val storeDir = new Path(dir, name).toString
+      val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
+      Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
     }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = readParquet(spark, partPaths(dir, flaggedMap))
+    val df = readMapped(spark, dir, flaggedMap)
     val shapeCols = col(partCol) +: cluster.toSeq
     val packed = df.repartitionByRange(n, shapeCols: _*)
       .sortWithinPartitions(shapeCols: _*)
@@ -627,8 +796,13 @@ object PartitionedTable {
     val vs = versions(spark, dir).sorted
     val dropped = vs.dropRight(keep)
     val kept = vs.takeRight(keep)
+    // a referenced DV delta pins its BASE too — the delta is just
+    // tombstones over the base's files
     val referenced: Set[(String, Long)] = kept.flatMap(v =>
-      manifest(spark, dir, v).toSeq.map { case (name, sv) => (name, sv) }).toSet
+      manifest(spark, dir, v).toSeq.flatMap { case (name, sv) =>
+        (name, sv) :: dvBaseOf(spark, new Path(dir, name).toString, sv)
+          .map(b => (name, b)).toList
+      }).toSet
     dropped.foreach(v => hfs.delete(manifestPath(dir, v), false))
     val partDirs = hfs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))

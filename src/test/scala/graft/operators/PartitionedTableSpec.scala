@@ -122,17 +122,24 @@ class PartitionedTableSpec extends SparkSpec {
       ("p1", 1L, "update", 111L), ("p1", 5L, "delete", 50L),
       ("p1", 401L, "insert", 4010L)))
 
-    // a partition emptied by deletes drops from the manifest and feeds
-    // pure deletes (an add/remove-only diff exercises the empty side)
+    // a partition emptied by deletes: the delete-only batch lands a
+    // fully-tombstoned deletion-vector delta (data files untouched);
+    // the feed emits pure deletes and reads exclude every p2 row
     val wipeP2 = table(100).filter(col("part") === "p2")
       .withColumn("op", lit("delete"))
     PartitionedTable.merge(spark, dir, wipeP2, "k", "part")
-    assert(!PartitionedTable.manifest(spark, dir, 2L).contains("__part=p2"))
+    val m2 = PartitionedTable.manifest(spark, dir, 2L)
+    assert(m2.contains("__part=p2"),
+      "a DV-emptied partition keeps its (fully tombstoned) manifest entry")
+    val hfs = VersionedStore.fs(spark, dir)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.path(s"$dir/__part=p2", m2("__part=p2")), "_base.txt")),
+      "the wipe must land as a deletion vector, not a rewrite")
     val feed2 = PartitionedTable.changes(spark, dir, 1L, 2L, "k", "part")
     assert(feed2.inputFiles.toSeq.forall(_.contains("__part=p2")))
     assert(feed2.select("op").distinct().collect().map(_.getString(0)).toSeq === Seq("delete"))
     assert(feed2.count() === 25)
-    // and the table still reads (p2 absent)
+    // and the table still reads (p2 rows all suppressed)
     assert(PartitionedTable.read(spark, dir).count() === 75)
   }
 
@@ -334,6 +341,83 @@ class PartitionedTableSpec extends SparkSpec {
       "part", "v")
     assert(rows(view) === rows(recompute()))
     assert(!rows(view).exists(_._1 == "p9"), "emptied partition group must drop out")
+  }
+
+  test("deletion vectors: a delete-only merge never rewrites data, reads stay exact, compaction folds back") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    val dataBefore = files(dir, "__part=p1")
+      .filterNot(f => f._1.contains("batch=") && !f._1.contains("batch=0"))
+
+    // delete-only batch on p1 → DV delta, p1's data files untouched
+    val del1 = Seq((1L, "p1", 0L, "delete"), (5L, "p1", 0L, "delete"))
+      .toDF("k", "part", "v", "op")
+    PartitionedTable.merge(spark, dir, del1, "k", "part")
+    val m1 = PartitionedTable.manifest(spark, dir, 1L)
+    val hfs = VersionedStore.fs(spark, dir)
+    val v1dir = VersionedStore.path(s"$dir/__part=p1", m1("__part=p1"))
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(v1dir, "_base.txt")),
+      "a delete-only merge must land a DV delta, not a rewrite")
+    assert(Compaction.layoutStats(spark, v1dir.toString)._1 === 0,
+      "the DV version holds no data files")
+    // the base version's files are the SAME physical files
+    val base0 = files(dir, "__part=p1").filter(_._1.contains("batch=0"))
+    assert(base0 === dataBefore.filter(_._1.contains("batch=0")),
+      "base data files must be byte-identical after a DV delete")
+
+    // reads: deleted rows gone, everything else intact; time travel exact
+    val cur = PartitionedTable.read(spark, dir)
+    assert(cur.count() === 98)
+    assert(cur.filter(col("k").isin(1L, 5L)).count() === 0)
+    assert(cur.filter(col("k") === 9).head.getLong(2) === 90L)
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L)).count() === 100)
+
+    // a second delete-only batch unions DVs against the SAME base
+    PartitionedTable.merge(spark, dir,
+      Seq((9L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(PartitionedTable.read(spark, dir).count() === 97)
+    val m2 = PartitionedTable.manifest(spark, dir, 2L)
+    assert(PartitionedTable.readPartitionDf(spark, dir, "__part=p1", m2("__part=p1"))
+      .count() === 22)
+
+    // change feed across the DV versions is exact
+    val feed = PartitionedTable.changes(spark, dir, 0L, 2L, "k", "part")
+    val events = feed.collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(events === Set((1L, "delete"), (5L, "delete"), (9L, "delete")))
+
+    // an upsert-containing batch folds the partition back to full files
+    // (k=13 is an EXISTING p1 key — key identity is (partition, key))
+    PartitionedTable.merge(spark, dir,
+      Seq((13L, "p1", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val m3 = PartitionedTable.manifest(spark, dir, 3L)
+    val v3dir = VersionedStore.path(s"$dir/__part=p1", m3("__part=p1"))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(v3dir, "_base.txt")),
+      "an upsert merge must materialize a full version")
+    val st = PartitionedTable.read(spark, dir)
+    assert(st.count() === 97 && st.filter(col("k") === 13).head.getLong(2) === 222L)
+    assert(st.filter(col("k").isin(1L, 5L, 9L) && col("part") === "p1").count() === 0,
+      "DV tombstones must survive the fold")
+
+    // vacuum keeps a DV's base while any kept manifest references the delta
+    val dir2 = freshStore()
+    PartitionedTable.commit(spark, dir2, table(40), "part")
+    PartitionedTable.merge(spark, dir2,
+      Seq((1L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    PartitionedTable.vacuum(spark, dir2, keep = 1) // only the DV manifest survives
+    assert(PartitionedTable.read(spark, dir2).count() === 39,
+      "the DV's base must survive vacuum while the delta is referenced")
+
+    // and batch compaction folds DV partitions to full
+    assert(PartitionedTable.compactPartitions(spark, dir2,
+      targetBytes = 64L * 1024 * 1024, partCol = "part").contains("__part=p1"))
+    val m2b = PartitionedTable.manifest(spark, dir2,
+      PartitionedTable.latest(spark, dir2).get)
+    assert(PartitionedTable.readPartitionDf(spark, dir2, "__part=p1", m2b("__part=p1"))
+      .count() === 9)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.path(s"$dir2/__part=p1", m2b("__part=p1")), "_base.txt")))
   }
 
   test("manifest history records every table commit with its operation and touch scope") {
