@@ -921,6 +921,42 @@ object PartitionedTable {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Deletion vectors, hash-gated: commit orders partitioned by
+    // status, apply a DELETE-ONLY batch (keys ≡7 mod 10 in 'F') — the
+    // merge lands a tombstone sidecar, never rewriting the partition
+    // (spec'd at file level in PartitionedTableSpec) — then aggregate
+    // BOTH versions. The oracle recomputes each version closed-form,
+    // so a DV that suppresses the wrong rows, leaks a tombstone into
+    // another partition, or fails to filter on read breaks the hash;
+    // version 0's rows prove time travel reads AROUND the tombstones.
+    QueryDef.sql("q85_deletion_vectors",
+      """SELECT 0 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 1 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q85_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, "o_orderstatus")
+      val doomed = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("delete"))
+      merge(s, store, doomed, "o_orderkey", "o_orderstatus")
+      val byVersion = Seq(0L, 1L).map { v =>
+        read(s, store, asOf = Some(v)).withColumn("version", lit(v.toInt))
+      }.reduce(_ unionByName _)
+      byVersion.groupBy("version", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
     }
   )
 }

@@ -128,8 +128,12 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q83_commit_history" -> 0, // a #versions-sized local relation of
                                // parsed sidecars — no exchange, no
                                // data scan at all
-    "q84_two_level_skipping" -> 1) // partition+stats-pruned file scan
+    "q84_two_level_skipping" -> 1, // partition+stats-pruned file scan
                                    // into one grouped agg
+    "q85_deletion_vectors" -> 1) // two version scans (v1's DV anti
+                                 // join rides a broadcast) into one
+                                 // grouped agg; the DV write itself
+                                 // lives in the merge job
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.

@@ -359,6 +359,42 @@ class MergeStreamsSpec extends SparkSpec {
     assert(feeds(1L) === first1, "retry must re-emit the identical feed")
   }
 
+  test("streaming delete-only batches ride the deletion-vector path with exactly-once semantics") {
+    import graft.operators.{Compaction, PartitionedTable}
+    import spark.implicits._
+    val table = Files.createTempDirectory("pmerge-dv").toString + "/table"
+    val b0 = spark.range(50).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+      (col("id") * 10).as("v"), lit(0L).as("seq"), lit("upsert").as("op"))
+    MergeStreams.mergePartitionedBatch(spark, table, b0, 0L,
+      "k", "part", "op", Seq("seq"))
+    val m0 = PartitionedTable.manifest(spark, table, 0L)
+    val p1Before = Compaction.layoutStats(spark,
+      VersionedStore.path(s"$table/__part=p1", m0("__part=p1")).toString)
+
+    // delete-only batch on p1 → DV delta, no rewrite
+    val del = Seq((1L, "p1", 0L, 1L, "delete"), (3L, "p1", 0L, 2L, "delete"))
+      .toDF("k", "part", "v", "seq", "op")
+    MergeStreams.mergePartitionedBatch(spark, table, del, 1L,
+      "k", "part", "op", Seq("seq"))
+    val m1 = PartitionedTable.manifest(spark, table, 1L)
+    val hfs = VersionedStore.fs(spark, table)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.path(s"$table/__part=p1", m1("__part=p1")), "_base.txt")),
+      "the streamed delete-only batch must land a DV delta")
+    assert(PartitionedTable.read(spark, table).count() === 48)
+    // the base version survived the 2-manifest vacuum (pinned by the DV)
+    assert(Compaction.layoutStats(spark,
+      VersionedStore.path(s"$table/__part=p1", m0("__part=p1")).toString)
+      === p1Before, "vacuum must keep the DV's base")
+
+    // redelivery: no new manifest, same state
+    MergeStreams.mergePartitionedBatch(spark, table, del, 1L,
+      "k", "part", "op", Seq("seq"))
+    assert(PartitionedTable.versions(spark, table).sorted === Seq(0L, 1L))
+    assert(PartitionedTable.read(spark, table).count() === 48)
+  }
+
   test("streaming in-place partition fold: files shrink, batch ids never collide, state exact") {
     import graft.operators.PartitionedTable
     import spark.implicits._
