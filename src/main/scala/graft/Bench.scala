@@ -176,8 +176,15 @@ object Bench {
           Some((name, big / math.max(med, 1e-3), big))
         }
       }
+      // 12.0, not 10.0: with 10x the data, a scan-bound query scales at
+      // EXACTLY 10x, so a 10.0 threshold has zero headroom — d03 (stable
+      // 3.5 s big-side across four quiet runs) flagged at ratio 10.17
+      // purely because the small side landed fast on the quietest box.
+      // 20% over linear still catches what the audit hunts (a hidden
+      // quadratic shows ~100x here) without turning linear queries into
+      // noise-driven false alarms.
       val flaggedNames = ratios.collect {
-        case (name, r, big) if r > 10.0 && big > 1.0 => name
+        case (name, r, big) if r > 12.0 && big > 1.0 => name
       }
       // locale-independent 2dp rendering (f"" uses the JVM default
       // locale — a comma-decimal locale would corrupt the JSON line)
