@@ -303,17 +303,22 @@ object PartitionedTable {
   /** One partition's pinned version as a frame — a full version scans
     * its dir; a DV delta scans its BASE and anti-joins the (broadcast,
     * tombstone-sized) deletion vector on (file_name, row_index), the
-    * stable row identity immutable files guarantee. */
+    * stable row identity immutable files guarantee. `basePaths`
+    * narrows the base scan to specific files (stats pruning — sound
+    * under DVs, which only REMOVE rows and can never resurrect one a
+    * pruned file would have held). */
   private[operators] def readPartitionDf(
-      spark: SparkSession, dir: String, name: String, sv: Long): DataFrame = {
+      spark: SparkSession, dir: String, name: String, sv: Long,
+      basePaths: Option[Seq[String]] = None): DataFrame = {
     val storeDir = new Path(dir, name).toString
     val vdir = VersionedStore.path(storeDir, sv)
     dvBaseOf(spark, storeDir, sv) match {
-      case None => readParquet(spark, Seq(vdir.toString))
+      case None => readParquet(spark, basePaths.getOrElse(Seq(vdir.toString)))
       case Some(b) =>
         val dv = spark.read.parquet(new Path(vdir, DvDir).toString)
           .select(col("file").as("__file"), col("row_index").as("__ri"))
-        readParquet(spark, Seq(VersionedStore.path(storeDir, b).toString))
+        readParquet(spark,
+          basePaths.getOrElse(Seq(VersionedStore.path(storeDir, b).toString)))
           .withColumn("__file", col("_metadata.file_name"))
           .withColumn("__ri", col("_metadata.row_index"))
           .join(broadcast(dv), Seq("__file", "__ri"), "left_anti")
@@ -618,15 +623,32 @@ object PartitionedTable {
     val hfs = VersionedStore.fs(spark, dir)
     val versionDir: ((String, Long)) => Path = { case (name, sv) =>
       VersionedStore.path(new Path(dir, name).toString, sv) }
-    // DV delta partitions route through the tombstone-filtered reader
-    // (their version dir holds no data files; stats belong to the
-    // base and could mis-prune rows the DV later resurrects — keep it
-    // simple and exact: full partition read + residual filter)
+    // DV delta partitions route through the tombstone-filtered reader;
+    // when their BASE carries a stats sidecar, base files prune by the
+    // same min/max test first (sound: a tombstone only removes rows —
+    // it can never resurrect one a pruned file would have held)
     val (asDelta, solid) = live.toSeq.partition { case (name, sv) =>
       dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined }
     val deltaDf = asDelta.map { case (name, sv) =>
-      readPartitionDf(spark, dir, name, sv).filter(pred) }
-      .reduceOption(_.unionByName(_, true))
+      val storeDir = new Path(dir, name).toString
+      val base = dvBaseOf(spark, storeDir, sv).get
+      val baseDir = VersionedStore.path(storeDir, base)
+      val statsPath = new Path(baseDir, StatsDir)
+      val basePaths =
+        if (!hfs.exists(statsPath)) None
+        else {
+          val stats = spark.read.parquet(statsPath.toString)
+          if (!stats.columns.contains(s"min_$c")) None
+          else Some(stats.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+            .select("file").collect() // file-count-sized
+            .map(r => new Path(baseDir, r.getString(0)).toString).toSeq)
+        }
+      basePaths match {
+        case Some(Nil) => // every base file pruned: nothing in range
+          readPartitionDf(spark, dir, name, sv).filter(lit(false)).filter(pred)
+        case bp => readPartitionDf(spark, dir, name, sv, bp).filter(pred)
+      }
+    }.reduceOption(_.unionByName(_, true))
     if (solid.isEmpty)
       return deltaDf.getOrElse(
         read(spark, dir, Some(v)).filter(lit(false)).filter(pred))

@@ -180,8 +180,25 @@ class PartitionedTableSpec extends SparkSpec {
     assert(all.agg(count(lit(1))).head.getLong(0) ===
       df.filter(col("x") >= 100 && col("x") <= 299).count())
 
-    // a merge WITHOUT stats leaves that partition full-scan but exact
+    // a DELETE-ONLY merge lands a DV delta over the stats-bearing base:
+    // the selective read still prunes base files by the same min/max
+    // test (tombstones only remove rows) AND excludes the deleted key
     import spark.implicits._
+    val victim = df.filter(col("part") === "p1" &&
+      col("x") >= 100 && col("x") <= 299).select("k").head.getLong(0)
+    PartitionedTable.merge(spark, dir,
+      Seq((victim, "p1", 0L, "delete")).toDF("k", "part", "x", "op"), "k", "part")
+    val dvProbe = PartitionedTable.readWhere(spark, dir, "x", lit(100L), lit(299L),
+      partValues = Some(Seq("p1")))
+    assert(dvProbe.inputFiles.length < p1All,
+      "DV partitions must still prune base files by stats")
+    assert(dvProbe.filter(col("k") === victim).count() === 0,
+      "the tombstone must hold through the stats-pruned read")
+    assert(dvProbe.count() ===
+      df.filter(col("part") === "p1" && col("x") >= 100 && col("x") <= 299)
+        .count() - 1)
+
+    // a merge WITHOUT stats leaves that partition full-scan but exact
     PartitionedTable.merge(spark, dir,
       Seq((1L, "p1", 150L, "upsert")).toDF("k", "part", "x", "op"), "k", "part")
     val after = PartitionedTable.readWhere(spark, dir, "x", lit(100L), lit(299L),
