@@ -134,8 +134,10 @@ object PartitionedTable {
     * rename, so a manifest either has its history row or doesn't
     * exist. Tags must not contain quotes or newlines. */
   private def metaLine(operation: String, touched: Int, partitions: Int, at: String): String = {
-    require(!operation.contains("\"") && !at.contains("\"") && !at.contains("\n"),
-      s"history tags must not contain quotes/newlines: $operation / $at")
+    require(Seq(operation, at).forall(t =>
+      !t.exists(c => c == '"' || c == '\\' || c < ' ')),
+      s"history tags must not contain quotes/backslashes/control chars: " +
+        s"$operation / $at")
     s"""#{"operation":"$operation","touched":$touched,"partitions":$partitions,"at":"$at"}"""
   }
 
@@ -198,15 +200,20 @@ object PartitionedTable {
     if (statsCols.nonEmpty) {
       // one job over the landed files: per-(partition, file) min/max,
       // written partitionBy so each partition's slice renames into its
-      // own temp dir as the _stats sidecar
+      // own temp dir as the _stats sidecar. The partition value comes
+      // from the DATA's own partCol (string by contract, duplicated
+      // inside the files) — never from directory inference, which would
+      // re-type numeric/date-like values ("01" -> 1, "1996-01-01" ->
+      // date), normalize the rewritten dir name away from the data's,
+      // and break both the sidecar rename and readWhere's getString.
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       val statsTmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
       spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
-        .groupBy(col(PartDir),
+        .groupBy(col(partCol).as("part"),
           regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
-        .withColumn("part", col(PartDir))
+        .withColumn(PartDir, col("part"))
         .write.partitionBy(PartDir).parquet(statsTmp.toString)
       hfs.listStatus(statsTmp).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
@@ -222,18 +229,41 @@ object PartitionedTable {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
     val committed = landed.map { s =>
       val name = s.getPath.getName
-      val storeDir = new Path(dir, name).toString
-      val next = VersionedStore.versions(spark, storeDir)
-        .maxOption.map(_ + 1).getOrElse(0L)
-      hfs.mkdirs(new Path(storeDir))
-      val dest = VersionedStore.path(storeDir, next)
-      if (!hfs.rename(s.getPath, dest))
-        throw new java.io.IOException(
-          s"PartitionedTable: partition rename ${s.getPath} -> $dest failed")
-      name -> next
+      name -> landStoreVersion(spark, new Path(dir, name).toString, s.getPath)
     }.toMap
     hfs.delete(tmp, true)
     committed
+  }
+
+  /** Race-safe landing of a staged version dir into the next free store
+    * slot. Two concurrent merges touching the SAME partition both
+    * compute next = listing max + 1; the loser must not throw mid-land
+    * (and on HDFS rename semantics — dest exists → src moves INSIDE
+    * dest — must not silently nest its temp dir into the winner's
+    * committed version). Loop: take a fresh listing, refuse an existing
+    * dest, rename, then verify the rename did not nest (the staged dir
+    * reappearing as a CHILD of dest means the dest sprang into existence
+    * between the check and the rename); on any collision re-list and
+    * retry with the next id. Returns the committed store version. */
+  private def landStoreVersion(
+      spark: SparkSession, storeDir: String, staged: Path): Long = {
+    val hfs = VersionedStore.fs(spark, storeDir)
+    hfs.mkdirs(new Path(storeDir))
+    var src = staged
+    var attempts = 0
+    while (attempts < 32) {
+      attempts += 1
+      val next = VersionedStore.versions(spark, storeDir)
+        .maxOption.map(_ + 1).getOrElse(0L)
+      val dest = VersionedStore.path(storeDir, next)
+      if (!hfs.exists(dest) && hfs.rename(src, dest)) {
+        val nested = new Path(dest, src.getName)
+        if (!hfs.exists(nested)) return next
+        src = nested // HDFS nesting: pull our dir back out and retry
+      }
+    }
+    throw new java.io.IOException(
+      s"PartitionedTable: lost $attempts landing races under $storeDir")
   }
 
   /** Commit `df` as a full table snapshot partitioned by `partCol`
@@ -470,7 +500,8 @@ object PartitionedTable {
     val opFlag = when(col(opCol) === "upsert", 1L)
       .when(col(opCol) === "delete", 0L)
       .otherwise(raise_error(concat(
-        lit(s"merge: $opCol must be upsert|delete, got "), col(opCol))).cast("long"))
+        lit(s"merge: $opCol must be upsert|delete, got "),
+        coalesce(col(opCol), lit("NULL")))).cast("long"))
     val census = batch.groupBy(partCol).agg(sum(opFlag).as("ups"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val touchedVals = census.map(_._1)
@@ -569,10 +600,7 @@ object PartitionedTable {
     allDv.withColumn(PartDir, col("part"))
       .write.partitionBy(PartDir).parquet(dvTmp.toString)
     val committed = resolved.map { case (v, name, storeDir, _, base) =>
-      val next = VersionedStore.versions(spark, storeDir)
-        .maxOption.map(_ + 1).getOrElse(0L)
-      val stage = new Path(storeDir, s".tmp-dv-$next")
-      hfs.delete(stage, true)
+      val stage = new Path(storeDir, s".tmp-dv-${java.util.UUID.randomUUID}")
       hfs.mkdirs(stage)
       val slice = new Path(dvTmp, escape(v))
       if (hfs.exists(slice)) {
@@ -587,11 +615,7 @@ object PartitionedTable {
       val out = hfs.create(new Path(stage, BaseFile), true)
       try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val dest = VersionedStore.path(storeDir, next)
-      if (!hfs.rename(stage, dest))
-        throw new java.io.IOException(
-          s"PartitionedTable: DV version rename $stage -> $dest failed")
-      name -> next
+      name -> landStoreVersion(spark, storeDir, stage)
     }.toMap
     hfs.delete(dvTmp, true)
     committed
@@ -704,6 +728,19 @@ object PartitionedTable {
     val a = manifest(spark, dir, from)
     val b = manifest(spark, dir, to)
     val changed = changedPartitions(spark, dir, from, to)
+    if (changed.isEmpty) {
+      // identical manifests (a no-op commit between the versions): the
+      // feed is provably empty — emit it with the table's schema instead
+      // of letting the per-side readers trip on an empty mapping
+      val donor = if (b.nonEmpty) b else a
+      require(donor.nonEmpty,
+        s"PartitionedTable.changes: both versions $from and $to are empty " +
+          s"tables under $dir — no schema to shape the (empty) feed")
+      val t = readMapped(spark, dir, donor).limit(0)
+      val payload = t.columns.toSeq.filterNot(c => c == partCol || c == keyCol)
+      return t.select(Seq(col(partCol), col(keyCol),
+        lit("none").as("op")) ++ payload.map(col): _*)
+    }
     def side(m: Map[String, Long], other: Map[String, Long]): DataFrame = {
       val live = changed.filter(m.contains)
       if (live.nonEmpty) readMapped(spark, dir,

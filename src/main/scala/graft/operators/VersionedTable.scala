@@ -49,8 +49,14 @@ object VersionedTable {
       rowsIn: Option[Long] = None,
       quarantined: Long = 0L,
       at: String = "") {
-    require(!operation.contains("\"") && !at.contains("\""),
-      s"CommitInfo tags must not contain quotes: $operation / $at")
+    // reject everything that would corrupt the JSON sidecar: quotes,
+    // backslashes, and control chars (incl. newlines) — a malformed tag
+    // must fail AT COMMIT, not surface later as history()'s from_json
+    // silently yielding an all-null row for the version
+    require(Seq(operation, at).forall(t =>
+      !t.exists(c => c == '"' || c == '\\' || c < ' ')),
+      s"CommitInfo tags must not contain quotes/backslashes/control chars: " +
+        s"$operation / $at")
     private[VersionedTable] def json(rowsOut: Long): String =
       s"""{"operation":"$operation","rows_in":${rowsIn.getOrElse(rowsOut)},""" +
         s""""rows_out":$rowsOut,"quarantined":$quarantined,"at":"$at"}"""
@@ -272,6 +278,14 @@ object VersionedTable {
       preImages: Boolean = false): DataFrame =
     diffFrames(read(spark, dir, asOf = Some(from)),
       read(spark, dir, asOf = Some(to)), Seq(keyCol), preImages)
+
+  /** The [[changes]] diff over two EXPLICIT snapshots — the seam the
+    * streaming merge fold uses when a version must resolve through an
+    * empty-batch schema fallback instead of a directory read. */
+  def diffFeed(
+      a: DataFrame, b: DataFrame,
+      keyCol: String, preImages: Boolean = false): DataFrame =
+    diffFrames(a, b, Seq(keyCol), preImages)
 
   /** The row-level diff two snapshots imply, keyed by `keyCols` —
     * shared by [[changes]] and the partition-aware feed

@@ -140,10 +140,13 @@ object MergeStreams {
       else {
         val qDir = quarantineDir.getOrElse(throw new IllegalArgumentException(
           "mergePartitionedBatch: expectations require a quarantineDir"))
+        // null-safe split (<=>): a NULL op must fall through to the
+        // fail-loud op validation in the merge, not vanish between two
+        // null-filtering predicates
         val (clean, dirty) = graft.operators.Expectations.split(
-          batch.filter(col(opCol) === "upsert"), expectations)
+          batch.filter(col(opCol) <=> "upsert"), expectations)
         VersionedStore.commit(spark, qDir, id, dirty.localCheckpoint(true)): Unit
-        clean.unionByName(batch.filter(col(opCol) =!= "upsert"))
+        clean.unionByName(batch.filter(!(col(opCol) <=> "upsert")))
       }
     val w = Window.partitionBy(partCol, keyCol)
       .orderBy(orderCols.map(col(_).desc): _*)
@@ -167,17 +170,35 @@ object MergeStreams {
     // the sink sees byte-identical rows: idempotent-per-id, the same
     // contract as the flat stream's feed.
     feedSink.foreach { sink =>
+      // A no-op micro-batch (empty source file, everything quarantined,
+      // all-null partition values) commits a manifest identical to its
+      // predecessor — or an EMPTY manifest on the first batch. The feed
+      // is then provably empty; emit an empty frame with the feed's
+      // schema (derived from the collapsed batch) instead of letting
+      // changes()/read() trip over an empty partition mapping.
+      def emptyFeed: DataFrame = {
+        val t = collapsed.drop(opCol).limit(0)
+        val payload = t.columns.toSeq
+          .filterNot(c => c == keyCol || c == partCol)
+        t.select(Seq(col(partCol), col(keyCol),
+          lit("insert").as("op")) ++ payload.map(col): _*)
+      }
       val feed = PartitionedTable.versions(spark, tableDir)
         .filter(_ < id).maxOption match {
-        case Some(prior) =>
+        case Some(prior)
+            if PartitionedTable.changedPartitions(
+              spark, tableDir, prior, id).nonEmpty =>
           PartitionedTable.changes(spark, tableDir, prior, id,
             keyCol, partCol, preImages = true)
-        case None =>
+        case Some(_) => emptyFeed
+        case None
+            if PartitionedTable.manifest(spark, tableDir, id).nonEmpty =>
           val committed = PartitionedTable.read(spark, tableDir, Some(id))
           val payload = committed.columns.toSeq
             .filterNot(c => c == keyCol || c == partCol)
           committed.select(Seq(col(partCol), col(keyCol),
             lit("insert").as("op")) ++ payload.map(col): _*)
+        case None => emptyFeed
       }
       sink(feed.localCheckpoint(true), id)
     }
@@ -225,10 +246,13 @@ object MergeStreams {
       else {
         val qDir = quarantineDir.getOrElse(throw new IllegalArgumentException(
           "mergeBatch: expectations require a quarantineDir"))
+        // null-safe split (<=>): a NULL op must reach checkedOp's
+        // raise_error below, not vanish between two null-filtering
+        // predicates (=== and =!= both drop nulls)
         val (clean, dirty) = graft.operators.Expectations.split(
-          batch.filter(col(opCol) === "upsert"), expectations)
+          batch.filter(col(opCol) <=> "upsert"), expectations)
         VersionedStore.commit(spark, qDir, id, dirty.localCheckpoint(true)): Unit
-        clean.unionByName(batch.filter(col(opCol) =!= "upsert"))
+        clean.unionByName(batch.filter(!(col(opCol) <=> "upsert")))
       }
     // last-wins collapse WITHIN the batch: one window over the
     // changelog batch, ordered by the caller's total order
@@ -243,7 +267,8 @@ object MergeStreams {
     // so an unknown op raises instead of silently deleting the key
     val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
-        lit(s"MergeStreams: $opCol must be upsert|delete, got "), col(opCol))))
+        lit(s"MergeStreams: $opCol must be upsert|delete, got "),
+        coalesce(col(opCol), lit("NULL")))))
     val upserts = collapsed.filter(checkedOp === "upsert")
       .drop(opCol).drop(orderCols: _*)
     // pre-batch state: the newest version older than this id — on a
@@ -251,7 +276,14 @@ object MergeStreams {
     val prior = VersionedStore.versions(spark, storeDir).filter(_ < id)
     val merged = prior.maxOption match {
       case Some(v) =>
-        val base = spark.read.parquet(VersionedStore.path(storeDir, v).toString)
+        val vdir = VersionedStore.path(storeDir, v).toString
+        // a version committed by an empty batch holds no data files —
+        // reading it would fail schema inference; its content is the
+        // empty table with the changelog's (op-less) schema
+        val base =
+          if (graft.operators.Compaction.layoutStats(spark, vdir)._1 == 0)
+            upserts.limit(0)
+          else spark.read.parquet(vdir)
         base.join(broadcast(collapsed.select(keyCol).distinct()),
             Seq(keyCol), "left_anti")
           .unionByName(upserts)
@@ -285,16 +317,26 @@ object MergeStreams {
     // insert (the diff from nothing), keeping the feed's shape
     // identical to changes().
     feedSink.foreach { sink =>
+      // A version committed by an empty (first) batch holds no data
+      // files; reading such a dir fails schema inference. Resolve any
+      // version to a frame with the empty-table fallback (the changelog's
+      // op-less schema) so the feed survives empty batches at any point.
+      def versionFrame(v: Long): DataFrame = {
+        val vdir = VersionedStore.path(storeDir, v).toString
+        if (graft.operators.Compaction.layoutStats(spark, vdir)._1 == 0)
+          collapsed.drop(opCol).drop(orderCols: _*).limit(0)
+        else spark.read.parquet(vdir)
+      }
+      def insertShaped(df: DataFrame): DataFrame = {
+        val payload = df.columns.toSeq.filterNot(_ == keyCol)
+        df.select(Seq(col(keyCol), lit("insert").as("op")) ++
+          payload.map(col): _*)
+      }
       val feed = prior.maxOption match {
         case Some(v) =>
-          graft.operators.VersionedTable
-            .changes(spark, storeDir, v, id, keyCol, preImages = true)
-        case None =>
-          val committed = spark.read.parquet(
-            VersionedStore.path(storeDir, id).toString)
-          val payload = committed.columns.toSeq.filterNot(_ == keyCol)
-          committed.select(Seq(col(keyCol), lit("insert").as("op")) ++
-            payload.map(col): _*)
+          graft.operators.VersionedTable.diffFeed(
+            versionFrame(v), versionFrame(id), keyCol, preImages = true)
+        case None => insertShaped(versionFrame(id))
       }
       sink(feed.localCheckpoint(true), id)
     }

@@ -535,4 +535,82 @@ class PartitionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("string"))
   }
+
+  test("stats sidecars survive numeric/date-like partition values (no dir-inference retyping)") {
+    val dir = freshStore()
+    // "01" would dir-infer as int 1, "1996-01-01" as a date — the stats
+    // job must key off the data's own string partCol, never the
+    // re-typed/normalized directory value
+    val df = spark.range(400).select(col("id").as("k"),
+      when(col("id") % 2 === 0, "01").otherwise("1996-01-01").as("part"),
+      (col("id") % 50).as("x"))
+    PartitionedTable.commit(spark, dir,
+      df.repartitionByRange(8, col("part"), col("x")), "part",
+      statsCols = Seq("x"))
+
+    val probe = PartitionedTable.readWhere(spark, dir, "x",
+      lit(10L), lit(20L), partValues = Some(Seq("01")))
+    assert(probe.inputFiles.nonEmpty &&
+      probe.inputFiles.forall(_.contains("__part=01")))
+    assert(probe.agg(count(lit(1)), sum("x")).head ===
+      df.filter(col("part") === "01" && col("x").between(10, 20))
+        .agg(count(lit(1)), sum("x")).head)
+
+    // the no-partition-filter path exercises getString on the stats'
+    // part column for BOTH tricky values, and still prunes files
+    val all = PartitionedTable.readWhere(spark, dir, "x", lit(10L), lit(20L))
+    val totalFiles = PartitionedTable.read(spark, dir).inputFiles.length
+    assert(all.inputFiles.length < totalFiles,
+      s"stats must prune (${all.inputFiles.length} of $totalFiles)")
+    assert(all.agg(count(lit(1))).head.getLong(0) ===
+      df.filter(col("x").between(10, 20)).count())
+  }
+
+  test("history tags with backslashes or control chars are rejected at commit, never silently null") {
+    import spark.implicits._
+    val dir = freshStore()
+    intercept[IllegalArgumentException] {
+      PartitionedTable.commit(spark, dir, table(20), "part", at = "a\\b")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedTable.commit(spark, dir, table(20), "part", at = "a\nb")
+    }
+    assert(PartitionedTable.versions(spark, dir).isEmpty,
+      "a rejected tag must not commit anything")
+    PartitionedTable.commit(spark, dir, table(20), "part", at = "ok-1")
+    val h = PartitionedTable.history(spark, dir).collect()
+    assert(h.length === 1 && h.head.getString(4) === "ok-1")
+  }
+
+  test("concurrent same-partition merges land race-safely: serializable outcome, no corrupted versions") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+
+    // both writers hammer p1 concurrently, several rounds — losers must
+    // re-list and retry (or OCC-recompute), never throw mid-land or
+    // nest a temp dir inside the winner's committed version
+    (1 to 3).foreach { round =>
+      val a = Future(PartitionedTable.merge(spark, dir,
+        Seq((1L, "p1", round * 100L, "upsert")).toDF("k", "part", "v", "op"),
+        "k", "part"))
+      val b = Future(PartitionedTable.merge(spark, dir,
+        Seq((5L, "p1", round * 1000L, "upsert")).toDF("k", "part", "v", "op"),
+        "k", "part"))
+      Await.result(a, 120.seconds); Await.result(b, 120.seconds): Unit
+    }
+    val state = PartitionedTable.read(spark, dir)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state(1L) === 300L && state(5L) === 3000L,
+      s"both writers' final-round edits must survive: $state")
+    assert(state.size === 40, "no rows lost or duplicated across the races")
+    // every committed manifest resolves to a readable version (no
+    // nested/corrupted store dirs behind any pointer)
+    PartitionedTable.versions(spark, dir).foreach { v =>
+      PartitionedTable.read(spark, dir, Some(v)).count(): Unit
+    }
+  }
 }

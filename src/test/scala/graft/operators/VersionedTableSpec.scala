@@ -341,4 +341,18 @@ class VersionedTableSpec extends SparkSpec {
       .orderBy("x", "y").collect().toSeq
     assert(a === b)
   }
+
+  test("CommitInfo tags with backslashes or control chars fail at construction, so history is never silently null") {
+    intercept[IllegalArgumentException] {
+      VersionedTable.CommitInfo("merge", at = "run\\7")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.CommitInfo("merge", at = "run\n7")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.CommitInfo("op\"q")
+    }
+    // plain tags still pass
+    VersionedTable.CommitInfo("merge", at = "run-7"): Unit
+  }
 }

@@ -456,4 +456,97 @@ class MergeStreamsSpec extends SparkSpec {
     assert(VersionedStore.versions(spark, store).sorted === versionsAfter,
       "a retry must not mint a new version")
   }
+
+  test("a NULL op fails loudly even under the expectations gate (null-safe split)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("merge-nullop").toString
+    val rules = Seq("v_positive" -> (col("v") > 0L))
+
+    // flat fold: the null-op row must reach checkedOp's raise_error,
+    // not vanish between the two gate predicates
+    val bad = Seq((1L, 10L, 1L, Option("upsert")), (2L, 20L, 2L, Option.empty[String]))
+      .toDF("k", "v", "seq", "op")
+    intercept[Exception] {
+      MergeStreams.mergeBatch(spark, s"$base/flat", bad, 0L, "k", "op",
+        Seq("seq"), expectations = rules, quarantineDir = Some(s"$base/fq"))
+    }
+    assert(VersionedStore.versions(spark, s"$base/flat").isEmpty,
+      "a failed batch must not commit")
+
+    // partitioned fold: same contract through the op census
+    val pbad = Seq((1L, "p0", 10L, 1L, Option("upsert")),
+        (2L, "p1", 20L, 2L, Option.empty[String]))
+      .toDF("k", "part", "v", "seq", "op")
+    intercept[Exception] {
+      MergeStreams.mergePartitionedBatch(spark, s"$base/ptable", pbad, 0L,
+        "k", "part", "op", Seq("seq"), rules, Some(s"$base/pq"))
+    }
+    assert(graft.operators.PartitionedTable.versions(spark, s"$base/ptable").isEmpty)
+  }
+
+  test("empty micro-batches keep the partitioned fold and its CDC feed alive") {
+    import graft.operators.PartitionedTable
+    import spark.implicits._
+    val base = Files.createTempDirectory("merge-emptyb").toString
+    val table = s"$base/table"
+    val schemaDf = Seq((0L, "p0", 0L, 0L, "upsert"))
+      .toDF("k", "part", "v", "seq", "op")
+    val empty = schemaDf.limit(0)
+    val feeds = collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    val sink = Some((df: org.apache.spark.sql.DataFrame, id: Long) =>
+      feeds(id) = df.collect().toSeq)
+
+    // EMPTY FIRST batch: commits an empty manifest, feed is empty, no crash
+    MergeStreams.mergePartitionedBatch(spark, table, empty, 0L,
+      "k", "part", "op", Seq("seq"), feedSink = sink)
+    assert(PartitionedTable.versions(spark, table) === Seq(0L))
+    assert(feeds(0L).isEmpty)
+
+    // real batch after the empty one applies normally; feed = inserts
+    val b1 = Seq((1L, "p0", 10L, 1L, "upsert"), (2L, "p1", 20L, 2L, "upsert"))
+      .toDF("k", "part", "v", "seq", "op")
+    MergeStreams.mergePartitionedBatch(spark, table, b1, 1L,
+      "k", "part", "op", Seq("seq"), feedSink = sink)
+    assert(feeds(1L).map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet === Set(("p0", 1L, "insert"), ("p1", 2L, "insert")))
+
+    // a LATER no-op batch (everything quarantined by expectations):
+    // manifest identical to its predecessor, feed empty with the feed
+    // schema — the stream must not crash on the empty partition mapping
+    val dirty = Seq((3L, "p0", -5L, 3L, "upsert"))
+      .toDF("k", "part", "v", "seq", "op")
+    MergeStreams.mergePartitionedBatch(spark, table, dirty, 2L,
+      "k", "part", "op", Seq("seq"),
+      expectations = Seq("v_positive" -> (col("v") > 0L)),
+      quarantineDir = Some(s"$base/quar"), feedSink = sink)
+    assert(feeds(2L).isEmpty)
+    assert(feeds(2L).isInstanceOf[Seq[_]])
+    assert(PartitionedTable.read(spark, table).count() === 2,
+      "the no-op batch must leave the table unchanged")
+
+    // and the fold continues past it
+    val b3 = Seq((3L, "p0", 30L, 4L, "upsert"))
+      .toDF("k", "part", "v", "seq", "op")
+    MergeStreams.mergePartitionedBatch(spark, table, b3, 3L,
+      "k", "part", "op", Seq("seq"), feedSink = sink)
+    assert(feeds(3L).map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet === Set(("p0", 3L, "insert")))
+    assert(PartitionedTable.read(spark, table).count() === 3)
+
+    // FLAT fold: empty first batch + real follow-up, same contract
+    val (fstore, ffeeds) = (s"$base/flat",
+      collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]())
+    val fsink = Some((df: org.apache.spark.sql.DataFrame, id: Long) =>
+      ffeeds(id) = df.collect().toSeq)
+    val fempty = Seq((0L, 0L, 0L, "upsert")).toDF("k", "v", "seq", "op").limit(0)
+    MergeStreams.mergeBatch(spark, fstore, fempty, 0L, "k", "op", Seq("seq"),
+      feedSink = fsink)
+    assert(ffeeds(0L).isEmpty)
+    val fb1 = Seq((1L, 10L, 1L, "upsert")).toDF("k", "v", "seq", "op")
+    MergeStreams.mergeBatch(spark, fstore, fb1, 1L, "k", "op", Seq("seq"),
+      feedSink = fsink)
+    assert(ffeeds(1L).map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "insert")))
+    assert(state(fstore) === Map(1L -> 10L))
+  }
 }
