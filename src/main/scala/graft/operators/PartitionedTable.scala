@@ -313,9 +313,72 @@ object PartitionedTable {
     * filters; the partition's data files are never rewritten. Bases
     * chain one level at most: a delta on a delta reuses the original
     * base with the union of both DVs, and any rewriting merge or
-    * compaction folds back to a full version. */
+    * compaction folds back to a full version.
+    *
+    * GROWTH GUARD (the 100 TB posture): tombstones accrete across
+    * delete-only merges until compaction folds them, and the read path
+    * prefers broadcasting the DV into the anti join — unbounded, a CDC
+    * stream deleting a large fraction of a billion-row partition
+    * between compactions would push the DV past Spark's broadcast
+    * ceiling. Two bounds, both checked from file FOOTERS (driver-side
+    * metadata, no scan): a merge routes a delete-only partition through
+    * the REWRITE path instead of landing a DV once (existing tombstones
+    * + this batch's deletes) would exceed [[DvMaxRows]] or
+    * [[DvMaxFraction]] of the base's rows (at which point rewriting is
+    * cheaper than dragging the tombstones through every read anyway);
+    * and at READ time the DV only broadcasts while its estimated
+    * in-memory size fits `spark.sql.autoBroadcastJoinThreshold` —
+    * above it the anti join runs as a plain (shuffled) join, slower
+    * but never a driver OOM. */
   private val DvDir = "_dv"
   private val BaseFile = "_base.txt"
+
+  /** Default absolute bound on a partition's tombstone count before a
+    * delete-only merge rewrites instead (4M rows ≈ a few hundred MB
+    * broadcast-side — far inside the 8 GB ceiling with headroom). */
+  val DvMaxRows: Long = 4L << 20
+
+  /** Default bound on tombstones as a fraction of the base version's
+    * rows: past it the rewrite costs little more than the base scan
+    * every DV read already pays, so rewriting wins (the Delta-style
+    * heuristic). */
+  val DvMaxFraction: Double = 0.3
+
+  /** Estimated in-memory bytes per broadcast tombstone row (file-name
+    * string + row_index long + row overhead). */
+  private val DvRowBytes = 64L
+
+  /** Can `newDeletes` more tombstones land on `value`'s pinned version
+    * as a DV delta without breaching the growth bounds? Footer-count
+    * metadata reads only. `newDeletes` counts the batch's delete ROWS —
+    * an overestimate when keys repeat or miss (which only rewrites
+    * earlier: safe). */
+  private def dvWithinBounds(
+      spark: SparkSession, dir: String, m: Map[String, Long], value: String,
+      newDeletes: Long, maxRows: Long, maxFraction: Double): Boolean = {
+    val name = escape(value)
+    val storeDir = new Path(dir, name).toString
+    val sv = m(name)
+    val base = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
+    val existing =
+      if (base == sv) 0L
+      else VersionedStore.footerRowCount(spark,
+        new Path(VersionedStore.path(storeDir, sv), DvDir))
+    val baseRows = VersionedStore.footerRowCount(spark,
+      VersionedStore.path(storeDir, base))
+    val est = existing + newDeletes
+    est <= maxRows && (baseRows == 0L || est <= maxFraction * baseRows)
+  }
+
+  /** Partitions of table version `v` whose pinned store version is a
+    * deletion-vector delta (introspection: the routing decision a
+    * growth-guarded merge made, and what a compaction will fold). */
+  def dvPartitions(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    manifest(spark, dir, v).toSeq.sortBy(_._1).collect {
+      case (name, sv)
+          if dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined =>
+        name
+    }
 
   /** The FULL version `sv` resolves to: itself, or its DV base. */
   private def dvBaseOf(spark: SparkSession, storeDir: String, sv: Long): Option[Long] = {
@@ -345,13 +408,24 @@ object PartitionedTable {
     dvBaseOf(spark, storeDir, sv) match {
       case None => readParquet(spark, basePaths.getOrElse(Seq(vdir.toString)))
       case Some(b) =>
-        val dv = spark.read.parquet(new Path(vdir, DvDir).toString)
+        val dvPath = new Path(vdir, DvDir)
+        val dv = spark.read.parquet(dvPath.toString)
           .select(col("file").as("__file"), col("row_index").as("__ri"))
+        // broadcast only while the DV's estimated in-memory size fits
+        // the session's broadcast threshold (footer row count — a
+        // driver-side metadata read); past it, or with broadcasting
+        // disabled (-1), fall back to a plain anti join — a shuffle,
+        // but never an over-ceiling broadcast / driver OOM
+        val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+        val dvRows = VersionedStore.footerRowCount(spark, dvPath)
+        val dvSide =
+          if (threshold > 0 && dvRows * DvRowBytes <= threshold) broadcast(dv)
+          else dv
         readParquet(spark,
           basePaths.getOrElse(Seq(VersionedStore.path(storeDir, b).toString)))
           .withColumn("__file", col("_metadata.file_name"))
           .withColumn("__ri", col("_metadata.row_index"))
-          .join(broadcast(dv), Seq("__file", "__ri"), "left_anti")
+          .join(dvSide, Seq("__file", "__ri"), "left_anti")
           .drop("__file", "__ri")
     }
   }
@@ -408,7 +482,9 @@ object PartitionedTable {
       opCol: String = "op",
       statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false,
-      at: String = ""): Long = {
+      at: String = "",
+      dvMaxRows: Long = DvMaxRows,
+      dvMaxFraction: Double = DvMaxFraction): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -419,7 +495,8 @@ object PartitionedTable {
           s"PartitionedTable: nothing to merge into under $dir"))
       val base = manifest(spark, dir, cur)
       val (committed, touched) = applyMergeParts(spark, dir, base, changes,
-        keyCol, partCol, opCol, statsCols, allowSchemaEvolution)
+        keyCol, partCol, opCol, statsCols, allowSchemaEvolution,
+        dvMaxRows, dvMaxFraction)
       // optimistic commit with rebase (the Delta conflict protocol):
       // losing the manifest slot to a writer whose commit left every
       // partition I merged against untouched is NOT a conflict — my
@@ -466,12 +543,15 @@ object PartitionedTable {
       keyCol: String,
       partCol: String,
       opCol: String,
-      id: Long): Boolean = {
+      id: Long,
+      dvMaxRows: Long = DvMaxRows,
+      dvMaxFraction: Double = DvMaxFraction): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val base = versions(spark, dir).filter(_ < id).maxOption
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
     val (committed, touched) = applyMergeParts(spark, dir, base, changes,
-      keyCol, partCol, opCol)
+      keyCol, partCol, opCol, dvMaxRows = dvMaxRows,
+      dvMaxFraction = dvMaxFraction)
     val mapping = (base -- touched) ++ committed
     commitManifestAt(spark, dir, id, mapping,
       Some(metaLine("stream_merge", touched.size, mapping.size, s"batch=$id")))
@@ -493,7 +573,9 @@ object PartitionedTable {
       partCol: String,
       opCol: String,
       statsCols: Seq[String] = Nil,
-      allowSchemaEvolution: Boolean = false): (Map[String, Long], Seq[String]) = {
+      allowSchemaEvolution: Boolean = false,
+      dvMaxRows: Long = DvMaxRows,
+      dvMaxFraction: Double = DvMaxFraction): (Map[String, Long], Seq[String]) = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     // per-partition op census; the when-chain validates EVERY row's op
     // here (fail-loud), since the DV path below never re-filters them
@@ -502,14 +584,19 @@ object PartitionedTable {
       .otherwise(raise_error(concat(
         lit(s"merge: $opCol must be upsert|delete, got "),
         coalesce(col(opCol), lit("NULL")))).cast("long"))
-    val census = batch.groupBy(partCol).agg(sum(opFlag).as("ups"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val census = batch.groupBy(partCol)
+      .agg(sum(opFlag).as("ups"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val touchedVals = census.map(_._1)
     val touchedNames = touchedVals.map(escape)
     // DELETE-ONLY partitions that already exist take the deletion-vector
-    // fast path: no data rewrite, just a tombstone sidecar version
+    // fast path — but only inside the growth bounds: an over-bound
+    // delete batch (or one landing on an already-tombstone-heavy delta)
+    // routes through the rewrite below instead, folding the partition
+    // back to a full version
     val dvVals = census.collect {
-      case (v, ups) if ups == 0 && m.contains(escape(v)) => v
+      case (v, ups, n) if ups == 0 && m.contains(escape(v)) &&
+          dvWithinBounds(spark, dir, m, v, n, dvMaxRows, dvMaxFraction) => v
     }
     val dvCommitted = landDeletionVectors(spark, dir, m, batch, dvVals,
       keyCol, partCol)
@@ -1014,6 +1101,63 @@ object PartitionedTable {
         read(s, store, asOf = Some(v)).withColumn("version", lit(v.toInt))
       }.reduce(_ unionByName _)
       byVersion.groupBy("version", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Deletion-vector GROWTH GUARD, hash-gated: the same commit, then
+    // two delete-only merges with opposite routings — keys ≡7 mod 100
+    // in 'F' (~1% of the partition, inside the fraction bound → DV
+    // delta) and even keys in 'O' (50% > the 30% bound → full
+    // rewrite). dv_parts pins the ROUTING per version via the
+    // dvPartitions introspection (0 → 1 → 1: F's delta persists, O
+    // folds full), and the per-status aggregates over all three
+    // versions pin exactness across both routes — a guard that
+    // mis-routes, double-applies, or loses rows on the rewrite path
+    // breaks the hash. The fraction test holds at every SF (it scales
+    // with the data), so the literals are scale-stable.
+    QueryDef.sql("q86_dv_growth_guard",
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 = 7)),
+        |v2 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 = 7)
+        |    AND NOT (o_orderstatus = 'O' AND o_orderkey % 2 = 0))
+        |SELECT 0 AS version, 0 AS dv_parts, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 1 AS version, 1 AS dv_parts, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 2 AS version, 1 AS dv_parts, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v2 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q86_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, "o_orderstatus")
+      val underBound = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 7)
+        .withColumn("op", lit("delete"))
+      merge(s, store, underBound, "o_orderkey", "o_orderstatus")
+      val overBound = orders
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+        .withColumn("op", lit("delete"))
+      merge(s, store, overBound, "o_orderkey", "o_orderstatus")
+      val byVersion = Seq(0L, 1L, 2L).map { v =>
+        read(s, store, asOf = Some(v))
+          .withColumn("version", lit(v.toInt))
+          .withColumn("dv_parts", lit(dvPartitions(s, store, v).size))
+      }.reduce(_ unionByName _)
+      byVersion.groupBy("version", "dv_parts", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

@@ -61,7 +61,7 @@ private[graft] object VersionedStore {
   /** Exact row count of a just-written parquet dir from file FOOTERS —
     * a driver-side metadata read (#files footer opens), never a Spark
     * job, so recording commit metadata costs no executor time. */
-  private def footerRowCount(spark: SparkSession, dir: Path): Long = {
+  private[graft] def footerRowCount(spark: SparkSession, dir: Path): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hfs = dir.getFileSystem(conf)
     hfs.listStatus(dir).toSeq

@@ -122,12 +122,16 @@ class PartitionedTableSpec extends SparkSpec {
       ("p1", 1L, "update", 111L), ("p1", 5L, "delete", 50L),
       ("p1", 401L, "insert", 4010L)))
 
-    // a partition emptied by deletes: the delete-only batch lands a
+    // a partition emptied by deletes: with the growth-fraction guard
+    // waived (dvMaxFraction = 1.0), the delete-only batch lands a
     // fully-tombstoned deletion-vector delta (data files untouched);
-    // the feed emits pure deletes and reads exclude every p2 row
+    // the feed emits pure deletes and reads exclude every p2 row.
+    // (Under the DEFAULT guard a 100% wipe routes to rewrite — spec'd
+    // in the growth-guard test below.)
     val wipeP2 = table(100).filter(col("part") === "p2")
       .withColumn("op", lit("delete"))
-    PartitionedTable.merge(spark, dir, wipeP2, "k", "part")
+    PartitionedTable.merge(spark, dir, wipeP2, "k", "part",
+      dvMaxFraction = 1.0)
     val m2 = PartitionedTable.manifest(spark, dir, 2L)
     assert(m2.contains("__part=p2"),
       "a DV-emptied partition keeps its (fully tombstoned) manifest entry")
@@ -612,5 +616,89 @@ class PartitionedTableSpec extends SparkSpec {
     PartitionedTable.versions(spark, dir).foreach { v =>
       PartitionedTable.read(spark, dir, Some(v)).count(): Unit
     }
+  }
+
+  test("DV growth guard: over-bound delete batches rewrite instead of landing tombstones; cumulative growth counts") {
+    import spark.implicits._
+    val dir = freshStore()
+    val hfs = VersionedStore.fs(spark, dir)
+    def isDv(v: Long, name: String): Boolean = {
+      val m = PartitionedTable.manifest(spark, dir, v)
+      hfs.exists(new Path(
+        VersionedStore.path(s"$dir/$name", m(name)), "_base.txt"))
+    }
+    PartitionedTable.commit(spark, dir, table(200), "part") // 50 rows/partition
+
+    // 3 of 50 deleted in p1 (6%): DV route
+    PartitionedTable.merge(spark, dir,
+      table(200).filter(col("part") === "p1" && col("k") < 12)
+        .withColumn("op", lit("delete")), "k", "part")
+    assert(isDv(1L, "__part=p1"), "an under-bound delete batch must land a DV")
+    assert(PartitionedTable.dvPartitions(spark, dir, 1L) === Seq("__part=p1"))
+
+    // 30 of 50 deleted in p2 (60% > 30%): fraction bound → rewrite
+    PartitionedTable.merge(spark, dir,
+      table(200).filter(col("part") === "p2" && col("k") < 120)
+        .withColumn("op", lit("delete")), "k", "part")
+    assert(!isDv(2L, "__part=p2"),
+      "an over-fraction delete batch must fold to a full rewrite")
+    assert(PartitionedTable.dvPartitions(spark, dir, 2L) === Seq("__part=p1"),
+      "p1's earlier DV carries over; p2 lands full")
+
+    // absolute bound: 3 deletes with dvMaxRows = 2 → rewrite
+    PartitionedTable.merge(spark, dir,
+      table(200).filter(col("part") === "p3" && col("k") < 12)
+        .withColumn("op", lit("delete")), "k", "part", dvMaxRows = 2L)
+    assert(!isDv(3L, "__part=p3"),
+      "the absolute tombstone bound must force the rewrite route")
+
+    // CUMULATIVE growth: repeated under-bound deletes accrete on p1's
+    // DV until the fraction trips, then the partition folds back full
+    PartitionedTable.merge(spark, dir,
+      table(200).filter(col("part") === "p1" && col("k").between(12, 40))
+        .withColumn("op", lit("delete")), "k", "part") // 3 + 7 = 10 of 50 (20%)
+    assert(isDv(4L, "__part=p1"), "still inside the fraction: DV accretes")
+    PartitionedTable.merge(spark, dir,
+      table(200).filter(col("part") === "p1" && col("k").between(41, 80))
+        .withColumn("op", lit("delete")), "k", "part") // 10 + 10 = 20 of 50 (40%)
+    assert(!isDv(5L, "__part=p1"),
+      "cumulative tombstones past the fraction must fold the partition")
+
+    // exactness across every route
+    val survivors = PartitionedTable.read(spark, dir)
+    val expect = table(200).filter(
+      !(col("part") === "p1" && (col("k") < 12 || col("k").between(12, 80))) &&
+      !(col("part") === "p2" && col("k") < 120) &&
+      !(col("part") === "p3" && col("k") < 12))
+    assert(survivors.orderBy("k").collect().toSeq ===
+      expect.orderBy("k").collect().toSeq,
+      "routing must never change results")
+  }
+
+  test("DV read path falls back from broadcast to a plain anti join past the broadcast threshold, identically") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 0L, "delete"), (5L, "p1", 0L, "delete"))
+        .toDF("k", "part", "v", "op"), "k", "part")
+    val m = PartitionedTable.manifest(spark, dir, 1L)
+
+    def p1Plan = PartitionedTable
+      .readPartitionDf(spark, dir, "__part=p1", m("__part=p1"))
+    val expect = p1Plan.orderBy("k").collect().toSeq
+    assert(p1Plan.queryExecution.sparkPlan.toString.contains("Broadcast"),
+      "inside the threshold the DV anti join must broadcast")
+
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "64") // DV rows * 64B estimate exceeds this
+      val fallback = p1Plan
+      assert(!fallback.queryExecution.sparkPlan.toString.contains("Broadcast"),
+        "past the threshold the DV side must not carry a broadcast hint")
+      assert(fallback.orderBy("k").collect().toSeq === expect,
+        "both join forms must read identical rows")
+    } finally spark.conf.set(key, saved)
   }
 }
