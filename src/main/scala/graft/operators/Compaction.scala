@@ -41,11 +41,16 @@ object Compaction {
     * partitioned-table ROOT (or an empty dir), and "compacting" it would
     * flatten every partition into one unpartitioned tree. Partitioned
     * tables compact per partition directory. */
+  /** `stage` runs against the rewritten temp dir BEFORE the swap —
+    * sidecars staged there (e.g. a regenerated `_stats` manifest)
+    * commit atomically with the new layout, so a crash can never leave
+    * a layout whose sidecar describes the old files. */
   def compact(
       spark: SparkSession,
       path: String,
       targetBytes: Long,
-      cluster: Option[Column] = None): (Int, Int) = {
+      cluster: Option[Column] = None,
+      stage: Option[Path => Unit] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val (before, totalBytes) = layoutStats(spark, path)
     require(before > 0 && totalBytes > 0,
@@ -64,6 +69,7 @@ object Compaction {
     fs.delete(tmp, true) // stale leftovers from a crashed earlier attempt
     fs.delete(old, true)
     packed.write.mode("overwrite").parquet(tmp.toString)
+    stage.foreach(_(tmp))
     // crash-safe swap: the path is never empty — old moves aside, new
     // moves in, only then does old get deleted. A crash between the two
     // renames leaves the data recoverable at path__replaced, never gone.

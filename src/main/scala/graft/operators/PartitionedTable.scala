@@ -545,12 +545,13 @@ object PartitionedTable {
       opCol: String,
       id: Long,
       dvMaxRows: Long = DvMaxRows,
-      dvMaxFraction: Double = DvMaxFraction): Boolean = {
+      dvMaxFraction: Double = DvMaxFraction,
+      statsCols: Seq[String] = Nil): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val base = versions(spark, dir).filter(_ < id).maxOption
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
     val (committed, touched) = applyMergeParts(spark, dir, base, changes,
-      keyCol, partCol, opCol, dvMaxRows = dvMaxRows,
+      keyCol, partCol, opCol, statsCols = statsCols, dvMaxRows = dvMaxRows,
       dvMaxFraction = dvMaxFraction)
     val mapping = (base -- touched) ++ committed
     commitManifestAt(spark, dir, id, mapping,
@@ -906,26 +907,67 @@ object PartitionedTable {
     * behind [[Compaction.compact]]'s crash-safe swap) — no manifest is
     * minted, so [[mergeAt]]'s version-id = batch-id contract is
     * untouched. Single committer/reader (the stream) holds the swap's
-    * safety; the swap replaces the whole dir, so only use on versions
-    * without stats sidecars (the streaming fold writes none). Returns
-    * the flagged partition dir names. */
+    * safety. Stats sidecars survive the fold: a version carrying a
+    * `_stats` manifest (or any columns passed via `statsCols`) gets a
+    * REGENERATED sidecar staged inside the rewritten layout before the
+    * swap — atomic with it, so the sidecar can never describe files
+    * that no longer exist (a stale one would silently prune live
+    * rows). Pass `cluster` to keep a range-clustered layout (and with
+    * it, selective stats) through the fold. Returns the flagged
+    * partition dir names. */
   def compactPartitionsInPlace(
       spark: SparkSession,
       dir: String,
       targetBytes: Long,
-      smallFileRatio: Double = 2.0): Seq[String] = {
+      smallFileRatio: Double = 2.0,
+      statsCols: Seq[String] = Nil,
+      cluster: Option[Column] = None): Seq[String] = {
     require(targetBytes > 0 && smallFileRatio >= 1.0,
       s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
+    val hfs = VersionedStore.fs(spark, dir)
     val cur = latest(spark, dir).getOrElse(return Nil)
     manifest(spark, dir, cur).toSeq.sortBy(_._1).flatMap { case (name, sv) =>
-      val vdir = VersionedStore.path(new Path(dir, name).toString, sv).toString
+      val vdirPath = VersionedStore.path(new Path(dir, name).toString, sv)
+      val vdir = vdirPath.toString
       val (files, bytes) = Compaction.layoutStats(spark, vdir)
       val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (bytes > 0 && files > smallFileRatio * ideal) {
-        Compaction.compact(spark, vdir, targetBytes)
+        // sidecar columns: the caller's, else whatever the existing
+        // sidecar tracked (so a mergeAt(statsCols=…)-maintained table
+        // keeps its skipping without re-stating the columns here)
+        val existing = new Path(vdirPath, StatsDir)
+        val cols =
+          if (statsCols.nonEmpty) statsCols
+          else if (hfs.exists(existing))
+            spark.read.parquet(existing.toString).columns.toSeq
+              .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+          else Nil
+        val partValue = ExternalCatalogUtils.unescapePathName(
+          name.stripPrefix(s"$PartDir="))
+        val stage: Option[Path => Unit] =
+          if (cols.isEmpty) None
+          else Some(tmp => writeVersionStats(spark, tmp, cols, partValue))
+        Compaction.compact(spark, vdir, targetBytes, cluster, stage)
         Some(name)
       } else None
     }
+  }
+
+  /** Stage a partition-version `_stats` sidecar (the [[landPartitions]]
+    * schema: part, file, min/max per column) over the data files in
+    * `tmp` — called inside [[Compaction.compact]]'s pre-swap hook so
+    * the sidecar commits atomically with the layout it describes. */
+  private def writeVersionStats(
+      spark: SparkSession, tmp: Path, statsCols: Seq[String],
+      partValue: String): Unit = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(tmp.toString)
+      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("part", lit(partValue))
+      .coalesce(1)
+      .write.parquet(new Path(tmp, StatsDir).toString)
   }
 
   /** Drop all but the newest `keep` manifests, then garbage-collect

@@ -101,7 +101,8 @@ object MergeStreams {
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       quarantineDir: Option[String] = None,
       compactTargetBytes: Option[Long] = None,
-      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     val q = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
@@ -111,7 +112,7 @@ object MergeStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergePartitionedBatch(batch.sparkSession, tableDir, batch, id,
           keyCol, partCol, opCol, orderCols, expectations, quarantineDir,
-          compactTargetBytes, feedSink)
+          compactTargetBytes, feedSink, statsCols)
       }
       .start()
     q.awaitTermination()
@@ -133,7 +134,8 @@ object MergeStreams {
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       quarantineDir: Option[String] = None,
       compactTargetBytes: Option[Long] = None,
-      feedSink: Option[(DataFrame, Long) => Unit] = None): Unit = {
+      feedSink: Option[(DataFrame, Long) => Unit] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     import graft.operators.PartitionedTable
     val gated =
       if (expectations.isEmpty) batch
@@ -154,14 +156,19 @@ object MergeStreams {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").drop(orderCols: _*)
     if (PartitionedTable.mergeAt(
-        spark, tableDir, collapsed, keyCol, partCol, opCol, id)) {
+        spark, tableDir, collapsed, keyCol, partCol, opCol, id,
+        statsCols = statsCols)) {
       // 2-manifest horizon: keeps this batch's pre-merge version, which
       // both a retry of THIS id and the feed below resolve against
       PartitionedTable.vacuum(spark, tableDir, keep = 2): Unit
       // in-place fold only — compactPartitions would mint a manifest at
-      // latest+1, occupying the NEXT batch's id and swallowing it
+      // latest+1, occupying the NEXT batch's id and swallowing it. The
+      // fold re-stages each flagged version's stats sidecar atomically
+      // with the rewritten layout (statsCols, or the existing sidecar's
+      // columns), so a streaming-maintained table keeps file skipping.
       compactTargetBytes.foreach(t =>
-        PartitionedTable.compactPartitionsInPlace(spark, tableDir, t): Unit)
+        PartitionedTable.compactPartitionsInPlace(spark, tableDir, t,
+          statsCols = statsCols): Unit)
     }
     // CDC out (computed only for a registered sink): the PARTITION-AWARE
     // pre-image feed between the batch's pre-merge manifest and its own

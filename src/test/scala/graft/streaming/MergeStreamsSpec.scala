@@ -549,4 +549,46 @@ class MergeStreamsSpec extends SparkSpec {
       Set((1L, "insert")))
     assert(state(fstore) === Map(1L -> 10L))
   }
+
+  test("streaming folds keep stats sidecars: mergeAt writes them, the in-place fold regenerates them") {
+    import graft.operators.PartitionedTable
+    import org.apache.hadoop.fs.Path
+    val table = Files.createTempDirectory("pmerge-stats").toString + "/table"
+    // 8 shredded-but-x-clustered files: each file covers a disjoint x
+    // range, so a narrow probe can prove file skipping. mergeAt is the
+    // streaming fold's landing surface (manifest version = batch id).
+    val b0 = spark.range(800)
+      .select(col("id").as("k"), lit("p0").as("part"),
+        (col("id") % 400).as("x"), lit("upsert").as("op"))
+      .repartitionByRange(8, col("x"))
+    assert(PartitionedTable.mergeAt(spark, table, b0,
+      "k", "part", "op", 0L, statsCols = Seq("x")))
+    // the streamed version carries a sidecar and prunes files
+    val probe0 = PartitionedTable.readWhere(spark, table, "x", lit(10L), lit(40L))
+    val all0 = PartitionedTable.read(spark, table).inputFiles.length
+    assert(probe0.inputFiles.length < all0,
+      s"mergeAt(statsCols) must enable skipping (${probe0.inputFiles.length} of $all0)")
+    assert(probe0.count() === 800 / 400 * 31)
+
+    // the in-place fold (clustered) regenerates the sidecar for the
+    // NEW files — stale stats naming swapped-away files would silently
+    // prune live rows, so exactness here is the load-bearing assert
+    val folded = PartitionedTable.compactPartitionsInPlace(spark, table,
+      targetBytes = 256L * 1024 * 1024, cluster = Some(col("x")))
+    assert(folded === Seq("__part=p0"), s"fold must flag the shred: $folded")
+    val m = PartitionedTable.manifest(spark, table, 0L)
+    val vdir = VersionedStore.path(s"$table/__part=p0", m("__part=p0"))
+    val hfs = VersionedStore.fs(spark, table)
+    assert(hfs.exists(new Path(vdir, "_stats")),
+      "the fold must re-stage the stats sidecar")
+    val statFiles = spark.read.parquet(new Path(vdir, "_stats").toString)
+      .select("file").collect().map(_.getString(0)).toSet
+    val liveFiles = hfs.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSet
+    assert(statFiles === liveFiles,
+      s"sidecar must describe exactly the post-fold files: $statFiles vs $liveFiles")
+    val probe1 = PartitionedTable.readWhere(spark, table, "x", lit(10L), lit(40L))
+    assert(probe1.count() === 800 / 400 * 31,
+      "reads through the regenerated sidecar stay exact")
+  }
 }
