@@ -66,19 +66,43 @@ object PartitionedTable {
   private def escape(value: String): String =
     s"$PartDir=${ExternalCatalogUtils.escapePathName(value)}"
 
+  /** DELTA-LOG MANIFESTS (the Delta-Lake-shaped commit log, adopted
+    * once O(#partitions)-per-commit stopped scaling): a commit writes
+    * either a full CHECKPOINT (`v=<n>.manifest`: every live partition's
+    * pinned store version — the original format, so pre-delta-log
+    * tables read unchanged) or a DELTA (`v=<n>.delta`: only the entries
+    * this commit repointed, plus `-1\t<name>` tombstones for partitions
+    * it dropped). Deltas are the steady state — a 1-of-100k-partition
+    * merge commits O(1) manifest bytes — and every [[CheckpointEvery]]
+    * versions a checkpoint bounds reconstruction: [[manifest]] reads
+    * the newest checkpoint at or below the requested version and folds
+    * the (at most CheckpointEvery − 1) deltas above it. [[vacuum]]
+    * materializes a checkpoint at the oldest kept version before
+    * dropping older files, so every kept version stays reconstructable
+    * and the manifest dir's size tracks the retention horizon, not the
+    * table's full history. */
+  private val CheckpointEvery = 10L
+
   private def manifestPath(dir: String, v: Long): Path =
     new Path(new Path(dir, ManifestDir), s"v=$v.manifest")
 
-  /** Committed table-manifest versions under `dir`. */
+  private def deltaPath(dir: String, v: Long): Path =
+    new Path(new Path(dir, ManifestDir), s"v=$v.delta")
+
+  /** Committed table-manifest versions under `dir` (checkpoint or
+    * delta form; a version materialized by vacuum briefly has both). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val hfs = VersionedStore.fs(spark, dir)
     val root = new Path(dir, ManifestDir)
     if (!hfs.exists(root)) Seq.empty
     else hfs.listStatus(root).toSeq.filter(_.isFile)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") && s.endsWith(".manifest") =>
-        s.stripPrefix("v=").stripSuffix(".manifest").toLong
-      }
+      .collect {
+        case s if s.startsWith("v=") && s.endsWith(".manifest") =>
+          s.stripPrefix("v=").stripSuffix(".manifest").toLong
+        case s if s.startsWith("v=") && s.endsWith(".delta") =>
+          s.stripPrefix("v=").stripSuffix(".delta").toLong
+      }.distinct
   }
 
   def latest(spark: SparkSession, dir: String): Option[Long] = {
@@ -87,24 +111,55 @@ object PartitionedTable {
   }
 
   /** The (partitionDirName -> pinned store version) mapping of table
-    * version `v`. Lines are `<storeVersion>\t<dirName>`; dir names are
-    * Hive-escaped, so the format is unambiguous. A leading `#`-line
+    * version `v`: the newest checkpoint at or below `v`, with the
+    * deltas above it folded in commit order. Lines are
+    * `<storeVersion>\t<dirName>` (storeVersion −1 = drop); dir names
+    * are Hive-escaped, so the format is unambiguous. A leading `#`-line
     * carries the commit's history metadata ([[history]]). */
   def manifest(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
-    manifestText(spark, dir, v).split("\n")
+    val hfs = VersionedStore.fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.contains(v),
+      s"PartitionedTable: manifest v=$v missing under $dir")
+    val cps = vs.filter(x => x <= v && hfs.exists(manifestPath(dir, x)))
+    require(cps.nonEmpty,
+      s"PartitionedTable: manifest v=$v is not reconstructable under $dir " +
+        "— no checkpoint at or below it (pruned past the horizon?)")
+    val cp = cps.max
+    var m = parseLines(readManifestFile(hfs, manifestPath(dir, cp)))._1
+    vs.filter(x => x > cp && x <= v).sorted.foreach { x =>
+      val (sets, drops) = parseLines(readManifestFile(hfs, deltaPath(dir, x)))
+      m = (m -- drops) ++ sets
+    }
+    m
+  }
+
+  /** (sets, drops) of one manifest file's body lines. */
+  private def parseLines(text: String): (Map[String, Long], Set[String]) = {
+    val entries = text.split("\n")
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(sv, name) = line.split("\t", 2)
         name -> sv.toLong
-      }.toMap
+      }
+    (entries.collect { case (n, sv) if sv >= 0 => n -> sv }.toMap,
+      entries.collect { case (n, sv) if sv < 0 => n }.toSet)
   }
 
-  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
-    val hfs = VersionedStore.fs(spark, dir)
-    val p = manifestPath(dir, v)
-    require(hfs.exists(p), s"PartitionedTable: manifest v=$v missing under $dir")
+  private def readManifestFile(
+      hfs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = hfs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Raw text of version `v`'s own commit file (checkpoint preferred —
+    * a materialized one preserves the original header). */
+  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val cp = manifestPath(dir, v)
+    val p = if (hfs.exists(cp)) cp else deltaPath(dir, v)
+    require(hfs.exists(p), s"PartitionedTable: manifest v=$v missing under $dir")
+    readManifestFile(hfs, p)
   }
 
   /** The table's commit history — one row per manifest version:
@@ -142,22 +197,45 @@ object PartitionedTable {
   }
 
   /** Atomically commit `mapping` (with its history header) as manifest
-    * version `v`. Returns false iff `v` already exists (the
+    * version `v` — as a DELTA against the newest committed version when
+    * off the checkpoint cadence, as a full checkpoint otherwise (the
+    * form is a pure function of `v` and parent existence, so two racers
+    * for the same slot always target the same file name and exactly one
+    * rename wins). Returns false iff `v` already exists (the
     * streaming-retry / lost-slot case); any other rename failure
-    * throws. The file rename is the table's commit point. */
+    * throws. The file rename is the table's commit point. Backfilling
+    * below the newest committed version is refused — a delta log is
+    * append-only. */
   private[operators] def commitManifestAt(
       spark: SparkSession, dir: String, v: Long, mapping: Map[String, Long],
       meta: Option[String] = None): Boolean = {
-    if (versions(spark, dir).contains(v)) return false
+    val committed = versions(spark, dir)
+    if (committed.contains(v)) return false
+    require(committed.forall(_ < v),
+      s"PartitionedTable: cannot commit manifest v=$v below committed " +
+        s"v=${committed.max} under $dir — the manifest log is append-only")
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
-    val tmp = new Path(new Path(dir, ManifestDir), s".tmp-$v")
+    val parent = committed.maxOption
+    val (target, lines) = parent match {
+      case Some(p) if v % CheckpointEvery != 0 =>
+        val pm = manifest(spark, dir, p)
+        val sets = mapping.toSeq.sortBy(_._1)
+          .filter { case (n, sv) => !pm.get(n).contains(sv) }
+        val drops = (pm.keySet -- mapping.keySet).toSeq.sorted
+        (deltaPath(dir, v),
+          sets.map { case (n, sv) => s"$sv\t$n" } ++ drops.map(n => s"-1\t$n"))
+      case _ =>
+        (manifestPath(dir, v),
+          mapping.toSeq.sortBy(_._1).map { case (n, sv) => s"$sv\t$n" })
+    }
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-$v-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, true)
-    try out.write((meta.toSeq ++ mapping.toSeq.sortBy(_._1)
-      .map { case (name, sv) => s"$sv\t$name" }).mkString("\n")
+    try out.write((meta.toSeq ++ lines).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (hfs.rename(tmp, manifestPath(dir, v))) true
+    if (hfs.rename(tmp, target)) true
     else {
       hfs.delete(tmp, true)
       if (versions(spark, dir).contains(v)) false
@@ -991,7 +1069,32 @@ object PartitionedTable {
         (name, sv) :: dvBaseOf(spark, new Path(dir, name).toString, sv)
           .map(b => (name, b)).toList
       }).toSet
-    dropped.foreach(v => hfs.delete(manifestPath(dir, v), false))
+    // before any log file goes: the oldest KEPT version must survive as
+    // a self-contained checkpoint (its reconstruction chain is about to
+    // lose its prefix). Materialize it — same mapping, original history
+    // header — then retire its delta form.
+    kept.headOption.foreach { k =>
+      if (!hfs.exists(manifestPath(dir, k))) {
+        val m = manifest(spark, dir, k)
+        val header = manifestText(spark, dir, k).split("\n")
+          .find(_.startsWith("#"))
+        val tmp = new Path(new Path(dir, ManifestDir),
+          s".tmp-cp-$k-${java.util.UUID.randomUUID}")
+        val out = hfs.create(tmp, true)
+        try out.write((header.toSeq ++ m.toSeq.sortBy(_._1)
+          .map { case (n, sv) => s"$sv\t$n" }).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!hfs.rename(tmp, manifestPath(dir, k)))
+          throw new java.io.IOException(
+            s"PartitionedTable: checkpoint materialization for v=$k failed")
+        hfs.delete(deltaPath(dir, k), false)
+      }
+    }
+    dropped.foreach { v =>
+      hfs.delete(manifestPath(dir, v), false)
+      hfs.delete(deltaPath(dir, v), false): Unit
+    }
     val partDirs = hfs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
     var prunedStores = 0

@@ -675,6 +675,75 @@ class PartitionedTableSpec extends SparkSpec {
       "routing must never change results")
   }
 
+  test("manifest delta-log: commits write O(touched) bytes, checkpoints bound reconstruction, vacuum materializes") {
+    import spark.implicits._
+    val dir = freshStore()
+    val hfs = VersionedStore.fs(spark, dir)
+    def logFile(n: String) = new Path(s"$dir/_table_manifest", n)
+    PartitionedTable.commit(spark, dir, table(100), "part") // v0: checkpoint
+    assert(hfs.exists(logFile("v=0.manifest")))
+
+    // a 1-of-4-partition merge commits a DELTA with exactly one entry
+    // (plus the history header) — O(touched), not O(#partitions)
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(hfs.exists(logFile("v=1.delta")) && !hfs.exists(logFile("v=1.manifest")))
+    val deltaText = {
+      val in = hfs.open(logFile("v=1.delta"))
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    assert(deltaText.split("\n").length === 2,
+      s"delta must carry header + 1 repointed entry, got:\n$deltaText")
+
+    // fold a log out to v10: v2..v9 deltas, v10 a checkpoint again
+    (2 to 10).foreach { i =>
+      PartitionedTable.merge(spark, dir,
+        Seq((1L, "p1", i * 100L, "upsert")).toDF("k", "part", "v", "op"),
+        "k", "part")
+    }
+    assert(hfs.exists(logFile("v=10.manifest")) && !hfs.exists(logFile("v=10.delta")),
+      "the checkpoint cadence must fold the log")
+
+    // reconstruction is exact at every version (k=1's value tracks it)
+    def vOf(ver: Long) = PartitionedTable.read(spark, dir, Some(ver))
+      .filter(col("k") === 1).head.getLong(2)
+    assert(vOf(0) === 10L && vOf(1) === 111L && vOf(5) === 500L && vOf(10) === 1000L)
+    assert(PartitionedTable.read(spark, dir, Some(7L)).count() === 100)
+
+    // a dropped partition rides the delta as a -1 tombstone line
+    PartitionedTable.merge(spark, dir,
+      table(100).filter(col("part") === "p2").withColumn("op", lit("delete")),
+      "k", "part") // 100% wipe → rewrite route → p2 drops out
+    val dropText = {
+      val in = hfs.open(logFile("v=11.delta"))
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    assert(dropText.split("\n").exists(_.startsWith("-1\t__part=p2")),
+      s"the dropped partition must tombstone in the delta:\n$dropText")
+    assert(!PartitionedTable.manifest(spark, dir, 11L).contains("__part=p2"))
+    assert(PartitionedTable.read(spark, dir).count() === 75)
+
+    // vacuum past the v10 checkpoint: the oldest KEPT version (a delta)
+    // materializes as a self-contained checkpoint, history survives
+    val (droppedM, _) = PartitionedTable.vacuum(spark, dir, keep = 1)
+    assert(droppedM === (0L to 10L))
+    assert(hfs.exists(logFile("v=11.manifest")),
+      "vacuum must materialize the oldest kept version as a checkpoint")
+    assert(!hfs.exists(logFile("v=11.delta")))
+    assert(PartitionedTable.read(spark, dir).count() === 75)
+    val h = PartitionedTable.history(spark, dir).collect()
+    assert(h.length === 1 && h.head.getLong(0) === 11L &&
+      h.head.getString(1) === "merge",
+      "materialization must preserve the original history header")
+
+    // and the log keeps growing correctly from a materialized root
+    PartitionedTable.merge(spark, dir,
+      Seq((3L, "p3", 999L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(hfs.exists(logFile("v=12.delta")))
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") === 3).head.getLong(2) === 999L)
+  }
+
   test("DV read path falls back from broadcast to a plain anti join past the broadcast threshold, identically") {
     import spark.implicits._
     val dir = freshStore()
