@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Pca.defs ++
       operators.VersionedTable.defs ++
       operators.PartitionedTable.defs ++
+      streaming.ChangeFeed.defs ++
       operators.Unigram.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
