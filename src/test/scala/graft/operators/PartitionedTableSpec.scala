@@ -675,6 +675,43 @@ class PartitionedTableSpec extends SparkSpec {
       "routing must never change results")
   }
 
+  test("vacuum horizon: a reader pinned at a kept version survives interleaved commits and GC") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val expected = PartitionedTable.read(spark, dir, Some(1L))
+      .orderBy("k").collect().toSeq
+
+    // the reader RESOLVES v1 now (manifest + pinned version dirs are
+    // baked into the lazy plan) …
+    val pinned = PartitionedTable.read(spark, dir, Some(1L))
+
+    // … then the world moves on: two more commits land and vacuum runs
+    // with a horizon that still covers v1
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((3L, "p3", 333L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    PartitionedTable.vacuum(spark, dir, keep = 3) // keeps v1..v3
+
+    // the pinned reader finishes exactly: every store version v1
+    // references survived the GC (kept manifests pin their versions)
+    assert(pinned.orderBy("k").collect().toSeq === expected,
+      "GC must never collect store versions a kept manifest references")
+
+    // past the horizon the contract is fail-loud, and the GC actually
+    // collected the now-unreferenced v0-only store versions
+    val (dropped, pruned) = PartitionedTable.vacuum(spark, dir, keep = 1)
+    assert(dropped === Seq(1L, 2L))
+    assert(pruned > 0, "superseded store versions must be GC'd")
+    intercept[IllegalArgumentException] {
+      PartitionedTable.read(spark, dir, Some(1L))
+    }
+    assert(PartitionedTable.read(spark, dir).count() === 100)
+  }
+
   test("manifest delta-log: commits write O(touched) bytes, checkpoints bound reconstruction, vacuum materializes") {
     import spark.implicits._
     val dir = freshStore()
