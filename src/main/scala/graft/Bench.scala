@@ -18,6 +18,13 @@ object Bench {
   private val TimedPasses = 3
 
   def main(args: Array[String]): Unit = {
+    // `Bench merge a.json b.json …` — no timing: fold N completed quiet
+    // runs into ONE per-query-median board. Box noise on local[32]
+    // moves single-run TOTALS by tens of seconds at identical canaries;
+    // per-query medians across runs are the stable signal (BENCH_NOTES'
+    // A/B protocol), so the merged board is the round's definitive JSON
+    // rather than whichever single run happened to land quietest.
+    if (args.nonEmpty && args(0) == "merge") { mergeBoards(args.drop(1)); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional comma-separated query-name filter for local iteration
@@ -197,5 +204,35 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary$scaling}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
+  }
+
+  /** Merge N bench JSON lines into one median board (same line format,
+    * `stat: "median-of-runs"`). A query must be numeric in EVERY input
+    * run to merge — any run's "err" keeps it "err" in the board, so a
+    * flaky query can never hide behind its quieter runs. */
+  private def mergeBoards(paths: Array[String]): Unit = {
+    require(paths.nonEmpty, "usage: Bench merge <bench.json> [bench.json ...]")
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val runs = paths.toSeq.map(p => mapper.readTree(new java.io.File(p)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val names = runs.head.get("queries").fieldNames.asScala.toSeq
+    val perQuery = names.map { q =>
+      val vals = runs.flatMap { r =>
+        Option(r.get("queries").get(q)).filter(_.isNumber).map(_.asDouble)
+      }
+      q -> (if (vals.size == runs.size) Some(median(vals)) else None)
+    }
+    val failedCount = perQuery.count(_._2.isEmpty)
+    val qs = perQuery.map { case (q, v) =>
+      "\"" + q + "\":" + v.map(_.toString).getOrElse("\"err\"")
+    }.mkString("{", ",", "}")
+    val total = perQuery.flatMap(_._2).sum
+    val canary = median(runs.map(_.get("canary").asDouble))
+    val shuffle = median(runs.map(_.get("shuffle_canary").asDouble))
+    val sf = runs.head.get("sf").asText
+    val sources = paths.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"sources":$sources}""")
+    if (failedCount > 0) sys.exit(1)
   }
 }
