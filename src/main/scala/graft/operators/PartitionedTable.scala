@@ -260,6 +260,37 @@ object PartitionedTable {
     * data reads of the version dir). */
   private val StatsDir = "_stats"
 
+  /** Per-version bloom sidecar dir — the POINT-LOOKUP skip level.
+    * Min/max stats prune range predicates on clustered columns but are
+    * useless for equality on a high-cardinality unclustered column
+    * (every file's [min,max] spans the whole keyspace); a per-file
+    * Bloom filter prunes exactly that shape. Layout: one row per
+    * (part, file, col, occupied 64-bit word) holding the word's OR'd
+    * bit mask plus the filter's total bit count — sparse files pay
+    * only for words they set, a saturated filter caps at bits/64 rows
+    * (8 KB of longs per file-column at the default 2^20 bits). Probing
+    * k fixed xxhash64 seeds answers "definitely absent" with zero
+    * false negatives, so pruning is sound at any fpp; ~10 bits per
+    * distinct value keeps fpp ≈ 1-2% (size `bloomBits` to the expected
+    * per-file distinct count at the target scale). */
+  private val BloomDir = "_bloom"
+
+  /** Hash count k: xxhash64 seeded 0..k-1. Fixed so sidecars written by
+    * any path probe identically. */
+  val BloomHashes = 3
+
+  /** Default filter width (1M bits = 16 K words ≤ 128 KB per
+    * file-column, saturated): ~1% fpp at 100 K distinct values per
+    * file. Raise for bigger files — sizing is per-call. */
+  val DefaultBloomBits: Long = 1L << 20
+
+  /** The k (col, bit position) probes of every `bloomCols` value — the
+    * single hash geometry shared by the write paths and [[readEq]]. */
+  private def bloomProbes(bloomCols: Seq[String], bloomBits: Long): Column =
+    array(bloomCols.flatMap(c => (0 until BloomHashes).map(j =>
+      struct(lit(c).as("col"),
+        pmod(xxhash64(col(c), lit(j)), lit(bloomBits)).as("p")))): _*)
+
   /** Land `df` (already carrying `partCol`) as new store versions of
     * exactly the partitions present in it: ONE partitionBy write job
     * (plus one stats job when `statsCols` is set), then O(#touched)
@@ -270,7 +301,8 @@ object PartitionedTable {
     * references them. */
   private def landPartitions(
       spark: SparkSession, dir: String, df: DataFrame, partCol: String,
-      statsCols: Seq[String] = Nil): Map[String, Long] = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Map[String, Long] = {
     val hfs = VersionedStore.fs(spark, dir)
     val tmp = new Path(dir, s".tmp-land-${java.util.UUID.randomUUID}")
     df.withColumn(PartDir, col(partCol))
@@ -302,6 +334,36 @@ object PartitionedTable {
               s"PartitionedTable: stats rename ${s.getPath} -> $dest failed")
         }
       hfs.delete(statsTmp, true)
+    }
+    if (bloomCols.nonEmpty) {
+      require(bloomBits >= 64 && bloomBits % 64 == 0,
+        s"bloomBits must be a positive multiple of 64, got $bloomBits")
+      // one job over the landed files: per (partition, file, column,
+      // occupied word) OR'd bit masks — same partitionBy-then-rename
+      // staging as the stats sidecar, so each version's bloom commits
+      // atomically with its files
+      val bloomTmp = new Path(dir, s".tmp-bloom-${java.util.UUID.randomUUID}")
+      spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
+        .select(col(partCol).as("part"),
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+          explode(bloomProbes(bloomCols, bloomBits)).as("pr"))
+        .select(col("part"), col("file"), col("pr.col").as("col"),
+          expr("pr.p div 64").as("word"),
+          expr("shiftleft(1L, cast(pr.p % 64 as int))").as("m1"))
+        .groupBy("part", "file", "col", "word")
+        .agg(expr("bit_or(m1)").as("mask"))
+        .withColumn("bits", lit(bloomBits))
+        .withColumn(PartDir, col("part"))
+        .write.partitionBy(PartDir).parquet(bloomTmp.toString)
+      hfs.listStatus(bloomTmp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
+        .foreach { s =>
+          val dest = new Path(new Path(tmp, s.getPath.getName), BloomDir)
+          if (!hfs.rename(s.getPath, dest))
+            throw new java.io.IOException(
+              s"PartitionedTable: bloom rename ${s.getPath} -> $dest failed")
+        }
+      hfs.delete(bloomTmp, true)
     }
     val landed = hfs.listStatus(tmp).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
@@ -349,12 +411,15 @@ object PartitionedTable {
     * through [[merge]]). Returns the manifest version. */
   def commit(
       spark: SparkSession, dir: String, df: DataFrame, partCol: String,
-      statsCols: Seq[String] = Nil, at: String = ""): Long = {
+      statsCols: Seq[String] = Nil, at: String = "",
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
     require(df.schema(partCol).dataType == StringType,
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
     val committed = landPartitions(spark, dir,
-      df.filter(col(partCol).isNotNull), partCol, statsCols)
+      df.filter(col(partCol).isNotNull), partCol, statsCols, bloomCols,
+      bloomBits)
     commitManifest(spark, dir, committed,
       Some(metaLine("commit", committed.size, committed.size, at)))
   }
@@ -545,6 +610,36 @@ object PartitionedTable {
     readMapped(spark, dir, live)
   }
 
+  /** RESTORE the table to the content of `toVersion` by committing that
+    * version's mapping as a NEW manifest version (the Delta RESTORE
+    * semantic): pure commit-log metadata — no partition is read,
+    * rewritten, or copied, so the cost at 100 TB is the delta-log bytes
+    * of the pointers that differ, never data movement. History keeps
+    * both timelines (the rolled-back versions stay readable via
+    * time travel until [[vacuum]] retires them), a later [[merge]]
+    * diverges from the restored state, and [[changes]] across the
+    * restore commit emits the row-level undo feed — CDC consumers see
+    * the rollback as ordinary events. `toVersion` must still be in the
+    * log (vacuum prunes restorability together with readability).
+    * BATCH tables only (the [[compactPartitions]] caveat: this mints
+    * latest+1, which would swallow a [[mergeAt]] stream's next batch
+    * id). Returns the new manifest version. */
+  def restore(
+      spark: SparkSession, dir: String, toVersion: Long, at: String = ""): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: nothing to restore under $dir")
+    val cur = vs.max
+    require(vs.contains(toVersion),
+      s"PartitionedTable: cannot restore to v=$toVersion under $dir " +
+        s"(have ${vs.sorted.mkString(",")} — vacuumed past it?)")
+    val target = manifest(spark, dir, toVersion)
+    require(target.nonEmpty,
+      s"PartitionedTable: refusing to restore to empty table version $toVersion")
+    val touched = changedPartitions(spark, dir, cur, toVersion).size
+    commitManifest(spark, dir, target,
+      Some(metaLine("restore", touched, target.size, at)))
+  }
+
   /** MERGE a CDC batch, rewriting ONLY touched partitions. `changes`
     * carries the table's columns plus `opCol` ∈ {"upsert", "delete"}
     * (anything else raises), one row per (partition, key) —
@@ -562,7 +657,9 @@ object PartitionedTable {
       allowSchemaEvolution: Boolean = false,
       at: String = "",
       dvMaxRows: Long = DvMaxRows,
-      dvMaxFraction: Double = DvMaxFraction): Long = {
+      dvMaxFraction: Double = DvMaxFraction,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -574,7 +671,7 @@ object PartitionedTable {
       val base = manifest(spark, dir, cur)
       val (committed, touched) = applyMergeParts(spark, dir, base, changes,
         keyCol, partCol, opCol, statsCols, allowSchemaEvolution,
-        dvMaxRows, dvMaxFraction)
+        dvMaxRows, dvMaxFraction, bloomCols, bloomBits)
       // optimistic commit with rebase (the Delta conflict protocol):
       // losing the manifest slot to a writer whose commit left every
       // partition I merged against untouched is NOT a conflict — my
@@ -624,13 +721,16 @@ object PartitionedTable {
       id: Long,
       dvMaxRows: Long = DvMaxRows,
       dvMaxFraction: Double = DvMaxFraction,
-      statsCols: Seq[String] = Nil): Boolean = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val base = versions(spark, dir).filter(_ < id).maxOption
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
     val (committed, touched) = applyMergeParts(spark, dir, base, changes,
       keyCol, partCol, opCol, statsCols = statsCols, dvMaxRows = dvMaxRows,
-      dvMaxFraction = dvMaxFraction)
+      dvMaxFraction = dvMaxFraction, bloomCols = bloomCols,
+      bloomBits = bloomBits)
     val mapping = (base -- touched) ++ committed
     commitManifestAt(spark, dir, id, mapping,
       Some(metaLine("stream_merge", touched.size, mapping.size, s"batch=$id")))
@@ -654,7 +754,9 @@ object PartitionedTable {
       statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false,
       dvMaxRows: Long = DvMaxRows,
-      dvMaxFraction: Double = DvMaxFraction): (Map[String, Long], Seq[String]) = {
+      dvMaxFraction: Double = DvMaxFraction,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): (Map[String, Long], Seq[String]) = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     // per-partition op census; the when-chain validates EVERY row's op
     // here (fail-loud), since the DV path below never re-filters them
@@ -712,7 +814,8 @@ object PartitionedTable {
       case _ => batch.columns.toSeq.filterNot(_ == opCol)
     }
     val committed = landPartitions(spark, dir,
-      merged.select(tableCols.map(col): _*), partCol, statsCols)
+      merged.select(tableCols.map(col): _*), partCol, statsCols, bloomCols,
+      bloomBits)
     // touched partitions that landed update their pointer; touched
     // partitions with no surviving rows drop out of the mapping the
     // caller builds; the rest carry over
@@ -866,6 +969,118 @@ object PartitionedTable {
       .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
   }
 
+  /** Point-lookup read with Bloom FILE skipping: resolve a manifest,
+    * prune PARTITIONS to `partValues` (when given), then within each
+    * surviving partition keep only files whose `_bloom` sidecar says
+    * MIGHT contain `value` on column `c` — versions without a bloom
+    * for `c` contribute all their files, DV-delta partitions prune
+    * their BASE files (sound: tombstones only remove rows). The
+    * residual `col(c) === value` filter stays on the scan, so false
+    * positives cost only an extra file read, never a wrong row. This
+    * is the skip level min/max can't provide: equality on a
+    * high-cardinality UNCLUSTERED column, where every file's [min,max]
+    * spans the keyspace ([[readWhere]] stays the range/clustered
+    * path). `value` is cast to the column's stored type before both
+    * the probe and the filter — the write side hashed native values,
+    * so an int literal probing a long column must not hash as int. One
+    * sidecar read + one data read of the surviving files; the
+    * candidate list is file-count-sized, the same driver contract as
+    * [[readWhere]]'s stats pruning. */
+  def readEq(
+      spark: SparkSession,
+      dir: String,
+      c: String,
+      value: Column,
+      partValues: Option[Seq[String]] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    val m = manifest(spark, dir, v)
+    val wanted = partValues.map(_.map(escape).toSet)
+    val live = m.filter(kv => wanted.forall(_.contains(kv._1)))
+    if (live.isEmpty)
+      return read(spark, dir, Some(v)).filter(lit(false)).filter(col(c) === value)
+    val hfs = VersionedStore.fs(spark, dir)
+    val (asDelta, solid) = live.toSeq.sortBy(_._1).partition { case (name, sv) =>
+      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined }
+    // the column's stored type, from one footer-schema read (metadata
+    // only): probe and predicate both use the casted value
+    val typeDonor = solid.headOption.map { case (name, sv) =>
+      VersionedStore.path(new Path(dir, name).toString, sv)
+    }.getOrElse {
+      val (name, sv) = asDelta.head
+      val storeDir = new Path(dir, name).toString
+      VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
+    }
+    val vCast = readParquet(spark, Seq(typeDonor.toString)).schema
+      .find(_.name == c).map(f => value.cast(f.dataType)).getOrElse(value)
+    val pred = col(c) === vCast
+    val deltaDf = asDelta.map { case (name, sv) =>
+      val storeDir = new Path(dir, name).toString
+      val baseDir = VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
+      val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), c, vCast)
+      if (unpruned.nonEmpty) readPartitionDf(spark, dir, name, sv).filter(pred)
+      else if (kept.isEmpty) // definite miss in every base file
+        readPartitionDf(spark, dir, name, sv).filter(lit(false)).filter(pred)
+      else readPartitionDf(spark, dir, name, sv, Some(kept)).filter(pred)
+    }.reduceOption(_.unionByName(_, true))
+    val solidDf =
+      if (solid.isEmpty) None
+      else {
+        val slices = solid.map { case (name, sv) =>
+          name -> VersionedStore.path(new Path(dir, name).toString, sv) }
+        val (kept, unpruned) = bloomPrune(spark, hfs, slices, c, vCast)
+        val paths = kept ++ unpruned.map(_.toString)
+        if (paths.isEmpty) None
+        else Some(readParquet(spark, paths.sorted).filter(pred))
+      }
+    (solidDf.toSeq ++ deltaDf.toSeq).reduceOption(_.unionByName(_, true))
+      .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
+  }
+
+  /** Bloom-prune `slices` ((dirName, version dir) pairs) for
+    * `col(c) === value`: returns (kept candidate file paths from slices
+    * whose sidecar covers `c`, version dirs that must contribute ALL
+    * files — no sidecar, or a sidecar tracking other columns only). A
+    * file passes iff for EVERY hash seed j its sidecar holds the
+    * probe's (word, bit) — zero false negatives by construction. */
+  private def bloomPrune(
+      spark: SparkSession,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      slices: Seq[(String, Path)],
+      c: String,
+      value: Column): (Seq[String], Seq[Path]) = {
+    val (withB, withoutB) = slices.partition { case (_, vd) =>
+      hfs.exists(new Path(vd, BloomDir)) }
+    if (withB.isEmpty) return (Nil, slices.map(_._2))
+    val bloom = spark.read.parquet(withB.map { case (_, vd) =>
+      new Path(vd, BloomDir).toString }: _*).filter(col("col") === lit(c))
+    // partitions whose sidecar covers c prune; the rest keep all files
+    val covered: Set[String] = bloom.select("part").distinct()
+      .collect().map(r => escape(r.getString(0))).toSet // partition-count-sized
+    val (prunable, uncov) = withB.partition { case (name, _) =>
+      covered.contains(name) }
+    if (prunable.isEmpty) return (Nil, (withoutB ++ uncov).map(_._2))
+    var probed = bloom.withColumn("__v", value)
+    val hits = (0 until BloomHashes).map { j =>
+      probed = probed
+        .withColumn(s"__p$j", pmod(xxhash64(col("__v"), lit(j)), col("bits")))
+        .withColumn(s"__h$j", expr(
+          s"word = __p$j div 64 AND " +
+            s"(mask & shiftleft(1L, cast(__p$j % 64 AS int))) != 0"))
+      max(when(col(s"__h$j"), 1).otherwise(0)).as(s"__hit$j")
+    }
+    val dirByName = prunable.map { case (name, vd) => name -> vd.toString }.toMap
+    val kept = probed.groupBy("part", "file").agg(hits.head, hits.tail: _*)
+      .filter((0 until BloomHashes).map(j => col(s"__hit$j") === 1)
+        .reduce(_ && _))
+      .select("part", "file").collect() // file-count-sized
+      .map(r => s"${dirByName(escape(r.getString(0)))}/${r.getString(1)}")
+      .toSeq
+    (kept, (withoutB ++ uncov).map(_._2))
+  }
+
   /** Table versions `from` and `to` differ exactly on partitions whose
     * manifest pointers differ — immutable store versions make equal
     * pointers a proof of byte-equality. Returns those partition dir
@@ -944,7 +1159,9 @@ object PartitionedTable {
       smallFileRatio: Double = 2.0,
       partCol: String = "part",
       cluster: Option[Column] = None,
-      statsCols: Seq[String] = Nil): Seq[String] = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Seq[String] = {
     require(targetBytes > 0 && smallFileRatio >= 1.0,
       s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
     val cur = latest(spark, dir).getOrElse(
@@ -974,7 +1191,8 @@ object PartitionedTable {
     val shapeCols = col(partCol) +: cluster.toSeq
     val packed = df.repartitionByRange(n, shapeCols: _*)
       .sortWithinPartitions(shapeCols: _*)
-    val committed = landPartitions(spark, dir, packed, partCol, statsCols)
+    val committed = landPartitions(spark, dir, packed, partCol, statsCols,
+      bloomCols, bloomBits)
     commitManifest(spark, dir, m ++ committed,
       Some(metaLine("compact", flagged.size, (m ++ committed).size, "")))
     flagged.map(_._1)
@@ -1022,9 +1240,24 @@ object PartitionedTable {
           else Nil
         val partValue = ExternalCatalogUtils.unescapePathName(
           name.stripPrefix(s"$PartDir="))
+        // bloom sidecars regenerate through the fold too: columns and
+        // geometry come from the existing sidecar (nothing to re-state)
+        val existingBloom = new Path(vdirPath, BloomDir)
+        val (bCols, bBits) =
+          if (!hfs.exists(existingBloom)) (Nil, DefaultBloomBits)
+          else {
+            val b = spark.read.parquet(existingBloom.toString)
+            val cs = b.select("col").distinct()
+              .collect().map(_.getString(0)).toSeq.sorted // tracked-column-count-sized
+            if (cs.isEmpty) (Nil, DefaultBloomBits)
+            else (cs, b.agg(max("bits")).head.getLong(0))
+          }
         val stage: Option[Path => Unit] =
-          if (cols.isEmpty) None
-          else Some(tmp => writeVersionStats(spark, tmp, cols, partValue))
+          if (cols.isEmpty && bCols.isEmpty) None
+          else Some { tmp =>
+            if (cols.nonEmpty) writeVersionStats(spark, tmp, cols, partValue)
+            if (bCols.nonEmpty) writeVersionBloom(spark, tmp, bCols, bBits, partValue)
+          }
         Compaction.compact(spark, vdir, targetBytes, cluster, stage)
         Some(name)
       } else None
@@ -1046,6 +1279,27 @@ object PartitionedTable {
       .withColumn("part", lit(partValue))
       .coalesce(1)
       .write.parquet(new Path(tmp, StatsDir).toString)
+  }
+
+  /** Stage a partition-version `_bloom` sidecar over the data files in
+    * `tmp` — the [[writeVersionStats]] analogue for the point-lookup
+    * skip level, run inside the pre-swap hook so a compacted layout
+    * can never carry a sidecar describing files it replaced. */
+  private def writeVersionBloom(
+      spark: SparkSession, tmp: Path, bloomCols: Seq[String],
+      bloomBits: Long, partValue: String): Unit = {
+    spark.read.parquet(tmp.toString)
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        explode(bloomProbes(bloomCols, bloomBits)).as("pr"))
+      .select(col("file"), col("pr.col").as("col"),
+        expr("pr.p div 64").as("word"),
+        expr("shiftleft(1L, cast(pr.p % 64 as int))").as("m1"))
+      .groupBy("file", "col", "word")
+      .agg(expr("bit_or(m1)").as("mask"))
+      .withColumn("bits", lit(bloomBits))
+      .withColumn("part", lit(partValue))
+      .coalesce(1)
+      .write.parquet(new Path(tmp, BloomDir).toString)
   }
 
   /** Drop all but the newest `keep` manifests, then garbage-collect
@@ -1305,6 +1559,111 @@ object PartitionedTable {
       byVersion.groupBy("version", "dv_parts", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // RESTORE, hash-gated: commit orders (v0), apply the q81-shaped
+    // merge (v1: inserts ≡1 as key+10^8, upserts ≡3 at +100, deletes
+    // ≡7 — all in 'F'), then RESTORE to v0 (v2) — a pure manifest
+    // commit, zero data movement (file-level identity and the undo
+    // change feed are spec'd in PartitionedTableSpec). The gate
+    // aggregates ALL THREE versions and joins each version's history
+    // OPERATION into the output, so a restore that copies wrong
+    // pointers, half-reverts, or mislabels its commit breaks the hash;
+    // v2 ≡ v0 exactness IS the restore contract.
+    QueryDef.sql("q88_restore",
+      """WITH v1 AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 1)
+        |SELECT 0 AS version, 'commit' AS operation, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 1 AS version, 'merge' AS operation, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 2 AS version, 'restore' AS operation, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q88_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, "o_orderstatus")
+      val touched = col("o_orderkey") % 10
+      val inF = col("o_orderstatus") === "F"
+      val batch = orders.filter(inF && touched.isin(1, 3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 7, "delete").otherwise("upsert"))
+        .withColumn("o_orderkey",
+          when(touched === 1, col("o_orderkey") + 100000000L)
+            .otherwise(col("o_orderkey")))
+      merge(s, store, batch, "o_orderkey", "o_orderstatus")
+      restore(s, store, 0L)
+      val ops = history(s, store).select("version", "operation")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap // 3 rows
+      val byVersion = Seq(0L, 1L, 2L).map { v =>
+        read(s, store, asOf = Some(v))
+          .withColumn("version", lit(v.toInt))
+          .withColumn("operation", lit(ops(v)))
+      }.reduce(_ unionByName _)
+      byVersion.groupBy("version", "operation", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Bloom point-lookup skipping, hash-gated: commit orders hashed
+    // into 8 files per status partition with a `_bloom` sidecar on
+    // o_orderkey — a HIGH-CARDINALITY UNCLUSTERED key, the shape
+    // min/max stats can't prune (every file's range spans the
+    // keyspace). Probe each status's min key through readEq (partition
+    // prune + bloom file prune compose) plus a guaranteed-miss key
+    // (global max + 1, pruned to zero files); the residual filter
+    // keeps results exact at any fpp, so the hash against DuckDB's
+    // plain point lookups gates correctness while the file-pruning
+    // counts are asserted in PartitionedTableSpec.
+    QueryDef.sql("q89_bloom_point_lookup",
+      """SELECT o.o_orderstatus AS probe, o.o_orderkey, o.o_orderstatus,
+        |       round(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |JOIN (SELECT o_orderstatus, min(o_orderkey) AS k
+        |      FROM orders GROUP BY o_orderstatus) m
+        |  ON o.o_orderstatus = m.o_orderstatus AND o.o_orderkey = m.k""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q89_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      commit(s, store, orders.repartition(8, col("o_orderkey")),
+        "o_orderstatus", bloomCols = Seq("o_orderkey"))
+      val probes = orders.groupBy("o_orderstatus")
+        .agg(min("o_orderkey").as("k"), max("o_orderkey").as("mx"))
+        .collect() // 3 rows (one per status)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val miss = probes.map(_._3).max + 1
+      val found = probes.toSeq.map { case (status, k, _) =>
+        readEq(s, store, "o_orderkey", lit(k),
+          partValues = Some(Seq(status)))
+          .withColumn("probe", lit(status))
+      }
+      val missed = readEq(s, store, "o_orderkey", lit(miss))
+        .withColumn("probe", lit("miss"))
+      (found :+ missed).reduce(_ unionByName _)
+        .select(col("probe"), col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
     }
   )
 }

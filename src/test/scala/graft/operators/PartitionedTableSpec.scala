@@ -807,4 +807,158 @@ class PartitionedTableSpec extends SparkSpec {
         "both join forms must read identical rows")
     } finally spark.conf.set(key, saved)
   }
+
+  test("restore re-points the manifest: zero data movement, undo feed, divergence, vacuum keeps restored refs") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part") // v0
+    val batch = Seq(
+      (1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"),
+      (401L, "p1", 4010L, "upsert")).toDF("k", "part", "v", "op")
+    PartitionedTable.merge(spark, dir, batch, "k", "part") // v1
+    val before = (0 to 3).map(i => s"__part=p$i")
+      .map(p => p -> files(dir, p)).toMap
+
+    assert(PartitionedTable.restore(spark, dir, 0L) === 2L)
+    // pure commit-log metadata: not one data file moved
+    before.foreach { case (p, fs0) =>
+      assert(files(dir, p) === fs0, s"restore rewrote $p") }
+    assert(PartitionedTable.manifest(spark, dir, 2L) ===
+      PartitionedTable.manifest(spark, dir, 0L))
+
+    // content is v0's; the rolled-back v1 stays time-travelable
+    val now = PartitionedTable.read(spark, dir)
+    assert(now.count() === 100)
+    assert(now.filter(col("k") === 1).head.getLong(2) === 10L)
+    assert(now.filter(col("k") === 401).count() === 0)
+    assert(PartitionedTable.read(spark, dir, asOf = Some(1L))
+      .filter(col("k") === 401).count() === 1)
+    assert(PartitionedTable.history(spark, dir).orderBy("version")
+      .select("operation").as[String].collect().toSeq ===
+      Seq("commit", "merge", "restore"))
+
+    // CDC across the restore commit = the merge's exact inverse
+    val undo = PartitionedTable.changes(spark, dir, 1L, 2L, "k", "part")
+    assert(undo.select("k", "op").as[(Long, String)].collect().toSet ===
+      Set((1L, "update"), (5L, "insert"), (401L, "delete")))
+    assert(undo.filter(col("k") === 1).head.getLong(3) === 10L,
+      "the undo update must carry the restored image")
+
+    // a later merge diverges from the restored state, not from v1
+    PartitionedTable.merge(spark, dir,
+      Seq((402L, "p2", 4020L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v3
+    val diverged = PartitionedTable.read(spark, dir)
+    assert(diverged.filter(col("k") === 402).head.getLong(2) === 4020L)
+    assert(diverged.filter(col("k") === 1).head.getLong(2) === 10L)
+    assert(diverged.filter(col("k") === 401).count() === 0)
+
+    // restorability is bounded by the log, fail-loud
+    intercept[IllegalArgumentException] {
+      PartitionedTable.restore(spark, dir, 99L)
+    }
+
+    // vacuum keeps every store version a KEPT manifest references —
+    // including the old versions the restore re-pointed to
+    PartitionedTable.vacuum(spark, dir, keep = 2) // keeps v2 (restore), v3
+    val after = PartitionedTable.read(spark, dir)
+    assert(after.count() === 101)
+    assert(after.filter(col("k") === 1).head.getLong(2) === 10L,
+      "vacuum must not GC store versions the restore commit references")
+    intercept[Exception] { // v1's manifest is gone with its horizon
+      PartitionedTable.read(spark, dir, asOf = Some(1L)).count()
+    }
+  }
+
+  test("bloom point lookups: files prune where min/max can't, misses prune to zero, DV and folds keep the sidecar") {
+    import spark.implicits._
+    val dir = freshStore()
+    // high-cardinality key hashed across 8 files per partition: every
+    // file's [min,max] on k spans the keyspace — min/max stats cannot
+    // prune a point lookup here, the bloom sidecar can
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      ((col("id") * 2654435761L) % 100000).as("x"))
+    PartitionedTable.commit(spark, dir, df.repartition(8, col("k")),
+      "part", bloomCols = Seq("k"))
+    val p1All = PartitionedTable.readPartitions(spark, dir, Seq("p1"))
+      .inputFiles.length
+    assert(p1All >= 4, s"need multiple files per partition, got $p1All")
+
+    // a hit reads fewer files than the partition holds, exactly
+    val hit = PartitionedTable.readEq(spark, dir, "k", lit(401L),
+      partValues = Some(Seq("p1")))
+    assert(hit.count() === 1 && hit.head.getLong(2) === (401L * 2654435761L) % 100000)
+    assert(hit.inputFiles.length < p1All,
+      s"bloom must prune files (${hit.inputFiles.length} of $p1All)")
+    assert(hit.inputFiles.forall(_.contains("__part=p1")),
+      "partition pruning must compose with bloom pruning")
+
+    // zero false negatives: every probed present key is found
+    Seq(1L, 5L, 9L, 1997L, 3997L).foreach { k =>
+      assert(PartitionedTable.readEq(spark, dir, "k", lit(k),
+        partValues = Some(Seq(s"p${k % 4}"))).count() === 1, s"lost k=$k")
+    }
+
+    // a guaranteed miss prunes EVERY file in every partition: the
+    // optimizer folds the empty branch to a LocalRelation, so the
+    // EXECUTED plan carries no file scan at all
+    val miss = PartitionedTable.readEq(spark, dir, "k", lit(999999L))
+    assert(miss.count() === 0)
+    assert(!miss.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a definite miss must scan nothing")
+
+    // an int literal probing the long column casts before hashing
+    assert(PartitionedTable.readEq(spark, dir, "k", lit(401),
+      partValues = Some(Seq("p1"))).count() === 1,
+      "probe values must hash in the column's stored type")
+
+    // a column the sidecar does not track: all files read, still exact
+    val xVal = df.filter(col("k") === 401).head.getLong(2)
+    val untracked = PartitionedTable.readEq(spark, dir, "x", lit(xVal),
+      partValues = Some(Seq("p1")))
+    assert(untracked.inputFiles.length === p1All,
+      "an untracked column must not prune")
+    assert(untracked.count() ===
+      df.filter(col("part") === "p1" && col("x") === xVal).count())
+
+    // DV interplay: a delete-only merge lands tombstones; the lookup
+    // excludes the victim while still pruning BASE files by bloom
+    PartitionedTable.merge(spark, dir,
+      Seq((401L, "p1", 0L, "delete")).toDF("k", "part", "x", "op"),
+      "k", "part")
+    val gone = PartitionedTable.readEq(spark, dir, "k", lit(401L),
+      partValues = Some(Seq("p1")))
+    assert(gone.count() === 0, "the tombstone must hold through readEq")
+    val goneDataFiles = gone.inputFiles.count(f =>
+      f.contains("__part=p1") && !f.contains("/_dv/"))
+    assert(goneDataFiles > 0 && goneDataFiles < p1All,
+      s"DV lookups must still bloom-prune base files ($goneDataFiles of $p1All)")
+    // a sibling key in the same partition survives
+    assert(PartitionedTable.readEq(spark, dir, "k", lit(1997L),
+      partValues = Some(Seq("p1"))).count() === 1)
+
+    // mixed coverage: a rewrite WITHOUT bloomCols leaves p2 unpruned
+    // but exact; p1's sidecar keeps pruning
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "x", "op"),
+      "k", "part")
+    val two = PartitionedTable.readEq(spark, dir, "k", lit(2L))
+    assert(two.count() === 1 && two.head.getLong(2) === 222L)
+
+    // the in-place streaming fold regenerates the sidecar with the
+    // stored geometry: post-fold misses still prune to zero
+    val dir2 = freshStore()
+    PartitionedTable.commit(spark, dir2, df.repartition(8, col("k")),
+      "part", bloomCols = Seq("k"))
+    val folded = PartitionedTable.compactPartitionsInPlace(
+      spark, dir2, targetBytes = 1L << 30)
+    assert(folded.nonEmpty, "the fold must flag the 8-file partitions")
+    val missAfter = PartitionedTable.readEq(spark, dir2, "k", lit(999999L))
+    assert(missAfter.count() === 0 &&
+      !missAfter.queryExecution.executedPlan.toString.contains("FileScan"),
+      "the fold must regenerate the bloom sidecar")
+    assert(PartitionedTable.readEq(spark, dir2, "k", lit(401L)).count() === 1)
+  }
 }
