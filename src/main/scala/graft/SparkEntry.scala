@@ -25,6 +25,7 @@ object SparkEntry {
       operators.VersionedTable.defs ++
       operators.PartitionedTable.defs ++
       streaming.ChangeFeed.defs ++
+      streaming.IndexFeed.defs ++
       operators.Unigram.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -345,7 +345,7 @@ object Dedup {
   /** DuckDB squared-L2 between a float-list column and a double-list
     * centroid, rounded — the oracle twin of KMeans' sqDist + the
     * distance quantization d12's fit applies. */
-  private[operators] def sqDistSql(e: String, c: String, dp: Int): String =
+  private[graft] def sqDistSql(e: String, c: String, dp: Int): String =
     s"""round(list_sum(list_transform(range(1, len($e)+1),
        |      i -> ($e[i]::DOUBLE - $c[i]) * ($e[i]::DOUBLE - $c[i]))), $dp)""".stripMargin
 
@@ -358,7 +358,7 @@ object Dedup {
     * `cent<iters>(cid, ce)`. The per-round rounding is the cross-engine
     * sync: both sides restart each round from identical decimal values,
     * so neither engine's summation order can drift the fit. */
-  private[operators] def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int,
+  private[graft] def kmeansCtes(k: Int, iters: Int, dp1: Int, dp2: Int,
       src: String = "embeddings"): String = {
     val rounds = (1 to iters).map { j =>
       s"""kd$j AS (

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.KMeans
+import graft.operators.PartitionedTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The feed-maintained IVF index's contracts: maintained == rebuilt
+  * (including the cluster-moving-update case a keyed upsert gets
+  * wrong), replays absorb via version-aligned merges, probe-time
+  * search prunes to the probed inverted lists, and a pre-images-off
+  * feed fails loud instead of corrupting the index. */
+class IndexFeedSpec extends SparkSpec {
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory("idxfeed").toString + "/" + name
+
+  /** 40 deterministic 4-dim vectors across 4 source partitions. */
+  private def vecs = spark.range(40).select(
+    col("id").as("vec_id"),
+    transform(sequence(lit(0), lit(3)), d =>
+      ((col("id") * 7 + d * 13) % 19).cast("float")).as("embedding"),
+    (col("id") % 4).cast("string").as("part"))
+
+  private def buildSource(src: String): KMeans.Model = {
+    val initial = vecs.filter(col("vec_id") % 10 =!= 0)
+    PartitionedTable.commit(spark, src, initial, "part")
+    KMeans.fit(initial, "embedding", "vec_id",
+      k = 4, iters = 2, meanDecimals = 4, distDecimals = 6)
+  }
+
+  private def applyCdc(src: String): Unit = {
+    val v = vecs
+    PartitionedTable.merge(spark, src, // inserts
+      v.filter(col("vec_id") % 10 === 0).withColumn("op", lit("upsert")),
+      "vec_id", "part")
+    PartitionedTable.merge(spark, src, // cluster-moving updates
+      v.filter(col("vec_id") % 9 === 1)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+        .withColumn("op", lit("upsert")),
+      "vec_id", "part")
+    PartitionedTable.merge(spark, src, // deletes
+      v.filter(col("vec_id") % 7 === 0).withColumn("op", lit("delete")),
+      "vec_id", "part")
+  }
+
+  test("feed-maintained index equals a from-scratch rebuild through inserts, cluster moves, deletes") {
+    val src = fresh("src"); val idx = fresh("idx"); val ckpt = fresh("ckpt")
+    val model = buildSource(src)
+    assert(IndexFeed.maintainIvf(spark, src, ckpt, idx, model,
+      "vec_id", "part", distDecimals = 6) === Seq(0L))
+    val clustersBefore = PartitionedTable.read(spark, idx)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    applyCdc(src)
+    assert(IndexFeed.maintainIvf(spark, src, ckpt, idx, model,
+      "vec_id", "part", distDecimals = 6) === Seq(1L, 2L, 3L))
+
+    val rebuilt = PartitionedTable.read(spark, src)
+      .select(col("vec_id"),
+        model.clusterOf(col("embedding"), 6).cast("long").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maintained = PartitionedTable.read(spark, idx)
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained === rebuilt,
+      "the maintained index must equal a frozen-model rebuild")
+    // no key may appear in two inverted lists (the stale-row failure)
+    assert(PartitionedTable.read(spark, idx).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0)
+    // the negation updates really exercised the cluster-moving path
+    val moved = maintained.keys.filter(k => k % 9 == 1 && k % 7 != 0)
+      .count(k => clustersBefore.get(k).exists(_.toLong != maintained(k)))
+    assert(moved > 0, "test vacuous: no update changed cluster")
+    // index versions mirror source versions (the lag-readable contract)
+    assert(PartitionedTable.latest(spark, idx) ===
+      PartitionedTable.latest(spark, src))
+  }
+
+  test("replayed slices absorb: offset loss re-delivers, mergeAt no-ops, index identical") {
+    val src = fresh("src"); val idx = fresh("idx"); val ckpt = fresh("ckpt")
+    val model = buildSource(src)
+    applyCdc(src)
+    assert(IndexFeed.maintainIvf(spark, src, ckpt, idx, model,
+      "vec_id", "part", distDecimals = 6) === Seq(0L, 1L, 2L, 3L))
+    val before = PartitionedTable.read(spark, idx)
+      .orderBy("vec_id").collect().toSeq
+    val latestBefore = PartitionedTable.latest(spark, idx)
+
+    val hfs = VersionedStore.fs(spark, ckpt)
+    hfs.delete(new Path(ckpt, "offset"), false)
+    assert(IndexFeed.maintainIvf(spark, src, ckpt, idx, model,
+      "vec_id", "part", distDecimals = 6) === Seq(0L, 1L, 2L, 3L),
+      "a lost offset must re-deliver every slice")
+    assert(PartitionedTable.latest(spark, idx) === latestBefore,
+      "replayed merges must not mint index versions")
+    assert(PartitionedTable.read(spark, idx)
+      .orderBy("vec_id").collect().toSeq === before)
+  }
+
+  test("search prunes to the probed inverted lists and matches exact math at full probe") {
+    val src = fresh("src"); val idx = fresh("idx"); val ckpt = fresh("ckpt")
+    val model = buildSource(src)
+    IndexFeed.maintainIvf(spark, src, ckpt, idx, model, "vec_id", "part",
+      distDecimals = 6)
+
+    val query = Seq(1.0, 2.0, 3.0, 4.0)
+    val got = IndexFeed.searchIvf(spark, idx, model, query,
+      nprobe = model.k, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // brute-force top-5 computed driver-side with the KERNEL's exact
+    // IEEE operation order (norm² − 2·dot + ‖q‖², left folds from 0.0)
+    // — bit-identical doubles, so even near-ties order identically
+    val q2 = query.map(x => x * x).sum
+    val exact = PartitionedTable.read(spark, idx)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val e = r.getSeq[Float](1)
+        val dot = e.indices.foldLeft(0.0)((a, i) => a + e(i).toDouble * query(i))
+        val nrm = math.sqrt(e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        (nrm * nrm - 2.0 * dot + q2, r.getLong(0))
+      }.sortBy(identity).take(5).map(_._2).toSeq
+    assert(got === exact, "full-probe search must equal exact brute force")
+
+    // nprobe=1 reads exactly one inverted list's pinned dir
+    val one = IndexFeed.searchIvf(spark, idx, model, query, nprobe = 1, k = 3)
+    val lists = one.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("__part=")).getOrElse("?")).toSet
+    assert(lists.size === 1, s"nprobe=1 must read one list, got $lists")
+
+    // a pre-images-off feed op fails loud instead of corrupting
+    import spark.implicits._
+    val bad = Seq(("1", 1L, "update", Seq(1f, 2f, 3f, 4f)))
+      .toDF("part", "vec_id", "op", "embedding")
+    val ex = intercept[Exception] {
+      IndexFeed.indexChanges(bad, model, "vec_id", "embedding", 6)
+        .collect()
+    }
+    assert(ex.getMessage.contains("feed op") ||
+      Option(ex.getCause).exists(_.getMessage.contains("feed op")))
+  }
+}
