@@ -130,10 +130,32 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                // data scan at all
     "q84_two_level_skipping" -> 1, // partition+stats-pruned file scan
                                    // into one grouped agg
-    "q85_deletion_vectors" -> 1) // two version scans (v1's DV anti
+    "q85_deletion_vectors" -> 1, // two version scans (v1's DV anti
                                  // join rides a broadcast) into one
                                  // grouped agg; the DV write itself
                                  // lives in the merge job
+    "q86_dv_growth_guard" -> 1, // three version scans (the DV route's
+                                // anti join rides a broadcast) into
+                                // one grouped agg; both merge routings
+                                // live in the commit jobs
+    "q87_change_feed" -> 5, // two per-commit diff slices (full outer
+                            // join on (part, key): ≤2 key exchanges
+                            // each under SMJ) + the final (version,
+                            // op) agg; the v0 initial-load slice is a
+                            // plain scan, untouched partitions never
+                            // read
+    "q88_restore" -> 1, // three manifest-resolved version scans union
+                        // into one grouped agg; the restore itself is
+                        // pure commit-log metadata — no job at all
+    "q89_bloom_point_lookup" -> 0, // bloom-pruned point-lookup scans
+                                   // union with residual filters — no
+                                   // agg, no join, no exchange; the
+                                   // sidecar probe is a file-count-
+                                   // sized driver read
+    "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
+                                  // every feed drain / index merge
+                                  // lives in the maintain jobs
+                                  // (delta-sized, broadcast-shaped)
     // s22 is not budgeted here: its per-round state is localCheckpointed,
     // so the final plan is only the last TakeOrdered — the walk's shuffle
     // story is asserted structurally (broadcast frontier joins) instead.
