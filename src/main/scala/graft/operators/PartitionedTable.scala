@@ -904,15 +904,48 @@ object PartitionedTable {
       lo: Column,
       hi: Column,
       partValues: Option[Seq[String]] = None,
+      asOf: Option[Long] = None): DataFrame =
+    readWhereAll(spark, dir, Seq((c, lo, hi)), partValues, asOf)
+
+  /** [[readWhere]] over a CONJUNCTION of range predicates — the probe
+    * shape a Z-ordered layout exists for ([[ZOrder]]): with files
+    * clustered on an interleaved key, EVERY predicate's min/max is
+    * tight per file, so a 2-D box query keeps only the files whose
+    * ranges cross the box in all dimensions at once (a single-key
+    * range layout prunes only its lead column). Each predicate prunes
+    * independently: a version whose sidecar lacks a column simply
+    * doesn't prune on it (sidecars are read with merged schemas and
+    * NULL stats keep the file — heterogeneous `statsCols` across
+    * versions can never drop a live row), and the full residual
+    * conjunction stays on the scan, so the result is exact at any
+    * pruning coarseness. */
+  def readWhereAll(
+      spark: SparkSession,
+      dir: String,
+      preds: Seq[(String, Column, Column)],
+      partValues: Option[Seq[String]] = None,
       asOf: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll: need at least one (col, lo, hi)")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val v = asOf.getOrElse(vs.max)
     val m = manifest(spark, dir, v)
     val wanted = partValues.map(_.map(escape).toSet)
     val live = m.filter(kv => wanted.forall(_.contains(kv._1)))
-    val pred = col(c) >= lo && col(c) <= hi
+    val pred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (live.isEmpty) return read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
+    // keep-file conjunction over a stats frame: absent stats columns /
+    // NULL stats rows cannot DISPROVE overlap, so they keep the file
+    def keepFilter(stats: DataFrame): Option[DataFrame] = {
+      val conds = preds.flatMap { case (c, lo, hi) =>
+        if (!stats.columns.contains(s"min_$c")) None
+        else Some(coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi,
+          lit(true)))
+      }
+      if (conds.isEmpty) None // no predicate column tracked: keep all
+      else Some(stats.filter(conds.reduce(_ && _)))
+    }
     val hfs = VersionedStore.fs(spark, dir)
     val versionDir: ((String, Long)) => Path = { case (name, sv) =>
       VersionedStore.path(new Path(dir, name).toString, sv) }
@@ -929,13 +962,10 @@ object PartitionedTable {
       val statsPath = new Path(baseDir, StatsDir)
       val basePaths =
         if (!hfs.exists(statsPath)) None
-        else {
-          val stats = spark.read.parquet(statsPath.toString)
-          if (!stats.columns.contains(s"min_$c")) None
-          else Some(stats.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-            .select("file").collect() // file-count-sized
+        else keepFilter(
+          spark.read.option("mergeSchema", "true").parquet(statsPath.toString))
+          .map(_.select("file").collect() // file-count-sized
             .map(r => new Path(baseDir, r.getString(0)).toString).toSeq)
-        }
       basePaths match {
         case Some(Nil) => // every base file pruned: nothing in range
           readPartitionDf(spark, dir, name, sv).filter(lit(false)).filter(pred)
@@ -950,15 +980,18 @@ object PartitionedTable {
     val keptStatFiles: Seq[String] =
       if (withStats.isEmpty) Nil
       else {
-        val stats = spark.read.parquet(withStats.map(kv =>
-          new Path(versionDir(kv), StatsDir).toString): _*)
-        if (!stats.columns.contains(s"min_$c"))
-          withStats.map(kv => versionDir(kv).toString) // stats on other columns
-        else {
-          val dirByName = withStats.map(kv => kv._1 -> versionDir(kv).toString).toMap
-          stats.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-            .select("part", "file").collect() // file-count-sized
-            .map(r => s"${dirByName(escape(r.getString(0)))}/${r.getString(1)}").toSeq
+        val stats = spark.read.option("mergeSchema", "true")
+          .parquet(withStats.map(kv =>
+            new Path(versionDir(kv), StatsDir).toString): _*)
+        keepFilter(stats) match {
+          case None => // stats on other columns only
+            withStats.map(kv => versionDir(kv).toString)
+          case Some(kept) =>
+            val dirByName = withStats.map(kv =>
+              kv._1 -> versionDir(kv).toString).toMap
+            kept.select("part", "file").collect() // file-count-sized
+              .map(r => s"${dirByName(escape(r.getString(0)))}/${r.getString(1)}")
+              .toSeq
         }
       }
     val paths = keptStatFiles ++ without.map(kv => versionDir(kv).toString)
@@ -1664,6 +1697,49 @@ object PartitionedTable {
       (found :+ missed).reduce(_ unionByName _)
         .select(col("probe"), col("o_orderkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"))
+    },
+
+    // Z-order + multi-dimension skipping, hash-gated: commit orders
+    // partitioned by status and range-clustered on the INTERLEAVED
+    // (custkey, orderdate) Z-value, with min/max sidecars on both
+    // dimensions — each file's range is tight in both at once, where
+    // q84's single-key clustering is tight only in its lead column.
+    // The probe is a 2-D box (low-quarter custkeys × year 1996 in 'F')
+    // through readWhereAll: the manifest prunes partitions, the
+    // sidecar prunes files failing EITHER dimension, and the residual
+    // conjunction keeps the result exact — the hash must equal DuckDB
+    // filtering the source directly. The z-vs-range pruning advantage
+    // is asserted in PartitionedTableSpec; here the gate is exactness.
+    QueryDef.sql("q90_zorder_skipping",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_custkey BETWEEN 1 AND (SELECT max(o_custkey) // 4 FROM orders)
+        |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q90_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderstatus", "o_custkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice")
+      val days = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      val bounds = orders.agg(
+        max("o_custkey").as("ck"), max(days).as("dd")).head // scalar
+      val (ckMax, ddMax) = (bounds.getLong(0), bounds.getInt(1).toLong)
+      val z = ZOrder.zvalueScaled(col("o_custkey"), ckMax, days, ddMax)
+      commit(s, store,
+        orders.repartitionByRange(24, col("o_orderstatus"), z),
+        "o_orderstatus", statsCols = Seq("o_custkey", "o_orderdate"))
+      readWhereAll(s, store, Seq(
+        ("o_custkey", lit(1L), lit(ckMax / 4)),
+        ("o_orderdate", to_date(lit("1996-01-01")), to_date(lit("1996-12-31")))),
+        partValues = Some(Seq("F")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
     }
   )
 }

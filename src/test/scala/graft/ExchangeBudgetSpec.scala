@@ -152,6 +152,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                    // agg, no join, no exchange; the
                                    // sidecar probe is a file-count-
                                    // sized driver read
+    "q90_zorder_skipping" -> 1, // z-pruned file-list scan + one
+                                // priority-key agg shuffle; the z-value
+                                // clustering shuffle lives in the commit
+                                // job, not the probe
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

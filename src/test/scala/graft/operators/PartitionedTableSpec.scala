@@ -961,4 +961,60 @@ class PartitionedTableSpec extends SparkSpec {
       "the fold must regenerate the bloom sidecar")
     assert(PartitionedTable.readEq(spark, dir2, "k", lit(401L)).count() === 1)
   }
+
+  test("z-ordered files prune on BOTH box dimensions; a range layout prunes only its lead key") {
+    // two independent uniform dimensions in [0, 4096)
+    val df = spark.range(8000).select(
+      col("id").as("k"),
+      lit("p0").as("part"),
+      ((col("id") * 2654435761L) % 4096).as("x"),
+      ((col("id") * 40503L) % 4096).as("y"))
+    def mk(cluster: org.apache.spark.sql.Column): String = {
+      val d = freshStore()
+      PartitionedTable.commit(spark, d,
+        df.repartitionByRange(32, cluster), "part",
+        statsCols = Seq("x", "y"))
+      d
+    }
+    val zdir = mk(ZOrder.zvalueScaled(col("x"), 4095L, col("y"), 4095L, 12))
+    val xdir = mk(col("x"))
+    val box = Seq(
+      ("x", lit(0L), lit(1023L)), ("y", lit(0L), lit(1023L)))
+
+    val total = PartitionedTable.read(spark, zdir).inputFiles.length
+    val zProbe = PartitionedTable.readWhereAll(spark, zdir, box)
+    val xProbe = PartitionedTable.readWhereAll(spark, xdir, box)
+    // exactness on both layouts
+    val expect = df.filter(col("x") <= 1023 && col("y") <= 1023)
+      .agg(count(lit(1)), sum("x"), sum("y")).head
+    assert(zProbe.agg(count(lit(1)), sum("x"), sum("y")).head === expect)
+    assert(xProbe.agg(count(lit(1)), sum("x"), sum("y")).head === expect)
+    // the range layout prunes its lead dimension...
+    assert(xProbe.inputFiles.length < total,
+      s"x-layout must prune on x (${xProbe.inputFiles.length} of $total)")
+    // ...but every kept file spans the full y range; the aligned
+    // quadrant is a contiguous Z-prefix, so the z layout keeps
+    // strictly fewer files
+    assert(zProbe.inputFiles.length < xProbe.inputFiles.length,
+      s"z-order must beat the single-key layout on a 2-D box " +
+        s"(${zProbe.inputFiles.length} vs ${xProbe.inputFiles.length})")
+
+    // single-predicate probes still prune on the z layout (both
+    // dimensions' stats are tight), and heterogeneous sidecars can
+    // never DROP a file: a version with stats on x only keeps all its
+    // files under a y-predicate
+    assert(PartitionedTable.readWhereAll(spark, zdir,
+      Seq(("y", lit(0L), lit(255L)))).inputFiles.length < total)
+    // heterogeneous sidecars in ONE stats read: a new partition whose
+    // sidecar tracks x only joins p0's (x, y) sidecar under merged
+    // schemas — its NULL y stats must keep its files, never drop them
+    import spark.implicits._
+    PartitionedTable.merge(spark, zdir,
+      Seq((9001L, "p1", 10L, 10L)).toDF("k", "part", "x", "y")
+        .withColumn("op", lit("upsert")),
+      "k", "part", statsCols = Seq("x")) // x-only sidecar
+    val hetero = PartitionedTable.readWhereAll(spark, zdir, box)
+    assert(hetero.filter(col("k") === 9001).count() === 1,
+      "a version with stats on x only must not be pruned by the y predicate")
+  }
 }
