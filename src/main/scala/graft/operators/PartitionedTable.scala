@@ -1297,6 +1297,87 @@ object PartitionedTable {
     }
   }
 
+  /** OPTIMIZE: recluster the named partitions (default: all live ones)
+    * on `cluster` — typically a [[ZOrder]] interleaved key so every
+    * `statsCols` dimension's per-file min/max is tight at once — and
+    * commit the result as a new table version. This is the INCREMENTAL
+    * layout path: at 100 TB nobody rewrites the whole table, so the
+    * work is O(selected partitions' bytes) and untouched partitions
+    * keep their exact store pointers (the manifest delta logs only the
+    * repointed entries). Unlike [[compactPartitions]] it fires
+    * unconditionally — the trigger is skipping QUALITY, not small-file
+    * pressure. DV-delta partitions fold their tombstones away (the
+    * rewrite materializes the anti join). Sidecar geometry is
+    * inherited when not re-stated: `statsCols` defaults to the union
+    * of columns the selected versions' `_stats` sidecars already
+    * track, and bloom columns/width come from their `_bloom` sidecars,
+    * so an OPTIMIZE can never silently strip a table's skipping.
+    * BATCH tables only (mints latest+1 — same caveat as [[restore]]).
+    * Returns the rewritten partition dir names. */
+  def optimizePartitions(
+      spark: SparkSession,
+      dir: String,
+      cluster: Column,
+      partValues: Option[Seq[String]] = None,
+      targetBytes: Long = 128L << 20,
+      partCol: String = "part",
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Seq[String] = {
+    require(targetBytes > 0, s"bad policy: targetBytes=$targetBytes")
+    val cur = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: nothing to optimize under $dir"))
+    val m = manifest(spark, dir, cur)
+    val wanted = partValues.map(_.map(escape).toSet)
+    val selected = m.toSeq.sortBy(_._1)
+      .filter(kv => wanted.forall(_.contains(kv._1)))
+    require(selected.nonEmpty,
+      s"PartitionedTable: none of ${partValues.getOrElse(Nil)} exist in " +
+        s"table version $cur under $dir")
+    val hfs = VersionedStore.fs(spark, dir)
+    // sidecars live on the version itself, or on a DV delta's base
+    def sidecarDirs(sub: String): Seq[String] = selected.flatMap {
+      case (name, sv) =>
+        val storeDir = new Path(dir, name).toString
+        val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
+        val p = new Path(VersionedStore.path(storeDir, eff), sub)
+        if (hfs.exists(p)) Some(p.toString) else None
+    }
+    val statDirs = sidecarDirs(StatsDir)
+    val effStats =
+      if (statsCols.nonEmpty) statsCols
+      else if (statDirs.isEmpty) Nil
+      else spark.read.option("mergeSchema", "true").parquet(statDirs: _*)
+        .columns.toSeq
+        .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+        .sorted
+    val bloomDirs = sidecarDirs(BloomDir)
+    val (effBloom, effBits) =
+      if (bloomCols.nonEmpty) (bloomCols, bloomBits)
+      else if (bloomDirs.isEmpty) (Seq.empty[String], DefaultBloomBits)
+      else {
+        val b = spark.read.parquet(bloomDirs: _*)
+        (b.select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted, // tracked-column-count-sized
+          b.agg(max("bits")).head.getLong(0))
+      }
+    val totalBytes = selected.map { case (name, sv) =>
+      val storeDir = new Path(dir, name).toString
+      val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
+      Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
+    }.sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val packed = readMapped(spark, dir, selected.toMap)
+      .repartitionByRange(n, col(partCol), cluster)
+      .sortWithinPartitions(col(partCol), cluster)
+    val committed = landPartitions(spark, dir, packed, partCol, effStats,
+      effBloom, effBits)
+    commitManifest(spark, dir, m ++ committed,
+      Some(metaLine("optimize", selected.size, (m ++ committed).size, "")))
+    selected.map(_._1)
+  }
+
   /** Stage a partition-version `_stats` sidecar (the [[landPartitions]]
     * schema: part, file, min/max per column) over the data files in
     * `tmp` — called inside [[Compaction.compact]]'s pre-swap hook so
@@ -1736,6 +1817,51 @@ object PartitionedTable {
       readWhereAll(s, store, Seq(
         ("o_custkey", lit(1L), lit(ckMax / 4)),
         ("o_orderdate", to_date(lit("1996-01-01")), to_date(lit("1996-12-31")))),
+        partValues = Some(Seq("F")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // OPTIMIZE ZORDER end-to-end, hash-gated: commit orders SCATTERED
+    // (hash on orderkey — every file spans both probe dimensions, so
+    // min/max stats prune nothing), then optimizePartitions reclusters
+    // ONLY the 'F' partition on the interleaved z-value, INHERITING the
+    // stats sidecar columns from the committed version (not re-stated —
+    // the inheritance path is part of what's gated). The probe reads
+    // the optimized table version through readWhereAll; the hash must
+    // equal DuckDB filtering the source directly, proving the rewrite
+    // moved bytes without changing a row. The pruning-improvement and
+    // untouched-pointer assertions live in PartitionedTableSpec.
+    QueryDef.sql("q91_optimize_zorder",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_custkey BETWEEN 3 * ((SELECT max(o_custkey) FROM orders) // 4)
+        |                    AND (SELECT max(o_custkey) FROM orders)
+        |  AND o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q91_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderstatus", "o_custkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice")
+      commit(s, store, orders.repartition(24, col("o_orderkey")),
+        "o_orderstatus", statsCols = Seq("o_custkey", "o_orderdate"))
+      val days = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      val bounds = orders.agg(
+        max("o_custkey").as("ck"), max(days).as("dd")).head // scalar
+      val (ckMax, ddMax) = (bounds.getLong(0), bounds.getInt(1).toLong)
+      optimizePartitions(s, store,
+        ZOrder.zvalueScaled(col("o_custkey"), ckMax, days, ddMax),
+        partValues = Some(Seq("F")), targetBytes = 64L << 10,
+        partCol = "o_orderstatus")
+      readWhereAll(s, store, Seq(
+        ("o_custkey", lit(3L * (ckMax / 4)), lit(ckMax)),
+        ("o_orderdate", to_date(lit("1997-01-01")), to_date(lit("1997-12-31")))),
         partValues = Some(Seq("F")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),

@@ -156,6 +156,9 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // priority-key agg shuffle; the z-value
                                 // clustering shuffle lives in the commit
                                 // job, not the probe
+    "q91_optimize_zorder" -> 1, // same probe shape as q90; the
+                                // optimize rewrite's clustering shuffle
+                                // is a maintenance job, not the probe
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

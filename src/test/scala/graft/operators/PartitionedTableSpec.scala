@@ -1017,4 +1017,69 @@ class PartitionedTableSpec extends SparkSpec {
     assert(hetero.filter(col("k") === 9001).count() === 1,
       "a version with stats on x only must not be pruned by the y predicate")
   }
+
+  test("optimize reclusters only named partitions: pruning improves, pointers elsewhere unchanged, sidecars inherited, DVs fold") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(8000).select(
+      col("id").as("k"),
+      when(col("id") < 4000, "a").otherwise("b").as("part"),
+      ((col("id") * 2654435761L) % 4096).as("x"),
+      ((col("id") * 40503L) % 4096).as("y"))
+    // scattered layout: hash on k → every file spans both dimensions
+    PartitionedTable.commit(spark, dir,
+      df.repartition(16, col("k")), "part",
+      statsCols = Seq("x", "y"), bloomCols = Seq("k"), bloomBits = 4096)
+    // a delete-only merge first, so 'a' is a DV delta going in
+    PartitionedTable.merge(spark, dir,
+      Seq((7L, "a", 0L, 0L, "delete"), (13L, "a", 0L, 0L, "delete"))
+        .toDF("k", "part", "x", "y", "op"),
+      "k", "part")
+    assert(PartitionedTable.dvPartitions(spark, dir, 1L) === Seq("__part=a"))
+
+    val box = Seq(("x", lit(0L), lit(1023L)), ("y", lit(0L), lit(1023L)))
+    val before = PartitionedTable.readWhereAll(spark, dir, box,
+      partValues = Some(Seq("a"))).inputFiles.length
+
+    val touched = PartitionedTable.optimizePartitions(spark, dir,
+      ZOrder.zvalueScaled(col("x"), 4095L, col("y"), 4095L, 12),
+      partValues = Some(Seq("a")), targetBytes = 16L << 10)
+    assert(touched === Seq("__part=a"))
+
+    // untouched partition keeps its exact store pointer; 'a' repoints
+    val m1 = PartitionedTable.manifest(spark, dir, 1L)
+    val m2 = PartitionedTable.manifest(spark, dir, 2L)
+    assert(m2("__part=b") === m1("__part=b"))
+    assert(m2("__part=a") !== m1("__part=a"))
+    // history records the operation and its touch scope
+    val h = PartitionedTable.history(spark, dir).orderBy(desc("version")).head
+    assert((h.getString(1), h.getLong(2)) === ("optimize", 1L))
+    // the rewrite folded the tombstones: no DV partitions remain
+    assert(PartitionedTable.dvPartitions(spark, dir, 2L).isEmpty)
+
+    // content exact (minus the deleted keys), across the whole table
+    val expect = df.filter(!col("k").isin(7L, 13L))
+    assert(PartitionedTable.read(spark, dir)
+      .agg(count(lit(1)), sum("k"), sum("x"), sum("y")).head ===
+      expect.agg(count(lit(1)), sum("k"), sum("x"), sum("y")).head)
+
+    // the box probe prunes strictly better on the z layout, exactly
+    val probe = PartitionedTable.readWhereAll(spark, dir, box,
+      partValues = Some(Seq("a")))
+    assert(probe.inputFiles.length < before,
+      s"optimize must improve 2-D pruning (${probe.inputFiles.length} vs $before)")
+    assert(probe.agg(count(lit(1)), sum("x")).head ===
+      expect.filter(col("part") === "a" && col("x") <= 1023 && col("y") <= 1023)
+        .agg(count(lit(1)), sum("x")).head)
+
+    // sidecars were inherited without re-stating: the bloom point
+    // lookup still prunes to fewer files than the partition holds
+    val all = PartitionedTable.readPartitions(spark, dir, Seq("a"))
+      .inputFiles.length
+    val eq = PartitionedTable.readEq(spark, dir, "k", lit(3999L))
+    assert(eq.filter(col("part") === "a").count() === 1)
+    assert(eq.inputFiles.length < all + PartitionedTable
+      .readPartitions(spark, dir, Seq("b")).inputFiles.length,
+      "inherited bloom sidecar must keep pruning point lookups")
+  }
 }
