@@ -171,7 +171,8 @@ object PartitionedTable {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("operation", StringType), StructField("touched", LongType),
-      StructField("partitions", LongType), StructField("at", StringType)))
+      StructField("partitions", LongType), StructField("at", StringType),
+      StructField("ts", LongType)))
     val rows = versions(spark, dir).sorted.map { v =>
       val header = manifestText(spark, dir, v).split("\n")
         .find(_.startsWith("#")).map(_.stripPrefix("#")).getOrElse("{}")
@@ -182,7 +183,8 @@ object PartitionedTable {
       .select(col("version"), from_json(col("js"), schema).as("m"))
       .select(col("version"), col("m.operation").as("operation"),
         col("m.touched").as("touched"), col("m.partitions").as("partitions"),
-        col("m.at").as("at"))
+        col("m.at").as("at"),
+        col("m.ts").as("commit_ts")) // epoch millis; null pre-AS-OF
   }
 
   /** History header staged with the mapping — committed by the same
@@ -193,8 +195,49 @@ object PartitionedTable {
       !t.exists(c => c == '"' || c == '\\' || c < ' ')),
       s"history tags must not contain quotes/backslashes/control chars: " +
         s"$operation / $at")
-    s"""#{"operation":"$operation","touched":$touched,"partitions":$partitions,"at":"$at"}"""
+    s"""#{"operation":"$operation","touched":$touched,"partitions":$partitions,"at":"$at","ts":${System.currentTimeMillis}}"""
   }
+
+  /** Epoch-millis commit time of table version `v`: the commit's own
+    * header stamp when present (written by every commit since AS-OF
+    * support landed; it survives [[vacuum]]'s checkpoint
+    * materialization verbatim, because the header is copied), else the
+    * commit file's filesystem timestamp (pre-stamp tables; the MIN
+    * across both forms, so a later-materialized checkpoint never
+    * shifts an original delta's time). */
+  private def commitTimeOf(spark: SparkSession, dir: String, v: Long): Long = {
+    val header = manifestText(spark, dir, v).split("\n").find(_.startsWith("#"))
+    header.flatMap(h =>
+      "\"ts\":(\\d+)".r.findFirstMatchIn(h).map(_.group(1).toLong))
+      .getOrElse {
+        val hfs = VersionedStore.fs(spark, dir)
+        Seq(manifestPath(dir, v), deltaPath(dir, v)).filter(hfs.exists)
+          .map(p => hfs.getFileStatus(p).getModificationTime).min
+      }
+  }
+
+  /** TIMESTAMP AS OF: the newest table version committed at or before
+    * epoch-millisecond `tsMillis` — time travel by wall clock, for the
+    * reader who knows WHEN ("the table as the 02:00 job saw it"), not
+    * which version. Resolution is #versions tiny driver-side header
+    * reads, never a data scan. Requests before the earliest retained
+    * commit fail loud rather than silently answering with a later
+    * state ([[vacuum]] prunes the time-travel range together with
+    * readability). */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val vs = versions(spark, dir).sorted
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val eligible = vs.filter(v => commitTimeOf(spark, dir, v) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"PartitionedTable: no version committed at or before ts=$tsMillis " +
+        s"under $dir — the earliest retained commit is at " +
+        s"${commitTimeOf(spark, dir, vs.min)}")
+    eligible.max
+  }
+
+  /** [[read]] at the version [[versionAt]] resolves for `tsMillis`. */
+  def readAt(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAt(spark, dir, tsMillis)))
 
   /** Atomically commit `mapping` (with its history header) as manifest
     * version `v` — as a DELTA against the newest committed version when
@@ -1864,6 +1907,66 @@ object PartitionedTable {
         ("o_orderdate", to_date(lit("1997-01-01")), to_date(lit("1997-12-31")))),
         partValues = Some(Seq("F")))
         .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // TIMESTAMP AS OF, hash-gated: commit orders (v0), stamp a probe
+    // instant, merge a delete+upsert batch (v1), stamp again. Each
+    // probe resolves through versionAt — between the commits it must
+    // answer v0, after both v1, and a far-future ask the newest — and
+    // readAt's aggregate at each probe must equal DuckDB computing the
+    // corresponding state directly. A resolver that rounds to the
+    // wrong side, trusts file mtimes over the stamped header, or lets
+    // a later commit shadow an earlier ask breaks the hash. Resolution
+    // is #versions driver-side header reads — never a data scan.
+    QueryDef.sql("q92_time_travel_ts",
+      """WITH v1 AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7))
+        |SELECT 'after_v0' AS probe, 0 AS version, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'after_v1' AS probe, 1 AS version, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'future' AS probe, 1 AS version, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q92_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, "o_orderstatus")
+      val t0 = System.currentTimeMillis()
+      Thread.sleep(2) // v1's header stamp must land strictly after t0
+      val touched = col("o_orderkey") % 10
+      val inF = col("o_orderstatus") === "F"
+      val batch = orders.filter(inF && touched.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 7, "delete").otherwise("upsert"))
+      merge(s, store, batch, "o_orderkey", "o_orderstatus")
+      val t1 = System.currentTimeMillis()
+      val probes = Seq(
+        ("after_v0", t0), ("after_v1", t1), ("future", t1 + 3600000L))
+      probes.map { case (name, ts) =>
+        val v = versionAt(s, store, ts)
+        readAt(s, store, ts)
+          .withColumn("probe", lit(name))
+          .withColumn("version", lit(v.toInt))
+      }.reduce(_ unionByName _)
+        .groupBy("probe", "version", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

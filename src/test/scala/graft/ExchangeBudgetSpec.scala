@@ -159,6 +159,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q91_optimize_zorder" -> 1, // same probe shape as q90; the
                                 // optimize rewrite's clustering shuffle
                                 // is a maintenance job, not the probe
+    "q92_time_travel_ts" -> 1, // three ts-resolved version scans union
+                               // into one grouped agg; versionAt is a
+                               // #versions driver-side header read, the
+                               // merge's joins live in the commit jobs
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -1082,4 +1082,42 @@ class PartitionedTableSpec extends SparkSpec {
       .readPartitions(spark, dir, Seq("b")).inputFiles.length,
       "inherited bloom sidecar must keep pruning point lookups")
   }
+
+  test("time travel by timestamp: header stamps resolve versions, survive vacuum, pre-history asks fail loud") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    val after0 = System.currentTimeMillis()
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val after1 = System.currentTimeMillis()
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+
+    assert(PartitionedTable.versionAt(spark, dir, after0) === 0L)
+    assert(PartitionedTable.versionAt(spark, dir, after1) === 1L)
+    // a future ask resolves to the newest version, never fails
+    assert(PartitionedTable.versionAt(spark, dir,
+      System.currentTimeMillis() + 60000) === 2L)
+    // commit times surface in history, monotone across these commits
+    val ts = PartitionedTable.history(spark, dir).orderBy("version")
+      .select("commit_ts").collect().map(_.getLong(0))
+    assert(ts.length === 3 && ts.sorted.sameElements(ts))
+    // readAt is read(asOf) at the resolved version
+    assert(PartitionedTable.readAt(spark, dir, after1)
+      .agg(count(lit(1)), sum("v")).head ===
+      PartitionedTable.read(spark, dir, Some(1L))
+        .agg(count(lit(1)), sum("v")).head)
+    // before the first commit: fail loud, never a silent later state
+    intercept[IllegalArgumentException](
+      PartitionedTable.versionAt(spark, dir, ts.head - 1))
+
+    // vacuum to the newest 2: v1 materializes as a checkpoint but its
+    // header keeps the ORIGINAL stamp, so ts-resolution of kept
+    // versions is unchanged — while asks below the horizon fail loud
+    PartitionedTable.vacuum(spark, dir, keep = 2)
+    assert(PartitionedTable.versionAt(spark, dir, after1) === 1L)
+    intercept[IllegalArgumentException](
+      PartitionedTable.versionAt(spark, dir, after0))
+  }
 }
