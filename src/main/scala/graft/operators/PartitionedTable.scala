@@ -152,21 +152,31 @@ object PartitionedTable {
     finally in.close()
   }
 
-  /** Raw text of version `v`'s own commit file (checkpoint preferred —
-    * a materialized one preserves the original header). */
-  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
+  /** Version `v`'s history header, when present — read as a BOUNDED
+    * stream of the commit file's first line (the header is always
+    * line 1, staged by [[commitManifestAt]] and preserved verbatim by
+    * [[vacuum]]'s checkpoint materialization). [[history]] and
+    * [[versionAt]] therefore pay O(#versions × header bytes), never
+    * O(total log bytes) — at 10^5 commits with checkpoint-sized
+    * manifests, reading whole files just for their headers would be
+    * a driver-side full-log scan. */
+  private def headerLineOf(
+      spark: SparkSession, dir: String, v: Long): Option[String] = {
     val hfs = VersionedStore.fs(spark, dir)
     val cp = manifestPath(dir, v)
     val p = if (hfs.exists(cp)) cp else deltaPath(dir, v)
     require(hfs.exists(p), s"PartitionedTable: manifest v=$v missing under $dir")
-    readManifestFile(hfs, p)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      hfs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Option(in.readLine()).filter(_.startsWith("#"))
+    finally in.close()
   }
 
   /** The table's commit history — one row per manifest version:
     * (version, operation, touched, partitions, at). `touched` counts
     * the partitions the commit rewrote; `partitions` the table's live
     * total after it; `at` is the caller's pinned tag. Reading it is
-    * #versions tiny driver-side file reads, never a data scan. */
+    * #versions tiny driver-side header reads, never a data scan. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -174,8 +184,8 @@ object PartitionedTable {
       StructField("partitions", LongType), StructField("at", StringType),
       StructField("ts", LongType)))
     val rows = versions(spark, dir).sorted.map { v =>
-      val header = manifestText(spark, dir, v).split("\n")
-        .find(_.startsWith("#")).map(_.stripPrefix("#")).getOrElse("{}")
+      val header = headerLineOf(spark, dir, v)
+        .map(_.stripPrefix("#")).getOrElse("{}")
       (v, header)
     }
     import spark.implicits._
@@ -206,7 +216,7 @@ object PartitionedTable {
     * across both forms, so a later-materialized checkpoint never
     * shifts an original delta's time). */
   private def commitTimeOf(spark: SparkSession, dir: String, v: Long): Long = {
-    val header = manifestText(spark, dir, v).split("\n").find(_.startsWith("#"))
+    val header = headerLineOf(spark, dir, v)
     header.flatMap(h =>
       "\"ts\":(\\d+)".r.findFirstMatchIn(h).map(_.group(1).toLong))
       .getOrElse {
@@ -1487,8 +1497,7 @@ object PartitionedTable {
     kept.headOption.foreach { k =>
       if (!hfs.exists(manifestPath(dir, k))) {
         val m = manifest(spark, dir, k)
-        val header = manifestText(spark, dir, k).split("\n")
-          .find(_.startsWith("#"))
+        val header = headerLineOf(spark, dir, k)
         val tmp = new Path(new Path(dir, ManifestDir),
           s".tmp-cp-$k-${java.util.UUID.randomUUID}")
         val out = hfs.create(tmp, true)
