@@ -163,6 +163,12 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                // into one grouped agg; versionAt is a
                                // #versions driver-side header read, the
                                // merge's joins live in the commit jobs
+    "q93_generated_partitions" -> 1, // month-pruned partition scan +
+                                     // residual into one grouped agg;
+                                     // the range→partition mapping is
+                                     // driver-side manifest filtering,
+                                     // the month clustering shuffle
+                                     // lives in the commit job
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

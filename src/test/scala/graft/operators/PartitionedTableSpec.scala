@@ -1083,6 +1083,63 @@ class PartitionedTableSpec extends SparkSpec {
       "inherited bloom sidecar must keep pruning point lookups")
   }
 
+  test("generated partition columns: source-range probes prune partitions, merges derive routing, rules are write-once") {
+    import spark.implicits._
+    val dir = freshStore()
+    val days = spark.range(120).select(
+      col("id").as("k"),
+      date_add(to_date(lit("1996-01-01")), (col("id") * 3).cast("int"))
+        .as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir, days, "d",
+      PartitionedTable.PartGen.Month)
+    assert(PartitionedTable.generatedBy(spark, dir) ===
+      Some(("d", PartitionedTable.PartGen.Month, "part_month")))
+
+    // exact result + partition pruning: a 2-month probe reads only the
+    // 2-3 in-range partition dirs, never the table's full year
+    val probe = PartitionedTable.readWhereSrc(
+      spark, dir, "1996-03-05", "1996-04-20")
+    val expect = days.filter(
+      col("d").between(lit("1996-03-05"), lit("1996-04-20")))
+    assert(probe.select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(expect.select("k").collect().map(_.getLong(0)).sorted))
+    val readParts = probe.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__part="))).distinct
+    assert(readParts.length <= 3 && readParts.nonEmpty,
+      s"2-month probe must read <= 3 month partitions, read: ${readParts.toSeq}")
+
+    // merge without a partition column: routing derived from the rule
+    val change = Seq((5L, java.sql.Date.valueOf("1996-09-15"), 999L, "upsert"))
+      .toDF("k", "d", "v", "op")
+    PartitionedTable.mergeGenerated(spark, dir, change, "k")
+    val moved = PartitionedTable.readWhereSrc(
+      spark, dir, "1996-09-01", "1996-09-30").filter(col("k") === 5)
+    assert(moved.count() === 1 && moved.head.getAs[Long]("v") === 999L)
+
+    // out-of-range probe folds to an empty (zero-partition) scan
+    assert(PartitionedTable.readWhereSrc(
+      spark, dir, "2005-01-01", "2005-12-31").count() === 0)
+
+    // a conflicting re-declaration fails loud
+    intercept[IllegalArgumentException](
+      PartitionedTable.commitGenerated(spark, dir, days, "d",
+        PartitionedTable.PartGen.Year))
+
+    // prefix rule on a string source prunes the same way
+    val dir2 = freshStore()
+    val docs = spark.range(80).select(
+      col("id").as("k"),
+      concat(lit("src"), (col("id") % 8).cast("string"),
+        lit("/item"), col("id").cast("string")).as("uri"))
+    PartitionedTable.commitGenerated(spark, dir2, docs, "uri",
+      PartitionedTable.PartGen.Prefix(4))
+    val one = PartitionedTable.readWhereSrc(spark, dir2, "src3", "src3~")
+    assert(one.count() === 10)
+    assert(one.inputFiles.flatMap(_.split("/").find(_.startsWith("__part=")))
+      .distinct.length === 1, "prefix probe must read exactly one partition")
+  }
+
   test("time travel by timestamp: header stamps resolve versions, survive vacuum, pre-history asks fail loud") {
     import spark.implicits._
     val dir = freshStore()
