@@ -57,9 +57,13 @@ object VersionedTable {
       !t.exists(c => c == '"' || c == '\\' || c < ' ')),
       s"CommitInfo tags must not contain quotes/backslashes/control chars: " +
         s"$operation / $at")
+    // `ts` stamps the wall-clock commit instant for [[versionAt]]
+    // resolution ONLY — [[history]]'s fixed from_json schema ignores
+    // it, so the queryable history surface stays deterministic
     private[VersionedTable] def json(rowsOut: Long): String =
       s"""{"operation":"$operation","rows_in":${rowsIn.getOrElse(rowsOut)},""" +
-        s""""rows_out":$rowsOut,"quarantined":$quarantined,"at":"$at"}"""
+        s""""rows_out":$rowsOut,"quarantined":$quarantined,"at":"$at",""" +
+        s""""ts":${System.currentTimeMillis}}"""
   }
 
   /** Newest committed version id, if any version exists. */
@@ -174,6 +178,44 @@ object VersionedTable {
         col("m.rows_in").as("rows_in"), col("m.rows_out").as("rows_out"),
         col("m.quarantined").as("quarantined"), col("m.at").as("at"))
   }
+
+  /** Epoch-millis commit time of version `v`: the metadata sidecar's
+    * own stamp when present (every [[commit]] since AS-OF support
+    * landed), else the sidecar file's — or for raw
+    * [[graft.streaming.VersionedStore]] folds, the version dir's —
+    * filesystem mtime. */
+  private def commitTimeOf(spark: SparkSession, dir: String, v: Long): Long =
+    VersionedStore.readMeta(spark, dir, v)
+      .flatMap("\"ts\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .getOrElse {
+        val hfs = VersionedStore.fs(spark, dir)
+        val meta = new org.apache.hadoop.fs.Path(
+          VersionedStore.path(dir, v), VersionedStore.MetaFile)
+        val p = if (hfs.exists(meta)) meta else VersionedStore.path(dir, v)
+        hfs.getFileStatus(p).getModificationTime
+      }
+
+  /** TIMESTAMP AS OF: the newest version committed at or before
+    * epoch-millisecond `tsMillis` — time travel by wall clock for the
+    * reader who knows WHEN, not which version (the
+    * [[graft.operators.PartitionedTable.versionAt]] twin). Resolution
+    * is #versions tiny driver-side sidecar reads, never a data scan;
+    * asks before the earliest retained commit fail loud rather than
+    * silently answering with a later state. */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val vs = VersionedStore.versions(spark, dir).sorted
+    require(vs.nonEmpty, s"VersionedTable: no committed versions under $dir")
+    val eligible = vs.filter(v => commitTimeOf(spark, dir, v) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"VersionedTable: no version committed at or before ts=$tsMillis " +
+        s"under $dir — the earliest retained commit is at " +
+        s"${commitTimeOf(spark, dir, vs.min)}")
+    eligible.max
+  }
+
+  /** [[read]] at the version [[versionAt]] resolves for `tsMillis`. */
+  def readAt(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAt(spark, dir, tsMillis)))
 
   /** Read a committed snapshot: the newest one, or `asOf` for time
     * travel. Fails loudly on an empty store or an uncommitted id rather

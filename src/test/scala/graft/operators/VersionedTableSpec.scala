@@ -355,4 +355,27 @@ class VersionedTableSpec extends SparkSpec {
     // plain tags still pass
     VersionedTable.CommitInfo("merge", at = "run-7"): Unit
   }
+
+  test("time travel by timestamp: sidecar stamps resolve versions, raw-fold versions fall back to mtime, early asks fail loud") {
+    val dir = freshStore()
+    VersionedTable.commit(spark, dir, spark.range(50).toDF("id"))
+    val after0 = System.currentTimeMillis()
+    Thread.sleep(2)
+    VersionedTable.commit(spark, dir, spark.range(80).toDF("id"))
+
+    assert(VersionedTable.versionAt(spark, dir, after0) === 0L)
+    assert(VersionedTable.versionAt(spark, dir,
+      System.currentTimeMillis() + 60000) === 1L)
+    assert(VersionedTable.readAt(spark, dir, after0).count() === 50)
+    intercept[IllegalArgumentException](
+      VersionedTable.versionAt(spark, dir, 0L))
+
+    // a raw VersionedStore fold writes no sidecar: resolution falls
+    // back to the version dir's mtime instead of failing
+    Thread.sleep(2)
+    assert(VersionedStore.commit(spark, dir, 2L, spark.range(9).toDF("id")))
+    assert(VersionedTable.versionAt(spark, dir,
+      System.currentTimeMillis() + 60000) === 2L)
+    assert(VersionedTable.versionAt(spark, dir, after0) === 0L)
+  }
 }
