@@ -442,12 +442,22 @@ object PartitionedTable {
       spark: SparkSession, storeDir: String, staged: Path): Long = {
     val hfs = VersionedStore.fs(spark, storeDir)
     hfs.mkdirs(new Path(storeDir))
+    // copy-on-write landing into a CLONE: local numbering must clear
+    // every version number the clone's manifests can reference from the
+    // source (the source only appends, so its current max bounds them)
+    // — otherwise a local v0 would shadow the referenced source v0 and
+    // silently corrupt the clone's time travel.
+    val sp = new Path(storeDir)
+    val floor = cloneSrcOf(spark, sp.getParent.toString).map { src =>
+      VersionedStore.versions(spark, new Path(src, sp.getName).toString)
+        .maxOption.map(_ + 1).getOrElse(0L)
+    }.getOrElse(0L)
     var src = staged
     var attempts = 0
     while (attempts < 32) {
       attempts += 1
-      val next = VersionedStore.versions(spark, storeDir)
-        .maxOption.map(_ + 1).getOrElse(0L)
+      val next = math.max(floor, VersionedStore.versions(spark, storeDir)
+        .maxOption.map(_ + 1).getOrElse(0L))
       val dest = VersionedStore.path(storeDir, next)
       if (!hfs.exists(dest) && hfs.rename(src, dest)) {
         val nested = new Path(dest, src.getName)
@@ -490,9 +500,10 @@ object PartitionedTable {
     readMapped(spark, dir, m)
   }
 
-  private def partPaths(dir: String, m: Map[String, Long]): Seq[String] =
+  private def partPaths(
+      spark: SparkSession, dir: String, m: Map[String, Long]): Seq[String] =
     m.toSeq.sortBy(_._1).map { case (name, sv) =>
-      VersionedStore.path(new Path(dir, name).toString, sv).toString
+      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv).toString
     }
 
   /** All multi-partition reads merge footer schemas: after a
@@ -553,8 +564,8 @@ object PartitionedTable {
       spark: SparkSession, dir: String, m: Map[String, Long], value: String,
       newDeletes: Long, maxRows: Long, maxFraction: Double): Boolean = {
     val name = escape(value)
-    val storeDir = new Path(dir, name).toString
     val sv = m(name)
+    val storeDir = storeDirOf(spark, dir, name, sv)
     val base = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
     val existing =
       if (base == sv) 0L
@@ -572,7 +583,7 @@ object PartitionedTable {
   def dvPartitions(spark: SparkSession, dir: String, v: Long): Seq[String] =
     manifest(spark, dir, v).toSeq.sortBy(_._1).collect {
       case (name, sv)
-          if dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined =>
+          if dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined =>
         name
     }
 
@@ -599,7 +610,7 @@ object PartitionedTable {
   private[operators] def readPartitionDf(
       spark: SparkSession, dir: String, name: String, sv: Long,
       basePaths: Option[Seq[String]] = None): DataFrame = {
-    val storeDir = new Path(dir, name).toString
+    val storeDir = storeDirOf(spark, dir, name, sv)
     val vdir = VersionedStore.path(storeDir, sv)
     dvBaseOf(spark, storeDir, sv) match {
       case None => readParquet(spark, basePaths.getOrElse(Seq(vdir.toString)))
@@ -632,10 +643,10 @@ object PartitionedTable {
       spark: SparkSession, dir: String, m: Map[String, Long]): DataFrame = {
     require(m.nonEmpty, "readMapped: empty partition mapping")
     val (delta, plain) = m.toSeq.sortBy(_._1).partition { case (name, sv) =>
-      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined
+      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined
     }
     val parts =
-      (if (plain.nonEmpty) Seq(readParquet(spark, partPaths(dir, plain.toMap))) else Nil) ++
+      (if (plain.nonEmpty) Seq(readParquet(spark, partPaths(spark, dir, plain.toMap))) else Nil) ++
         delta.map { case (name, sv) => readPartitionDf(spark, dir, name, sv) }
     parts.reduce(_.unionByName(_, true))
   }
@@ -827,11 +838,16 @@ object PartitionedTable {
     // fast path — but only inside the growth bounds: an over-bound
     // delete batch (or one landing on an already-tombstone-heavy delta)
     // routes through the rewrite below instead, folding the partition
-    // back to a full version
-    val dvVals = census.collect {
-      case (v, ups, n) if ups == 0 && m.contains(escape(v)) &&
-          dvWithinBounds(spark, dir, m, v, n, dvMaxRows, dvMaxFraction) => v
-    }
+    // back to a full version. On a shallow CLONE the fast path is off
+    // entirely — a local DV delta would name a base that lives
+    // source-side, and the DV reader resolves base and delta in ONE
+    // store dir; copy-on-write rewrite keeps the invariant instead.
+    val dvVals =
+      if (cloneSrcOf(spark, dir).isDefined) Nil
+      else census.collect {
+        case (v, ups, n) if ups == 0 && m.contains(escape(v)) &&
+            dvWithinBounds(spark, dir, m, v, n, dvMaxRows, dvMaxFraction) => v
+      }
     val dvCommitted = landDeletionVectors(spark, dir, m, batch, dvVals,
       keyCol, partCol)
     val rwVals = touchedVals.filterNot(dvVals.contains)
@@ -895,8 +911,8 @@ object PartitionedTable {
     // per partition: the pinned version and the FULL base it resolves to
     val resolved = dvVals.map { v =>
       val name = escape(v)
-      val storeDir = new Path(dir, name).toString
       val sv = m(name)
+      val storeDir = storeDirOf(spark, dir, name, sv)
       val base = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
       (v, name, storeDir, sv, base)
     }
@@ -1001,15 +1017,15 @@ object PartitionedTable {
     }
     val hfs = VersionedStore.fs(spark, dir)
     val versionDir: ((String, Long)) => Path = { case (name, sv) =>
-      VersionedStore.path(new Path(dir, name).toString, sv) }
+      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv) }
     // DV delta partitions route through the tombstone-filtered reader;
     // when their BASE carries a stats sidecar, base files prune by the
     // same min/max test first (sound: a tombstone only removes rows —
     // it can never resurrect one a pruned file would have held)
     val (asDelta, solid) = live.toSeq.partition { case (name, sv) =>
-      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined }
+      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined }
     val deltaDf = asDelta.map { case (name, sv) =>
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       val base = dvBaseOf(spark, storeDir, sv).get
       val baseDir = VersionedStore.path(storeDir, base)
       val statsPath = new Path(baseDir, StatsDir)
@@ -1089,21 +1105,21 @@ object PartitionedTable {
       return read(spark, dir, Some(v)).filter(lit(false)).filter(col(c) === value)
     val hfs = VersionedStore.fs(spark, dir)
     val (asDelta, solid) = live.toSeq.sortBy(_._1).partition { case (name, sv) =>
-      dvBaseOf(spark, new Path(dir, name).toString, sv).isDefined }
+      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined }
     // the column's stored type, from one footer-schema read (metadata
     // only): probe and predicate both use the casted value
     val typeDonor = solid.headOption.map { case (name, sv) =>
-      VersionedStore.path(new Path(dir, name).toString, sv)
+      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv)
     }.getOrElse {
       val (name, sv) = asDelta.head
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
     }
     val vCast = readParquet(spark, Seq(typeDonor.toString)).schema
       .find(_.name == c).map(f => value.cast(f.dataType)).getOrElse(value)
     val pred = col(c) === vCast
     val deltaDf = asDelta.map { case (name, sv) =>
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       val baseDir = VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
       val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), c, vCast)
       if (unpruned.nonEmpty) readPartitionDf(spark, dir, name, sv).filter(pred)
@@ -1115,7 +1131,7 @@ object PartitionedTable {
       if (solid.isEmpty) None
       else {
         val slices = solid.map { case (name, sv) =>
-          name -> VersionedStore.path(new Path(dir, name).toString, sv) }
+          name -> VersionedStore.path(storeDirOf(spark, dir, name, sv), sv) }
         val (kept, unpruned) = bloomPrune(spark, hfs, slices, c, vCast)
         val paths = kept ++ unpruned.map(_.toString)
         if (paths.isEmpty) None
@@ -1255,7 +1271,7 @@ object PartitionedTable {
         s"PartitionedTable: nothing to compact under $dir"))
     val m = manifest(spark, dir, cur)
     val flagged = m.toSeq.sortBy(_._1).filter { case (name, sv) =>
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       // DV deltas always fold: compaction is what materializes the
       // tombstone-filtered rows back into plain full files
       dvBaseOf(spark, storeDir, sv).isDefined || {
@@ -1268,7 +1284,7 @@ object PartitionedTable {
     if (flagged.isEmpty) return Nil
     val flaggedMap = flagged.toMap
     val totalBytes = flagged.map { case (name, sv) =>
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
       Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
     }.sum
@@ -1306,6 +1322,10 @@ object PartitionedTable {
       cluster: Option[Column] = None): Seq[String] = {
     require(targetBytes > 0 && smallFileRatio >= 1.0,
       s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
+    require(cloneSrcOf(spark, dir).isEmpty,
+      s"PartitionedTable: in-place folds rewrite INSIDE version dirs, " +
+        s"which on a shallow clone may live source-side — use " +
+        s"compactPartitions (copy-on-write) on $dir instead")
     val hfs = VersionedStore.fs(spark, dir)
     val cur = latest(spark, dir).getOrElse(return Nil)
     manifest(spark, dir, cur).toSeq.sortBy(_._1).flatMap { case (name, sv) =>
@@ -1392,7 +1412,7 @@ object PartitionedTable {
     // sidecars live on the version itself, or on a DV delta's base
     def sidecarDirs(sub: String): Seq[String] = selected.flatMap {
       case (name, sv) =>
-        val storeDir = new Path(dir, name).toString
+        val storeDir = storeDirOf(spark, dir, name, sv)
         val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
         val p = new Path(VersionedStore.path(storeDir, eff), sub)
         if (hfs.exists(p)) Some(p.toString) else None
@@ -1416,7 +1436,7 @@ object PartitionedTable {
           b.agg(max("bits")).head.getLong(0))
       }
     val totalBytes = selected.map { case (name, sv) =>
-      val storeDir = new Path(dir, name).toString
+      val storeDir = storeDirOf(spark, dir, name, sv)
       val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
       Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
     }.sum
@@ -1487,7 +1507,7 @@ object PartitionedTable {
     // tombstones over the base's files
     val referenced: Set[(String, Long)] = kept.flatMap(v =>
       manifest(spark, dir, v).toSeq.flatMap { case (name, sv) =>
-        (name, sv) :: dvBaseOf(spark, new Path(dir, name).toString, sv)
+        (name, sv) :: dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv)
           .map(b => (name, b)).toList
       }).toSet
     // before any log file goes: the oldest KEPT version must survive as
@@ -1530,6 +1550,95 @@ object PartitionedTable {
       if (hfs.listStatus(p.getPath).isEmpty) hfs.delete(p.getPath, true): Unit
     }
     (dropped, prunedStores)
+  }
+
+  // ---------------------------------------------------------------------
+  // Shallow clone: a new table whose manifest POINTS AT the source's
+  // partition stores — zero data movement at clone time (the Delta
+  // SHALLOW CLONE semantic: cost is manifest bytes, never table bytes,
+  // which is the only clone anyone can afford at 100 TB). Writes to the
+  // clone are copy-on-write: a merge lands NEW store versions under the
+  // clone's own dir and only the touched partitions materialize — the
+  // source is never written, and the clone keeps reading untouched
+  // partitions from the source. The source must stay reachable at its
+  // recorded path, and vacuuming the source below the cloned version
+  // breaks the clone (the documented shallow-clone contract).
+  // ---------------------------------------------------------------------
+
+  private val CloneFile = "_clone"
+  private def clonePath(dir: String): Path =
+    new Path(new Path(dir, ManifestDir), CloneFile)
+
+  /** The clone's recorded source table dir, if `dir` was created
+    * through [[cloneTable]]. */
+  def cloneSrcOf(spark: SparkSession, dir: String): Option[String] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val p = clonePath(dir)
+    if (!hfs.exists(p)) None else Some(readManifestFile(hfs, p).trim)
+  }
+
+  /** The store dir that CONTAINS version `sv` of partition `name`:
+    * the table's own dir when it does (copy-on-write versions, and
+    * every version of a non-clone), else the clone source's. Sound
+    * because committed store-version dirs are immutable and
+    * [[landStoreVersion]] floors the clone's local numbering above the
+    * source's, so a (name, sv) pair resolves to exactly one dir ever. */
+  private def storeDirOf(
+      spark: SparkSession, dir: String, name: String, sv: Long): String = {
+    val local = new Path(dir, name).toString
+    cloneSrcOf(spark, dir) match {
+      case None => local
+      case Some(src) =>
+        val hfs = VersionedStore.fs(spark, dir)
+        if (hfs.exists(VersionedStore.path(local, sv))) local
+        else new Path(src, name).toString
+    }
+  }
+
+  /** Shallow-clone `srcDir`'s table state (`asOf`, default newest) into
+    * empty `dstDir`: commits the source's partition mapping as the
+    * clone's manifest v0 plus a `_clone` pointer — pure metadata, zero
+    * data movement. The generation rule (if any) carries over, so
+    * generated routing and [[readWhereSrc]] keep working on the clone.
+    * Refused: a source version that pins deletion-vector deltas
+    * (their base chain lives source-side — compact the source first),
+    * and cloning a clone (resolution is one level deep by design —
+    * re-clone the original). Source and clone must share a filesystem
+    * (path resolution, not data copy). Returns the clone's manifest
+    * version 0. */
+  def cloneTable(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      asOf: Option[Long] = None, at: String = ""): Long = {
+    val vs = versions(spark, srcDir)
+    require(vs.nonEmpty, s"PartitionedTable: nothing to clone under $srcDir")
+    require(cloneSrcOf(spark, srcDir).isEmpty,
+      s"PartitionedTable: $srcDir is itself a shallow clone — clone its " +
+        s"original (${cloneSrcOf(spark, srcDir).get}) instead")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"PartitionedTable: version $v not committed under $srcDir")
+    val m = manifest(spark, srcDir, v)
+    require(m.nonEmpty, s"PartitionedTable: refusing to clone empty version $v")
+    val dvRefs = m.keys.filter(name =>
+      dvBaseOf(spark, new Path(srcDir, name).toString, m(name)).isDefined)
+    require(dvRefs.isEmpty,
+      s"PartitionedTable: source version $v pins deletion-vector deltas " +
+        s"(${dvRefs.mkString(", ")}) — compact the source before cloning")
+    require(versions(spark, dstDir).isEmpty,
+      s"PartitionedTable: clone target $dstDir is not empty")
+    val hfs = VersionedStore.fs(spark, dstDir)
+    hfs.mkdirs(new Path(dstDir, ManifestDir))
+    val tmp = new Path(new Path(dstDir, ManifestDir),
+      s".tmp-clone-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(srcDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(hfs.rename(tmp, clonePath(dstDir)),
+      s"PartitionedTable: clone pointer commit failed under $dstDir")
+    generatedBy(spark, srcDir).foreach { case (srcCol, gen, name) =>
+      declareGen(spark, dstDir, srcCol, gen, name) }
+    commitManifest(spark, dstDir, m,
+      Some(metaLine("clone", 0, m.size, at)))
   }
 
   // ---------------------------------------------------------------------
@@ -2175,6 +2284,67 @@ object PartitionedTable {
         statsCols = Seq("o_orderdate"))
       readWhereSrc(s, store, "1995-03-05", "1995-05-20")
         .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Shallow clone with copy-on-write, hash-gated: commit orders as
+    // the source, clone it (pure manifest metadata, zero data
+    // movement — spec'd at file level in PartitionedTableSpec), then
+    // merge a divergence batch into the CLONE only. The gate
+    // aggregates three states — the source AFTER the clone's merge
+    // (must still equal raw orders: write isolation), the clone's
+    // pre-divergence version 0 (still resolving source stores), and
+    // the clone's diverged head (upserts ≡3 at +100, deletes ≡7 in
+    // 'F') — so a clone that copies wrong pointers, leaks writes to
+    // the source, or shadows cloned versions with its local
+    // copy-on-write stores breaks the hash.
+    QueryDef.sql("q94_shallow_clone",
+      """WITH diverged AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7))
+        |SELECT 'source' AS state, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'clone_v0' AS state, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'clone_head' AS state, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM diverged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val srcStore = workDir.resolve(
+        "q94src_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val dstStore = workDir.resolve(
+        "q94dst_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, srcStore)
+      hfs.delete(new Path(srcStore), true)
+      hfs.delete(new Path(dstStore), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, srcStore, orders, "o_orderstatus")
+      cloneTable(s, srcStore, dstStore)
+      val touched = col("o_orderkey") % 10
+      val inF = col("o_orderstatus") === "F"
+      val batch = orders.filter(inF && touched.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 7, "delete").otherwise("upsert"))
+      merge(s, dstStore, batch, "o_orderkey", "o_orderstatus")
+      val states = Seq(
+        ("source", read(s, srcStore)),
+        ("clone_v0", read(s, dstStore, asOf = Some(0L))),
+        ("clone_head", read(s, dstStore)))
+      states.map { case (name, df) => df.withColumn("state", lit(name)) }
+        .reduce(_ unionByName _)
+        .groupBy("state", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

@@ -169,6 +169,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                      // driver-side manifest filtering,
                                      // the month clustering shuffle
                                      // lives in the commit job
+    "q94_shallow_clone" -> 1, // three version scans (source, cloned
+                              // v0 resolving source stores, diverged
+                              // head) union into one grouped agg; the
+                              // clone itself is pure manifest metadata,
+                              // the COW rewrite lives in the merge job
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

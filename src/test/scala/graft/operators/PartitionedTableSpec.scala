@@ -1083,6 +1083,107 @@ class PartitionedTableSpec extends SparkSpec {
       "inherited bloom sidecar must keep pruning point lookups")
   }
 
+  test("shallow clone: zero-copy at clone time, copy-on-write divergence, source untouched, time travel survives COW") {
+    import spark.implicits._
+    val src = freshStore()
+    val dst = freshStore()
+    PartitionedTable.commit(spark, src, table(100), "part")
+    val srcFilesBefore =
+      Seq("__part=p0", "__part=p1", "__part=p2", "__part=p3")
+        .map(p => p -> files(src, p)).toMap
+
+    assert(PartitionedTable.cloneTable(spark, src, dst) === 0L)
+    // zero data movement: the clone dir holds ONLY manifest metadata
+    val hfs = VersionedStore.fs(spark, dst)
+    assert(!hfs.listStatus(new Path(dst)).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__part=")),
+      "clone must not copy partition stores")
+    // reads equal the source at the cloned version
+    assert(PartitionedTable.read(spark, dst).count() === 100)
+    assert(PartitionedTable.read(spark, dst).agg(sum("v")).head.getLong(0) ===
+      PartitionedTable.read(spark, src).agg(sum("v")).head.getLong(0))
+
+    // copy-on-write: a merge into the clone touches ONLY the clone
+    val batch = Seq((1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"))
+      .toDF("k", "part", "v", "op")
+    PartitionedTable.merge(spark, dst, batch, "k", "part")
+    assert(PartitionedTable.read(spark, dst).count() === 99)
+    assert(PartitionedTable.read(spark, dst)
+      .filter(col("k") === 1).head.getAs[Long]("v") === 111L)
+    // the source is byte-identical, including the partition the clone touched
+    srcFilesBefore.foreach { case (p, before) =>
+      assert(files(src, p) === before, s"source $p must be untouched") }
+    assert(PartitionedTable.read(spark, src).count() === 100)
+    // only the touched partition materialized locally
+    val localParts = hfs.listStatus(new Path(dst)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__part="))
+      .map(_.getPath.getName)
+    assert(localParts === Seq("__part=p1"),
+      s"only p1 should materialize, got $localParts")
+    // COW landed ABOVE the source's version numbers: clone-point time
+    // travel still resolves the SOURCE store for p1
+    assert(PartitionedTable.read(spark, dst, asOf = Some(0L)).count() === 100)
+    assert(PartitionedTable.read(spark, dst, asOf = Some(0L))
+      .filter(col("k") === 1).head.getAs[Long]("v") === 10L)
+
+    // a source merge after the clone point never leaks into the clone
+    PartitionedTable.merge(spark, src,
+      Seq((2L, "p2", 9999L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+    assert(PartitionedTable.read(spark, dst)
+      .filter(col("k") === 2).head.getAs[Long]("v") === 20L)
+
+    // vacuum on the clone prunes only clone-local state, never the source
+    PartitionedTable.vacuum(spark, dst, keep = 1)
+    srcFilesBefore.keys.foreach { p =>
+      assert(files(src, p).nonEmpty, s"vacuuming the clone must not GC $p") }
+    assert(PartitionedTable.read(spark, dst).count() === 99)
+
+    // refusals: clone of a clone; in-place folds on a clone
+    val dst2 = freshStore()
+    intercept[IllegalArgumentException](
+      PartitionedTable.cloneTable(spark, dst, dst2))
+    intercept[IllegalArgumentException](
+      PartitionedTable.compactPartitionsInPlace(spark, dst, 1L << 20))
+  }
+
+  test("shallow clone refuses DV-pinning sources and carries the generation rule") {
+    import spark.implicits._
+    val src = freshStore()
+    PartitionedTable.commit(spark, src, table(100), "part")
+    PartitionedTable.merge(spark, src,
+      Seq((3L, "p3", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(PartitionedTable.dvPartitions(spark, src,
+      PartitionedTable.latest(spark, src).get).nonEmpty, "fixture needs a DV")
+    intercept[IllegalArgumentException](
+      PartitionedTable.cloneTable(spark, src, freshStore()))
+    // cloning the PRE-DV version is fine
+    val dst = freshStore()
+    PartitionedTable.cloneTable(spark, src, dst, asOf = Some(0L))
+    assert(PartitionedTable.read(spark, dst).count() === 100)
+
+    // generation rule carries over: derived merges + source-range reads
+    val gsrc = freshStore()
+    val gdst = freshStore()
+    val days = spark.range(60).select(
+      col("id").as("k"),
+      date_add(to_date(lit("1996-01-01")), (col("id") * 3).cast("int")).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, gsrc, days, "d",
+      PartitionedTable.PartGen.Month)
+    PartitionedTable.cloneTable(spark, gsrc, gdst)
+    assert(PartitionedTable.generatedBy(spark, gdst) ===
+      Some(("d", PartitionedTable.PartGen.Month, "part_month")))
+    PartitionedTable.mergeGenerated(spark, gdst,
+      Seq((7L, java.sql.Date.valueOf("1996-02-10"), 777L, "upsert"))
+        .toDF("k", "d", "v", "op"), "k")
+    assert(PartitionedTable.readWhereSrc(spark, gdst, "1996-02-01", "1996-02-28")
+      .filter(col("k") === 7).head.getAs[Long]("v") === 777L)
+    // the generated source is untouched by the clone's merge
+    assert(PartitionedTable.read(spark, gsrc)
+      .filter(col("k") === 7).head.getAs[Long]("v") === 70L)
+  }
+
   test("generated partition columns: source-range probes prune partitions, merges derive routing, rules are write-once") {
     import spark.implicits._
     val dir = freshStore()
