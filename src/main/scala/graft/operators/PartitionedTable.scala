@@ -1807,6 +1807,36 @@ object PartitionedTable {
       partValues = Some(live), asOf = Some(v))
   }
 
+  /** Star-join partition pruning — the manifest-level analogue of
+    * Spark's dynamic partition pruning, for the one join shape a
+    * partitioned fact table exists for: fact ⋈ selective dim on the
+    * fact's partition column. The dim side's DISTINCT join keys
+    * resolve driver-side (dimension-key-count-sized — the side you'd
+    * broadcast anyway), the manifest keeps only matching partitions,
+    * and the join itself rides a broadcast of the dim. Fact partitions
+    * the dim filter excludes are never listed or opened, so at 100 TB
+    * the scan is proportional to the dim's selectivity, not the
+    * fact's size. `dimJoinCol` is renamed onto `factPartCol` for a
+    * USING join (one key column out). */
+  def readJoinPruned(
+      spark: SparkSession, dir: String, factPartCol: String,
+      dim: DataFrame, dimJoinCol: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val d = dim.withColumnRenamed(dimJoinCol, factPartCol)
+    val values = d.select(col(factPartCol).cast(StringType)).distinct()
+      .collect().map(_.getString(0)).toSeq.filter(_ != null).sorted
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    val m = manifest(spark, dir, v)
+    val wanted = values.map(escape).toSet
+    val live = m.filter(kv => wanted.contains(kv._1))
+    val fact =
+      if (live.nonEmpty) readMapped(spark, dir, live)
+      else read(spark, dir, Some(v)).limit(0) // dim matches nothing: empty
+    fact.join(broadcast(d), Seq(factPartCol))
+  }
+
   /** Per-JVM scratch root (the [[VersionedTable]] pattern: one temp dir
     * per process, removed at exit; per-invocation state reset inside
     * the query so repeated bench passes stay deterministic). */
@@ -2347,6 +2377,41 @@ object PartitionedTable {
         .groupBy("state", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Star-join partition pruning, hash-gated: commit customer
+    // partitioned by nation key, then join it to the EUROPE slice of
+    // the nation dim through readJoinPruned — the dim's 5 surviving
+    // keys resolve driver-side, the manifest keeps 5 of 25 customer
+    // partitions (the other 20 are never listed or opened — the spec
+    // asserts it at inputFiles level), and the join rides a broadcast.
+    // The hash must equal DuckDB joining the raw tables, so pruning
+    // that drops a matching partition, keeps a spurious one, or
+    // mangles the USING-join key breaks the gate.
+    QueryDef.sql("q95_join_pruned",
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c.c_acctbal), 2) AS bal
+        |FROM customer c
+        |JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE'
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q95_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val customer = Tables.customer(s, dir)
+        .withColumn("c_nationkey", col("c_nationkey").cast(StringType))
+      commit(s, store, customer, "c_nationkey")
+      val dim = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast(StringType).as("n_nationkey"),
+          col("n_name"))
+      readJoinPruned(s, store, "c_nationkey", dim, "n_nationkey")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("bal"))
     }
   )
 }

@@ -174,6 +174,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                               // head) union into one grouped agg; the
                               // clone itself is pure manifest metadata,
                               // the COW rewrite lives in the merge job
+    "q95_join_pruned" -> 1, // dim-pruned 5-of-25-partition scan +
+                            // broadcast dim join into one grouped agg;
+                            // the dim's distinct keys resolve in a
+                            // dim-sized driver job, the fan-out write
+                            // lives in the commit job
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -1241,6 +1241,32 @@ class PartitionedTableSpec extends SparkSpec {
       .distinct.length === 1, "prefix probe must read exactly one partition")
   }
 
+  test("star-join pruning: only dim-matched partitions are opened, result equals the unpruned join, empty dim folds to empty") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+
+    val dim = Seq(("p1", "one"), ("p3", "three"), ("p9", "ghost"))
+      .toDF("key", "label")
+    val joined = PartitionedTable.readJoinPruned(spark, dir, "part", dim, "key")
+    // only the two live matched partitions are opened — p0/p2 never
+    val opened = joined.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__part="))).distinct.sorted
+    assert(opened.toSeq === Seq("__part=p1", "__part=p3"), opened.toSeq)
+    // result equals the unpruned join
+    val expect = PartitionedTable.read(spark, dir)
+      .join(dim.withColumnRenamed("key", "part"), Seq("part"))
+    assert(joined.count() === 50 && joined.count() === expect.count())
+    assert(joined.agg(sum("v")).head.getLong(0) ===
+      expect.agg(sum("v")).head.getLong(0))
+    // the key column appears once (USING join) and dim columns ride along
+    assert(joined.columns.count(_ == "part") === 1 &&
+      joined.columns.contains("label"))
+    // a dim matching nothing folds to an empty frame, not an error
+    assert(PartitionedTable.readJoinPruned(spark, dir, "part",
+      Seq(("nope", "x")).toDF("key", "label"), "key").count() === 0)
+  }
+
   test("time travel by timestamp: header stamps resolve versions, survive vacuum, pre-history asks fail loud") {
     import spark.implicits._
     val dir = freshStore()
