@@ -480,6 +480,7 @@ object PartitionedTable {
     require(df.schema(partCol).dataType == StringType,
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
+    enforceConstraints(spark, dir, df.filter(col(partCol).isNotNull))
     val committed = landPartitions(spark, dir,
       df.filter(col(partCol).isNotNull), partCol, statsCols, bloomCols,
       bloomBits)
@@ -822,6 +823,9 @@ object PartitionedTable {
       bloomCols: Seq[String] = Nil,
       bloomBits: Long = DefaultBloomBits): (Map[String, Long], Seq[String]) = {
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
+    // declared CHECK constraints gate the batch's UPSERT payloads
+    // before anything lands (a delete's payload never materializes)
+    enforceConstraints(spark, dir, batch.filter(col(opCol) <=> "upsert"))
     // per-partition op census; the when-chain validates EVERY row's op
     // here (fail-loud), since the DV path below never re-filters them
     val opFlag = when(col(opCol) === "upsert", 1L)
@@ -1637,6 +1641,10 @@ object PartitionedTable {
       s"PartitionedTable: clone pointer commit failed under $dstDir")
     generatedBy(spark, srcDir).foreach { case (srcCol, gen, name) =>
       declareGen(spark, dstDir, srcCol, gen, name) }
+    constraintsOf(spark, srcDir) match {
+      case Nil => ()
+      case cs => writeConstraints(spark, dstDir, cs) // invariants carry over
+    }
     commitManifest(spark, dstDir, m,
       Some(metaLine("clone", 0, m.size, at)))
   }
@@ -1805,6 +1813,95 @@ object PartitionedTable {
     else readWhereAll(spark, dir,
       Seq((srcCol, lit(lo).cast(srcType), lit(hi).cast(srcType))),
       partValues = Some(live), asOf = Some(v))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persistent CHECK constraints (the Delta semantic): declared once,
+  // stored next to the manifest log, enforced on EVERY subsequent
+  // commit/merge batch — a violating batch fails loud BEFORE landing,
+  // so a constraint is an invariant of every committed version, not a
+  // hope. SQL CHECK null semantics: only FALSE violates; NULL passes
+  // (declare `x IS NOT NULL` explicitly to forbid nulls). Enforcement
+  // is ONE extra job over the batch (batch-sized, never table-sized);
+  // declaring a constraint validates the CURRENT table once.
+  // ---------------------------------------------------------------------
+
+  private val ConstraintsFile = "_constraints"
+  private def constraintsPath(dir: String): Path =
+    new Path(new Path(dir, ManifestDir), ConstraintsFile)
+
+  /** The table's declared constraints: (name, SQL boolean expr). */
+  def constraintsOf(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val p = constraintsPath(dir)
+    if (!hfs.exists(p)) Nil
+    else readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
+      line => val Array(n, e) = line.split("\t", 2); (n, e)
+    }
+  }
+
+  private def writeConstraints(
+      spark: SparkSession, dir: String, cs: Seq[(String, String)]): Unit = {
+    val hfs = VersionedStore.fs(spark, dir)
+    hfs.mkdirs(new Path(dir, ManifestDir))
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-constraints-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    hfs.delete(constraintsPath(dir), false)
+    require(hfs.rename(tmp, constraintsPath(dir)),
+      s"PartitionedTable: constraint catalog commit failed under $dir")
+  }
+
+  /** Declare a CHECK constraint. The current table must already
+    * satisfy it (validated with one scan, the Delta ADD CONSTRAINT
+    * protocol) — otherwise existing versions would violate an
+    * invariant that claims to hold for every version. Names must be
+    * unique; exprs must not contain tabs/newlines (catalog format). */
+  def addConstraint(
+      spark: SparkSession, dir: String, name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+      !sqlExpr.exists(c => c == '\t' || c == '\n'),
+      s"constraint name/expr must not contain tabs or newlines: $name")
+    val existing = constraintsOf(spark, dir)
+    require(!existing.exists(_._1 == name),
+      s"PartitionedTable: constraint '$name' already declared under $dir")
+    if (versions(spark, dir).nonEmpty) {
+      val bad = read(spark, dir).filter(expr(sqlExpr) <=> lit(false)).limit(1)
+      require(bad.isEmpty,
+        s"PartitionedTable: existing rows violate CHECK $name ($sqlExpr) " +
+          s"under $dir — e.g. ${bad.collect().mkString}")
+    }
+    writeConstraints(spark, dir, existing :+ (name, sqlExpr))
+  }
+
+  /** Drop a declared constraint (must exist — dropping a typo'd name
+    * silently would leave the caller believing a gate is gone). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Unit = {
+    val existing = constraintsOf(spark, dir)
+    require(existing.exists(_._1 == name),
+      s"PartitionedTable: no constraint '$name' under $dir " +
+        s"(have ${existing.map(_._1).mkString(", ")})")
+    writeConstraints(spark, dir, existing.filterNot(_._1 == name))
+  }
+
+  /** Fail loud if any `df` row violates a declared constraint. ONE
+    * job on the all-pass fast path (the violation disjunction, limit
+    * 1); per-constraint attribution only on the failure path. */
+  private def enforceConstraints(
+      spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val cs = constraintsOf(spark, dir)
+    if (cs.isEmpty) return
+    val anyBad = cs.map { case (_, e) => expr(e) <=> lit(false) }.reduce(_ || _)
+    if (df.filter(anyBad).limit(1).isEmpty) return
+    val broken = cs.filter { case (_, e) =>
+      !df.filter(expr(e) <=> lit(false)).limit(1).isEmpty }
+    throw new IllegalArgumentException(
+      s"PartitionedTable: batch violates CHECK constraint(s) " +
+        broken.map { case (n, e) => s"$n ($e)" }.mkString(", ") +
+        s" under $dir — nothing landed")
   }
 
   /** Star-join partition pruning — the manifest-level analogue of
@@ -2412,6 +2509,49 @@ object PartitionedTable {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_cust"),
           round(sum("c_acctbal"), 2).as("bal"))
+    },
+
+    // CHECK constraints, hash-gated on the ACCEPT path: declare two
+    // persistent constraints on a committed orders table, then run a
+    // clean merge through the enforcement gate — the result must equal
+    // DuckDB computing the merge directly, proving enforcement neither
+    // drops, alters, nor duplicates a passing row (and n_checks pins
+    // that the catalog really held both constraints at merge time).
+    // The REJECT path — a violating batch failing loud with nothing
+    // landed, null semantics, add-time validation, clone inheritance —
+    // is exception-shaped and gated in PartitionedTableSpec.
+    QueryDef.sql("q96_check_constraints",
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7))
+        |SELECT 2 AS n_checks, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q96_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+      commit(s, store, orders, "o_orderstatus")
+      addConstraint(s, store, "price_nonneg", "o_totalprice >= 0")
+      addConstraint(s, store, "key_present", "o_orderkey IS NOT NULL")
+      val touched = col("o_orderkey") % 10
+      val inF = col("o_orderstatus") === "F"
+      val batch = orders.filter(inF && touched.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(touched === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(touched === 7, "delete").otherwise("upsert"))
+      merge(s, store, batch, "o_orderkey", "o_orderstatus")
+      read(s, store)
+        .withColumn("n_checks", lit(constraintsOf(s, store).size))
+        .groupBy("n_checks", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
     }
   )
 }

@@ -179,6 +179,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                             // the dim's distinct keys resolve in a
                             // dim-sized driver job, the fan-out write
                             // lives in the commit job
+    "q96_check_constraints" -> 1, // one constrained-merged version scan
+                                  // into one grouped agg; enforcement
+                                  // is a batch-sized limit-1 probe in
+                                  // the merge job, the catalog a
+                                  // 2-line driver-side file read
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -1241,6 +1241,65 @@ class PartitionedTableSpec extends SparkSpec {
       .distinct.length === 1, "prefix probe must read exactly one partition")
   }
 
+  test("CHECK constraints: violating batches never land, nulls pass, add validates existing rows, clones inherit") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    PartitionedTable.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+    PartitionedTable.addConstraint(spark, dir, "k_known", "k < 1000000")
+    assert(PartitionedTable.constraintsOf(spark, dir).map(_._1) ===
+      Seq("v_nonneg", "k_known"))
+
+    // a violating merge batch fails loud and lands NOTHING
+    val before = PartitionedTable.latest(spark, dir).get
+    val bad = Seq((1L, "p1", -5L, "upsert"), (2L, "p2", 7L, "upsert"))
+      .toDF("k", "part", "v", "op")
+    val ex = intercept[IllegalArgumentException](
+      PartitionedTable.merge(spark, dir, bad, "k", "part"))
+    assert(ex.getMessage.contains("v_nonneg"))
+    assert(PartitionedTable.latest(spark, dir).get === before, "nothing lands")
+    // a violating full commit fails too
+    intercept[IllegalArgumentException](
+      PartitionedTable.commit(spark, dir,
+        Seq((9L, "p1", -1L)).toDF("k", "part", "v"), "part"))
+
+    // SQL CHECK null semantics: NULL passes (only FALSE violates);
+    // deletes carry no payload and are never checked
+    PartitionedTable.merge(spark, dir,
+      Seq((3L, "p3", Option.empty[Long], "upsert"),
+        (5L, "p1", Option(-999L), "delete"))
+        .toDF("k", "part", "v", "op"), "k", "part")
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") === 3 && col("v").isNull).count() === 1)
+    assert(PartitionedTable.read(spark, dir).filter(col("k") === 5).count() === 0)
+
+    // adding a constraint the CURRENT table violates is refused
+    intercept[IllegalArgumentException](
+      PartitionedTable.addConstraint(spark, dir, "no_nulls", "v IS NOT NULL"))
+    assert(PartitionedTable.constraintsOf(spark, dir).size === 2)
+
+    // duplicate add and phantom drop fail; real drop re-opens the gate
+    intercept[IllegalArgumentException](
+      PartitionedTable.addConstraint(spark, dir, "v_nonneg", "v >= 0"))
+    intercept[IllegalArgumentException](
+      PartitionedTable.dropConstraint(spark, dir, "nope"))
+    PartitionedTable.dropConstraint(spark, dir, "v_nonneg")
+    PartitionedTable.merge(spark, dir,
+      Seq((7L, "p1", -5L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") === 7).head.getAs[Long]("v") === -5L)
+
+    // clones inherit the catalog and enforce it independently
+    val dst = freshStore()
+    PartitionedTable.cloneTable(spark, dir, dst)
+    assert(PartitionedTable.constraintsOf(spark, dst).map(_._1) ===
+      Seq("k_known"))
+    intercept[IllegalArgumentException](
+      PartitionedTable.merge(spark, dst,
+        Seq((2000000L, "p1", 1L, "upsert")).toDF("k", "part", "v", "op"),
+        "k", "part"))
+  }
+
   test("star-join pruning: only dim-matched partitions are opened, result equals the unpruned join, empty dim folds to empty") {
     import spark.implicits._
     val dir = freshStore()
