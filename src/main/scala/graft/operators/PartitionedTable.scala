@@ -502,10 +502,13 @@ object PartitionedTable {
   }
 
   private def partPaths(
-      spark: SparkSession, dir: String, m: Map[String, Long]): Seq[String] =
+      spark: SparkSession, dir: String, m: Map[String, Long]): Seq[String] = {
+    val cloneSrc = cloneSrcOf(spark, dir) // one probe for the whole set
     m.toSeq.sortBy(_._1).map { case (name, sv) =>
-      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv).toString
+      VersionedStore.path(storeDirOf(spark, dir, cloneSrc, name, sv), sv)
+        .toString
     }
+  }
 
   /** All multi-partition reads merge footer schemas: after a
     * schema-evolving merge, untouched partitions' files lack the new
@@ -581,12 +584,14 @@ object PartitionedTable {
   /** Partitions of table version `v` whose pinned store version is a
     * deletion-vector delta (introspection: the routing decision a
     * growth-guarded merge made, and what a compaction will fold). */
-  def dvPartitions(spark: SparkSession, dir: String, v: Long): Seq[String] =
+  def dvPartitions(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val cloneSrc = cloneSrcOf(spark, dir)
     manifest(spark, dir, v).toSeq.sortBy(_._1).collect {
-      case (name, sv)
-          if dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined =>
+      case (name, sv) if dvBaseOf(spark,
+          storeDirOf(spark, dir, cloneSrc, name, sv), sv).isDefined =>
         name
     }
+  }
 
   /** The FULL version `sv` resolves to: itself, or its DV base. */
   private def dvBaseOf(spark: SparkSession, storeDir: String, sv: Long): Option[Long] = {
@@ -643,8 +648,9 @@ object PartitionedTable {
   private def readMapped(
       spark: SparkSession, dir: String, m: Map[String, Long]): DataFrame = {
     require(m.nonEmpty, "readMapped: empty partition mapping")
+    val cloneSrc = cloneSrcOf(spark, dir) // one probe for the whole set
     val (delta, plain) = m.toSeq.sortBy(_._1).partition { case (name, sv) =>
-      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined
+      dvBaseOf(spark, storeDirOf(spark, dir, cloneSrc, name, sv), sv).isDefined
     }
     val parts =
       (if (plain.nonEmpty) Seq(readParquet(spark, partPaths(spark, dir, plain.toMap))) else Nil) ++
@@ -1020,16 +1026,17 @@ object PartitionedTable {
       else Some(stats.filter(conds.reduce(_ && _)))
     }
     val hfs = VersionedStore.fs(spark, dir)
+    val cloneSrc = cloneSrcOf(spark, dir) // one probe for the whole read
     val versionDir: ((String, Long)) => Path = { case (name, sv) =>
-      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv) }
+      VersionedStore.path(storeDirOf(spark, dir, cloneSrc, name, sv), sv) }
     // DV delta partitions route through the tombstone-filtered reader;
     // when their BASE carries a stats sidecar, base files prune by the
     // same min/max test first (sound: a tombstone only removes rows —
     // it can never resurrect one a pruned file would have held)
     val (asDelta, solid) = live.toSeq.partition { case (name, sv) =>
-      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined }
+      dvBaseOf(spark, storeDirOf(spark, dir, cloneSrc, name, sv), sv).isDefined }
     val deltaDf = asDelta.map { case (name, sv) =>
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val base = dvBaseOf(spark, storeDir, sv).get
       val baseDir = VersionedStore.path(storeDir, base)
       val statsPath = new Path(baseDir, StatsDir)
@@ -1108,22 +1115,23 @@ object PartitionedTable {
     if (live.isEmpty)
       return read(spark, dir, Some(v)).filter(lit(false)).filter(col(c) === value)
     val hfs = VersionedStore.fs(spark, dir)
+    val cloneSrc = cloneSrcOf(spark, dir) // one probe for the whole read
     val (asDelta, solid) = live.toSeq.sortBy(_._1).partition { case (name, sv) =>
-      dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv).isDefined }
+      dvBaseOf(spark, storeDirOf(spark, dir, cloneSrc, name, sv), sv).isDefined }
     // the column's stored type, from one footer-schema read (metadata
     // only): probe and predicate both use the casted value
     val typeDonor = solid.headOption.map { case (name, sv) =>
-      VersionedStore.path(storeDirOf(spark, dir, name, sv), sv)
+      VersionedStore.path(storeDirOf(spark, dir, cloneSrc, name, sv), sv)
     }.getOrElse {
       val (name, sv) = asDelta.head
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
     }
     val vCast = readParquet(spark, Seq(typeDonor.toString)).schema
       .find(_.name == c).map(f => value.cast(f.dataType)).getOrElse(value)
     val pred = col(c) === vCast
     val deltaDf = asDelta.map { case (name, sv) =>
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val baseDir = VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
       val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), c, vCast)
       if (unpruned.nonEmpty) readPartitionDf(spark, dir, name, sv).filter(pred)
@@ -1135,7 +1143,8 @@ object PartitionedTable {
       if (solid.isEmpty) None
       else {
         val slices = solid.map { case (name, sv) =>
-          name -> VersionedStore.path(storeDirOf(spark, dir, name, sv), sv) }
+          name -> VersionedStore.path(
+            storeDirOf(spark, dir, cloneSrc, name, sv), sv) }
         val (kept, unpruned) = bloomPrune(spark, hfs, slices, c, vCast)
         val paths = kept ++ unpruned.map(_.toString)
         if (paths.isEmpty) None
@@ -1274,8 +1283,9 @@ object PartitionedTable {
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to compact under $dir"))
     val m = manifest(spark, dir, cur)
+    val cloneSrc = cloneSrcOf(spark, dir)
     val flagged = m.toSeq.sortBy(_._1).filter { case (name, sv) =>
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       // DV deltas always fold: compaction is what materializes the
       // tombstone-filtered rows back into plain full files
       dvBaseOf(spark, storeDir, sv).isDefined || {
@@ -1288,7 +1298,7 @@ object PartitionedTable {
     if (flagged.isEmpty) return Nil
     val flaggedMap = flagged.toMap
     val totalBytes = flagged.map { case (name, sv) =>
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
       Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
     }.sum
@@ -1413,10 +1423,11 @@ object PartitionedTable {
       s"PartitionedTable: none of ${partValues.getOrElse(Nil)} exist in " +
         s"table version $cur under $dir")
     val hfs = VersionedStore.fs(spark, dir)
+    val cloneSrc = cloneSrcOf(spark, dir)
     // sidecars live on the version itself, or on a DV delta's base
     def sidecarDirs(sub: String): Seq[String] = selected.flatMap {
       case (name, sv) =>
-        val storeDir = storeDirOf(spark, dir, name, sv)
+        val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
         val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
         val p = new Path(VersionedStore.path(storeDir, eff), sub)
         if (hfs.exists(p)) Some(p.toString) else None
@@ -1440,7 +1451,7 @@ object PartitionedTable {
           b.agg(max("bits")).head.getLong(0))
       }
     val totalBytes = selected.map { case (name, sv) =>
-      val storeDir = storeDirOf(spark, dir, name, sv)
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv) // deltas size by base
       Compaction.layoutStats(spark, VersionedStore.path(storeDir, eff).toString)._2
     }.sum
@@ -1509,9 +1520,11 @@ object PartitionedTable {
     val kept = vs.takeRight(keep)
     // a referenced DV delta pins its BASE too — the delta is just
     // tombstones over the base's files
+    val cloneSrc = cloneSrcOf(spark, dir)
     val referenced: Set[(String, Long)] = kept.flatMap(v =>
       manifest(spark, dir, v).toSeq.flatMap { case (name, sv) =>
-        (name, sv) :: dvBaseOf(spark, storeDirOf(spark, dir, name, sv), sv)
+        (name, sv) :: dvBaseOf(spark,
+          storeDirOf(spark, dir, cloneSrc, name, sv), sv)
           .map(b => (name, b)).toList
       }).toSet
     // before any log file goes: the oldest KEPT version must survive as
@@ -1586,11 +1599,22 @@ object PartitionedTable {
     * every version of a non-clone), else the clone source's. Sound
     * because committed store-version dirs are immutable and
     * [[landStoreVersion]] floors the clone's local numbering above the
-    * source's, so a (name, sv) pair resolves to exactly one dir ever. */
+    * source's, so a (name, sv) pair resolves to exactly one dir ever.
+    *
+    * The multi-partition read paths pass a pre-resolved `cloneSrc`
+    * (ONE `_clone` probe per operation), so a non-clone table pays
+    * ZERO extra metadata RPCs per partition — only an actual clone
+    * pays the per-partition local-existence probe, which is what
+    * distinguishes its COW stores from source ones. */
   private def storeDirOf(
-      spark: SparkSession, dir: String, name: String, sv: Long): String = {
+      spark: SparkSession, dir: String, name: String, sv: Long): String =
+    storeDirOf(spark, dir, cloneSrcOf(spark, dir), name, sv)
+
+  private def storeDirOf(
+      spark: SparkSession, dir: String, cloneSrc: Option[String],
+      name: String, sv: Long): String = {
     val local = new Path(dir, name).toString
-    cloneSrcOf(spark, dir) match {
+    cloneSrc match {
       case None => local
       case Some(src) =>
         val hfs = VersionedStore.fs(spark, dir)
