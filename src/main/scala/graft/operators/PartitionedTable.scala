@@ -2431,8 +2431,10 @@ object PartitionedTable {
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
         .withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .repartition(col("part_month")) // one writer slice per month
-      commitGenerated(s, store, orders, "o_orderdate", PartGen.Month,
-        statsCols = Seq("o_orderdate"))
+      // no stats sidecar: the gate exercises manifest-level generated
+      // pruning + residual; stats composition inside kept partitions
+      // is spec'd in PartitionedTableSpec (saves the commit a 2nd job)
+      commitGenerated(s, store, orders, "o_orderdate", PartGen.Month)
       readWhereSrc(s, store, "1995-03-05", "1995-05-20")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
