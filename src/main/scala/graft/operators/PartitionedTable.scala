@@ -1958,6 +1958,46 @@ object PartitionedTable {
     fact.join(broadcast(d), Seq(factPartCol))
   }
 
+  /** DESCRIBE DETAIL — the operator's first read during an incident:
+    * one row per live partition of table version `asOf` (default
+    * newest) with (partition value, pinned store version, where it
+    * resolves (`local`/`source` for clones), file count, data bytes,
+    * footer row count, is_dv, has_stats, has_bloom). Driver-side
+    * FOOTER/listing metadata only — never a data scan; cost is
+    * O(#partitions) listings, the same order as planning any read of
+    * the table. */
+  def describeDetail(
+      spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"PartitionedTable: manifest v=$v not committed under $dir")
+    val hfs = VersionedStore.fs(spark, dir)
+    val cloneSrc = cloneSrcOf(spark, dir)
+    val rows = manifest(spark, dir, v).toSeq.sortBy(_._1).map {
+      case (name, sv) =>
+        val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
+        val resolved =
+          if (cloneSrc.isEmpty || storeDir.startsWith(dir)) "local" else "source"
+        val isDv = dvBaseOf(spark, storeDir, sv).isDefined
+        val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
+        val effDir = VersionedStore.path(storeDir, eff)
+        val (files, bytes) = Compaction.layoutStats(spark, effDir.toString)
+        // live rows: the base's footer count minus tombstones on a DV
+        val rowCount = VersionedStore.footerRowCount(spark, effDir) -
+          (if (isDv) VersionedStore.footerRowCount(spark,
+            new Path(VersionedStore.path(storeDir, sv), DvDir)) else 0L)
+        (ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$PartDir=")),
+          sv, resolved, files.toLong, bytes, rowCount, isDv,
+          hfs.exists(new Path(effDir, StatsDir)),
+          hfs.exists(new Path(effDir, BloomDir)))
+    }
+    import spark.implicits._
+    rows.toDF("partition", "store_version", "resolves", "n_files",
+      "bytes", "n_rows", "is_dv", "has_stats", "has_bloom")
+  }
+
   /** Per-JVM scratch root (the [[VersionedTable]] pattern: one temp dir
     * per process, removed at exit; per-invocation state reset inside
     * the query so repeated bench passes stay deterministic). */

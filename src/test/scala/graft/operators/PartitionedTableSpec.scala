@@ -1241,6 +1241,44 @@ class PartitionedTableSpec extends SparkSpec {
       .distinct.length === 1, "prefix probe must read exactly one partition")
   }
 
+  test("describeDetail: per-partition metadata matches content, DV rows subtract tombstones, clones label resolution") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    // a DV delete on p1 (tombstones, no rewrite)
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 0L, "delete"), (5L, "p1", 0L, "delete"))
+        .toDF("k", "part", "v", "op"), "k", "part")
+
+    val d = PartitionedTable.describeDetail(spark, dir)
+      .orderBy("partition").collect()
+    assert(d.map(_.getString(0)).toSeq === Seq("p0", "p1", "p2", "p3"))
+    // row counts are LIVE rows (footers minus tombstones), matching reads
+    val byPart = PartitionedTable.read(spark, dir)
+      .groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    d.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === byPart(r.getString(0)),
+        s"detail row count must match content for ${r.getString(0)}") }
+    val p1 = d.find(_.getString(0) == "p1").get
+    assert(p1.getAs[Boolean]("is_dv") && p1.getAs[Long]("n_rows") === 23L)
+    assert(d.forall(r => r.getAs[Long]("n_files") > 0 &&
+      r.getAs[Long]("bytes") > 0 && r.getAs[String]("resolves") == "local"))
+
+    // a clone labels source-resolved vs COW-materialized partitions
+    val src = freshStore()
+    val dst = freshStore()
+    PartitionedTable.commit(spark, src, table(40), "part")
+    PartitionedTable.cloneTable(spark, src, dst)
+    PartitionedTable.merge(spark, dst,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+    val res = PartitionedTable.describeDetail(spark, dst)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("resolves")).toMap
+    assert(res === Map("p0" -> "source", "p1" -> "source",
+      "p2" -> "local", "p3" -> "source"))
+  }
+
   test("CHECK constraints: violating batches never land, nulls pass, add validates existing rows, clones inherit") {
     import spark.implicits._
     val dir = freshStore()
