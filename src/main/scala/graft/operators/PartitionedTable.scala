@@ -1826,14 +1826,30 @@ object PartitionedTable {
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val v = asOf.getOrElse(vs.max)
     val (glo, ghi) = (gen.ofLiteral(lo), gen.ofLiteral(hi))
-    val live = manifest(spark, dir, v).keysIterator.map(n =>
+    val m = manifest(spark, dir, v)
+    val live = m.keysIterator.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
       .filter(p => p >= glo && p <= ghi).toSeq.sorted
-    val base = read(spark, dir, Some(v))
-    val srcType = base.schema(srcCol).dataType
+    // the source column's stored type from ONE donor footer — never a
+    // full-table schema merge (mergeSchema over every partition would
+    // cost O(#partitions) footer reads on EVERY probe, defeating the
+    // pruning this read exists for). The generated source column is
+    // present since table creation, so any partition donates.
+    val cloneSrc = cloneSrcOf(spark, dir)
+    require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
+    val (dn, dsv) = m.minBy(_._1)
+    val donorStore = storeDirOf(spark, dir, cloneSrc, dn, dsv)
+    val donorDir = VersionedStore.path(donorStore,
+      dvBaseOf(spark, donorStore, dsv).getOrElse(dsv))
+    val srcType = spark.read.parquet(donorDir.toString).schema
+      .find(_.name == srcCol).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"PartitionedTable: generated source column $srcCol missing " +
+            s"from $donorDir"))
     val pred = col(srcCol) >= lit(lo).cast(srcType) &&
       col(srcCol) <= lit(hi).cast(srcType)
-    if (live.isEmpty) base.filter(lit(false)).filter(pred)
+    if (live.isEmpty) // rare: nothing in range — schema-only full read
+      read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
     else readWhereAll(spark, dir,
       Seq((srcCol, lit(lo).cast(srcType), lit(hi).cast(srcType))),
       partValues = Some(live), asOf = Some(v))
