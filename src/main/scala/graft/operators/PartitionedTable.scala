@@ -1709,12 +1709,20 @@ object PartitionedTable {
       def expr(src: Column): Column = date_format(src, "yyyy-MM-dd")
       def ofLiteral(v: String): String = v.take(10)
     }
-    /** First `n` chars of a string column (truncation is monotone in
-      * lexicographic order, so range mapping stays sound). */
+    /** First `n` CODEPOINTS of a string column (matching Spark's
+      * `substring`, which counts code points — a UTF-16 `take` would
+      * split surrogate pairs differently). Truncation is monotone in
+      * UTF-8 binary order, so range mapping stays sound. */
     final case class Prefix(n: Int) extends PartGen(s"prefix$n") {
       require(n >= 1, s"PartGen.Prefix needs n >= 1, got $n")
       def expr(src: Column): Column = substring(src, 1, n)
-      def ofLiteral(v: String): String = v.take(n)
+      def ofLiteral(v: String): String = {
+        val it = v.codePoints().iterator()
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < n && it.hasNext) { sb.appendCodePoint(it.next()); i += 1 }
+        sb.toString
+      }
     }
     def parse(s: String): PartGen = s match {
       case "year" => Year
@@ -1827,9 +1835,24 @@ object PartitionedTable {
     val v = asOf.getOrElse(vs.max)
     val (glo, ghi) = (gen.ofLiteral(lo), gen.ofLiteral(hi))
     val m = manifest(spark, dir, v)
+    // partition-range filter in UTF-8 BINARY order — the order Spark's
+    // string comparisons (and so the residual predicate) use. Java's
+    // String ordering is UTF-16 and disagrees for supplementary
+    // characters, which would silently drop a matching partition.
+    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def le(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length <= b.length
+    }
+    val (blo, bhi) = (u8(glo), u8(ghi))
     val live = m.keysIterator.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter(p => p >= glo && p <= ghi).toSeq.sorted
+      .filter(p => le(blo, u8(p)) && le(u8(p), bhi)).toSeq.sorted
     // the source column's stored type from ONE donor footer — never a
     // full-table schema merge (mergeSchema over every partition would
     // cost O(#partitions) footer reads on EVERY probe, defeating the
