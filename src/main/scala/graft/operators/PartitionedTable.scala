@@ -1997,6 +1997,55 @@ object PartitionedTable {
     fact.join(broadcast(d), Seq(factPartCol))
   }
 
+  /** Partition-level retention on a GENERATED table: drop every
+    * partition whose generated value sorts strictly BELOW
+    * `gen(cutoff)` — one manifest commit, zero data movement (the
+    * stores become unreferenced and [[vacuum]] collects them later).
+    * This is what retention actually costs at 100 TB: dropping a
+    * thousand expired day-partitions is a metadata operation, where
+    * `DELETE WHERE date < cutoff` would rewrite them all first.
+    * Partition-granular by design: rows in the BOUNDARY partition
+    * (same truncation as the cutoff) are kept even when their source
+    * value is below it — route through [[merge]] deletes for
+    * row-exact trims. The dropped versions stay readable via time
+    * travel until vacuum. Returns the dropped partition values (empty
+    * = nothing expired, no commit minted). */
+  def expirePartitions(
+      spark: SparkSession, dir: String, cutoff: String,
+      at: String = ""): Seq[String] = {
+    val (_, gen, _) = generatedBy(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no generation rule declared under $dir — " +
+          "retention needs the partition-value ordering a rule defines"))
+    val cur = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: nothing to expire under $dir"))
+    val m = manifest(spark, dir, cur)
+    val bound = gen.ofLiteral(cutoff)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def lt(a: Array[Byte]): Boolean = { // UTF-8 binary, Spark's order
+      var i = 0
+      while (i < a.length && i < bound.length) {
+        val d = (a(i) & 0xff) - (bound(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < bound.length
+    }
+    val dropped = m.keys.toSeq.map(n =>
+      ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
+      .filter(p => lt(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .sorted
+    if (dropped.isEmpty) return Nil
+    val keep = m -- dropped.map(escape)
+    require(keep.nonEmpty,
+      s"PartitionedTable: expire($cutoff) would drop EVERY partition " +
+        s"under $dir — refusing to mint an empty table version")
+    commitManifest(spark, dir, keep,
+      Some(metaLine("expire", dropped.size, keep.size, at)))
+    dropped
+  }
+
   /** DESCRIBE DETAIL — the operator's first read during an incident:
     * one row per live partition of table version `asOf` (default
     * newest) with (partition value, pinned store version, where it
@@ -2655,6 +2704,40 @@ object PartitionedTable {
       read(s, store)
         .withColumn("n_checks", lit(constraintsOf(s, store).size))
         .groupBy("n_checks", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Partition-level retention, hash-gated: commit orders generated
+    // by MONTH of o_orderdate, expire below a MID-month cutoff (a pure
+    // manifest commit — zero data movement, spec'd at file level), and
+    // aggregate what remains. Partition granularity is the semantic
+    // under test: the boundary month survives WHOLE, so the oracle
+    // keeps dates >= the cutoff's month START, not the cutoff itself —
+    // a row-exact (wrong) implementation breaks the hash from the
+    // boundary month's first half. n_dropped pins the drop-set size
+    // to DuckDB's own count of distinct expired months.
+    QueryDef.sql("q97_expire_partitions",
+      """SELECT (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS INT)
+        |        FROM orders WHERE o_orderdate < DATE '1995-07-01') AS n_dropped,
+        |       o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-07-01'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q97_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+        .withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("part_month")) // one writer slice per month
+      commitGenerated(s, store, orders, "o_orderdate", PartGen.Month)
+      val dropped = expirePartitions(s, store, "1995-07-15")
+      read(s, store)
+        .withColumn("n_dropped", lit(dropped.size))
+        .groupBy("n_dropped", "o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

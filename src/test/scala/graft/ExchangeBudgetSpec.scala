@@ -184,6 +184,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                   // is a batch-sized limit-1 probe in
                                   // the merge job, the catalog a
                                   // 2-line driver-side file read
+    "q97_expire_partitions" -> 1, // retained-partition scan into one
+                                  // grouped agg; the expire is a pure
+                                  // manifest commit (no job), the month
+                                  // clustering shuffle lives in the
+                                  // commit job
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -1241,6 +1241,50 @@ class PartitionedTableSpec extends SparkSpec {
       .distinct.length === 1, "prefix probe must read exactly one partition")
   }
 
+  test("expirePartitions: metadata-only drop below the cutoff, boundary partition kept, time travel + vacuum contracts hold") {
+    import spark.implicits._
+    val dir = freshStore()
+    val days = spark.range(120).select(
+      col("id").as("k"),
+      date_add(to_date(lit("1996-01-01")), (col("id") * 3).cast("int")).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir, days, "d",
+      PartitionedTable.PartGen.Month)
+    val filesBefore = files(dir, "__part=1996-06")
+
+    // cutoff mid-June: months Jan-May drop, June (the boundary) is KEPT
+    // whole — including its rows before the 15th (partition-granular)
+    val dropped = PartitionedTable.expirePartitions(spark, dir, "1996-06-15")
+    assert(dropped === Seq("1996-01", "1996-02", "1996-03", "1996-04", "1996-05"))
+    val kept = PartitionedTable.read(spark, dir)
+    assert(kept.agg(min("d")).head.getDate(0).toString === "1996-06-02")
+    assert(kept.count() === days.filter(col("d") >= "1996-06-01").count())
+    // zero data movement: the kept boundary partition is byte-identical
+    assert(files(dir, "__part=1996-06") === filesBefore)
+    // history records the expire; time travel still reads the full table
+    assert(PartitionedTable.history(spark, dir)
+      .filter(col("operation") === "expire").count() === 1)
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L)).count() === 120)
+    // a second expire at the same cutoff is a no-op (no empty commit)
+    val v = PartitionedTable.latest(spark, dir).get
+    assert(PartitionedTable.expirePartitions(spark, dir, "1996-06-15") === Nil)
+    assert(PartitionedTable.latest(spark, dir).get === v)
+    // vacuum to the retained head GCs the dropped stores
+    PartitionedTable.vacuum(spark, dir, keep = 1)
+    val hfs = VersionedStore.fs(spark, dir)
+    assert(!hfs.exists(new Path(dir, "__part=1996-01")),
+      "vacuum must collect expired stores")
+    assert(PartitionedTable.read(spark, dir).count() === kept.count())
+    // dropping everything is refused
+    intercept[IllegalArgumentException](
+      PartitionedTable.expirePartitions(spark, dir, "2010-01-01"))
+    // non-generated tables have no ordering to expire by
+    val plain = freshStore()
+    PartitionedTable.commit(spark, plain, table(20), "part")
+    intercept[IllegalArgumentException](
+      PartitionedTable.expirePartitions(spark, plain, "p1"))
+  }
+
   test("describeDetail: per-partition metadata matches content, DV rows subtract tombstones, clones label resolution") {
     import spark.implicits._
     val dir = freshStore()
