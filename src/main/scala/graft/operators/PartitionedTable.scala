@@ -1738,6 +1738,23 @@ object PartitionedTable {
   private def genPath(dir: String): Path =
     new Path(new Path(dir, ManifestDir), GenFile)
 
+  /** a <= b in UTF-8 BINARY order — the order Spark's string
+    * comparisons (and so every residual predicate) use. Java's String
+    * ordering is UTF-16 and disagrees for supplementary characters,
+    * which would silently drop a matching partition from a
+    * driver-side range filter. */
+  private def utf8Le(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   /** The table's declared (source column, rule, derived column name),
     * if it was created through [[commitGenerated]]. */
   def generatedBy(
@@ -1835,24 +1852,9 @@ object PartitionedTable {
     val v = asOf.getOrElse(vs.max)
     val (glo, ghi) = (gen.ofLiteral(lo), gen.ofLiteral(hi))
     val m = manifest(spark, dir, v)
-    // partition-range filter in UTF-8 BINARY order — the order Spark's
-    // string comparisons (and so the residual predicate) use. Java's
-    // String ordering is UTF-16 and disagrees for supplementary
-    // characters, which would silently drop a matching partition.
-    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def le(a: Array[Byte], b: Array[Byte]): Boolean = {
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      a.length <= b.length
-    }
-    val (blo, bhi) = (u8(glo), u8(ghi))
     val live = m.keysIterator.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter(p => le(blo, u8(p)) && le(u8(p), bhi)).toSeq.sorted
+      .filter(p => utf8Le(glo, p) && utf8Le(p, ghi)).toSeq.sorted
     // the source column's stored type from ONE donor footer — never a
     // full-table schema merge (mergeSchema over every partition would
     // cost O(#partitions) footer reads on EVERY probe, defeating the
@@ -2022,19 +2024,9 @@ object PartitionedTable {
         s"PartitionedTable: nothing to expire under $dir"))
     val m = manifest(spark, dir, cur)
     val bound = gen.ofLiteral(cutoff)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def lt(a: Array[Byte]): Boolean = { // UTF-8 binary, Spark's order
-      var i = 0
-      while (i < a.length && i < bound.length) {
-        val d = (a(i) & 0xff) - (bound(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      a.length < bound.length
-    }
     val dropped = m.keys.toSeq.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter(p => lt(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .filter(p => utf8Le(p, bound) && p != bound)
       .sorted
     if (dropped.isEmpty) return Nil
     val keep = m -- dropped.map(escape)
