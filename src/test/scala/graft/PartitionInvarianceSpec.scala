@@ -61,7 +61,23 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q77_time_travel", // versioned snapshots must agree under any fan-out
     "q78_versioned_merge", // merge semantics can't depend on partitioning
     "q79_version_diff", // full-outer diff + struct compare, any fan-out
-    "q80_expectations") // gate counts + committed-version readback
+    "q80_expectations", // gate counts + committed-version readback
+    "q81_partitioned_merge", // touched-partition routing, any fan-out
+    "q84_two_level_skipping", // stats sidecars + pruning under any layout
+    "q85_deletion_vectors", // DV tombstone identity can't depend on files
+    "q86_dv_growth_guard", // bound routing decisions, any fan-out
+    "q87_change_feed", // per-commit diff slices, any fan-out
+    "q88_restore", // manifest-pointer restore + history ops
+    "q89_bloom_point_lookup", // bloom probes across file layouts
+    "q90_zorder_skipping", // z-clustered commit + 2-D pruned reads
+    "q91_optimize_zorder", // recluster rewrite must not change a row
+    "q92_time_travel_ts", // ts-resolved versions, any fan-out
+    "q93_generated_partitions", // derived routing + source-range prune
+    "q94_shallow_clone", // COW divergence + clone-point resolution
+    "q95_join_pruned", // dim-driven manifest pruning + broadcast join
+    "q96_check_constraints", // enforcement passes rows through intact
+    "q97_expire_partitions", // metadata drop set, any layout
+    "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
     val confKey = "spark.sql.shuffle.partitions"
