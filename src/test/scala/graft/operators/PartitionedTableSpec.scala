@@ -510,6 +510,56 @@ class PartitionedTableSpec extends SparkSpec {
       "sequentially-equivalent outcome after the conflict")
   }
 
+  test("clone COW under racing writers: floored landings never shadow source versions, OCC stays serializable") {
+    import spark.implicits._
+    val src = freshStore()
+    val dst = freshStore()
+    PartitionedTable.commit(spark, src, table(40), "part")
+    // grow the source's p1 store past version 0, so the clone's floor
+    // has something real to clear
+    PartitionedTable.merge(spark, src,
+      Seq((1L, "p1", 11L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    PartitionedTable.merge(spark, src,
+      Seq((1L, "p1", 10L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    val srcP1Max = VersionedStore.versions(spark,
+      new Path(src, "__part=p1").toString).max
+    assert(srcP1Max >= 1L, "fixture needs a multi-version source store")
+    PartitionedTable.cloneTable(spark, src, dst)
+    val srcFiles = files(src, "__part=p1")
+
+    // writer A lands its COW version on the clone's p1 (uncommitted —
+    // the interleaving seam); writer B commits a p1 merge first
+    val m0 = PartitionedTable.manifest(spark, dst, 0L)
+    val (_, aTouched) = PartitionedTable.applyMergeParts(spark, dst, m0,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", "op")
+    PartitionedTable.merge(spark, dst,
+      Seq((5L, "p1", 555L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+    // overlap → conflict predicate fires; the public merge recomputes
+    val winner = PartitionedTable.manifest(spark, dst, 1L)
+    assert(aTouched.exists(n => winner.get(n) != m0.get(n)))
+    PartitionedTable.merge(spark, dst,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+    val state = PartitionedTable.read(spark, dst)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state(1L) === 111L && state(5L) === 555L,
+      "sequentially-equivalent outcome on the clone")
+
+    // EVERY local landing (winner's, loser's orphan, recompute's)
+    // cleared the source's numbering — so the clone-point manifest
+    // still resolves the SOURCE store, not a COW shadow
+    val localVs = VersionedStore.versions(spark,
+      new Path(dst, "__part=p1").toString)
+    assert(localVs.nonEmpty && localVs.forall(_ > srcP1Max),
+      s"local versions $localVs must all clear source max $srcP1Max")
+    assert(PartitionedTable.read(spark, dst, asOf = Some(0L))
+      .filter(col("k") === 1).head.getAs[Long]("v") === 10L,
+      "clone-point time travel reads the source state")
+    assert(files(src, "__part=p1") === srcFiles, "source untouched by the race")
+  }
+
   test("merge == flat-table merge semantics (keys partition-local), bad ops raise, non-string partition refused") {
     import spark.implicits._
     val dir = freshStore()
