@@ -1891,17 +1891,33 @@ object PartitionedTable {
   // declaring a constraint validates the CURRENT table once.
   // ---------------------------------------------------------------------
 
-  private val ConstraintsFile = "_constraints"
-  private def constraintsPath(dir: String): Path =
-    new Path(new Path(dir, ManifestDir), ConstraintsFile)
+  // catalog versions are whole immutable files (`_constraints.N`,
+  // newest N wins) — the manifest pattern: a writer CREATES N+1 via
+  // tmp+rename and never deletes, so a crash mid-write leaves N
+  // intact and the catalog can never silently vanish (delete-then-
+  // rename would lose every constraint to a crash in the window)
+  private val ConstraintsPrefix = "_constraints."
+
+  private def constraintVersions(
+      spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(ConstraintsPrefix))
+      .flatMap(p => p.getName.stripPrefix(ConstraintsPrefix)
+        .toLongOption.map(_ -> p))
+  }
 
   /** The table's declared constraints: (name, SQL boolean expr). */
   def constraintsOf(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val hfs = VersionedStore.fs(spark, dir)
-    val p = constraintsPath(dir)
-    if (!hfs.exists(p)) Nil
-    else readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
-      line => val Array(n, e) = line.split("\t", 2); (n, e)
+    constraintVersions(spark, dir).maxByOption(_._1) match {
+      case None => Nil
+      case Some((_, p)) =>
+        readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
+          line => val Array(n, e) = line.split("\t", 2); (n, e)
+        }
     }
   }
 
@@ -1909,15 +1925,21 @@ object PartitionedTable {
       spark: SparkSession, dir: String, cs: Seq[(String, String)]): Unit = {
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
+    val next = constraintVersions(spark, dir)
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
     val tmp = new Path(new Path(dir, ManifestDir),
       s".tmp-constraints-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, true)
     try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    hfs.delete(constraintsPath(dir), false)
-    require(hfs.rename(tmp, constraintsPath(dir)),
-      s"PartitionedTable: constraint catalog commit failed under $dir")
+    val dest = new Path(new Path(dir, ManifestDir), s"$ConstraintsPrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: lost the constraint-catalog slot $next under " +
+          s"$dir (concurrent declaration?); re-read and retry")
+    }
   }
 
   /** Declare a CHECK constraint. The current table must already
