@@ -488,6 +488,94 @@ object PartitionedTable {
       Some(metaLine("commit", committed.size, committed.size, at)))
   }
 
+  /** Dynamic partition overwrite (the Delta `replaceWhere` / Spark
+    * `partitionOverwriteMode=dynamic` semantic, expressed on the
+    * manifest commit point): land exactly the partitions PRESENT in
+    * `df` as fresh store versions, then commit a manifest where those
+    * pointers move and every other partition carries over untouched —
+    * the idempotent "refresh this slice" primitive a backfill job
+    * wants, where [[merge]]'s key-matching read-modify-write is both
+    * wasted work and the wrong semantic (an overwrite must also drop
+    * base rows whose keys the refresh no longer produces).
+    *
+    * 100 TB posture: refreshing one partition of a 10^5-partition
+    * table costs one write of that partition plus an O(1) manifest
+    * delta — untouched partitions' immutable version dirs are never
+    * read, listed, or rewritten. Unlike [[merge]] this is a BLIND
+    * write (it never reads the base content of the partitions it
+    * replaces), so losing the manifest slot to ANY concurrent writer
+    * rebases onto the winner's mapping — last overwrite wins on the
+    * touched set, serializable as if it ran after the winner.
+    *
+    * Schema is strict by default: the batch must carry exactly the
+    * table's (footer-merged) columns, else fail loud before anything
+    * lands; `allowSchemaEvolution` widens on touched partitions and
+    * the footer-merging read null-fills the rest, exactly like
+    * [[merge]]. CHECK constraints gate the rows as [[commit]] does.
+    * An EMPTY batch fails loud — "replace nothing" is a no-op the
+    * caller should skip, and silently committing an unchanged
+    * manifest would forge a table version with no operation behind
+    * it. Returns the committed manifest version. */
+  def overwritePartitions(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String] = Nil, at: String = "",
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long =
+    overwriteCommit(spark, dir,
+      overwriteLand(spark, dir, df, partCol, statsCols, allowSchemaEvolution,
+        bloomCols, bloomBits), at)
+
+  /** Validate + land the overwrite batch's partition versions; commit
+    * point NOT included. `private[operators]` so the concurrency spec
+    * can interleave the land and commit steps deterministically. */
+  private[operators] def overwriteLand(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String] = Nil, allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Map[String, Long] = {
+    require(df.schema(partCol).dataType == StringType,
+      s"PartitionedTable: partition column $partCol must be a string " +
+        "(cast upstream — the Hive partition-value convention)")
+    if (latest(spark, dir).isEmpty) throw new IllegalArgumentException(
+      s"PartitionedTable: nothing to overwrite under $dir (use commit " +
+        "for the initial load)")
+    if (!allowSchemaEvolution) {
+      val tableCols = read(spark, dir).columns.toSet // footer-merged, no scan
+      require(df.columns.toSet == tableCols,
+        s"PartitionedTable: overwrite schema mismatch under $dir — batch " +
+          s"[${df.columns.sorted.mkString(",")}] vs table " +
+          s"[${tableCols.toSeq.sorted.mkString(",")}] " +
+          "(pass allowSchemaEvolution = true to widen)")
+    }
+    val batch = df.filter(col(partCol).isNotNull)
+    enforceConstraints(spark, dir, batch)
+    val committed = landPartitions(spark, dir, batch, partCol, statsCols,
+      bloomCols, bloomBits)
+    require(committed.nonEmpty,
+      s"PartitionedTable: overwrite batch landed no partitions under $dir " +
+        "(an empty refresh is a caller-side no-op, not a table version)")
+    committed
+  }
+
+  /** The overwrite's commit loop over already-landed versions: take the
+    * next manifest slot; on losing it, rebase onto the winner's mapping
+    * (a blind write never read the base, so ANY winner rebases — last
+    * overwrite wins on the touched set). */
+  private[operators] def overwriteCommit(
+      spark: SparkSession, dir: String, committed: Map[String, Long],
+      at: String): Long = {
+    val touched = committed.keySet
+    var v = latest(spark, dir).getOrElse(-1L) + 1
+    var mapping = (manifest(spark, dir, v - 1) -- touched) ++ committed
+    while (!commitManifestAt(spark, dir, v, mapping,
+        Some(metaLine("overwrite", touched.size, mapping.size, at)))) {
+      mapping = (manifest(spark, dir, v) -- touched) ++ committed
+      v += 1
+    }
+    v
+  }
+
   /** Read a committed table version: the newest manifest, or `asOf`.
     * Scans exactly the pinned per-partition version dirs. */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
@@ -2752,6 +2840,97 @@ object PartitionedTable {
       read(s, store)
         .withColumn("n_dropped", lit(dropped.size))
         .groupBy("n_dropped", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Schema evolution on MERGE, hash-gated: commit a 3-column orders
+    // table, then merge a batch carrying a NEW column (o_flag) with
+    // allowSchemaEvolution — only the touched 'F' partition rewrites
+    // with the widened schema; the untouched partitions' files keep
+    // the old one and the footer-merging read null-fills. The oracle
+    // recomputes the evolved table from source, so the hash breaks if
+    // the new column leaks a non-null onto a kept row, vanishes from
+    // an upserted row, or the evolution perturbs any row/price. The
+    // strict-mode refusal and time-travel-keeps-old-schema halves are
+    // exception/schema-shaped and gated in PartitionedTableSpec.
+    QueryDef.sql("q98_schema_evolution",
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN 'reviewed' END AS o_flag
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(o_flag) AS BIGINT) AS n_flagged,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q98_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      commit(s, store, orders, "o_orderstatus")
+      val batch = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("o_flag", lit("reviewed"))
+        .withColumn("op", lit("upsert"))
+      merge(s, store, batch, "o_orderkey", "o_orderstatus",
+        allowSchemaEvolution = true)
+      read(s, store)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_flag")).as("n_flagged"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Dynamic partition overwrite, hash-gated: commit orders
+    // partitioned by o_orderstatus, then REPLACE the 'F' partition
+    // wholesale with a recomputed slice (every price +1, keys ≡0 mod 5
+    // dropped — rows a key-matched merge could never remove without
+    // being told each key) while O and P carry over as pure manifest
+    // metadata. The oracle rebuilds the final table from source, so a
+    // leaked base row the refresh no longer produces, a lost refresh
+    // row, or any bleed into an untouched partition breaks the hash;
+    // n_moved pins that exactly ONE manifest pointer moved. The
+    // metadata-only carry-over (file-level byte identity), blind-write
+    // OCC, strict-schema refusal, and empty-batch refusal are gated in
+    // PartitionedTableSpec.
+    QueryDef.sql("q99_overwrite_partitions",
+      """WITH refreshed AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         o_totalprice + 1 AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderkey % 5 <> 0),
+        |final AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderstatus <> 'F'
+        |  UNION ALL SELECT * FROM refreshed)
+        |SELECT 1 AS n_moved, o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM final GROUP BY o_orderstatus, o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      val store = workDir.resolve(
+        "q99_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+      commit(s, store, orders, "o_orderstatus")
+      val refreshed = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      val v1 = overwritePartitions(s, store, refreshed, "o_orderstatus")
+      val (m0, m1) = (manifest(s, store, 0L), manifest(s, store, v1))
+      val moved = m1.count { case (k, sv) => !m0.get(k).contains(sv) }
+      read(s, store)
+        .withColumn("n_moved", lit(moved))
+        .groupBy("n_moved", "o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
     }

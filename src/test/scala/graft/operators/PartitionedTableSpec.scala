@@ -332,6 +332,111 @@ class PartitionedTableSpec extends SparkSpec {
       s"unexpected evolved feed: $events")
   }
 
+  test("overwritePartitions: batch partitions replace wholesale, the rest carry over byte-identical, misuse fails loud") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part") // p0-p3, 25 rows each
+    val before = Seq("__part=p0", "__part=p2", "__part=p3")
+      .map(p => p -> files(dir, p)).toMap
+
+    // replace p1 with a recomputed slice: 3 rows, one brand-new key,
+    // most base keys gone WITHOUT being named (merge can't do that)
+    val refresh = Seq(
+      (1L, "p1", 111L), (5L, "p1", 555L), (901L, "p1", 9010L)
+    ).toDF("k", "part", "v")
+    val v1 = PartitionedTable.overwritePartitions(spark, dir, refresh, "part")
+    assert(v1 === 1L)
+
+    val cur = PartitionedTable.read(spark, dir)
+    assert(cur.count() === 78, "75 untouched + 3 refreshed")
+    assert(cur.filter(col("part") === "p1").count() === 3)
+    assert(cur.filter(col("k") === 901).head.getLong(2) === 9010L)
+    assert(cur.filter(col("k") === 9).count() === 0,
+      "an unnamed base key in the replaced partition is gone")
+    assert(cur.filter(col("k") === 2).count() === 1,
+      "untouched partitions keep every row")
+    // time travel: the pre-overwrite version is intact
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L)).count() === 100)
+
+    // metadata-only carry-over: untouched partitions' FILES unchanged
+    before.foreach { case (p, fs0) =>
+      assert(files(dir, p) === fs0, s"untouched partition $p was rewritten")
+    }
+    // exactly one pointer moved; history records the operation
+    val (m0, m1) = (PartitionedTable.manifest(spark, dir, 0L),
+      PartitionedTable.manifest(spark, dir, 1L))
+    assert(m0.keySet === m1.keySet)
+    assert(m1("__part=p1") !== m0("__part=p1"))
+    assert((m0 - "__part=p1") === (m1 - "__part=p1"))
+    val hist = PartitionedTable.history(spark, dir)
+      .filter(col("version") === 1).collect()
+    assert(hist.length === 1 && hist(0).getAs[String]("operation") === "overwrite")
+
+    // a NEW partition value lands as an addition, dropping nothing
+    PartitionedTable.overwritePartitions(spark, dir,
+      Seq((950L, "p9", 9500L)).toDF("k", "part", "v"), "part")
+    assert(PartitionedTable.read(spark, dir).count() === 79)
+    assert(PartitionedTable.manifest(spark, dir, 2L).keySet
+      === m1.keySet + "__part=p9")
+
+    // strict mode refuses a schema drift before anything lands...
+    intercept[IllegalArgumentException] {
+      PartitionedTable.overwritePartitions(spark, dir,
+        Seq((1L, "p1", 0.5)).toDF("k", "part", "score"), "part")
+    }
+    // ...and the widened batch goes through with the flag, null-filling
+    PartitionedTable.overwritePartitions(spark, dir,
+      Seq((1L, "p1", 111L, 0.7)).toDF("k", "part", "v", "score"), "part",
+      allowSchemaEvolution = true)
+    val evolved = PartitionedTable.read(spark, dir)
+    assert(evolved.filter(col("k") === 1).head.getAs[Double]("score") === 0.7)
+    assert(evolved.filter(col("k") === 2).head.getAs[Any]("score") === null)
+
+    // an empty batch is a refused no-op, not a forged table version
+    val headBefore = PartitionedTable.latest(spark, dir)
+    intercept[IllegalArgumentException] {
+      PartitionedTable.overwritePartitions(spark, dir,
+        refresh.filter(col("k") < 0), "part")
+    }
+    assert(PartitionedTable.latest(spark, dir) === headBefore)
+    // so is overwriting a table that was never committed
+    intercept[IllegalArgumentException] {
+      PartitionedTable.overwritePartitions(spark, dir + "_missing",
+        refresh, "part")
+    }
+  }
+
+  test("overwritePartitions under a racing writer: blind write rebases, both commits land, last overwrite wins") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+
+    // writer A computes its overwrite of p1 but has NOT committed yet
+    // (interleave via the package-private land/commit seam, the same
+    // deterministic staging the OCC merge spec uses)
+    val aLanded = PartitionedTable.overwriteLand(spark, dir,
+      Seq((1L, "p1", 111L)).toDF("k", "part", "v"), "part")
+
+    // writer B sneaks in a full merge commit touching p1 AND p2
+    PartitionedTable.merge(spark, dir,
+      Seq((5L, "p1", 555L, "upsert"), (6L, "p2", 666L, "upsert"))
+        .toDF("k", "part", "v", "op"), "k", "part")
+
+    // A now commits: the slot it wanted is taken; a blind write rebases
+    // onto B's mapping instead of recomputing or failing
+    val vA = PartitionedTable.overwriteCommit(spark, dir, aLanded, "raced")
+    assert(vA === 2L)
+    val m = PartitionedTable.manifest(spark, dir, vA)
+    val cur = PartitionedTable.read(spark, dir)
+    // p1: A's overwrite wins wholesale (B's 555 edit is gone with the
+    // rest of the replaced partition — last overwrite wins)
+    assert(cur.filter(col("part") === "p1").count() === 1)
+    assert(cur.filter(col("k") === 1).head.getLong(2) === 111L)
+    // p2: B's merge survives — the rebase carried B's pointer over
+    assert(cur.filter(col("k") === 6).head.getLong(2) === 666L)
+    assert(m("__part=p2") === PartitionedTable.manifest(spark, dir, 1L)("__part=p2"))
+  }
+
   test("incremental view maintenance from the partitioned pre-image feed equals recompute") {
     import spark.implicits._
     val dir = freshStore()
