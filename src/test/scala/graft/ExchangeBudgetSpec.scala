@@ -189,6 +189,16 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                   // manifest commit (no job), the month
                                   // clustering shuffle lives in the
                                   // commit job
+    "q98_schema_evolution" -> 1, // one footer-merged evolved-version
+                                 // scan into one grouped agg; the
+                                 // widening union + anti join live in
+                                 // the merge job
+    "q99_overwrite_partitions" -> 1, // one manifest-resolved version
+                                     // scan into one grouped agg; the
+                                     // overwrite is one partition write
+                                     // + manifest delta in the commit
+                                     // job, untouched partitions pure
+                                     // metadata carry-over
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

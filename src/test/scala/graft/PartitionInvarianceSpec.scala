@@ -77,6 +77,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q95_join_pruned", // dim-driven manifest pruning + broadcast join
     "q96_check_constraints", // enforcement passes rows through intact
     "q97_expire_partitions", // metadata drop set, any layout
+    "q98_schema_evolution", // widening union + null-fill, any fan-out
+    "q99_overwrite_partitions", // blind replace + metadata carry-over
     "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
