@@ -480,6 +480,7 @@ object PartitionedTable {
     require(df.schema(partCol).dataType == StringType,
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
+    refuseRetiredNames(spark, dir, df)
     enforceConstraints(spark, dir, df.filter(col(partCol).isNotNull))
     val committed = landPartitions(spark, dir,
       df.filter(col(partCol).isNotNull), partCol, statsCols, bloomCols,
@@ -548,6 +549,7 @@ object PartitionedTable {
           s"[${tableCols.toSeq.sorted.mkString(",")}] " +
           "(pass allowSchemaEvolution = true to widen)")
     }
+    refuseRetiredNames(spark, dir, df)
     val batch = df.filter(col(partCol).isNotNull)
     enforceConstraints(spark, dir, batch)
     val committed = landPartitions(spark, dir, batch, partCol, statsCols,
@@ -743,7 +745,10 @@ object PartitionedTable {
     val parts =
       (if (plain.nonEmpty) Seq(readParquet(spark, partPaths(spark, dir, plain.toMap))) else Nil) ++
         delta.map { case (name, sv) => readPartitionDf(spark, dir, name, sv) }
-    parts.reduce(_.unionByName(_, true))
+    // column mapping normalizes LAST: chain members from files written
+    // under different names null-fill disjointly across the union, and
+    // the coalesce projection folds them into the current schema
+    logicalize(spark, dir, parts.reduce(_.unionByName(_, true)))
   }
 
   /** Manifest-driven partition pruning: read ONLY the named partition
@@ -916,6 +921,7 @@ object PartitionedTable {
       dvMaxFraction: Double = DvMaxFraction,
       bloomCols: Seq[String] = Nil,
       bloomBits: Long = DefaultBloomBits): (Map[String, Long], Seq[String]) = {
+    refuseRetiredNames(spark, dir, changes.drop(opCol))
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     // declared CHECK constraints gate the batch's UPSERT payloads
     // before anything lands (a delete's payload never materializes)
@@ -1018,10 +1024,14 @@ object PartitionedTable {
       VersionedStore.path(storeDir, base).toString }
     val delKeys = batch.filter(col(partCol).isin(dvVals: _*))
       .select(col(partCol).as("part"), col(keyCol).as("__k")).distinct()
-    val newDv = readParquet(spark, baseDirs)
+    // pull _metadata BEFORE normalizing (column mapping projects, and a
+    // projection loses the scan's hidden metadata columns); bases written
+    // pre-rename then resolve part/key under their CURRENT names
+    val newDv = logicalize(spark, dir, readParquet(spark, baseDirs)
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__ri", col("_metadata.row_index")))
       .select(col(partCol).as("part"), col(keyCol).as("__k"),
-        col("_metadata.file_name").as("file"),
-        col("_metadata.row_index").as("row_index"))
+        col("__file").as("file"), col("__ri").as("row_index"))
       .join(broadcast(delKeys), Seq("part", "__k"), "left_semi")
       .select("part", "file", "row_index")
     val oldDvDirs = resolved.collect {
@@ -1103,12 +1113,18 @@ object PartitionedTable {
       .reduce(_ && _)
     if (live.isEmpty) return read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
     // keep-file conjunction over a stats frame: absent stats columns /
-    // NULL stats rows cannot DISPROVE overlap, so they keep the file
+    // NULL stats rows cannot DISPROVE overlap, so they keep the file.
+    // Under column mapping a sidecar tracks the name the column had AT
+    // WRITE TIME — every chain member prunes for its current name (any
+    // one file's sidecar row holds stats under exactly one member, the
+    // rest are merged-schema nulls, and NULL keeps)
+    val edges = colMapOf(spark, dir)
     def keepFilter(stats: DataFrame): Option[DataFrame] = {
       val conds = preds.flatMap { case (c, lo, hi) =>
-        if (!stats.columns.contains(s"min_$c")) None
-        else Some(coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi,
-          lit(true)))
+        chainMembersOf(edges, c)
+          .filter(m => stats.columns.contains(s"min_$m"))
+          .map(m => coalesce(col(s"max_$m") >= lo && col(s"min_$m") <= hi,
+            lit(true)))
       }
       if (conds.isEmpty) None // no predicate column tracked: keep all
       else Some(stats.filter(conds.reduce(_ && _)))
@@ -1136,8 +1152,10 @@ object PartitionedTable {
             .map(r => new Path(baseDir, r.getString(0)).toString).toSeq)
       basePaths match {
         case Some(Nil) => // every base file pruned: nothing in range
-          readPartitionDf(spark, dir, name, sv).filter(lit(false)).filter(pred)
-        case bp => readPartitionDf(spark, dir, name, sv, bp).filter(pred)
+          logicalize(spark, dir, readPartitionDf(spark, dir, name, sv))
+            .filter(lit(false)).filter(pred)
+        case bp => logicalize(spark, dir,
+          readPartitionDf(spark, dir, name, sv, bp)).filter(pred)
       }
     }.reduceOption(_.unionByName(_, true))
     if (solid.isEmpty)
@@ -1165,7 +1183,8 @@ object PartitionedTable {
     val paths = keptStatFiles ++ without.map(kv => versionDir(kv).toString)
     val solidDf =
       if (paths.isEmpty) None
-      else Some(readParquet(spark, paths.sorted).filter(pred))
+      else Some(logicalize(spark, dir, readParquet(spark, paths.sorted))
+        .filter(pred))
     (solidDf.toSeq ++ deltaDf.toSeq).reduceOption(_.unionByName(_, true))
       .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
   }
@@ -1215,17 +1234,24 @@ object PartitionedTable {
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
     }
-    val vCast = readParquet(spark, Seq(typeDonor.toString)).schema
-      .find(_.name == c).map(f => value.cast(f.dataType)).getOrElse(value)
+    // column mapping: the donor footer (and every bloom sidecar) holds
+    // the name the column had AT WRITE TIME — try every chain member
+    val members = chainMembersOf(colMapOf(spark, dir), c)
+    val donorSchema = readParquet(spark, Seq(typeDonor.toString)).schema
+    val vCast = members.reverse.flatMap(m => donorSchema.find(_.name == m))
+      .headOption.map(f => value.cast(f.dataType)).getOrElse(value)
     val pred = col(c) === vCast
     val deltaDf = asDelta.map { case (name, sv) =>
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val baseDir = VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
-      val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), c, vCast)
-      if (unpruned.nonEmpty) readPartitionDf(spark, dir, name, sv).filter(pred)
+      val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), members, vCast)
+      if (unpruned.nonEmpty)
+        logicalize(spark, dir, readPartitionDf(spark, dir, name, sv)).filter(pred)
       else if (kept.isEmpty) // definite miss in every base file
-        readPartitionDf(spark, dir, name, sv).filter(lit(false)).filter(pred)
-      else readPartitionDf(spark, dir, name, sv, Some(kept)).filter(pred)
+        logicalize(spark, dir, readPartitionDf(spark, dir, name, sv))
+          .filter(lit(false)).filter(pred)
+      else logicalize(spark, dir,
+        readPartitionDf(spark, dir, name, sv, Some(kept))).filter(pred)
     }.reduceOption(_.unionByName(_, true))
     val solidDf =
       if (solid.isEmpty) None
@@ -1233,10 +1259,11 @@ object PartitionedTable {
         val slices = solid.map { case (name, sv) =>
           name -> VersionedStore.path(
             storeDirOf(spark, dir, cloneSrc, name, sv), sv) }
-        val (kept, unpruned) = bloomPrune(spark, hfs, slices, c, vCast)
+        val (kept, unpruned) = bloomPrune(spark, hfs, slices, members, vCast)
         val paths = kept ++ unpruned.map(_.toString)
         if (paths.isEmpty) None
-        else Some(readParquet(spark, paths.sorted).filter(pred))
+        else Some(logicalize(spark, dir, readParquet(spark, paths.sorted))
+          .filter(pred))
       }
     (solidDf.toSeq ++ deltaDf.toSeq).reduceOption(_.unionByName(_, true))
       .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))
@@ -1252,13 +1279,16 @@ object PartitionedTable {
       spark: SparkSession,
       hfs: org.apache.hadoop.fs.FileSystem,
       slices: Seq[(String, Path)],
-      c: String,
+      members: Seq[String], // the probe column's rename-chain names
       value: Column): (Seq[String], Seq[Path]) = {
     val (withB, withoutB) = slices.partition { case (_, vd) =>
       hfs.exists(new Path(vd, BloomDir)) }
     if (withB.isEmpty) return (Nil, slices.map(_._2))
+    // a sidecar indexed the column under its AT-WRITE name — any chain
+    // member matches (each file's sidecar holds exactly one of them, so
+    // the per-file probe below never mixes two members)
     val bloom = spark.read.parquet(withB.map { case (_, vd) =>
-      new Path(vd, BloomDir).toString }: _*).filter(col("col") === lit(c))
+      new Path(vd, BloomDir).toString }: _*).filter(col("col").isin(members: _*))
     // partitions whose sidecar covers c prune; the rest keep all files
     val covered: Set[String] = bloom.select("part").distinct()
       .collect().map(r => escape(r.getString(0))).toSet // partition-count-sized
@@ -1757,6 +1787,10 @@ object PartitionedTable {
       case Nil => ()
       case cs => writeConstraints(spark, dstDir, cs) // invariants carry over
     }
+    colMapOf(spark, srcDir) match {
+      case Nil => ()
+      case es => writeColMap(spark, dstDir, es) // renames resolve identically
+    }
     commitManifest(spark, dstDir, m,
       Some(metaLine("clone", 0, m.size, at)))
   }
@@ -2077,6 +2111,196 @@ object PartitionedTable {
       s"PartitionedTable: batch violates CHECK constraint(s) " +
         broken.map { case (n, e) => s"$n ($e)" }.mkString(", ") +
         s" under $dir — nothing landed")
+  }
+
+  // ---------------------------------------------------------------------
+  // Column mapping (the Delta column-mapping semantic, name-based):
+  // RENAME and DROP a column as pure metadata — no data file is ever
+  // read or rewritten, which is the only rename anyone can afford at
+  // 100 TB. Old files keep their as-written names forever; a versioned
+  // catalog of rename edges maps every historical name to its current
+  // one, and every read normalizes: the footer-merging scan surfaces
+  // each chain's members as disjoint null-filled columns (any one file
+  // carries exactly ONE member), so coalescing the chain IS the rename.
+  // Writes always use CURRENT names — a post-rename merge lands files
+  // with the new name and untouched partitions keep the old one, both
+  // resolving to the same logical column at read. Retired names (any
+  // edge's old side, any dropped name) are refused on every incoming
+  // batch, so resolution stays unambiguous forever. The mapping is
+  // table-wide, not per-version: time travel reads OLD DATA under
+  // CURRENT names (the Delta behavior). Renames of columns a CHECK
+  // constraint or generation rule references are refused — those store
+  // SQL/rule text that would silently dangle.
+  // ---------------------------------------------------------------------
+
+  private val ColMapPrefix = "_colmap."
+
+  private def colMapVersions(
+      spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(ColMapPrefix))
+      .flatMap(p => p.getName.stripPrefix(ColMapPrefix)
+        .toLongOption.map(_ -> p))
+  }
+
+  /** The table's column-mapping edges in declaration order:
+    * (old, new) renames; (name, "") drops. Empty for unmapped tables. */
+  def colMapOf(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    colMapVersions(spark, dir).maxByOption(_._1) match {
+      case None => Nil
+      case Some((_, p)) =>
+        readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
+          line =>
+            val Array(o, n) = line.split("\t", 2).padTo(2, "")
+            (o, n)
+        }
+    }
+  }
+
+  private def writeColMap(
+      spark: SparkSession, dir: String, edges: Seq[(String, String)]): Unit = {
+    val hfs = VersionedStore.fs(spark, dir)
+    hfs.mkdirs(new Path(dir, ManifestDir))
+    val next = colMapVersions(spark, dir)
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-colmap-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(edges.map { case (o, n) => s"$o\t$n" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(new Path(dir, ManifestDir), s"$ColMapPrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: lost the column-map slot $next under $dir " +
+          "(concurrent rename?); re-read and retry")
+    }
+  }
+
+  /** Walk `name` through the edges: Some(current name), or None once a
+    * drop retires the chain. */
+  private def resolveName(
+      edges: Seq[(String, String)], name: String): Option[String] =
+    edges.foldLeft(Option(name)) {
+      case (Some(cur), (o, n)) if o == cur => if (n.isEmpty) None else Some(n)
+      case (acc, _) => acc
+    }
+
+  /** Every name retired by the catalog: edges' old sides and dropped
+    * names — refused on every incoming batch so a historical name can
+    * never be reintroduced as a different column. */
+  private def retiredNames(edges: Seq[(String, String)]): Set[String] =
+    edges.map(_._1).toSet
+
+  /** All historical names that resolve to current name `c`, oldest
+    * first, `c` itself last — the coalesce order (at most one member is
+    * non-null per row, so order only matters for determinism). */
+  private def chainMembersOf(
+      edges: Seq[(String, String)], c: String): Seq[String] = {
+    val retired = retiredNames(edges)
+    (edges.map(_._1).filter(o => resolveName(edges, o).contains(c)) ++
+      (if (!retired.contains(c)) Seq(c) else Nil)).distinct
+  }
+
+  /** Normalize a frame read from files to the CURRENT logical schema:
+    * coalesce each rename chain's members into its current name, drop
+    * retired chains, pass unmapped columns through untouched. Pure
+    * projection — idempotent, driver-side catalog read only. */
+  private def logicalize(
+      spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val edges = colMapOf(spark, dir)
+    if (edges.isEmpty) return df
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    df.columns.foreach { c =>
+      resolveName(edges, c).foreach { fin =>
+        out(fin) = out.getOrElse(fin, Nil) :+ c
+      }
+    }
+    require(out.nonEmpty,
+      s"PartitionedTable: column mapping under $dir drops every column " +
+        s"of [${df.columns.mkString(",")}]")
+    df.select(out.map { case (fin, members) =>
+      // newest-first: the current name's own column (when present) wins
+      val ordered = members.sortBy(m => if (m == fin) 0 else 1)
+      (if (ordered.size == 1) col(ordered.head)
+       else coalesce(ordered.map(col): _*)).as(fin)
+    }.toSeq: _*)
+  }
+
+  /** Fail loud when a batch reintroduces a retired column name. */
+  private def refuseRetiredNames(
+      spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val retired = retiredNames(colMapOf(spark, dir))
+    if (retired.isEmpty) return
+    val clash = df.columns.filter(retired.contains)
+    require(clash.isEmpty,
+      s"PartitionedTable: batch reuses retired column name(s) " +
+        s"${clash.mkString(", ")} under $dir — renamed/dropped names " +
+        "stay retired (resolution must remain unambiguous)")
+  }
+
+  /** Block renames/drops of columns that persisted text references —
+    * a CHECK constraint's SQL or the generation rule — would dangle. */
+  private def refuseReferencedColumn(
+      spark: SparkSession, dir: String, name: String, op: String): Unit = {
+    val word = ("(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+    constraintsOf(spark, dir).foreach { case (cn, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"PartitionedTable: cannot $op column $name under $dir — CHECK " +
+          s"constraint $cn ($e) references it (drop the constraint first)")
+    }
+    generatedBy(spark, dir).foreach { case (src, g, pn) =>
+      require(name != src && name != pn,
+        s"PartitionedTable: cannot $op column $name under $dir — the " +
+          s"generation rule ${g.name}($src) -> $pn references it")
+    }
+  }
+
+  /** RENAME a column: one catalog write, zero data movement. `from`
+    * must be a current logical column; `to` must be brand new — never
+    * a live column, never a retired name (see [[colMapOf]]). */
+  def renameColumn(
+      spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n') &&
+      !from.exists(c => c == '\t' || c == '\n'),
+      s"rename: bad column name '$to' (empty/tab/newline)")
+    require(from != to, s"rename: $from -> $to is a no-op")
+    require(versions(spark, dir).nonEmpty,
+      s"PartitionedTable: no committed manifests under $dir")
+    val edges = colMapOf(spark, dir)
+    val current = read(spark, dir).columns.toSet // footer merge, no scan
+    require(current.contains(from),
+      s"PartitionedTable: no column $from under $dir " +
+        s"(have ${current.toSeq.sorted.mkString(", ")})")
+    require(!current.contains(to),
+      s"PartitionedTable: column $to already exists under $dir")
+    require(!retiredNames(edges).contains(to),
+      s"PartitionedTable: $to is a retired name under $dir — pick a " +
+        "name never used before")
+    refuseReferencedColumn(spark, dir, from, "rename")
+    writeColMap(spark, dir, edges :+ (from, to))
+  }
+
+  /** DROP a column: one catalog write, zero data movement — every read
+    * (any version) stops surfacing it; the name is retired for good. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    require(versions(spark, dir).nonEmpty,
+      s"PartitionedTable: no committed manifests under $dir")
+    val edges = colMapOf(spark, dir)
+    val current = read(spark, dir).columns.toSet
+    require(current.contains(name),
+      s"PartitionedTable: no column $name under $dir " +
+        s"(have ${current.toSeq.sorted.mkString(", ")})")
+    require(current.size > 1,
+      s"PartitionedTable: cannot drop the last column $name under $dir")
+    refuseReferencedColumn(spark, dir, name, "drop")
+    writeColMap(spark, dir, edges :+ (name, ""))
   }
 
   /** Star-join partition pruning — the manifest-level analogue of
@@ -2933,6 +3157,47 @@ object PartitionedTable {
         .groupBy("n_moved", "o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Column mapping, hash-gated: commit orders, RENAME
+    // o_totalprice -> revenue (pure metadata — no file moves, spec'd at
+    // byte level), merge a change batch under the NEW name, then DROP
+    // o_orderpriority. The final aggregate must equal DuckDB
+    // recomputing the evolved table from source with the same alias, so
+    // the gate breaks if the rename-chain coalesce loses a pre-rename
+    // row's value, the post-rename merge misroutes, or the drop leaks
+    // the hidden column (n_cols pins the final logical width). Retired-
+    // name refusals, chained renames, sidecar/DV interplay, and clone
+    // inheritance are gated in PartitionedTableSpec.
+    QueryDef.sql("q100_column_mapping",
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS revenue
+        |  FROM orders)
+        |SELECT 3 AS n_cols, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(revenue), 2) AS rev
+        |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q100_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      commit(s, store, orders, "o_orderstatus")
+      renameColumn(s, store, "o_totalprice", "revenue")
+      val batch = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
+        .withColumn("revenue", col("o_totalprice") + 100)
+        .drop("o_totalprice")
+        .withColumn("op", lit("upsert"))
+      merge(s, store, batch, "o_orderkey", "o_orderstatus")
+      dropColumn(s, store, "o_orderpriority")
+      val t = read(s, store)
+      t.withColumn("n_cols", lit(t.columns.length))
+        .groupBy("n_cols", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("revenue"), 2).as("rev"))
     }
   )
 }

@@ -199,6 +199,10 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                      // + manifest delta in the commit
                                      // job, untouched partitions pure
                                      // metadata carry-over
+    "q100_column_mapping" -> 1, // one normalized (coalesce-projected)
+                                // version scan into one grouped agg;
+                                // rename and drop are driver-side
+                                // catalog writes, no job at all
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

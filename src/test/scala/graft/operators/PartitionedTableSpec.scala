@@ -437,6 +437,128 @@ class PartitionedTableSpec extends SparkSpec {
     assert(m("__part=p2") === PartitionedTable.manifest(spark, dir, 1L)("__part=p2"))
   }
 
+  test("column mapping: rename/drop are metadata-only, chains coalesce across file generations, retired names stay dead") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    val before = Seq("__part=p0", "__part=p1", "__part=p2", "__part=p3")
+      .map(p => p -> files(dir, p)).toMap
+
+    // rename v -> val: ZERO data movement, every file byte-identical
+    PartitionedTable.renameColumn(spark, dir, "v", "val")
+    before.foreach { case (p, fs0) =>
+      assert(files(dir, p) === fs0, s"rename rewrote $p")
+    }
+    val r1 = PartitionedTable.read(spark, dir)
+    assert(r1.columns.toSeq === Seq("k", "part", "val"))
+    assert(r1.filter(col("k") === 7).head.getAs[Long]("val") === 70L)
+    // the mapping is table-wide: time travel reads old data under the
+    // CURRENT name (the Delta column-mapping behavior)
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L))
+      .columns.toSeq === Seq("k", "part", "val"))
+
+    // writes use the current name; a second rename chains — reads now
+    // coalesce THREE file generations (v, val, amount) into one column
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "val", "op"),
+      "k", "part")
+    PartitionedTable.renameColumn(spark, dir, "val", "amount")
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "amount", "op"),
+      "k", "part")
+    val r2 = PartitionedTable.read(spark, dir)
+    assert(r2.columns.toSeq === Seq("k", "part", "amount"))
+    val byK = r2.collect().map(r => r.getLong(0) -> r.getAs[Long]("amount")).toMap
+    assert(byK(1L) === 111L && byK(2L) === 222L && byK(7L) === 70L)
+    assert(r2.count() === 100)
+
+    // retired names stay dead: as a rename target AND in any batch
+    intercept[IllegalArgumentException] {
+      PartitionedTable.renameColumn(spark, dir, "amount", "v")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedTable.merge(spark, dir,
+        Seq((3L, "p3", 1L, "upsert")).toDF("k", "part", "val", "op"),
+        "k", "part")
+    }
+    // live-name and missing-column refusals
+    intercept[IllegalArgumentException] {
+      PartitionedTable.renameColumn(spark, dir, "amount", "k")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedTable.renameColumn(spark, dir, "nope", "x")
+    }
+
+    // DROP hides the column everywhere, metadata-only, name retired
+    PartitionedTable.dropColumn(spark, dir, "amount")
+    assert(PartitionedTable.read(spark, dir).columns.toSeq === Seq("k", "part"))
+    assert(PartitionedTable.read(spark, dir, asOf = Some(0L))
+      .columns.toSeq === Seq("k", "part"))
+    intercept[IllegalArgumentException] { // re-add refused
+      PartitionedTable.merge(spark, dir,
+        Seq((4L, "p0", 9L, "upsert")).toDF("k", "part", "amount", "op"),
+        "k", "part")
+    }
+
+    // referenced-column guards: CHECK constraints and generation rules
+    PartitionedTable.addConstraint(spark, dir, "k_pos", "k >= 0")
+    intercept[IllegalArgumentException] {
+      PartitionedTable.renameColumn(spark, dir, "k", "id")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedTable.dropColumn(spark, dir, "k")
+    }
+    PartitionedTable.dropConstraint(spark, dir, "k_pos")
+    PartitionedTable.renameColumn(spark, dir, "k", "id") // now fine
+    assert(PartitionedTable.read(spark, dir).columns.toSeq === Seq("id", "part"))
+
+    // a clone inherits the mapping (same logical schema, zero copy)
+    val cloneDir = freshStore()
+    PartitionedTable.cloneTable(spark, dir, cloneDir)
+    assert(PartitionedTable.read(spark, cloneDir).columns.toSeq
+      === Seq("id", "part"))
+  }
+
+  test("column mapping rides the skip/DV machinery: stats and bloom sidecars prune under at-write names, DV deletes resolve renamed keys") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part",
+      statsCols = Seq("v"), bloomCols = Seq("v"))
+    PartitionedTable.renameColumn(spark, dir, "v", "val")
+
+    // stats pruning on the NEW name still prunes files whose sidecar
+    // tracked the OLD name, and the result is exact
+    val ranged = PartitionedTable.readWhere(spark, dir, "val",
+      lit(100L), lit(200L))
+    assert(ranged.collect().map(_.getAs[Long]("val")).sorted.toSeq
+      === (100L to 200L by 10).toSeq)
+    // bloom point lookup across the rename, exact hit and clean miss
+    assert(PartitionedTable.readEq(spark, dir, "val", lit(70L))
+      .collect().map(_.getAs[Long]("val")).toSeq === Seq(70L))
+    assert(PartitionedTable.readEq(spark, dir, "val", lit(71L)).count() === 0)
+
+    // a post-rename merge lands NEW-name files + sidecars; both name
+    // generations prune together in one read
+    PartitionedTable.merge(spark, dir,
+      Seq((401L, "p1", 150L, "upsert")).toDF("k", "part", "val", "op"),
+      "k", "part", statsCols = Seq("val"))
+    val mixed = PartitionedTable.readWhere(spark, dir, "val",
+      lit(100L), lit(200L))
+    assert(mixed.collect().map(_.getAs[Long]("val")).sorted.toSeq
+      === ((100L to 200L by 10) :+ 150L).sorted.toSeq)
+
+    // rename the KEY column, then a delete-only merge: the DV base scan
+    // resolves the key under its current name, tombstones land exact
+    PartitionedTable.renameColumn(spark, dir, "k", "id")
+    PartitionedTable.merge(spark, dir,
+      Seq((8L, "p0", 0L, "delete")).toDF("id", "part", "val", "op"),
+      "id", "part")
+    val afterDel = PartitionedTable.read(spark, dir)
+    assert(afterDel.count() === 100, "101 rows - 1 delete")
+    assert(afterDel.filter(col("id") === 8L).count() === 0)
+    assert(afterDel.filter(col("id") === 18L).count() === 1)
+  }
+
   test("incremental view maintenance from the partitioned pre-image feed equals recompute") {
     import spark.implicits._
     val dir = freshStore()
