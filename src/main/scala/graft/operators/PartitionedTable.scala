@@ -633,6 +633,7 @@ object PartitionedTable {
     * but never a driver OOM. */
   private val DvDir = "_dv"
   private val BaseFile = "_base.txt"
+  private val AppendDir = "_append"
 
   /** Default absolute bound on a partition's tombstone count before a
     * delete-only merge rewrites instead (4M rows ≈ a few hundred MB
@@ -649,25 +650,35 @@ object PartitionedTable {
     * string + row_index long + row overhead). */
   private val DvRowBytes = 64L
 
-  /** Can `newDeletes` more tombstones land on `value`'s pinned version
-    * as a DV delta without breaching the growth bounds? Footer-count
-    * metadata reads only. `newDeletes` counts the batch's delete ROWS —
-    * an overestimate when keys repeat or miss (which only rewrites
-    * earlier: safe). */
+  /** Can `newRows` more delta state (tombstones for the batch's keys +
+    * appended upsert rows) land on `value`'s pinned version as a
+    * merge-on-read delta without breaching the growth bounds?
+    * Footer-count metadata reads only. `newRows` counts the batch's
+    * rows — an overestimate of real growth when keys repeat or miss
+    * (which only rewrites earlier: safe). Existing state counts BOTH
+    * sidecars: tombstones (broadcast into every read's anti join) and
+    * appended rows (folded forward on every chained merge). */
   private def dvWithinBounds(
       spark: SparkSession, dir: String, m: Map[String, Long], value: String,
-      newDeletes: Long, maxRows: Long, maxFraction: Double): Boolean = {
+      newRows: Long, maxRows: Long, maxFraction: Double): Boolean = {
     val name = escape(value)
     val sv = m(name)
     val storeDir = storeDirOf(spark, dir, name, sv)
     val base = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
     val existing =
       if (base == sv) 0L
-      else VersionedStore.footerRowCount(spark,
-        new Path(VersionedStore.path(storeDir, sv), DvDir))
+      else {
+        val vdir = VersionedStore.path(storeDir, sv)
+        VersionedStore.footerRowCount(spark, new Path(vdir, DvDir)) + {
+          val app = new Path(vdir, AppendDir)
+          if (VersionedStore.fs(spark, storeDir).exists(app))
+            VersionedStore.footerRowCount(spark, app)
+          else 0L
+        }
+      }
     val baseRows = VersionedStore.footerRowCount(spark,
       VersionedStore.path(storeDir, base))
-    val est = existing + newDeletes
+    val est = existing + newRows
     est <= maxRows && (baseRows == 0L || est <= maxFraction * baseRows)
   }
 
@@ -697,12 +708,15 @@ object PartitionedTable {
   }
 
   /** One partition's pinned version as a frame — a full version scans
-    * its dir; a DV delta scans its BASE and anti-joins the (broadcast,
-    * tombstone-sized) deletion vector on (file_name, row_index), the
-    * stable row identity immutable files guarantee. `basePaths`
+    * its dir; a merge-on-read delta scans its BASE, anti-joins the
+    * (broadcast, tombstone-sized) deletion vector on
+    * (file_name, row_index) — the stable row identity immutable files
+    * guarantee — and unions its `_append` (upsert payloads, which the
+    * DV never names: tombstones cover base files only). `basePaths`
     * narrows the base scan to specific files (stats pruning — sound
     * under DVs, which only REMOVE rows and can never resurrect one a
-    * pruned file would have held). */
+    * pruned file would have held; `Some(Nil)` = every base file pruned,
+    * where the append must STILL be read — its rows carry no stats). */
   private[operators] def readPartitionDf(
       spark: SparkSession, dir: String, name: String, sv: Long,
       basePaths: Option[Seq[String]] = None): DataFrame = {
@@ -712,6 +726,7 @@ object PartitionedTable {
       case None => readParquet(spark, basePaths.getOrElse(Seq(vdir.toString)))
       case Some(b) =>
         val dvPath = new Path(vdir, DvDir)
+        val baseDir = VersionedStore.path(storeDir, b).toString
         val dv = spark.read.parquet(dvPath.toString)
           .select(col("file").as("__file"), col("row_index").as("__ri"))
         // broadcast only while the DV's estimated in-memory size fits
@@ -724,12 +739,19 @@ object PartitionedTable {
         val dvSide =
           if (threshold > 0 && dvRows * DvRowBytes <= threshold) broadcast(dv)
           else dv
-        readParquet(spark,
-          basePaths.getOrElse(Seq(VersionedStore.path(storeDir, b).toString)))
+        val base = basePaths match {
+          case Some(Nil) => readParquet(spark, Seq(baseDir)).limit(0)
+          case bp => readParquet(spark, bp.getOrElse(Seq(baseDir)))
+        }
+        val live = base
           .withColumn("__file", col("_metadata.file_name"))
           .withColumn("__ri", col("_metadata.row_index"))
           .join(dvSide, Seq("__file", "__ri"), "left_anti")
           .drop("__file", "__ri")
+        val appendPath = new Path(vdir, AppendDir)
+        if (VersionedStore.fs(spark, storeDir).exists(appendPath))
+          live.unionByName(readParquet(spark, Seq(appendPath.toString)), true)
+        else live
     }
   }
 
@@ -938,22 +960,41 @@ object PartitionedTable {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val touchedVals = census.map(_._1)
     val touchedNames = touchedVals.map(escape)
-    // DELETE-ONLY partitions that already exist take the deletion-vector
-    // fast path — but only inside the growth bounds: an over-bound
-    // delete batch (or one landing on an already-tombstone-heavy delta)
-    // routes through the rewrite below instead, folding the partition
-    // back to a full version. On a shallow CLONE the fast path is off
-    // entirely — a local DV delta would name a base that lives
-    // source-side, and the DV reader resolves base and delta in ONE
-    // store dir; copy-on-write rewrite keeps the invariant instead.
+    // EXISTING partitions take the merge-on-read fast path — deletes
+    // land as tombstones, upserts as tombstones + a batch-sized
+    // `_append` — but only inside the growth bounds: an over-bound
+    // batch (or one landing on an already-delta-heavy version) routes
+    // through the rewrite below instead, folding the partition back to
+    // a full version. Strict schema stays strict: an upsert batch whose
+    // payload columns don't match the base (modulo column mapping)
+    // falls to the rewrite path, whose unionByName raises exactly the
+    // error a rewrite would have. On a shallow CLONE the fast path is
+    // off entirely — a local delta would name a base that lives
+    // source-side, and the delta reader resolves base and sidecars in
+    // ONE store dir; copy-on-write rewrite keeps the invariant instead.
+    val edges = colMapOf(spark, dir)
+    val payloadCols = batch.columns.toSet - opCol
+    def morCompatible(v: String): Boolean = {
+      val name = escape(v)
+      val storeDir = storeDirOf(spark, dir, name, m(name))
+      val b = dvBaseOf(spark, storeDir, m(name)).getOrElse(m(name))
+      val baseCols = readParquet(spark,
+        Seq(VersionedStore.path(storeDir, b).toString)).columns
+        .flatMap(c => resolveName(edges, c)).toSet
+      baseCols == payloadCols
+    }
     val dvVals =
       if (cloneSrcOf(spark, dir).isDefined) Nil
       else census.collect {
-        case (v, ups, n) if ups == 0 && m.contains(escape(v)) &&
-            dvWithinBounds(spark, dir, m, v, n, dvMaxRows, dvMaxFraction) => v
+        case (v, ups, n) if m.contains(escape(v)) &&
+            dvWithinBounds(spark, dir, m, v, n + ups, dvMaxRows,
+              dvMaxFraction) &&
+            (ups == 0 || allowSchemaEvolution || morCompatible(v)) => v
       }
-    val dvCommitted = landDeletionVectors(spark, dir, m, batch, dvVals,
-      keyCol, partCol)
+    val dvCommitted = landMorDeltas(spark, dir, m, batch, dvVals,
+      keyCol, partCol, opCol,
+      hasUpserts = census.exists { case (v, ups, _) =>
+        ups > 0 && dvVals.contains(v) })
     val rwVals = touchedVals.filterNot(dvVals.contains)
     if (rwVals.isEmpty) return (dvCommitted, touchedNames)
     val rwNames = rwVals.map(escape)
@@ -995,21 +1036,29 @@ object PartitionedTable {
     (dvCommitted ++ committed, touchedNames)
   }
 
-  /** Land deletion-vector delta versions for delete-only partitions:
-    * ONE metadata-projected scan of their base versions semi-joined
-    * with the (broadcast, batch-sized) delete keys yields the new
-    * tombstones; existing DVs (same base) union in; each partition's
-    * slice assembles as `batch=<next>/{_dv, _base.txt}` in a dot-tmp
-    * and renames into place — the partition's DATA FILES are never
-    * read beyond metadata+key columns and never rewritten. */
-  private def landDeletionVectors(
+  /** Land merge-on-read delta versions for the routed partitions: ONE
+    * metadata-projected scan of their base versions semi-joined with
+    * the (broadcast, batch-sized) batch keys yields the new tombstones
+    * (an upsert tombstones the row it replaces, a delete the row it
+    * removes); existing DVs (same base) union in; UPSERT payloads land
+    * as a batch-sized `_append`, with any existing append folded
+    * forward (replaced/deleted append rows anti-joined away — append
+    * rows never get DV entries, so the DV names BASE files only and
+    * every chained delta keeps resolving against the original base).
+    * Each partition's slice assembles as
+    * `batch=<next>/{_dv, _base.txt[, _append]}` in a dot-tmp and
+    * renames into place — the partition's DATA FILES are never read
+    * beyond metadata+key columns and never rewritten. */
+  private def landMorDeltas(
       spark: SparkSession,
       dir: String,
       m: Map[String, Long],
       batch: DataFrame,
       dvVals: Seq[String],
       keyCol: String,
-      partCol: String): Map[String, Long] = {
+      partCol: String,
+      opCol: String,
+      hasUpserts: Boolean): Map[String, Long] = {
     if (dvVals.isEmpty) return Map.empty
     val hfs = VersionedStore.fs(spark, dir)
     // per partition: the pinned version and the FULL base it resolves to
@@ -1022,7 +1071,8 @@ object PartitionedTable {
     }
     val baseDirs = resolved.map { case (_, _, storeDir, _, base) =>
       VersionedStore.path(storeDir, base).toString }
-    val delKeys = batch.filter(col(partCol).isin(dvVals: _*))
+    val slice = batch.filter(col(partCol).isin(dvVals: _*))
+    val delKeys = slice
       .select(col(partCol).as("part"), col(keyCol).as("__k")).distinct()
     // pull _metadata BEFORE normalizing (column mapping projects, and a
     // projection loses the scan's hidden metadata columns); bases written
@@ -1045,25 +1095,53 @@ object PartitionedTable {
     val dvTmp = new Path(dir, s".tmp-dv-${java.util.UUID.randomUUID}")
     allDv.withColumn(PartDir, col("part"))
       .write.partitionBy(PartDir).parquet(dvTmp.toString)
+    // appends: this batch's upsert payloads, plus existing appends with
+    // their replaced/deleted rows folded away (batch/append-sized work)
+    val upserts = slice.filter(col(opCol) <=> "upsert").drop(opCol)
+    val oldAppendDirs = resolved.collect {
+      case (_, _, storeDir, sv, base) if sv != base &&
+          hfs.exists(new Path(VersionedStore.path(storeDir, sv), AppendDir)) =>
+        new Path(VersionedStore.path(storeDir, sv), AppendDir).toString
+    }
+    // pure delete paths with no prior appends skip the append job
+    // entirely — a delete-only merge costs exactly what it used to
+    val appTmp = new Path(dir, s".tmp-append-${java.util.UUID.randomUUID}")
+    if (hasUpserts || oldAppendDirs.nonEmpty) {
+      val keep = delKeys.withColumnRenamed("part", partCol)
+        .withColumnRenamed("__k", keyCol)
+      val old =
+        if (oldAppendDirs.isEmpty) None
+        else Some(logicalize(spark, dir, readParquet(spark, oldAppendDirs))
+          .join(broadcast(keep), Seq(partCol, keyCol), "left_anti"))
+      val appendRows = old.map(_.unionByName(upserts, true)).getOrElse(upserts)
+      appendRows.withColumn(PartDir, col(partCol))
+        .write.partitionBy(PartDir).parquet(appTmp.toString)
+    }
     val committed = resolved.map { case (v, name, storeDir, _, base) =>
       val stage = new Path(storeDir, s".tmp-dv-${java.util.UUID.randomUUID}")
       hfs.mkdirs(stage)
-      val slice = new Path(dvTmp, escape(v))
-      if (hfs.exists(slice)) {
-        if (!hfs.rename(slice, new Path(stage, DvDir)))
+      val dvSlice = new Path(dvTmp, escape(v))
+      if (hfs.exists(dvSlice)) {
+        if (!hfs.rename(dvSlice, new Path(stage, DvDir)))
           throw new java.io.IOException(
-            s"PartitionedTable: DV rename $slice failed")
+            s"PartitionedTable: DV rename $dvSlice failed")
       } else {
-        // a delete batch matching no stored rows still mints a version
+        // a batch matching no stored rows still mints a version
         // (uniform merge semantics) — its DV is a typed empty parquet
         allDv.limit(0).write.parquet(new Path(stage, DvDir).toString)
       }
+      val appSlice = new Path(appTmp, escape(v))
+      if (hfs.exists(appTmp) && hfs.exists(appSlice) &&
+          !hfs.rename(appSlice, new Path(stage, AppendDir)))
+        throw new java.io.IOException(
+          s"PartitionedTable: append rename $appSlice failed")
       val out = hfs.create(new Path(stage, BaseFile), true)
       try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       name -> landStoreVersion(spark, storeDir, stage)
     }.toMap
     hfs.delete(dvTmp, true)
+    hfs.delete(appTmp, true)
     committed
   }
 
@@ -1150,13 +1228,10 @@ object PartitionedTable {
           spark.read.option("mergeSchema", "true").parquet(statsPath.toString))
           .map(_.select("file").collect() // file-count-sized
             .map(r => new Path(baseDir, r.getString(0)).toString).toSeq)
-      basePaths match {
-        case Some(Nil) => // every base file pruned: nothing in range
-          logicalize(spark, dir, readPartitionDf(spark, dir, name, sv))
-            .filter(lit(false)).filter(pred)
-        case bp => logicalize(spark, dir,
-          readPartitionDf(spark, dir, name, sv, bp)).filter(pred)
-      }
+      // Some(Nil) = every base file pruned; the partition still reads —
+      // a merge-on-read append carries no stats and must stay exact
+      logicalize(spark, dir,
+        readPartitionDf(spark, dir, name, sv, basePaths)).filter(pred)
     }.reduceOption(_.unionByName(_, true))
     if (solid.isEmpty)
       return deltaDf.getOrElse(
@@ -1247,11 +1322,9 @@ object PartitionedTable {
       val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), members, vCast)
       if (unpruned.nonEmpty)
         logicalize(spark, dir, readPartitionDf(spark, dir, name, sv)).filter(pred)
-      else if (kept.isEmpty) // definite miss in every base file
-        logicalize(spark, dir, readPartitionDf(spark, dir, name, sv))
-          .filter(lit(false)).filter(pred)
-      else logicalize(spark, dir,
-        readPartitionDf(spark, dir, name, sv, Some(kept))).filter(pred)
+      else // definite miss in every base file still probes the append
+        logicalize(spark, dir,
+          readPartitionDf(spark, dir, name, sv, Some(kept))).filter(pred)
     }.reduceOption(_.unionByName(_, true))
     val solidDf =
       if (solid.isEmpty) None
@@ -1746,11 +1819,14 @@ object PartitionedTable {
     * clone's manifest v0 plus a `_clone` pointer — pure metadata, zero
     * data movement. The generation rule (if any) carries over, so
     * generated routing and [[readWhereSrc]] keep working on the clone.
-    * Refused: a source version that pins deletion-vector deltas
-    * (their base chain lives source-side — compact the source first),
-    * and cloning a clone (resolution is one level deep by design —
-    * re-clone the original). Source and clone must share a filesystem
-    * (path resolution, not data copy). Returns the clone's manifest
+    * Merge-on-read deltas clone fine: a pinned delta and its base live
+    * in the SAME source store dir, and per-version resolution sends
+    * both source-side until the clone's own copy-on-write rewrite
+    * repoints the partition (the clone never lands deltas of its own —
+    * a local delta would name a source-side base). Refused: cloning a
+    * clone (resolution is one level deep by design — re-clone the
+    * original). Source and clone must share a filesystem (path
+    * resolution, not data copy). Returns the clone's manifest
     * version 0. */
   def cloneTable(
       spark: SparkSession, srcDir: String, dstDir: String,
@@ -1765,11 +1841,6 @@ object PartitionedTable {
       s"PartitionedTable: version $v not committed under $srcDir")
     val m = manifest(spark, srcDir, v)
     require(m.nonEmpty, s"PartitionedTable: refusing to clone empty version $v")
-    val dvRefs = m.keys.filter(name =>
-      dvBaseOf(spark, new Path(srcDir, name).toString, m(name)).isDefined)
-    require(dvRefs.isEmpty,
-      s"PartitionedTable: source version $v pins deletion-vector deltas " +
-        s"(${dvRefs.mkString(", ")}) — compact the source before cloning")
     require(versions(spark, dstDir).isEmpty,
       s"PartitionedTable: clone target $dstDir is not empty")
     val hfs = VersionedStore.fs(spark, dstDir)
@@ -2398,10 +2469,16 @@ object PartitionedTable {
         val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
         val effDir = VersionedStore.path(storeDir, eff)
         val (files, bytes) = Compaction.layoutStats(spark, effDir.toString)
-        // live rows: the base's footer count minus tombstones on a DV
+        // live rows on a merge-on-read delta: the base's footer count
+        // minus tombstones plus appended upsert rows
         val rowCount = VersionedStore.footerRowCount(spark, effDir) -
           (if (isDv) VersionedStore.footerRowCount(spark,
-            new Path(VersionedStore.path(storeDir, sv), DvDir)) else 0L)
+            new Path(VersionedStore.path(storeDir, sv), DvDir)) else 0L) +
+          (if (isDv && hfs.exists(
+              new Path(VersionedStore.path(storeDir, sv), AppendDir)))
+            VersionedStore.footerRowCount(spark,
+              new Path(VersionedStore.path(storeDir, sv), AppendDir))
+          else 0L)
         (ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$PartDir=")),
           sv, resolved, files.toLong, bytes, rowCount, isDv,
           hfs.exists(new Path(effDir, StatsDir)),
@@ -3198,6 +3275,64 @@ object PartitionedTable {
         .groupBy("n_cols", "o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("revenue"), 2).as("rev"))
+    },
+
+    // Merge-on-read upserts, hash-gated: two CHAINED in-bound change
+    // batches on the 'F' partition (upserts + deletes, ~2% buckets)
+    // land as deltas — tombstones over the base plus batch-sized
+    // appends, the base files never rewritten (byte-level in the spec).
+    // The second batch REPLACES rows the first batch appended, so the
+    // gate breaks if the append fold duplicates or loses a row, a
+    // tombstone leaks onto an appended key, or the delta read loses
+    // exactness; n_delta pins that BOTH merges actually routed
+    // merge-on-read (a fold would read the same values but flip the
+    // pin to 0). Over-bound folds, skipping over deltas, and
+    // describeDetail accounting are spec-gated.
+    QueryDef.sql("q101_mor_upserts",
+      """WITH s1 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 50 = 7)),
+        |s2 AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 3
+        |              THEN o_totalprice + 100
+        |              WHEN o_orderstatus = 'F' AND o_orderkey % 50 = 11
+        |              THEN o_totalprice + 50
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM s1)
+        |SELECT 1 AS n_delta, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM s2 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q101_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      commit(s, store, orders, "o_orderstatus")
+      val t = col("o_orderkey") % 50
+      val inF = col("o_orderstatus") === "F"
+      val b1 = orders.filter(inF && t.isin(3, 7))
+        .withColumn("o_totalprice",
+          when(t === 3, col("o_totalprice") + 100)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op", when(t === 7, "delete").otherwise("upsert"))
+      merge(s, store, b1, "o_orderkey", "o_orderstatus")
+      val b2 = orders.filter(inF && t.isin(3, 11))
+        .withColumn("o_totalprice",
+          when(t === 3, col("o_totalprice") + 200)
+            .otherwise(col("o_totalprice") + 50))
+        .withColumn("op", lit("upsert"))
+      merge(s, store, b2, "o_orderkey", "o_orderstatus")
+      read(s, store)
+        .withColumn("n_delta",
+          lit(dvPartitions(s, store, latest(s, store).get).size))
+        .groupBy("n_delta", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
     }
   )
 }

@@ -203,6 +203,11 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // version scan into one grouped agg;
                                 // rename and drop are driver-side
                                 // catalog writes, no job at all
+    "q101_mor_upserts" -> 1, // one delta read (base anti-joins the
+                             // broadcast DV, append unions in — no
+                             // data shuffle) into one grouped agg;
+                             // both merges' work lives in the
+                             // batch-sized delta jobs
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -80,6 +80,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q98_schema_evolution", // widening union + null-fill, any fan-out
     "q99_overwrite_partitions", // blind replace + metadata carry-over
     "q100_column_mapping", // rename-chain coalesce, any fan-out
+    "q101_mor_upserts", // chained delta folds + tombstones, any layout
     "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 
   test("results are identical under shuffle partition counts 3, 7, 16") {

@@ -215,10 +215,14 @@ class PartitionedTableSpec extends SparkSpec {
     import spark.implicits._
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(40), "part")
+    // dvMaxRows = 0 forces full rewrites: superseded versions must be
+    // UNREFERENCED to GC (a merge-on-read delta would pin its base)
     PartitionedTable.merge(spark, dir,
-      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 0L)
     PartitionedTable.merge(spark, dir,
-      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 0L)
     // plus an orphan from a simulated crashed merge
     val p3Store = s"$dir/__part=p3"
     VersionedStore.commit(spark, p3Store,
@@ -635,18 +639,38 @@ class PartitionedTableSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getString(2))).toSet
     assert(events === Set((1L, "delete"), (5L, "delete"), (9L, "delete")))
 
-    // an upsert-containing batch folds the partition back to full files
+    // an upsert-containing batch WITHIN bounds lands a merge-on-read
+    // delta too: tombstone the replaced base row + a batch-sized append
     // (k=13 is an EXISTING p1 key — key identity is (partition, key))
     PartitionedTable.merge(spark, dir,
       Seq((13L, "p1", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
     val m3 = PartitionedTable.manifest(spark, dir, 3L)
     val v3dir = VersionedStore.path(s"$dir/__part=p1", m3("__part=p1"))
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(v3dir, "_base.txt")),
-      "an upsert merge must materialize a full version")
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(v3dir, "_base.txt")),
+      "an in-bound upsert merge lands a merge-on-read delta, not a rewrite")
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(v3dir, "_append")),
+      "the upsert payload lands as the delta's append")
+    assert(files(dir, "__part=p1").filter(_._1.contains("batch=0")) === base0,
+      "base files stay byte-identical under merge-on-read")
     val st = PartitionedTable.read(spark, dir)
     assert(st.count() === 97 && st.filter(col("k") === 13).head.getLong(2) === 222L)
     assert(st.filter(col("k").isin(1L, 5L, 9L) && col("part") === "p1").count() === 0,
-      "DV tombstones must survive the fold")
+      "DV tombstones must survive into the delta chain")
+
+    // an OVER-BOUND upsert batch folds the partition back to full files
+    // (appended rows and tombstones both survive the fold)
+    PartitionedTable.merge(spark, dir,
+      Seq((17L, "p1", 333L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 1L)
+    val m4 = PartitionedTable.manifest(spark, dir, 4L)
+    val v4dir = VersionedStore.path(s"$dir/__part=p1", m4("__part=p1"))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(v4dir, "_base.txt")),
+      "an over-bound upsert merge must materialize a full version")
+    val st2 = PartitionedTable.read(spark, dir)
+    assert(st2.count() === 97 && st2.filter(col("k") === 17).head.getLong(2) === 333L)
+    assert(st2.filter(col("k") === 13).head.getLong(2) === 222L,
+      "appended rows must survive the fold")
+    assert(st2.filter(col("k").isin(1L, 5L, 9L) && col("part") === "p1").count() === 0)
 
     // vacuum keeps a DV's base while any kept manifest references the delta
     val dir2 = freshStore()
@@ -952,12 +976,93 @@ class PartitionedTableSpec extends SparkSpec {
       "routing must never change results")
   }
 
+  test("merge-on-read upserts: chained deltas fold appends, the base never rewrites, over-bound folds full, skipping stays exact") {
+    import spark.implicits._
+    val dir = freshStore()
+    // 50 rows/partition: the delta bound is 15 (30% fraction), so the
+    // 5-row and chained 9-row estimates stay inside it
+    PartitionedTable.commit(spark, dir, table(200), "part",
+      statsCols = Seq("v"))
+    val base0 = files(dir, "__part=p1").filter(_._1.contains("batch=0"))
+    val hfs = VersionedStore.fs(spark, dir)
+    def vdir(v: Long) = VersionedStore.path(s"$dir/__part=p1",
+      PartitionedTable.manifest(spark, dir, v)("__part=p1"))
+
+    // mixed batch: upsert an existing key, insert a new one, delete one
+    PartitionedTable.merge(spark, dir, Seq(
+      (1L, "p1", 111L, "upsert"), (401L, "p1", 4010L, "upsert"),
+      (5L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(hfs.exists(new Path(vdir(1L), "_base.txt")) &&
+      hfs.exists(new Path(vdir(1L), "_append")),
+      "an in-bound mixed batch lands a merge-on-read delta")
+    assert(files(dir, "__part=p1").filter(_._1.contains("batch=0")) === base0,
+      "the base is never rewritten")
+    val r1 = PartitionedTable.read(spark, dir)
+    assert(r1.count() === 200, "200 - 1 delete + 1 insert")
+    assert(r1.filter(col("k") === 1).head.getLong(2) === 111L)
+    assert(r1.filter(col("k") === 401).head.getLong(2) === 4010L)
+    assert(r1.filter(col("k") === 5).count() === 0)
+
+    // chained delta: replace the APPENDED row, delete the appended
+    // insert, upsert another base key — the append folds forward, the
+    // DV stays base-files-only, the base version stays the anchor
+    PartitionedTable.merge(spark, dir, Seq(
+      (1L, "p1", 222L, "upsert"), (401L, "p1", 0L, "delete"),
+      (9L, "p1", 5555L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    assert(hfs.exists(new Path(vdir(2L), "_base.txt")),
+      "the chained batch stays a delta")
+    assert(files(dir, "__part=p1").filter(_._1.contains("batch=0")) === base0)
+    val r2 = PartitionedTable.read(spark, dir)
+    assert(r2.count() === 199, "the appended insert was deleted")
+    assert(r2.filter(col("k") === 1).head.getLong(2) === 222L,
+      "a chained upsert must replace the appended row, not duplicate it")
+    assert(r2.filter(col("k") === 9).head.getLong(2) === 5555L)
+    assert(r2.filter(col("k").isin(5L, 401L)).count() === 0)
+    // physical delta shape: DV names base rows {1, 5, 9}; the folded
+    // append holds exactly the two live upserts
+    assert(spark.read.parquet(new Path(vdir(2L), "_dv").toString)
+      .count() === 3)
+    assert(spark.read.parquet(new Path(vdir(2L), "_append").toString)
+      .count() === 2)
+    // describeDetail's live-row accounting matches the read
+    val detail = PartitionedTable.describeDetail(spark, dir)
+      .filter(col("partition") === "p1").head
+    assert(detail.getAs[Boolean]("is_dv"))
+    assert(detail.getAs[Long]("n_rows") ===
+      r2.filter(col("part") === "p1").count())
+
+    // stats skipping: v=5555 lies OUTSIDE every base file's min/max —
+    // all base files prune, and the append must still surface the row
+    val probe = PartitionedTable.readWhere(spark, dir, "v",
+      lit(5000L), lit(6000L), partValues = Some(Seq("p1")))
+    assert(probe.collect().map(_.getAs[Long]("v")).toSeq === Seq(5555L),
+      "a fully base-pruned read must still scan the delta's append")
+
+    // an over-bound chained batch folds everything back to full files
+    PartitionedTable.merge(spark, dir,
+      Seq((13L, "p1", 131313L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 1L)
+    assert(!hfs.exists(new Path(vdir(3L), "_base.txt")),
+      "the over-bound batch must materialize a full version")
+    val r3 = PartitionedTable.read(spark, dir)
+    assert(r3.count() === 199)
+    assert(r3.filter(col("k") === 13).head.getLong(2) === 131313L)
+    assert(r3.filter(col("k") === 1).head.getLong(2) === 222L,
+      "appended rows must survive the fold")
+    assert(r3.filter(col("k") === 9).head.getLong(2) === 5555L)
+    assert(r3.filter(col("k").isin(5L, 401L)).count() === 0,
+      "tombstones must survive the fold")
+  }
+
   test("vacuum horizon: a reader pinned at a kept version survives interleaved commits and GC") {
     import spark.implicits._
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(100), "part")
+    // dvMaxRows = 0 forces rewrites: the GC assertions below need
+    // SUPERSEDED (unreferenced) versions, not delta-pinned bases
     PartitionedTable.merge(spark, dir,
-      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 0L)
     val expected = PartitionedTable.read(spark, dir, Some(1L))
       .orderBy("k").collect().toSeq
 
@@ -968,9 +1073,11 @@ class PartitionedTableSpec extends SparkSpec {
     // … then the world moves on: two more commits land and vacuum runs
     // with a horizon that still covers v1
     PartitionedTable.merge(spark, dir,
-      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 0L)
     PartitionedTable.merge(spark, dir,
-      Seq((3L, "p3", 333L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((3L, "p3", 333L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMaxRows = 0L)
     PartitionedTable.vacuum(spark, dir, keep = 3) // keeps v1..v3
 
     // the pinned reader finishes exactly: every store version v1
@@ -1424,20 +1531,42 @@ class PartitionedTableSpec extends SparkSpec {
       PartitionedTable.compactPartitionsInPlace(spark, dst, 1L << 20))
   }
 
-  test("shallow clone refuses DV-pinning sources and carries the generation rule") {
+  test("shallow clone resolves delta-pinning sources and carries the generation rule") {
     import spark.implicits._
     val src = freshStore()
     PartitionedTable.commit(spark, src, table(100), "part")
     PartitionedTable.merge(spark, src,
-      Seq((3L, "p3", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((3L, "p3", 0L, "delete"), (7L, "p3", 777L, "upsert"))
+        .toDF("k", "part", "v", "op"), "k", "part")
     assert(PartitionedTable.dvPartitions(spark, src,
-      PartitionedTable.latest(spark, src).get).nonEmpty, "fixture needs a DV")
-    intercept[IllegalArgumentException](
-      PartitionedTable.cloneTable(spark, src, freshStore()))
-    // cloning the PRE-DV version is fine
+      PartitionedTable.latest(spark, src).get).nonEmpty,
+      "fixture needs a merge-on-read delta")
+    // the clone resolves the delta AND its base source-side: tombstone
+    // and appended upsert both hold through the clone's read
     val dst = freshStore()
-    PartitionedTable.cloneTable(spark, src, dst, asOf = Some(0L))
-    assert(PartitionedTable.read(spark, dst).count() === 100)
+    PartitionedTable.cloneTable(spark, src, dst)
+    val cloned = PartitionedTable.read(spark, dst)
+    assert(cloned.count() === 99)
+    assert(cloned.filter(col("k") === 3).count() === 0,
+      "the source delta's tombstone must hold through the clone")
+    assert(cloned.filter(col("k") === 7).head.getAs[Long]("v") === 777L,
+      "the source delta's append must resolve through the clone")
+    // a clone merge onto the delta partition rewrites copy-on-write
+    // (clones land no deltas of their own) and never touches the source
+    PartitionedTable.merge(spark, dst,
+      Seq((11L, "p3", 1111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+    assert(PartitionedTable.read(spark, dst)
+      .filter(col("k") === 11).head.getAs[Long]("v") === 1111L)
+    assert(PartitionedTable.read(spark, dst).count() === 99)
+    assert(PartitionedTable.read(spark, src).count() === 99)
+    assert(PartitionedTable.read(spark, src)
+      .filter(col("k") === 11).head.getAs[Long]("v") === 110L,
+      "the clone's merge must never leak into the source")
+    // cloning the PRE-DELTA version is fine too
+    val dst0 = freshStore()
+    PartitionedTable.cloneTable(spark, src, dst0, asOf = Some(0L))
+    assert(PartitionedTable.read(spark, dst0).count() === 100)
 
     // generation rule carries over: derived merges + source-range reads
     val gsrc = freshStore()
