@@ -1623,22 +1623,29 @@ object PartitionedTable {
         val p = new Path(VersionedStore.path(storeDir, eff), sub)
         if (hfs.exists(p)) Some(p.toString) else None
     }
+    // inherited sidecar columns carry their AT-WRITE names; the rewrite
+    // below reads the CURRENT (column-mapped) schema, so each inherited
+    // name maps through the rename chain (dropped columns fall away,
+    // chain members collapse to one current name)
+    val edges = colMapOf(spark, dir)
+    def currentNames(cs: Seq[String]): Seq[String] =
+      cs.flatMap(c => resolveName(edges, c)).distinct
     val statDirs = sidecarDirs(StatsDir)
-    val effStats =
+    val effStats = currentNames(
       if (statsCols.nonEmpty) statsCols
       else if (statDirs.isEmpty) Nil
       else spark.read.option("mergeSchema", "true").parquet(statDirs: _*)
         .columns.toSeq
         .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
-        .sorted
+        .sorted)
     val bloomDirs = sidecarDirs(BloomDir)
     val (effBloom, effBits) =
-      if (bloomCols.nonEmpty) (bloomCols, bloomBits)
+      if (bloomCols.nonEmpty) (currentNames(bloomCols), bloomBits)
       else if (bloomDirs.isEmpty) (Seq.empty[String], DefaultBloomBits)
       else {
         val b = spark.read.parquet(bloomDirs: _*)
-        (b.select("col").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted, // tracked-column-count-sized
+        (currentNames(b.select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted), // tracked-column-count-sized
           b.agg(max("bits")).head.getLong(0))
       }
     val totalBytes = selected.map { case (name, sv) =>

@@ -561,6 +561,19 @@ class PartitionedTableSpec extends SparkSpec {
     assert(afterDel.count() === 100, "101 rows - 1 delete")
     assert(afterDel.filter(col("id") === 8L).count() === 0)
     assert(afterDel.filter(col("id") === 18L).count() === 1)
+
+    // OPTIMIZE after the renames: inherited sidecar columns (v from the
+    // original commit, val from the post-rename merge) map through the
+    // chain and regenerate under the CURRENT name — pruning keeps working
+    PartitionedTable.optimizePartitions(spark, dir, col("val"),
+      partValues = Some(Seq("p1")))
+    val opt = PartitionedTable.readWhere(spark, dir, "val",
+      lit(100L), lit(200L))
+    assert(opt.collect().map(_.getAs[Long]("val")).sorted.toSeq
+      === ((100L to 200L by 10) :+ 150L).sorted.toSeq,
+      "optimized layout must stay exact under the renamed column")
+    assert(PartitionedTable.readEq(spark, dir, "val", lit(150L)).count() === 2,
+      "the regenerated bloom sidecar must serve the current name")
   }
 
   test("incremental view maintenance from the partitioned pre-image feed equals recompute") {
