@@ -646,6 +646,17 @@ object PartitionedTable {
     * heuristic). */
   val DvMaxFraction: Double = 0.3
 
+  /** Merge-on-read amortization floor: an UPSERT batch only routes
+    * merge-on-read when its partition's base holds at least this many
+    * rows. Below it a rewrite is one small file write, while the delta
+    * costs an append job at merge time and an anti-join + append union
+    * at every read — the delta tax only amortizes against a base scan
+    * worth avoiding (measured: a CDC-maintained index over ~60-row
+    * cluster partitions ran 60% slower on deltas than on rewrites).
+    * Delete-only batches ignore the floor — a DV lands no append and
+    * reads pay only the broadcast anti join, cheap at any size. */
+  val DvMinBaseRows: Long = 4096
+
   /** Estimated in-memory bytes per broadcast tombstone row (file-name
     * string + row_index long + row overhead). */
   private val DvRowBytes = 64L
@@ -660,7 +671,8 @@ object PartitionedTable {
     * appended rows (folded forward on every chained merge). */
   private def dvWithinBounds(
       spark: SparkSession, dir: String, m: Map[String, Long], value: String,
-      newRows: Long, maxRows: Long, maxFraction: Double): Boolean = {
+      newRows: Long, ups: Long, maxRows: Long, maxFraction: Double,
+      minBase: Long): Boolean = {
     val name = escape(value)
     val sv = m(name)
     val storeDir = storeDirOf(spark, dir, name, sv)
@@ -679,7 +691,8 @@ object PartitionedTable {
     val baseRows = VersionedStore.footerRowCount(spark,
       VersionedStore.path(storeDir, base))
     val est = existing + newRows
-    est <= maxRows && (baseRows == 0L || est <= maxFraction * baseRows)
+    (ups == 0L || baseRows >= minBase) && // the amortization floor
+      est <= maxRows && (baseRows == 0L || est <= maxFraction * baseRows)
   }
 
   /** Partitions of table version `v` whose pinned store version is a
@@ -845,7 +858,8 @@ object PartitionedTable {
       dvMaxRows: Long = DvMaxRows,
       dvMaxFraction: Double = DvMaxFraction,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Long = DefaultBloomBits): Long = {
+      bloomBits: Long = DefaultBloomBits,
+      dvMinBase: Long = DvMinBaseRows): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -857,7 +871,7 @@ object PartitionedTable {
       val base = manifest(spark, dir, cur)
       val (committed, touched) = applyMergeParts(spark, dir, base, changes,
         keyCol, partCol, opCol, statsCols, allowSchemaEvolution,
-        dvMaxRows, dvMaxFraction, bloomCols, bloomBits)
+        dvMaxRows, dvMaxFraction, bloomCols, bloomBits, dvMinBase)
       // optimistic commit with rebase (the Delta conflict protocol):
       // losing the manifest slot to a writer whose commit left every
       // partition I merged against untouched is NOT a conflict — my
@@ -909,14 +923,15 @@ object PartitionedTable {
       dvMaxFraction: Double = DvMaxFraction,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Long = DefaultBloomBits): Boolean = {
+      bloomBits: Long = DefaultBloomBits,
+      dvMinBase: Long = DvMinBaseRows): Boolean = {
     if (versions(spark, dir).contains(id)) return false
     val base = versions(spark, dir).filter(_ < id).maxOption
       .map(manifest(spark, dir, _)).getOrElse(Map.empty[String, Long])
     val (committed, touched) = applyMergeParts(spark, dir, base, changes,
       keyCol, partCol, opCol, statsCols = statsCols, dvMaxRows = dvMaxRows,
       dvMaxFraction = dvMaxFraction, bloomCols = bloomCols,
-      bloomBits = bloomBits)
+      bloomBits = bloomBits, dvMinBase = dvMinBase)
     val mapping = (base -- touched) ++ committed
     commitManifestAt(spark, dir, id, mapping,
       Some(metaLine("stream_merge", touched.size, mapping.size, s"batch=$id")))
@@ -942,7 +957,8 @@ object PartitionedTable {
       dvMaxRows: Long = DvMaxRows,
       dvMaxFraction: Double = DvMaxFraction,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Long = DefaultBloomBits): (Map[String, Long], Seq[String]) = {
+      bloomBits: Long = DefaultBloomBits,
+      dvMinBase: Long = DvMinBaseRows): (Map[String, Long], Seq[String]) = {
     refuseRetiredNames(spark, dir, changes.drop(opCol))
     val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
     // declared CHECK constraints gate the batch's UPSERT payloads
@@ -987,8 +1003,8 @@ object PartitionedTable {
       if (cloneSrcOf(spark, dir).isDefined) Nil
       else census.collect {
         case (v, ups, n) if m.contains(escape(v)) &&
-            dvWithinBounds(spark, dir, m, v, n + ups, dvMaxRows,
-              dvMaxFraction) &&
+            dvWithinBounds(spark, dir, m, v, n + ups, ups, dvMaxRows,
+              dvMaxFraction, dvMinBase) &&
             (ups == 0 || allowSchemaEvolution || morCompatible(v)) => v
       }
     val dvCommitted = landMorDeltas(spark, dir, m, batch, dvVals,

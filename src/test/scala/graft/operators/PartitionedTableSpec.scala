@@ -656,7 +656,8 @@ class PartitionedTableSpec extends SparkSpec {
     // delta too: tombstone the replaced base row + a batch-sized append
     // (k=13 is an EXISTING p1 key — key identity is (partition, key))
     PartitionedTable.merge(spark, dir,
-      Seq((13L, "p1", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      Seq((13L, "p1", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", dvMinBase = 0L) // tiny fixture: waive the floor
     val m3 = PartitionedTable.manifest(spark, dir, 3L)
     val v3dir = VersionedStore.path(s"$dir/__part=p1", m3("__part=p1"))
     assert(hfs.exists(new org.apache.hadoop.fs.Path(v3dir, "_base.txt")),
@@ -1004,7 +1005,8 @@ class PartitionedTableSpec extends SparkSpec {
     // mixed batch: upsert an existing key, insert a new one, delete one
     PartitionedTable.merge(spark, dir, Seq(
       (1L, "p1", 111L, "upsert"), (401L, "p1", 4010L, "upsert"),
-      (5L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+      (5L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part",
+      dvMinBase = 0L) // tiny fixture: waive the amortization floor
     assert(hfs.exists(new Path(vdir(1L), "_base.txt")) &&
       hfs.exists(new Path(vdir(1L), "_append")),
       "an in-bound mixed batch lands a merge-on-read delta")
@@ -1021,7 +1023,8 @@ class PartitionedTableSpec extends SparkSpec {
     // DV stays base-files-only, the base version stays the anchor
     PartitionedTable.merge(spark, dir, Seq(
       (1L, "p1", 222L, "upsert"), (401L, "p1", 0L, "delete"),
-      (9L, "p1", 5555L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+      (9L, "p1", 5555L, "upsert")).toDF("k", "part", "v", "op"), "k", "part",
+      dvMinBase = 0L)
     assert(hfs.exists(new Path(vdir(2L), "_base.txt")),
       "the chained batch stays a delta")
     assert(files(dir, "__part=p1").filter(_._1.contains("batch=0")) === base0)
@@ -1550,7 +1553,8 @@ class PartitionedTableSpec extends SparkSpec {
     PartitionedTable.commit(spark, src, table(100), "part")
     PartitionedTable.merge(spark, src,
       Seq((3L, "p3", 0L, "delete"), (7L, "p3", 777L, "upsert"))
-        .toDF("k", "part", "v", "op"), "k", "part")
+        .toDF("k", "part", "v", "op"), "k", "part",
+      dvMinBase = 0L) // tiny fixture: waive the amortization floor
     assert(PartitionedTable.dvPartitions(spark, src,
       PartitionedTable.latest(spark, src).get).nonEmpty,
       "fixture needs a merge-on-read delta")
