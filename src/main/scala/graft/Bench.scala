@@ -207,32 +207,87 @@ object Bench {
   }
 
   /** Merge N bench JSON lines into one median board (same line format,
-    * `stat: "median-of-runs"`). A query must be numeric in EVERY input
-    * run to merge — any run's "err" keeps it "err" in the board, so a
-    * flaky query can never hide behind its quieter runs. */
+    * `stat: "median-of-runs"`). A query must be numeric in EVERY kept
+    * run to merge — any kept run's "err" keeps it "err" in the board,
+    * so a flaky query can never hide behind its quieter runs. */
   private def mergeBoards(paths: Array[String]): Unit = {
+    val (json, failedCount) = mergeBoardsJson(paths.toSeq)
+    println(json)
+    if (failedCount > 0) sys.exit(1)
+  }
+
+  /** Middle element for odd sizes; the AVERAGE of the two middle
+    * elements for even sizes — taking the upper one would bias every
+    * even-run merged board systematically upward. */
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of nothing")
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** CANARY GATE (round 13): quiet windows used to be picked by hand —
+    * boards spanning 139-217 s at identical code were excluded from the
+    * merge by eyeballing their canaries against BENCH_NOTES. The merge
+    * now gates mechanically: a run whose CPU or shuffle canary deviates
+    * more than this fraction from the INPUT MEDIAN canary measured a
+    * different box, not different code, and is excluded (recorded in
+    * the output's `excluded_runs` with the reason). Gating needs a
+    * quorum — with fewer than 3 runs there is no robust median to
+    * deviate from, so everything merges. */
+  private[graft] val CanaryGate = 0.25
+
+  private[graft] def mergeBoardsJson(paths: Seq[String]): (String, Int) = {
     require(paths.nonEmpty, "usage: Bench merge <bench.json> [bench.json ...]")
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runs = paths.toSeq.map(p => mapper.readTree(new java.io.File(p)))
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val all = paths.map(p => p -> mapper.readTree(new java.io.File(p)))
+    val cpuMed = medianOf(all.map(_._2.get("canary").asDouble))
+    val shMed = medianOf(all.map(_._2.get("shuffle_canary").asDouble))
+    def reasonOf(r: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+      def dev(x: Double, med: Double) = math.abs(x - med) / math.max(med, 1e-9)
+      val c = r.get("canary").asDouble
+      val s = r.get("shuffle_canary").asDouble
+      val bad = Seq(
+        ("canary", c, cpuMed), ("shuffle_canary", s, shMed)
+      ).filter { case (_, x, med) => dev(x, med) > CanaryGate }
+      if (bad.isEmpty) None
+      else Some(bad.map { case (n, x, med) =>
+        f"$n $x%.3f deviates ${dev(x, med) * 100}%.0f%% from input median $med%.3f"
+      }.mkString("; "))
+    }
+    val gated =
+      if (all.size < 3) all.map { case (p, r) => (p, r, None: Option[String]) }
+      else all.map { case (p, r) => (p, r, reasonOf(r)) }
+    val kept0 = gated.collect { case (p, r, None) => (p, r) }
+    // pathological spread (every run outside the gate of an averaged
+    // even-size median): nothing is adjudicable — keep everything and
+    // let the reader see the canaries, never emit an empty board
+    val (kept, excluded) =
+      if (kept0.nonEmpty) (kept0, gated.collect { case (p, _, Some(why)) => (p, why) })
+      else (all, Seq.empty[(String, String)])
+    val runs = kept.map(_._2)
     val names = runs.head.get("queries").fieldNames.asScala.toSeq
     val perQuery = names.map { q =>
       val vals = runs.flatMap { r =>
         Option(r.get("queries").get(q)).filter(_.isNumber).map(_.asDouble)
       }
-      q -> (if (vals.size == runs.size) Some(median(vals)) else None)
+      q -> (if (vals.size == runs.size) Some(medianOf(vals)) else None)
     }
     val failedCount = perQuery.count(_._2.isEmpty)
     val qs = perQuery.map { case (q, v) =>
       "\"" + q + "\":" + v.map(_.toString).getOrElse("\"err\"")
     }.mkString("{", ",", "}")
     val total = perQuery.flatMap(_._2).sum
-    val canary = median(runs.map(_.get("canary").asDouble))
-    val shuffle = median(runs.map(_.get("shuffle_canary").asDouble))
+    val canary = medianOf(runs.map(_.get("canary").asDouble))
+    val shuffle = medianOf(runs.map(_.get("shuffle_canary").asDouble))
     val sf = runs.head.get("sf").asText
-    val sources = paths.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"sources":$sources}""")
-    if (failedCount > 0) sys.exit(1)
+    val sources = kept.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val excl = excluded.map { case (p, why) =>
+      s"""{"path":"${esc(p)}","reason":"${esc(why)}"}"""
+    }.mkString("[", ",", "]")
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"sources":$sources,"excluded_runs":$excl}""",
+      failedCount)
   }
 }

@@ -809,6 +809,20 @@ object PartitionedTable {
     readMapped(spark, dir, live)
   }
 
+  /** Live partition VALUES (unescaped) of table version `v` (latest by
+    * default) — the introspection a caller needs to intersect a
+    * candidate partition list against what actually exists before a
+    * [[readPartitions]] (which requires a non-empty intersection).
+    * Manifest-read cost only, never a data scan. */
+  def partitionValues(
+      spark: SparkSession, dir: String, asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val v = asOf.getOrElse(vs.max)
+    manifest(spark, dir, v).keys.toSeq.sorted.map(name =>
+      ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$PartDir=")))
+  }
+
   /** RESTORE the table to the content of `toVersion` by committing that
     * version's mapping as a NEW manifest version (the Delta RESTORE
     * semantic): pure commit-log metadata — no partition is read,
@@ -1316,31 +1330,56 @@ object PartitionedTable {
     val cloneSrc = cloneSrcOf(spark, dir) // one probe for the whole read
     val (asDelta, solid) = live.toSeq.sortBy(_._1).partition { case (name, sv) =>
       dvBaseOf(spark, storeDirOf(spark, dir, cloneSrc, name, sv), sv).isDefined }
-    // the column's stored type, from one footer-schema read (metadata
-    // only): probe and predicate both use the casted value
-    val typeDonor = solid.headOption.map { case (name, sv) =>
+    // the column's stored type, from footer-schema reads (metadata
+    // only): probe and predicate both use the casted value. The write
+    // side hashed NATIVE values, so probing with an uncast literal of a
+    // different type (int vs long) would miss every word — a FALSE
+    // NEGATIVE that silently drops rows. After schema evolution a
+    // single arbitrary donor partition may lack the column entirely, so
+    // donors are tried lazily across every live slice (solid versions
+    // first, then delta bases) until one's footer carries a chain
+    // member; the common case stays one footer read.
+    // column mapping: each donor footer (and every bloom sidecar) holds
+    // the name the column had AT WRITE TIME — try every chain member
+    val members = chainMembersOf(colMapOf(spark, dir), c)
+    val donorPaths = solid.map { case (name, sv) =>
       VersionedStore.path(storeDirOf(spark, dir, cloneSrc, name, sv), sv)
-    }.getOrElse {
-      val (name, sv) = asDelta.head
+    } ++ asDelta.map { case (name, sv) =>
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
     }
-    // column mapping: the donor footer (and every bloom sidecar) holds
-    // the name the column had AT WRITE TIME — try every chain member
-    val members = chainMembersOf(colMapOf(spark, dir), c)
-    val donorSchema = readParquet(spark, Seq(typeDonor.toString)).schema
-    val vCast = members.reverse.flatMap(m => donorSchema.find(_.name == m))
-      .headOption.map(f => value.cast(f.dataType)).getOrElse(value)
+    val storedType = donorPaths.view.flatMap { p =>
+      val schema = readParquet(spark, Seq(p.toString)).schema
+      members.reverse.flatMap(m => schema.find(_.name == m)).headOption
+        .map(_.dataType)
+    }.headOption
+    val vCast = storedType.map(value.cast).getOrElse(value)
+    // NO live footer carries the column under any chain name → the
+    // stored type is unknowable and no probe hash is sound: skip bloom
+    // pruning outright (all slices unpruned; the residual filter still
+    // guarantees correctness) rather than risk a false-negative prune
+    def prune(slices: Seq[(String, Path)]): (Seq[String], Seq[Path]) =
+      if (storedType.isEmpty) (Nil, slices.map(_._2))
+      else bloomPrune(spark, hfs, slices, members, vCast)
     val pred = col(c) === vCast
+    // pruning can drop EVERY file that carried an evolved column (the
+    // only partitions holding `c` pruned to zero): the surviving scan's
+    // footer-merged schema then lacks `c` and the residual filter would
+    // fail to resolve — null-fill it at the stored type (those rows
+    // hold no `c` by definition, so null is their exact value)
+    def withProbeCol(df: DataFrame): DataFrame =
+      if (df.columns.contains(c)) df
+      else storedType.map(t => df.withColumn(c, lit(null).cast(t))).getOrElse(df)
     val deltaDf = asDelta.map { case (name, sv) =>
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val baseDir = VersionedStore.path(storeDir, dvBaseOf(spark, storeDir, sv).get)
-      val (kept, unpruned) = bloomPrune(spark, hfs, Seq(name -> baseDir), members, vCast)
+      val (kept, unpruned) = prune(Seq(name -> baseDir))
       if (unpruned.nonEmpty)
-        logicalize(spark, dir, readPartitionDf(spark, dir, name, sv)).filter(pred)
+        withProbeCol(logicalize(spark, dir,
+          readPartitionDf(spark, dir, name, sv))).filter(pred)
       else // definite miss in every base file still probes the append
-        logicalize(spark, dir,
-          readPartitionDf(spark, dir, name, sv, Some(kept))).filter(pred)
+        withProbeCol(logicalize(spark, dir,
+          readPartitionDf(spark, dir, name, sv, Some(kept)))).filter(pred)
     }.reduceOption(_.unionByName(_, true))
     val solidDf =
       if (solid.isEmpty) None
@@ -1348,11 +1387,11 @@ object PartitionedTable {
         val slices = solid.map { case (name, sv) =>
           name -> VersionedStore.path(
             storeDirOf(spark, dir, cloneSrc, name, sv), sv) }
-        val (kept, unpruned) = bloomPrune(spark, hfs, slices, members, vCast)
+        val (kept, unpruned) = prune(slices)
         val paths = kept ++ unpruned.map(_.toString)
         if (paths.isEmpty) None
-        else Some(logicalize(spark, dir, readParquet(spark, paths.sorted))
-          .filter(pred))
+        else Some(withProbeCol(logicalize(spark, dir,
+          readParquet(spark, paths.sorted))).filter(pred))
       }
     (solidDf.toSeq ++ deltaDf.toSeq).reduceOption(_.unionByName(_, true))
       .getOrElse(read(spark, dir, Some(v)).filter(lit(false)).filter(pred))

@@ -42,7 +42,18 @@ object ChangeFeed {
     * `toVersion`] — per-commit slices in commit order. A version with
     * no prior (the initial load) emits its rows as inserts; pass
     * `fromVersion = -1` to include it, or the default 0 to subscribe
-    * to post-load changes only. */
+    * to post-load changes only.
+    *
+    * VACUUM-HORIZON GUARD: version v's slice needs version v−1's data
+    * to diff against, so the oldest reconstructable slice starts AT the
+    * oldest retained version's successor — `fromVersion` below the
+    * retention horizon fails LOUD instead of silently degrading the
+    * first pending slice to a full-table insert snapshot (which would
+    * lose every delete between the offset and the horizon and diverge a
+    * replica). `fromVersion = -1` stays valid on a vacuumed table: it
+    * bootstraps with a snapshot of the OLDEST RETAINED version (which
+    * already excludes everything pruned) followed by the retained
+    * deltas — the correct replica state at every subsequent version. */
   def batch(
       spark: SparkSession,
       dir: String,
@@ -53,24 +64,50 @@ object ChangeFeed {
       preImages: Boolean = false): DataFrame = {
     val vs = PartitionedTable.versions(spark, dir).sorted
     require(vs.nonEmpty, s"ChangeFeed: no committed versions under $dir")
+    requireHorizon(vs, fromVersion, dir)
     val to = toVersion.getOrElse(vs.max)
     val slices = vs.filter(v => v > fromVersion && v <= to)
-      .map(v => slice(spark, dir, keyCol, partCol, v, preImages))
+      .map(v => slice(spark, dir, keyCol, partCol, v, preImages,
+        allowSnapshot = fromVersion == -1L && v == vs.min))
     slices.reduceOption(_ unionByName _).getOrElse {
-      // empty range: an empty feed with the feed's schema
-      slice(spark, dir, keyCol, partCol, vs.max, preImages).limit(0)
+      // empty range: an empty feed with the feed's schema (snapshot
+      // shape allowed — the frame is truncated to zero rows anyway)
+      slice(spark, dir, keyCol, partCol, vs.max, preImages,
+        allowSnapshot = true).limit(0)
     }
   }
 
-  /** One commit's change events, tagged with its version. */
+  /** Fail loud when `fromVersion` predates the retention horizon (see
+    * [[batch]]). `-1` = bootstrap; `>= min retained` = every pending
+    * slice still has its diff base. Anything between lost its base to
+    * [[graft.operators.PartitionedTable.vacuum]]. */
+  private def requireHorizon(
+      retained: Seq[Long], fromVersion: Long, dir: String): Unit = {
+    val oldest = retained.min
+    require(fromVersion == -1L || fromVersion >= oldest,
+      s"ChangeFeed: offset $fromVersion predates the retention horizon of " +
+        s"$dir (oldest retained version: $oldest) — version ${oldest}'s " +
+        "diff base was vacuumed, so the pending changes cannot be " +
+        "reconstructed. Re-bootstrap the consumer with fromVersion = -1 " +
+        s"(snapshot of v=$oldest + retained deltas).")
+  }
+
+  /** One commit's change events, tagged with its version. A version
+    * with no retained prior only emits the insert-shaped snapshot when
+    * the caller is explicitly bootstrapping (`allowSnapshot`) — any
+    * other no-prior read is a horizon violation and fails loud. */
   private def slice(
       spark: SparkSession, dir: String, keyCol: String, partCol: String,
-      v: Long, preImages: Boolean): DataFrame = {
+      v: Long, preImages: Boolean, allowSnapshot: Boolean = false): DataFrame = {
     val prior = PartitionedTable.versions(spark, dir).filter(_ < v).maxOption
     val events = prior match {
       case Some(p) =>
         PartitionedTable.changes(spark, dir, p, v, keyCol, partCol, preImages)
       case None =>
+        require(allowSnapshot,
+          s"ChangeFeed: version $v of $dir has no retained prior to diff " +
+            "against — refusing to degrade a change slice to a snapshot " +
+            "(bootstrap explicitly with fromVersion = -1)")
         val committed = PartitionedTable.read(spark, dir, Some(v))
         val payload = committed.columns.toSeq
           .filterNot(c => c == keyCol || c == partCol)
@@ -104,10 +141,13 @@ object ChangeFeed {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         finally in.close()
       }
-    val pending = PartitionedTable.versions(spark, dir)
-      .filter(_ > from).sorted
+    val vs = PartitionedTable.versions(spark, dir).sorted
+    require(vs.nonEmpty, s"ChangeFeed: no committed versions under $dir")
+    requireHorizon(vs, from, dir)
+    val pending = vs.filter(_ > from)
     pending.foreach { v =>
-      sink(slice(spark, dir, keyCol, partCol, v, preImages)
+      sink(slice(spark, dir, keyCol, partCol, v, preImages,
+        allowSnapshot = from == -1L && v == vs.min)
         .localCheckpoint(true), v)
       // offset AFTER the sink: at-least-once, idempotent-per-version
       hfs.mkdirs(new Path(checkpointDir))

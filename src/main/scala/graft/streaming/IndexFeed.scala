@@ -100,10 +100,18 @@ object IndexFeed {
     val q2 = query.map(x => x * x).sum
     val d2 = VectorOps.norm(col(embCol)) * VectorOps.norm(col(embCol)) -
       lit(2.0) * VectorOps.dot(col(embCol), typedLit(query)) + lit(q2)
-    PartitionedTable.readPartitions(spark, indexDir, probed)
-      .withColumn("d2", d2)
-      .orderBy(col("d2"), col(keyCol))
-      .limit(k)
+    // a cluster that never received a vector has no inverted list —
+    // probe only the lists the index manifest actually holds, and when
+    // NONE of the probed clusters are live, a valid query returns an
+    // empty, correctly-schemed top-k rather than a read failure
+    val live = PartitionedTable.partitionValues(spark, indexDir).toSet
+    val probedLive = probed.filter(live.contains)
+    val scored =
+      if (probedLive.isEmpty)
+        PartitionedTable.read(spark, indexDir).withColumn("d2", d2).limit(0)
+      else PartitionedTable.readPartitions(spark, indexDir, probedLive)
+        .withColumn("d2", d2)
+    scored.orderBy(col("d2"), col(keyCol)).limit(k)
   }
 
   /** Per-JVM scratch root (the [[ChangeFeed]] pattern). */

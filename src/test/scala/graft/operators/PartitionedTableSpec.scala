@@ -1868,4 +1868,41 @@ class PartitionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PartitionedTable.versionAt(spark, dir, after0))
   }
+
+  test("readEq casts from ANY live footer: a donor partition missing the evolved column must not poison bloom probes") {
+    import spark.implicits._
+    val dir = freshStore()
+    // base: p0..p3 carry (k, part) only; the evolved column x lands
+    // LATER, on p3 alone — so the alphabetically-first donor footer
+    // (p0) lacks x entirely and a single-donor cast would leave the
+    // probe literal uncast
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"))
+    PartitionedTable.commit(spark, dir, df.repartition(8, col("k")), "part")
+    val touch = spark.range(4000)
+      .filter(col("id") % 4 === 3).select(
+        col("id").as("k"), lit("p3").as("part"),
+        col("id").as("x"), lit("upsert").as("op")) // x: LongType
+    PartitionedTable.merge(spark, dir, touch.repartition(8, col("k")),
+      "k", "part", allowSchemaEvolution = true, bloomCols = Seq("x"))
+
+    // an INT literal probing the long column ACROSS ALL partitions (so
+    // the donor iteration starts at x-less p0): the write side hashed
+    // longs, so an uncast int probe hashes differently in every file
+    // and the bloom would falsely prune ALL of p3 — rows silently lost
+    val hit = PartitionedTable.readEq(spark, dir, "x", lit(443))
+    assert(hit.count() === 1,
+      "the probe must cast via a footer that actually carries x")
+    // and the sidecar still prunes p3's files (the fallback found the
+    // type, it did not just give up on pruning)
+    val p3All = PartitionedTable.readPartitions(spark, dir, Seq("p3"))
+      .inputFiles.length
+    val p3Read = hit.inputFiles.count(_.contains("__part=p3"))
+    assert(p3Read > 0 && p3Read < p3All,
+      s"bloom must still prune within p3 ($p3Read of $p3All)")
+    // a definite long-typed miss keeps pruning p3 to zero files
+    assert(PartitionedTable.readEq(spark, dir, "x", lit(999999))
+      .inputFiles.count(_.contains("__part=p3")) === 0)
+  }
 }

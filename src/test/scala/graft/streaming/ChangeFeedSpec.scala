@@ -103,6 +103,57 @@ class ChangeFeedSpec extends SparkSpec {
     assert(collected(4L) === Seq(("p1", 9L, "update")))
   }
 
+  test("vacuum horizon: a pruned-past offset fails loud; -1 re-bootstraps from the oldest retained snapshot") {
+    val (dir, ckpt) = freshDirs()
+    applyMerges(dir) // versions 0..3
+    // a consumer parks its offset at 0, then vacuum prunes to the last 2
+    ChangeFeed.maintain(spark, dir, ckpt, "k", "part",
+      (_, _) => (), startVersion = 0L) // drains 1..3, offset now 3
+    val hfs = VersionedStore.fs(spark, ckpt)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(ckpt, "offset"), true)
+    try out.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close() // park the offset back at 0
+    PartitionedTable.vacuum(spark, dir, keep = 2) // retained: {2, 3}
+
+    // version 2's diff base (v1) is gone: the pending slice CANNOT be
+    // reconstructed, and batch/maintain must say so instead of silently
+    // replaying a full-table insert snapshot that loses v1..v2 deletes
+    val exB = intercept[IllegalArgumentException] {
+      ChangeFeed.batch(spark, dir, "k", "part", fromVersion = 0L)
+    }
+    assert(exB.getMessage.contains("retention horizon"))
+    val exM = intercept[IllegalArgumentException] {
+      ChangeFeed.maintain(spark, dir, ckpt, "k", "part", (_, _) => ())
+    }
+    assert(exM.getMessage.contains("retention horizon"))
+    // an offset exactly one below the oldest retained version lost its
+    // diff base too (v1's data is pruned) — also loud
+    intercept[IllegalArgumentException] {
+      ChangeFeed.batch(spark, dir, "k", "part", fromVersion = 1L)
+    }
+
+    // a caught-up consumer keeps working (offset >= oldest retained)
+    assert(ChangeFeed.batch(spark, dir, "k", "part", fromVersion = 2L)
+      .select(col(ChangeFeed.VersionCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+
+    // -1 bootstraps: snapshot of the OLDEST RETAINED version (which
+    // already excludes everything pruned) + the retained deltas — a
+    // replica folding the feed ends at exactly the live table
+    val boot = ChangeFeed.batch(spark, dir, "k", "part", fromVersion = -1L)
+    val snap = boot.filter(col(ChangeFeed.VersionCol) === 2L)
+    assert(snap.select("op").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("insert"))
+    assert(snap.count() === PartitionedTable.read(spark, dir, Some(2L)).count())
+    val replica = snap.select("k", "part", "v").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ++
+      boot.filter(col(ChangeFeed.VersionCol) === 3L && col("op") =!= "delete")
+        .select("k", "part").collect().map(r => (r.getLong(0), r.getString(1)))
+    val live = PartitionedTable.read(spark, dir).select("k", "part")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replica.map(t => (t._1, t._2)) === live)
+  }
+
   test("an incremental view maintained purely from the subscription feed equals recompute") {
     val (dir, ckpt) = freshDirs()
     import spark.implicits._

@@ -143,4 +143,32 @@ class IndexFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("feed op") ||
       Option(ex.getCause).exists(_.getMessage.contains("feed op")))
   }
+
+  test("probing only clusters with no inverted list returns an empty top-k, never a read failure") {
+    val src = fresh("src"); val idx = fresh("idx"); val ckpt = fresh("ckpt")
+    val model = buildSource(src)
+    IndexFeed.maintainIvf(spark, src, ckpt, idx, model, "vec_id", "part",
+      distDecimals = 6)
+    // empty one whole inverted list: delete every source row the frozen
+    // model assigns to cluster 0 and drain — the index partition drops
+    val victims = PartitionedTable.read(spark, src)
+      .filter(model.clusterOf(col("embedding"), 6).cast("long") === 0L)
+      .withColumn("op", lit("delete"))
+    assert(victims.count() > 0, "test vacuous: cluster 0 was already empty")
+    PartitionedTable.merge(spark, src, victims, "vec_id", "part")
+    IndexFeed.maintainIvf(spark, src, ckpt, idx, model, "vec_id", "part",
+      distDecimals = 6)
+    assert(!PartitionedTable.partitionValues(spark, idx).contains("0"),
+      "cluster 0's inverted list must have dropped from the manifest")
+
+    // nprobe=1 at cluster 0's own centroid probes exactly the dead list
+    val q0 = model.centroids(0).toSeq
+    val empty = IndexFeed.searchIvf(spark, idx, model, q0, nprobe = 1, k = 5)
+    assert(empty.count() === 0, "a valid query must return empty, not throw")
+    assert(empty.columns.contains("d2") && empty.columns.contains("vec_id"),
+      "the empty result must keep the search schema")
+    // widening the probe past the dead list still finds neighbors
+    assert(IndexFeed.searchIvf(spark, idx, model, q0,
+      nprobe = model.k, k = 5).count() === 5)
+  }
 }
