@@ -26,7 +26,8 @@ object SparkEntry {
       operators.PartitionedTable.defs ++
       streaming.ChangeFeed.defs ++
       streaming.IndexFeed.defs ++
-      operators.Unigram.defs
+      operators.Unigram.defs ++
+      sources.GraftCatalog.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

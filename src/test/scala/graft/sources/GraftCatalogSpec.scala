@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.PartitionedTable
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The SQL front door's contracts: catalog reads equal library reads at
+  * every version, VERSION/TIMESTAMP AS OF resolve identically to
+  * versionAt/readAt, manifest partition pruning and bloom point-lookup
+  * skipping SURVIVE the catalog path (plan-asserted), and the catalog
+  * is read-only. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def freshStore(): String =
+    Files.createTempDirectory("graftcat").toString + "/t"
+
+  private def table(n: Int) = spark.range(n).select(
+    col("id").as("k"),
+    concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+    (col("id") * 10).as("v"))
+
+  /** The inner GraftScan of a SQL read's executed plan. */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case r: RowDataSourceScanExec => r.relation
+    }.collect { case g: GraftRelation => g.scan }
+      .getOrElse(fail("no GraftRelation in the plan: " +
+        df.queryExecution.executedPlan))
+
+  test("catalog reads equal library reads; VERSION/TIMESTAMP AS OF resolve through the same machinery") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part") // v0
+    val t0 = System.currentTimeMillis(); Thread.sleep(2)
+    PartitionedTable.merge(spark, dir, Seq(
+      (1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"),
+      (401L, "p9", 4010L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    GraftCatalog.register(spark, "t", "orders", dir, partCol = Some("part"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    // latest == library latest
+    assert(rows(spark.sql("SELECT * FROM graft.t.orders")) ===
+      rows(PartitionedTable.read(spark, dir)))
+    // VERSION AS OF == read(asOf)
+    assert(rows(spark.sql("SELECT * FROM graft.t.orders VERSION AS OF 0")) ===
+      rows(PartitionedTable.read(spark, dir, Some(0L))))
+    assert(rows(spark.sql("SELECT * FROM graft.t.orders VERSION AS OF 1")) ===
+      rows(PartitionedTable.read(spark, dir, Some(1L))))
+    // TIMESTAMP AS OF == readAt (same header-stamp resolution)
+    val ts0 = java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t0))
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft.t.orders TIMESTAMP AS OF '$ts0'")) ===
+      rows(PartitionedTable.readAt(spark, dir, t0)))
+    // aggregates work through the bridge (empty required schema incl.)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t.orders VERSION AS OF 0")
+      .head.getLong(0) === 100L)
+
+    // a version that never existed / garbage version strings fail loud
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.t.orders VERSION AS OF 99").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.t.orders VERSION AS OF 'nope'").collect())
+  }
+
+  test("manifest partition pruning survives the catalog path; absent partitions answer empty") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((5L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    GraftCatalog.register(spark, "t", "pruned", dir, partCol = Some("part"))
+
+    val q = spark.sql(
+      "SELECT k, v FROM graft.t.pruned WHERE part = 'p1' AND v >= 0")
+    val scan = scanOf(q)
+    assert(scan.prunedPartitions === Some(Seq("p1")),
+      "the equality on the partition column must prune at the manifest")
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__part=p1")),
+      s"only p1's pinned dir may be opened, got ${files.toSeq}")
+    // and the result is exact (the DV delete holds through SQL)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      (1L to 97L by 4).filterNot(_ == 5L).toSeq)
+
+    // IN-lists intersect; contradictions and absent values answer empty
+    assert(scanOf(spark.sql(
+      "SELECT k FROM graft.t.pruned WHERE part IN ('p1','p2') AND part = 'p2'"))
+      .prunedPartitions === Some(Seq("p2")))
+    assert(spark.sql(
+      "SELECT k FROM graft.t.pruned WHERE part = 'p7'").count() === 0,
+      "an absent partition is an empty result, never an error")
+    assert(spark.sql(
+      "SELECT k FROM graft.t.pruned WHERE part = 'p1' AND part = 'p2'")
+      .count() === 0)
+  }
+
+  test("bloom point-lookup skipping survives the catalog path") {
+    val dir = freshStore()
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commit(spark, dir, df.repartition(8, col("k")),
+      "part", bloomCols = Seq("k"))
+    GraftCatalog.register(spark, "t", "bloomed", dir, partCol = Some("part"))
+
+    val all = PartitionedTable.readPartitions(spark, dir, Seq("p1"))
+      .inputFiles.length
+    val q = spark.sql(
+      "SELECT v FROM graft.t.bloomed WHERE part = 'p1' AND k = 401")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(4010L))
+    val pointFiles = scanOf(q).buildDf(spark).inputFiles
+    assert(pointFiles.length < all,
+      s"the SQL point lookup must bloom-prune files (${pointFiles.length} of $all)")
+    assert(pointFiles.forall(_.contains("__part=p1")))
+  }
+
+  test("the catalog is read-only; unregistered tables don't resolve") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(20), "part")
+    GraftCatalog.register(spark, "t", "ro", dir, partCol = Some("part"))
+    val ex = intercept[Exception](spark.sql(
+      "INSERT INTO graft.t.ro VALUES (1, 'p1', 10)"))
+    assert(ex.getMessage.toLowerCase.contains("read-only") ||
+      ex.getMessage.contains("does not support"), ex.getMessage)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.t.never_registered").collect())
+  }
+}
