@@ -27,6 +27,7 @@ object SparkEntry {
       streaming.ChangeFeed.defs ++
       streaming.IndexFeed.defs ++
       operators.Unigram.defs ++
+      operators.MergeInto.defs ++
       sources.GraftCatalog.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
