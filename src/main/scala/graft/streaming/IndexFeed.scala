@@ -92,14 +92,20 @@ object IndexFeed {
       nprobe: Int,
       k: Int,
       keyCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      d2Decimals: Int = -1): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"bad search: nprobe=$nprobe k=$k")
     val probed = model.centroids.zipWithIndex.map { case (c, i) =>
       (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
     }.sortBy(identity).take(nprobe).map(_._2.toString).toSeq
     val q2 = query.map(x => x * x).sum
-    val d2 = VectorOps.norm(col(embCol)) * VectorOps.norm(col(embCol)) -
+    val d2raw = VectorOps.norm(col(embCol)) * VectorOps.norm(col(embCol)) -
       lit(2.0) * VectorOps.dot(col(embCol), typedLit(query)) + lit(q2)
+    // d2Decimals >= 0 rounds BEFORE the top-k order (ties then break on
+    // the key) — the repo's standard decimal sync for oracle-gated
+    // entries, where exact-vs-rounded boundary picks must agree
+    // cross-engine; -1 keeps the exact kernel order
+    val d2 = if (d2Decimals >= 0) round(d2raw, d2Decimals) else d2raw
     // a cluster that never received a vector has no inverted list —
     // probe only the lists the index manifest actually holds, and when
     // NONE of the probed clusters are live, a valid query returns an
@@ -125,6 +131,55 @@ object IndexFeed {
     }
     d
   }
+
+  /** The s36/s37 fixture: the CDC-committed source (v0 + holdout
+    * insert + cluster-moving updates + deletes), the frozen 8-cell
+    * quantizer, and one fully DRAINED index for probe reads — built
+    * once per data dir and reused across bench passes, so the timed
+    * entries measure the OPERATOR (a drain, a probe), not the
+    * 7-commit fixture build that used to drown the board row. */
+  private case class Fix(store: String, idxDir: String, model: KMeans.Model)
+  private val fixtures =
+    scala.collection.concurrent.TrieMap.empty[String, Fix]
+
+  private def fixtureFor(s: SparkSession, dir: String): Fix =
+    fixtures.synchronized {
+      fixtures.getOrElseUpdate(dir, {
+        val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val store = workDir.resolve(s"s36_src_$key").toString
+        val idxDir = workDir.resolve(s"s36_idx_$key").toString
+        val ckpt = workDir.resolve(s"s36_ckpt_$key").toString
+        val hfs = VersionedStore.fs(s, store)
+        Seq(store, idxDir, ckpt).foreach(p => hfs.delete(new Path(p), true))
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("part", (col("vec_id") % 8).cast("string"))
+        val initial = emb.filter(col("vec_id") % 10 =!= 0)
+        PartitionedTable.commit(s, store, initial, "part") // v0
+        val model = KMeans.fit(initial, "embedding", "vec_id",
+          k = 8, iters = 2, meanDecimals = 4, distDecimals = 6)
+        PartitionedTable.merge(s, store, // v1: insert the holdout
+          emb.filter(col("vec_id") % 10 === 0)
+            .withColumn("op", lit("upsert")),
+          "vec_id", "part")
+        PartitionedTable.merge(s, store, // v2: cluster-moving updates
+          emb.filter(col("vec_id") % 9 === 1)
+            .withColumn("embedding", transform(col("embedding"), x => -x))
+            .withColumn("op", lit("upsert")),
+          "vec_id", "part")
+        PartitionedTable.merge(s, store, // v3: deletes
+          emb.filter(col("vec_id") % 7 === 0)
+            .withColumn("op", lit("delete")),
+          "vec_id", "part")
+        maintainIvf(s, store, ckpt, idxDir, model, "vec_id", "part",
+          distDecimals = 6) // the probe entry's pre-drained index
+        Fix(store, idxDir, model)
+      })
+    }
+
+  /** s37's fixed 64-dim probe vector (same closed form in the oracle). */
+  private[streaming] def probeQuery: Seq[Double] =
+    Seq.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
 
   val defs: Seq[QueryDef] = Seq(
     // Feed-maintained IVF index, hash-gated: land embeddings minus the
@@ -158,37 +213,76 @@ object IndexFeed {
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(vec_id) AS BIGINT) AS key_sum
          |FROM asn GROUP BY cluster""".stripMargin) { (s, dir) =>
-      val store = workDir.resolve(
-        "s36_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      val idxDir = workDir.resolve(
-        "s36_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      val ckpt = workDir.resolve(
-        "s36_ckpt_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      val hfs = VersionedStore.fs(s, store)
-      Seq(store, idxDir, ckpt).foreach(p => hfs.delete(new Path(p), true))
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("part", (col("vec_id") % 8).cast("string"))
-      val initial = emb.filter(col("vec_id") % 10 =!= 0)
-      PartitionedTable.commit(s, store, initial, "part") // v0
-      val model = KMeans.fit(initial, "embedding", "vec_id",
-        k = 8, iters = 2, meanDecimals = 4, distDecimals = 6)
-      PartitionedTable.merge(s, store, // v1: insert the holdout
-        emb.filter(col("vec_id") % 10 === 0).withColumn("op", lit("upsert")),
-        "vec_id", "part")
-      PartitionedTable.merge(s, store, // v2: cluster-moving updates
-        emb.filter(col("vec_id") % 9 === 1)
-          .withColumn("embedding", transform(col("embedding"), x => -x))
-          .withColumn("op", lit("upsert")),
-        "vec_id", "part")
-      PartitionedTable.merge(s, store, // v3: deletes
-        emb.filter(col("vec_id") % 7 === 0).withColumn("op", lit("delete")),
-        "vec_id", "part")
-      maintainIvf(s, store, ckpt, idxDir, model, "vec_id", "part",
+      // fixture (source commits + frozen model) is cached per dir; the
+      // TIMED work is the operator itself — a full from-scratch drain
+      // of all four commits into a fresh index — so the board row
+      // measures maintenance, not the fixture build (r12's s36 spent
+      // 11.4 s mostly committing the scenario)
+      val fix = fixtureFor(s, dir)
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx2 = workDir.resolve(s"s36_drain_idx_$key").toString
+      val ckpt2 = workDir.resolve(s"s36_drain_ckpt_$key").toString
+      val hfs = VersionedStore.fs(s, idx2)
+      Seq(idx2, ckpt2).foreach(p => hfs.delete(new Path(p), true))
+      maintainIvf(s, fix.store, ckpt2, idx2, fix.model, "vec_id", "part",
         distDecimals = 6)
-      PartitionedTable.read(s, idxDir)
+      PartitionedTable.read(s, idx2)
         .groupBy(col("cluster").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("key_sum"))
+    },
+
+    // Probe of the feed-maintained IVF index, hash-gated and timed
+    // SEPARATELY from the drain (r12 punch list: the probe used to be
+    // invisible inside s36's lifecycle row): against the fixture's
+    // pre-drained index, resolve the nprobe=3 nearest inverted lists
+    // driver-side and read ONLY those partitions' pinned dirs, fused
+    // d2 kernel, top-10. The oracle re-derives the frozen quantizer
+    // (unrolled k-means CTEs), assigns the FINAL corpus, picks the same
+    // 3 lists by centroid distance, and computes the same rounded-d2
+    // top-10 — so a probe that reads a stale index, resolves different
+    // lists, or mis-ranks breaks the hash. d2 rounds to 6 decimals
+    // BEFORE the top-k order on both sides (the repo's decimal sync),
+    // ties on vec_id.
+    QueryDef.sql("s37_feed_ivf_probe",
+      s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |${Dedup.kmeansCtes(8, 2, 4, 6, src = "idx")},
+         |fin AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 9 = 1
+         |              THEN list_transform(embedding, x -> -x)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 7 <> 0),
+         |fd AS (
+         |  SELECT f.vec_id, c.cid, ${Dedup.sqDistSql("f.embedding", "c.ce", 6)} AS d2
+         |  FROM fin f, cent2 c),
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1),
+         |qv AS (SELECT list_transform(range(0, 64),
+         |                i -> ((i * 37) % 19 - 9) / 10.0) AS e),
+         |probed AS (
+         |  SELECT c.cid FROM cent2 c, qv
+         |  ORDER BY list_sum(list_transform(range(1, len(c.ce)+1),
+         |             i -> (c.ce[i] - qv.e[i]) * (c.ce[i] - qv.e[i]))), c.cid
+         |  LIMIT 3),
+         |cand AS (
+         |  SELECT f.vec_id, f.embedding FROM fin f
+         |  JOIN asn a ON a.vec_id = f.vec_id
+         |  JOIN probed p ON a.cluster = p.cid)
+         |SELECT c.vec_id,
+         |  round(list_sum(list_transform(range(1, len(c.embedding)+1),
+         |          i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, len(c.embedding)+1),
+         |            i -> c.embedding[i]::DOUBLE * qv.e[i]))
+         |    + list_sum(list_transform(range(1, len(qv.e)+1),
+         |        i -> qv.e[i] * qv.e[i])), 6) AS d2
+         |FROM cand c, qv
+         |ORDER BY d2, c.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val fix = fixtureFor(s, dir)
+      searchIvf(s, fix.idxDir, fix.model, probeQuery, nprobe = 3, k = 10,
+        d2Decimals = 6)
+        .select(col("vec_id"), col("d2"))
     }
   )
 }
