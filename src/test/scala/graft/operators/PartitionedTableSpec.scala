@@ -1905,4 +1905,72 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.readEq(spark, dir, "x", lit(999999))
       .inputFiles.count(_.contains("__part=p3")) === 0)
   }
+
+  test("multi-level partition spec: per-level pruning composes, merges derive routing, specs are write-once") {
+    import spark.implicits._
+    val dir = freshStore()
+    // two levels over DIFFERENT source columns: cat (prefix) / month
+    val df = spark.range(1200).select(
+      col("id").as("k"),
+      concat(lit("grp"), (floor(col("id") / 12) % 3).cast("string")).as("cat"),
+      to_date(concat(lit("1995-"),
+        lpad(((col("id") % 12) + 1).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(((col("id") % 27) + 1).cast("string"), 2, "0"))).as("d"),
+      (col("id") * 10).as("v"))
+    val levels = Seq(
+      PartitionedTable.GenLevel("cat", PartitionedTable.PartGen.Prefix(4), "catp"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "month"))
+    PartitionedTable.commitLevels(spark, dir, df, levels)
+    // 3 cats x 12 months = 36 combinations, each one manifest entry
+    assert(PartitionedTable.partitionValues(spark, dir).size === 36)
+    assert(PartitionedTable.partitionValues(spark, dir)
+      .forall(_.matches("grp\\d/1995-\\d\\d")))
+
+    // a probe on BOTH levels opens only the intersection's dirs
+    val q = PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
+      ("cat", "grp1", "grp1"), ("d", "1995-03-10", "1995-05-20")))
+    val dirsRead = q.inputFiles.map(_.split("/").find(_.startsWith("__part="))
+      .getOrElse("?")).toSet
+    assert(dirsRead.size === 3, s"grp1 x {03,04,05} = 3 dirs, got $dirsRead")
+    assert(dirsRead.forall(_.contains("grp1")))
+    // exact at mid-month bounds (residual holds within boundary months)
+    val expect = df.filter(col("cat") === "grp1" &&
+      col("d") >= lit("1995-03-10") && col("d") <= lit("1995-05-20"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq === expect)
+
+    // one-level probes leave the other level unconstrained
+    assert(PartitionedTable.readWhereSrcLevels(spark, dir,
+      Seq(("cat", "grp2", "grp2"))).inputFiles
+      .forall(_.contains("grp2")))
+
+    // merges derive every level + the composite from source columns
+    val ch = Seq((5000L, "grp1", java.sql.Date.valueOf("1995-04-02"), 1L, "upsert"))
+      .toDF("k", "cat", "d", "v", "op")
+    PartitionedTable.mergeLevels(spark, dir, ch, "k")
+    assert(PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
+      ("cat", "grp1", "grp1"), ("d", "1995-04-01", "1995-04-03")))
+      .filter(col("k") === 5000L).count() === 1)
+
+    // the spec is write-once: a conflicting re-declaration is refused
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedTable.commitLevels(spark, dir, df, Seq(
+        PartitionedTable.GenLevel("cat", PartitionedTable.PartGen.Prefix(2), "catp"),
+        PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "month")))
+    }
+    assert(ex.getMessage.contains("refusing conflicting"))
+    // a level value rendering '/' is refused loud, never ambiguous
+    val slashy = Seq((9000L, "a/b", java.sql.Date.valueOf("1995-01-01"), 1L))
+      .toDF("k", "cat", "d", "v")
+    val dir2 = freshStore()
+    val ex2 = intercept[Exception] {
+      PartitionedTable.commitLevels(spark, dir2, slashy, Seq(
+        PartitionedTable.GenLevel("cat", PartitionedTable.PartGen.Prefix(4), "catp"),
+        PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "month")))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex2).exists(m => m != null && m.contains("must not")))
+  }
 }
