@@ -28,4 +28,16 @@ object Bridge {
     * `private[sql]`. */
   def plannerStrategies(spark: SparkSession): Seq[AnyRef] =
     spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
+
+  /** Re-tag a batch frame as a STREAMING frame — what a V1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`), built exactly the way Spark's own
+    * `FileStreamSource` does: `internalCreateDataFrame(..., isStreaming
+    * = true)`, which is `private[sql]`. The inner (batch) plan executes
+    * lazily per micro-batch. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
 }
