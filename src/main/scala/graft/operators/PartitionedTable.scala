@@ -1914,8 +1914,13 @@ object PartitionedTable {
     finally out.close()
     require(hfs.rename(tmp, clonePath(dstDir)),
       s"PartitionedTable: clone pointer commit failed under $dstDir")
-    generatedBy(spark, srcDir).foreach { case (srcCol, gen, name) =>
-      declareGen(spark, dstDir, srcCol, gen, name) }
+    genBaseOf(spark, srcDir).foreach { case (srcCol, gen, name) =>
+      declareGen(spark, dstDir, srcCol, gen, name)
+      // the full epoch chain carries over — a clone of an evolved table
+      // must attribute inherited partitions identically
+      genEpochsOf(spark, srcDir).drop(1)
+        .foreach(g => evolveGenRule(spark, dstDir, g))
+    }
     constraintsOf(spark, srcDir) match {
       case Nil => ()
       case cs => writeConstraints(spark, dstDir, cs) // invariants carry over
@@ -1947,22 +1952,30 @@ object PartitionedTable {
   sealed abstract class PartGen(val name: String) {
     def expr(src: Column): Column
     def ofLiteral(v: String): String
+    /** The rule's FIXED rendered width (characters), when it has one.
+      * Spec evolution attributes each existing partition value to the
+      * unique epoch whose width matches — so only fixed-width rules
+      * with pairwise-distinct widths may share a table's history. */
+    def renderLen: Option[Int] = None
   }
   object PartGen {
     /** yyyy of a date/timestamp column. */
     case object Year extends PartGen("year") {
       def expr(src: Column): Column = date_format(src, "yyyy")
       def ofLiteral(v: String): String = v.take(4)
+      override def renderLen: Option[Int] = Some(4)
     }
     /** yyyy-MM of a date/timestamp column. */
     case object Month extends PartGen("month") {
       def expr(src: Column): Column = date_format(src, "yyyy-MM")
       def ofLiteral(v: String): String = v.take(7)
+      override def renderLen: Option[Int] = Some(7)
     }
     /** yyyy-MM-dd of a date/timestamp column. */
     case object Day extends PartGen("day") {
       def expr(src: Column): Column = date_format(src, "yyyy-MM-dd")
       def ofLiteral(v: String): String = v.take(10)
+      override def renderLen: Option[Int] = Some(10)
     }
     /** First `n` CODEPOINTS of a string column (matching Spark's
       * `substring`, which counts code points — a UTF-16 `take` would
@@ -2010,9 +2023,9 @@ object PartitionedTable {
     x.length <= y.length
   }
 
-  /** The table's declared (source column, rule, derived column name),
-    * if it was created through [[commitGenerated]]. */
-  def generatedBy(
+  /** The table's ORIGINAL declared (source column, rule, derived column
+    * name) — epoch 0, before any [[evolveGenRule]]. */
+  private def genBaseOf(
       spark: SparkSession, dir: String): Option[(String, PartGen, String)] = {
     val hfs = VersionedStore.fs(spark, dir)
     val p = genPath(dir)
@@ -2022,6 +2035,96 @@ object PartitionedTable {
       Some((src, PartGen.parse(g), name))
     }
   }
+
+  // spec evolution: `_gen.evolve.N` files (N >= 1), newest = current
+  // rule; the base `_gen` file is epoch 0 and never rewritten, so the
+  // chain is append-only and a crash mid-evolve leaves the prior epoch
+  // current (the constraint-catalog pattern)
+  private val GenEvolvePrefix = "_gen.evolve."
+
+  private def genEvolutions(
+      spark: SparkSession, dir: String): Seq[(Long, PartGen)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(GenEvolvePrefix))
+      .flatMap(p => p.getName.stripPrefix(GenEvolvePrefix).toLongOption
+        .map(_ -> PartGen.parse(readManifestFile(hfs, p).trim)))
+      .sortBy(_._1)
+  }
+
+  /** Every rule epoch, oldest first (the base declaration, then each
+    * evolution). Size 1 = never evolved. */
+  def genEpochsOf(spark: SparkSession, dir: String): Seq[PartGen] =
+    genBaseOf(spark, dir).toSeq.map(_._2) ++ genEvolutions(spark, dir).map(_._2)
+
+  /** The table's declared (source column, CURRENT rule, derived column
+    * name), if it was created through [[commitGenerated]] — after an
+    * [[evolveGenRule]] this is the newest epoch, which every subsequent
+    * write derives with. */
+  def generatedBy(
+      spark: SparkSession, dir: String): Option[(String, PartGen, String)] =
+    genBaseOf(spark, dir).map { case (src, g, name) =>
+      (src, genEvolutions(spark, dir).lastOption.map(_._2).getOrElse(g), name)
+    }
+
+  /** SPEC EVOLUTION (the Iceberg semantic, on the generated-rule
+    * substrate): change the table's partition granularity FORWARD —
+    * existing partitions keep their old-rule values and layout,
+    * subsequent writes derive with the new rule, and every
+    * source-range read ([[readWhereSrc]], [[expirePartitions]])
+    * attributes each partition to ITS OWN epoch before range-mapping,
+    * so pruning composes across the boundary. Zero data movement: the
+    * evolution is one appended metadata file.
+    *
+    * Attribution needs to be unambiguous, so all epochs must be
+    * fixed-width rules with pairwise-distinct widths (year/month/day
+    * are; a prefix rule is not) — refused loud otherwise. KEYED merges
+    * against a clashing pre-evolution partition are refused by
+    * [[mergeGenerated]] (see there); evolution targets append-shaped
+    * tables, the reference's bronze ingest layout. */
+  def evolveGenRule(spark: SparkSession, dir: String, newGen: PartGen): Unit = {
+    val (srcCol, cur, name) = generatedBy(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no generation rule declared under $dir — " +
+          "only generated tables can evolve their spec"))
+    require(newGen != cur,
+      s"PartitionedTable: $dir already partitions by ${cur.name}($srcCol)")
+    val chain = genEpochsOf(spark, dir) :+ newGen
+    val lens = chain.map(_.renderLen)
+    require(lens.forall(_.isDefined) && lens.distinct.size == lens.size,
+      s"PartitionedTable: spec evolution needs fixed-width rules with " +
+        s"pairwise-distinct widths so every partition attributes to exactly " +
+        s"one epoch; got ${chain.map(g => s"${g.name}=${g.renderLen.getOrElse("?")}ch").mkString(", ")}")
+    val hfs = VersionedStore.fs(spark, dir)
+    val next = genEvolutions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-evolve-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(newGen.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(new Path(dir, ManifestDir), s"$GenEvolvePrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: spec evolution commit failed under $dir " +
+          "(concurrent evolve?)")
+    }
+    // name kept for the doc contract: the derived column keeps its name
+    val _ = name
+  }
+
+  /** The epoch rule that rendered partition value `p` — unique by
+    * [[evolveGenRule]]'s width validation; single-epoch tables skip
+    * attribution entirely. */
+  private def epochRuleOf(epochs: Seq[PartGen], p: String): PartGen =
+    if (epochs.size <= 1) epochs.head
+    else epochs.find(_.renderLen.contains(p.length)).getOrElse(
+      throw new IllegalStateException(
+        s"PartitionedTable: partition value '$p' (${p.length} chars) " +
+          s"matches no declared rule epoch " +
+          s"(${epochs.map(g => s"${g.name}=${g.renderLen.getOrElse("?")}ch").mkString(", ")})"))
 
   /** Declare (write-once, atomic) or verify the table's generation
     * rule. A second declaration must MATCH — silently repartitioning an
@@ -2082,6 +2185,30 @@ object PartitionedTable {
       throw new IllegalArgumentException(
         s"PartitionedTable: no generation rule declared under $dir — " +
           "use merge() with an explicit partition column"))
+    // spec-evolution guard: key identity is (partition, key), and the
+    // merge derives partitions with the CURRENT rule — a change row
+    // whose key still lives in a PRE-EVOLUTION partition would land as
+    // a duplicate next to the stale row instead of replacing it. Any
+    // batch row whose OLD-rule rendering names a still-live partition
+    // is therefore refused loud (batch-sized distinct per old epoch,
+    // driver-side): migrate those partitions to the current rule first
+    // (overwrite/compact them), or merge with an explicit partition
+    // column. Evolution targets append-shaped tables.
+    val epochs = genEpochsOf(spark, dir)
+    if (epochs.size > 1) {
+      val liveVals = partitionValues(spark, dir).toSet
+      epochs.dropRight(1).foreach { old =>
+        val clash = changes.select(old.expr(col(srcCol)).as("p")).distinct()
+          .collect().map(_.getString(0))
+          .filter(p => p != null && liveVals.contains(p))
+        require(clash.isEmpty,
+          s"PartitionedTable: keyed merge into evolved table $dir would " +
+            s"shadow pre-evolution partition(s) ${clash.sorted.mkString(", ")} " +
+            s"(rule ${old.name}) — migrate them to the current rule " +
+            s"(${gen.name}) before keyed merges, or merge with an explicit " +
+            "partition column")
+      }
+    }
     merge(spark, dir, changes.withColumn(name, gen.expr(col(srcCol))),
       keyCol, name, opCol, statsCols, allowSchemaEvolution, at,
       bloomCols = bloomCols, bloomBits = bloomBits)
@@ -2105,11 +2232,18 @@ object PartitionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val v = asOf.getOrElse(vs.max)
-    val (glo, ghi) = (gen.ofLiteral(lo), gen.ofLiteral(hi))
     val m = manifest(spark, dir, v)
+    // spec evolution: each partition range-maps under ITS OWN epoch's
+    // rule (a month value tested against a day-rule bound would prune
+    // boundary months that still hold in-range days); single-epoch
+    // tables take the one-rule path unchanged
+    val epochs = genEpochsOf(spark, dir)
     val live = m.keysIterator.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter(p => utf8Le(glo, p) && utf8Le(p, ghi)).toSeq.sorted
+      .filter { p =>
+        val g = epochRuleOf(epochs, p)
+        utf8Le(g.ofLiteral(lo), p) && utf8Le(p, g.ofLiteral(hi))
+      }.toSeq.sorted
     // the source column's stored type from ONE donor footer — never a
     // full-table schema merge (mergeSchema over every partition would
     // cost O(#partitions) footer reads on EVERY probe, defeating the
@@ -2657,10 +2791,17 @@ object PartitionedTable {
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to expire under $dir"))
     val m = manifest(spark, dir, cur)
-    val bound = gen.ofLiteral(cutoff)
+    // spec evolution: the cutoff renders under each partition's OWN
+    // epoch (a month partition tested against a day-rule bound would
+    // drop the boundary month whose tail days survive the cutoff)
+    val epochs = genEpochsOf(spark, dir)
+    val _ = gen // the current rule still gates that a rule exists
     val dropped = m.keys.toSeq.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter(p => utf8Le(p, bound) && p != bound)
+      .filter { p =>
+        val bound = epochRuleOf(epochs, p).ofLiteral(cutoff)
+        utf8Le(p, bound) && p != bound
+      }
       .sorted
     if (dropped.isEmpty) return Nil
     val keep = m -- dropped.map(escape)
@@ -3597,6 +3738,45 @@ object PartitionedTable {
       readWhereSrcLevels(s, store, Seq(
         ("o_orderstatus", "F", "F"),
         ("o_orderdate", "1995-03-15", "1996-10-05")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Partition-spec EVOLUTION, hash-gated: commit pre-1996 orders under
+    // YEAR granularity, evolve the rule to MONTH (one metadata file,
+    // zero data movement), land 1996+ orders through the evolved merge
+    // (they derive month partitions; the pre-evolution years stay in
+    // their old layout), then probe a source-date range that SPANS the
+    // boundary. Pruning attributes each partition to its own epoch —
+    // the 1995 year-partition must survive a range whose month
+    // rendering would exclude it, and only in-range 1996 months open —
+    // and the residual keeps mid-period bounds exact. The oracle
+    // filters the source directly, so wrong epoch attribution, a
+    // boundary partition pruned under the wrong rule, or rows lost in
+    // the evolved merge break the hash. Dirs-opened and the
+    // stale-partition merge guard are spec'd in PartitionedTableSpec.
+    QueryDef.sql("q105_spec_evolution",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1995-03-15' AND DATE '1996-10-05'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q105_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      val cut = to_date(lit("1996-01-01"))
+      commitGenerated(s, store, orders.filter(col("o_orderdate") < cut),
+        "o_orderdate", PartGen.Year, "pd")
+      evolveGenRule(s, store, PartGen.Month)
+      mergeGenerated(s, store,
+        orders.filter(col("o_orderdate") >= cut)
+          .withColumn("op", lit("upsert")),
+        "o_orderkey")
+      readWhereSrc(s, store, "1995-03-15", "1996-10-05")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))

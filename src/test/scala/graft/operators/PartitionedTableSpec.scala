@@ -1973,4 +1973,82 @@ class PartitionedTableSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex2).exists(m => m != null && m.contains("must not")))
   }
+
+  test("spec evolution: old partitions keep their rule, pruning/retention attribute per epoch, clashing merges refuse") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(730).select( // two years of daily rows
+      col("id").as("k"),
+      date_add(to_date(lit("1995-01-01")), col("id").cast("int")).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir,
+      df.filter(col("d") < lit("1996-01-01")), "d",
+      PartitionedTable.PartGen.Year, "pd")
+    assert(PartitionedTable.partitionValues(spark, dir) === Seq("1995"))
+
+    PartitionedTable.evolveGenRule(spark, dir, PartitionedTable.PartGen.Month)
+    assert(PartitionedTable.genEpochsOf(spark, dir) ===
+      Seq(PartitionedTable.PartGen.Year, PartitionedTable.PartGen.Month))
+    // new writes derive MONTH partitions; 1995 stays a single year dir
+    PartitionedTable.mergeGenerated(spark, dir,
+      df.filter(col("d") >= lit("1996-01-01")).withColumn("op", lit("upsert")),
+      "k")
+    val parts = PartitionedTable.partitionValues(spark, dir)
+    assert(parts.contains("1995") && parts.contains("1996-01") &&
+      parts.count(_.length == 7) === 12 && parts.count(_.length == 4) === 1)
+
+    // a boundary-spanning probe opens the old-rule year + in-range months
+    val q = PartitionedTable.readWhereSrc(spark, dir, "1995-11-15", "1996-02-10")
+    val dirsRead = q.inputFiles.map(_.split("/").find(_.startsWith("__part="))
+      .getOrElse("?")).toSet
+    assert(dirsRead === Set("__part=1995", "__part=1996-01", "__part=1996-02"),
+      s"epoch-attributed pruning: got $dirsRead")
+    val expect = df.filter(col("d") >= lit("1995-11-15") &&
+      col("d") <= lit("1996-02-10")).count()
+    assert(q.count() === expect, "mid-period bounds stay exact via residual")
+
+    // retention attributes the cutoff per epoch: expiring below
+    // 1996-02-01 drops ONLY January — the 1995 year dir is NOT below
+    // its own year-rendering ('1995' vs cutoff-year '1996' IS below);
+    // check both directions explicitly
+    val dropped = PartitionedTable.expirePartitions(spark, dir, "1996-02-01")
+    assert(dropped === Seq("1995", "1996-01"),
+      s"year epoch renders cutoff as 1996 (1995 expires), month epoch as 1996-02 (Jan expires): $dropped")
+    // boundary partitions survive under BOTH epochs
+    assert(PartitionedTable.partitionValues(spark, dir).contains("1996-02"))
+
+    // a keyed merge that would shadow a live pre-evolution partition
+    // refuses loud (fresh table: year 1995 still live after evolving)
+    val dir2 = freshStore()
+    PartitionedTable.commitGenerated(spark, dir2,
+      df.filter(col("d") < lit("1996-01-01")), "d",
+      PartitionedTable.PartGen.Year, "pd")
+    PartitionedTable.evolveGenRule(spark, dir2, PartitionedTable.PartGen.Month)
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedTable.mergeGenerated(spark, dir2,
+        Seq((3L, java.sql.Date.valueOf("1995-06-15"), 999L, "upsert"))
+          .toDF("k", "d", "v", "op"), "k")
+    }
+    assert(ex.getMessage.contains("pre-evolution"))
+
+    // evolution refuses ambiguous-width chains and non-generated tables
+    intercept[IllegalArgumentException](
+      PartitionedTable.evolveGenRule(spark, dir2,
+        PartitionedTable.PartGen.Prefix(3)))
+    val plain = freshStore()
+    PartitionedTable.commit(spark, plain,
+      Seq((1L, "p1", 1L)).toDF("k", "part", "v"), "part")
+    intercept[IllegalArgumentException](
+      PartitionedTable.evolveGenRule(spark, plain, PartitionedTable.PartGen.Day))
+
+    // a clone of an evolved table attributes inherited partitions
+    // identically (the epoch chain carries over)
+    val cl = freshStore()
+    PartitionedTable.cloneTable(spark, dir2, cl)
+    assert(PartitionedTable.genEpochsOf(spark, cl) ===
+      Seq(PartitionedTable.PartGen.Year, PartitionedTable.PartGen.Month))
+    assert(PartitionedTable.readWhereSrc(spark, cl, "1995-11-15", "1995-12-31")
+      .count() === df.filter(col("d") >= lit("1995-11-15") &&
+        col("d") < lit("1996-01-01")).count())
+  }
 }
