@@ -2821,40 +2821,108 @@ object PartitionedTable {
     * FOOTER/listing metadata only — never a data scan; cost is
     * O(#partitions) listings, the same order as planning any read of
     * the table. */
+  /** Above this many partitions, [[describeDetail]] runs its footer
+    * reads as a SPARK JOB instead of a driver loop (override per call).
+    * At millions of partitions, serial driver-side listings + footer
+    * opens are the bottleneck; each partition's metadata work is
+    * independent, so it distributes embarrassingly. */
+  val DetailDistributedThreshold: Int = 1024
+
+  /** One partition's DESCRIBE DETAIL row, computed from a bare Hadoop
+    * conf — no SparkSession, so it runs identically on the driver (the
+    * fast path) and inside executor tasks (the distributed path); both
+    * paths ARE this function, identical output by construction. */
+  private def detailRowOf(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      cloneSrc: Option[String], name: String, sv: Long):
+      (String, Long, String, Long, Long, Long, Boolean, Boolean, Boolean) = {
+    def fsOf(p: Path) = p.getFileSystem(conf)
+    val local = new Path(dir, name).toString
+    val storeDir = cloneSrc match {
+      case None => local
+      case Some(src) =>
+        val lp = VersionedStore.path(local, sv)
+        if (fsOf(lp).exists(lp)) local else new Path(src, name).toString
+    }
+    val resolved =
+      if (cloneSrc.isEmpty || storeDir.startsWith(dir)) "local" else "source"
+    def baseOf(p: Path): Option[Long] = {
+      val bp = new Path(p, BaseFile)
+      val hfs = fsOf(bp)
+      if (!hfs.exists(bp)) None
+      else {
+        val in = hfs.open(bp)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hfs = fsOf(p)
+      if (!hfs.exists(p)) Nil
+      else hfs.listStatus(p).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    def footerRows(p: Path): Long = dataFiles(p).map { s =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    val pinned = VersionedStore.path(storeDir, sv)
+    val base = baseOf(pinned)
+    val isDv = base.isDefined
+    val effDir = VersionedStore.path(storeDir, base.getOrElse(sv))
+    val files = dataFiles(effDir)
+    // live rows on a merge-on-read delta: the base's footer count
+    // minus tombstones plus appended upsert rows
+    val rowCount = footerRows(effDir) -
+      (if (isDv) footerRows(new Path(pinned, DvDir)) else 0L) +
+      (if (isDv && fsOf(pinned).exists(new Path(pinned, AppendDir)))
+        footerRows(new Path(pinned, AppendDir))
+      else 0L)
+    (ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$PartDir=")),
+      sv, resolved, files.size.toLong, files.map(_.getLen).sum, rowCount,
+      isDv,
+      fsOf(effDir).exists(new Path(effDir, StatsDir)),
+      fsOf(effDir).exists(new Path(effDir, BloomDir)))
+  }
+
   def describeDetail(
-      spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+      spark: SparkSession, dir: String, asOf: Option[Long] = None,
+      distributed: Option[Boolean] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val v = asOf.getOrElse(vs.max)
     require(vs.contains(v),
       s"PartitionedTable: manifest v=$v not committed under $dir")
-    val hfs = VersionedStore.fs(spark, dir)
     val cloneSrc = cloneSrcOf(spark, dir)
-    val rows = manifest(spark, dir, v).toSeq.sortBy(_._1).map {
-      case (name, sv) =>
-        val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
-        val resolved =
-          if (cloneSrc.isEmpty || storeDir.startsWith(dir)) "local" else "source"
-        val isDv = dvBaseOf(spark, storeDir, sv).isDefined
-        val eff = dvBaseOf(spark, storeDir, sv).getOrElse(sv)
-        val effDir = VersionedStore.path(storeDir, eff)
-        val (files, bytes) = Compaction.layoutStats(spark, effDir.toString)
-        // live rows on a merge-on-read delta: the base's footer count
-        // minus tombstones plus appended upsert rows
-        val rowCount = VersionedStore.footerRowCount(spark, effDir) -
-          (if (isDv) VersionedStore.footerRowCount(spark,
-            new Path(VersionedStore.path(storeDir, sv), DvDir)) else 0L) +
-          (if (isDv && hfs.exists(
-              new Path(VersionedStore.path(storeDir, sv), AppendDir)))
-            VersionedStore.footerRowCount(spark,
-              new Path(VersionedStore.path(storeDir, sv), AppendDir))
-          else 0L)
-        (ExternalCatalogUtils.unescapePathName(name.stripPrefix(s"$PartDir=")),
-          sv, resolved, files.toLong, bytes, rowCount, isDv,
-          hfs.exists(new Path(effDir, StatsDir)),
-          hfs.exists(new Path(effDir, BloomDir)))
-    }
+    val entries = manifest(spark, dir, v).toSeq.sortBy(_._1)
+    val useJob = distributed.getOrElse(entries.size > DetailDistributedThreshold)
     import spark.implicits._
+    val rows =
+      if (!useJob) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        entries.map { case (name, sv) =>
+          detailRowOf(conf, dir, cloneSrc, name, sv) }.toDF()
+      } else {
+        // ship the session's Hadoop conf as plain entries (executors
+        // rebuild it once per task partition) and fan the per-partition
+        // footer/listing work across the cluster
+        import scala.jdk.CollectionConverters._
+        val confEntries = spark.sparkContext.hadoopConfiguration
+          .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+        val slices = math.min(entries.size,
+          spark.sparkContext.defaultParallelism * 4).max(1)
+        spark.sparkContext.parallelize(entries, slices)
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, value) => conf.set(k, value) }
+            it.map { case (name, sv) =>
+              detailRowOf(conf, dir, cloneSrc, name, sv) }
+          }.toDF()
+      }
     rows.toDF("partition", "store_version", "resolves", "n_files",
       "bytes", "n_rows", "is_dv", "has_stats", "has_bloom")
   }

@@ -2051,4 +2051,38 @@ class PartitionedTableSpec extends SparkSpec {
       .count() === df.filter(col("d") >= lit("1995-11-15") &&
         col("d") < lit("1996-01-01")).count())
   }
+
+  test("describeDetail: the distributed path equals the driver path row for row, DVs and clones included") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, spark.range(200).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      (col("id") * 10).as("v")), "part", statsCols = Seq("k"))
+    PartitionedTable.merge(spark, dir, // p1 -> DV delta
+      Seq((5L, "p1", 0L, "delete")).toDF("k", "part", "v", "op"), "k", "part")
+    val clone = freshStore()
+    PartitionedTable.cloneTable(spark, dir, clone)
+    PartitionedTable.merge(spark, clone, // one COW divergence on the clone
+      Seq((2L, "p2", 222L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+
+    Seq(dir, clone).foreach { d =>
+      val driver = PartitionedTable.describeDetail(spark, d,
+        distributed = Some(false)).collect().map(_.toSeq).sortBy(_.toString)
+      val job = PartitionedTable.describeDetail(spark, d,
+        distributed = Some(true)).collect().map(_.toSeq).sortBy(_.toString)
+      assert(driver.toSeq === job.toSeq,
+        s"both paths must produce identical detail rows for $d")
+    }
+    // the distributed plan really is a job over the entries, not a
+    // local relation
+    val plan = PartitionedTable.describeDetail(spark, dir,
+      distributed = Some(true)).queryExecution.optimizedPlan.toString
+    assert(plan.contains("ExternalRDD") || plan.contains("LogicalRDD"),
+      s"expected an RDD-backed scan, got:\n$plan")
+    val local = PartitionedTable.describeDetail(spark, dir,
+      distributed = Some(false)).queryExecution.optimizedPlan.toString
+    assert(local.contains("LocalRelation"),
+      s"the driver path stays a local relation, got:\n$local")
+  }
 }
