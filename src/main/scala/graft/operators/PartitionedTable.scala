@@ -951,6 +951,47 @@ object PartitionedTable {
       Some(metaLine("stream_merge", touched.size, mapping.size, s"batch=$id")))
   }
 
+  /** STREAMING-OCC MERGE — exactly-once for a streaming maintainer that
+    * must COEXIST with batch writers, which [[mergeAt]]'s
+    * id-equals-manifest-version contract cannot (a batch commit minting
+    * latest+1 would swallow the stream's next id, and the stream would
+    * silently no-op a batch it never applied). Replay detection moves
+    * from version numbers to the COMMIT TAG: each stream batch commits
+    * through the ordinary OCC [[merge]] (rebase/recompute under racing
+    * writers, serializable either way) tagged
+    * `stream=<id>;batch=<n>` in its history header — the manifest
+    * rename is the atomic record, so a crash anywhere leaves either no
+    * trace (retry applies) or the tagged commit (retry no-ops). Returns
+    * the manifest version that carries the batch (existing one on
+    * replay).
+    *
+    * Horizon contract: the replay check scans retained history headers
+    * (O(#versions) tiny driver reads — the [[history]] cost), so
+    * [[vacuum]] retention must stay deeper than the stream's maximum
+    * redelivery window, exactly like a ChangeFeed consumer's offset. */
+  def mergeStream(
+      spark: SparkSession,
+      dir: String,
+      changes: DataFrame,
+      keyCol: String,
+      partCol: String,
+      streamId: String,
+      batchId: Long,
+      opCol: String = "op",
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
+    require(streamId.nonEmpty && !streamId.exists(c =>
+      c == '"' || c == '\\' || c < ' '),
+      s"mergeStream: bad stream id '$streamId'")
+    val tag = s"stream=$streamId;batch=$batchId"
+    val replayed = versions(spark, dir).sorted.find(v =>
+      headerLineOf(spark, dir, v).exists(_.contains(s""""at":"$tag"""")))
+    replayed.getOrElse(
+      merge(spark, dir, changes, keyCol, partCol, opCol, statsCols,
+        at = tag, bloomCols = bloomCols, bloomBits = bloomBits))
+  }
+
   /** The merge computation against an explicit base mapping; lands
     * touched partitions' new store versions and returns
     * (landed dirName -> store version, ALL touched dir names — landed

@@ -2085,4 +2085,61 @@ class PartitionedTableSpec extends SparkSpec {
     assert(local.contains("LocalRelation"),
       s"the driver path stays a local relation, got:\n$local")
   }
+
+  test("streaming OCC: a stream maintainer and batch writers interleave; replays no-op on tags, streams stay independent") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, spark.range(100).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      (col("id") * 10).as("v")), "part") // v0
+
+    def b(rows: (Long, String, Long, String)*) =
+      rows.toSeq.toDF("k", "part", "v", "op")
+
+    // stream batch 0 lands
+    val s0 = PartitionedTable.mergeStream(spark, dir,
+      b((1L, "p1", 111L, "upsert")), "k", "part", "ivf_maint", 0L)
+    // a BATCH writer interleaves and mints the next manifest version —
+    // under mergeAt's id==version contract this would swallow the
+    // stream's next id and silently no-op it
+    val bv = PartitionedTable.merge(spark, dir,
+      b((2L, "p2", 222L, "upsert")), "k", "part")
+    assert(bv === s0 + 1)
+    // stream batch 1 still lands (and AFTER the batch commit)
+    val s1 = PartitionedTable.mergeStream(spark, dir,
+      b((5L, "p1", 555L, "upsert"), (9L, "p1", 0L, "delete")),
+      "k", "part", "ivf_maint", 1L)
+    assert(s1 === bv + 1, "the stream rebases past the batch writer")
+
+    // replays: both batches redeliver, both no-op, returning the
+    // versions that already carry them — nothing re-applies
+    val latest = PartitionedTable.latest(spark, dir).get
+    assert(PartitionedTable.mergeStream(spark, dir,
+      b((1L, "p1", 111L, "upsert")), "k", "part", "ivf_maint", 0L) === s0)
+    assert(PartitionedTable.mergeStream(spark, dir,
+      b((5L, "p1", 555L, "upsert"), (9L, "p1", 0L, "delete")),
+      "k", "part", "ivf_maint", 1L) === s1)
+    assert(PartitionedTable.latest(spark, dir).get === latest,
+      "replays must not mint versions")
+
+    // a DIFFERENT stream with the same batch numbers is independent
+    val o0 = PartitionedTable.mergeStream(spark, dir,
+      b((3L, "p3", 333L, "upsert")), "k", "part", "other_stream", 0L)
+    assert(o0 === latest + 1, "same batch id, different stream: applies")
+
+    // final state equals the closed-form recompute of all four writes
+    val got = PartitionedTable.read(spark, dir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 111L && got(2L) === 222L && got(5L) === 555L &&
+      got(3L) === 333L && !got.contains(9L) && got(0L) === 0L)
+    assert(got.size === 99) // all four upsert keys existed; one delete
+
+    // history carries the stream tags for audit
+    val tags = PartitionedTable.history(spark, dir)
+      .select("at").collect().map(_.getString(0)).filter(_ != null)
+    assert(tags.contains("stream=ivf_maint;batch=0") &&
+      tags.contains("stream=ivf_maint;batch=1") &&
+      tags.contains("stream=other_stream;batch=0"))
+  }
 }
