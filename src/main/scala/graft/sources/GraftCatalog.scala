@@ -245,6 +245,42 @@ object GraftCatalog {
           s"graft.lake.$tbl TIMESTAMP AS OF '$ts0'"))
         .unionByName(agg("pruned_f",
           s"graft.lake.$tbl WHERE o_orderstatus = 'F'"))
+    },
+
+    // Generated-rule pruning through the SQL front door, hash-gated:
+    // commit orders under a generated MONTH rule, register it, and
+    // probe with the predicate users actually write — WHERE
+    // o_orderdate BETWEEN two MID-month instants, via spark.sql. The
+    // catalog scan routes the pushed closed range through
+    // readWhereSrc, so the manifest keeps only in-range months (the
+    // dirs-opened claim is plan-asserted in GraftCatalogSpec, evolved
+    // tables included) while the residual keeps the mid-month bounds
+    // exact. The oracle filters the source directly — a catalog that
+    // loses the source-range mapping (falling back to a full scan
+    // would still hash right, so the SPEC pins the pruning; this gate
+    // pins exactness through the SQL path).
+    QueryDef.sql("q106_sql_generated",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1996-03-10' AND DATE '1996-07-20'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val tbl = "q106_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      val hfs = graft.streaming.VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      PartitionedTable.commitGenerated(s, store, orders, "o_orderdate",
+        PartitionedTable.PartGen.Month, "pm",
+        statsCols = Seq("o_orderdate"))
+      register(s, "lake", tbl, store, partCol = Some("pm"))
+      s.sql(
+        s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl
+           |WHERE o_orderdate BETWEEN DATE '1996-03-10' AND DATE '1996-07-20'
+           |GROUP BY o_orderpriority""".stripMargin)
     }
   )
 }
@@ -337,6 +373,44 @@ case class GraftScan(
     val closed = dataCols.collect {
       case (c, Some(lo), Some(hi), eq) => (c, lo, hi, eq)
     }.sortBy(_._1)
+    // GENERATED tables prune from SOURCE-column predicates (nobody
+    // writes WHERE part_month = '1996-01' — they write WHERE
+    // o_orderdate BETWEEN …): closed ranges on declared level/rule
+    // source columns route through readWhereSrc/readWhereSrcLevels,
+    // which map the range through each epoch's/level's own rule at the
+    // manifest, then stats-prune files and keep the exact residual.
+    // Values render to the rules' ISO literal form; guarded so a
+    // rendering that breaks lexicographic order falls through to the
+    // generic path (residuals keep every path exact).
+    def render(v: Any): String = v match {
+      case t: java.sql.Timestamp => t.toString
+      case d: java.sql.Date => d.toString
+      case i: java.time.Instant => java.sql.Timestamp.from(i).toString
+      case d: java.time.LocalDate => d.toString
+      case other => other.toString
+    }
+    val genLevels = PartitionedTable.generatedLevelsOf(spark, dir)
+      .getOrElse(Nil)
+    val genSingle =
+      if (genLevels.nonEmpty) None
+      else PartitionedTable.generatedBy(spark, dir)
+    val genRouted: Option[DataFrame] =
+      if (genLevels.nonEmpty) {
+        val levelSrc = genLevels.map(_.srcCol).toSet
+        val rendered = closed.map { case (c, lo, hi, _) =>
+          (c, render(lo), render(hi)) }
+        if (rendered.exists(p => levelSrc.contains(p._1)) &&
+            rendered.forall(p => p._2 <= p._3))
+          Some(PartitionedTable.readWhereSrcLevels(spark, dir, rendered,
+            Some(version)))
+        else None
+      } else genSingle.flatMap { case (srcCol, _, _) =>
+        closed.find(_._1 == srcCol).collect {
+          case (_, lo, hi, _) if render(lo) <= render(hi) =>
+            PartitionedTable.readWhereSrc(spark, dir, render(lo), render(hi),
+              Some(version))
+        }
+      }
     // partition constraint: intersect with what actually exists — SQL
     // asking for an absent partition is an empty result, never an error
     val partVals = prunedPartitions.map { vals =>
@@ -344,7 +418,8 @@ case class GraftScan(
         .partitionValues(spark, dir, Some(version)).toSet
       vals.filter(live.contains)
     }
-    val base = (partVals, closed) match {
+    val base = if (genRouted.isDefined) genRouted.get
+    else (partVals, closed) match {
       case (Some(Nil), _) => // every requested partition absent
         PartitionedTable.read(spark, dir, Some(version)).filter(lit(false))
       case (pv, Seq((c, lo, hi, true))) if lo == hi =>

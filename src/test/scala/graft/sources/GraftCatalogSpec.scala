@@ -124,6 +124,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pointFiles.forall(_.contains("__part=p1")))
   }
 
+  test("generated tables prune from SOURCE predicates through SQL; epochs attribute across an evolution") {
+    val dir = freshStore()
+    val df = spark.range(730).select(
+      col("id").as("k"),
+      date_add(to_date(lit("1995-01-01")), col("id").cast("int")).as("d"),
+      (col("id") * 10).as("v"))
+    // year-partitioned 1995, evolved to month for 1996
+    PartitionedTable.commitGenerated(spark, dir,
+      df.filter(col("d") < lit("1996-01-01")), "d",
+      PartitionedTable.PartGen.Year, "pd")
+    PartitionedTable.evolveGenRule(spark, dir, PartitionedTable.PartGen.Month)
+    PartitionedTable.mergeGenerated(spark, dir,
+      df.filter(col("d") >= lit("1996-01-01")).withColumn("op", lit("upsert")),
+      "k")
+    GraftCatalog.register(spark, "t", "gen", dir, partCol = Some("pd"))
+
+    val q = spark.sql(
+      """SELECT k FROM graft.t.gen
+        |WHERE d BETWEEN DATE '1995-11-15' AND DATE '1996-02-10'""".stripMargin)
+    val dirsRead = scanOf(q).buildDf(spark).inputFiles
+      .map(_.split("/").find(_.startsWith("__part=")).getOrElse("?")).toSet
+    assert(dirsRead === Set("__part=1995", "__part=1996-01", "__part=1996-02"),
+      s"SQL source-range pruning must attribute per epoch, got $dirsRead")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      df.filter(col("d") >= lit("1995-11-15") && col("d") <= lit("1996-02-10"))
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq,
+      "mid-period bounds stay exact via the residual")
+    // a predicate on a NON-rule column falls through, still exact
+    assert(spark.sql("SELECT k FROM graft.t.gen WHERE v = 500").count() === 1)
+  }
+
   test("the catalog is read-only; unregistered tables don't resolve") {
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(20), "part")
