@@ -110,16 +110,33 @@ class GraftCatalog extends TableCatalog {
   }
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
-    val spec = specOf(ident)
-    val spark = SparkSession.active
-    val vs = PartitionedTable.versions(spark, spec.dir)
-    if (vs.isEmpty) throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchTableException(ident)
-    val v = asOf.getOrElse(vs.max)
-    require(vs.contains(v),
-      s"graft catalog: version $v not committed under ${spec.dir} " +
-        s"(have ${vs.sorted.mkString(",")})")
-    new GraftTable(s"$catalogName.${ident.toString}", spec, v)
+    // Iceberg-style METADATA TABLES: `t$history` (the commit log) and
+    // `t$detail` (per-partition DESCRIBE DETAIL) read the ops surfaces
+    // through plain SQL — `SELECT * FROM graft.db.t$history` — without
+    // any library call. Resolved against the BASE table's registration.
+    val meta = Seq("$history", "$detail").find(ident.name.endsWith)
+    meta match {
+      case Some(suffix) =>
+        val baseIdent = Identifier.of(ident.namespace,
+          ident.name.stripSuffix(suffix))
+        val spec = specOf(baseIdent)
+        require(asOf.isEmpty,
+          s"graft catalog: time travel does not apply to metadata table " +
+            s"${ident.name} (its rows already span versions)")
+        new GraftMetaTable(s"$catalogName.${ident.toString}", spec.dir,
+          suffix.stripPrefix("$"))
+      case None =>
+        val spec = specOf(ident)
+        val spark = SparkSession.active
+        val vs = PartitionedTable.versions(spark, spec.dir)
+        if (vs.isEmpty) throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+        val v = asOf.getOrElse(vs.max)
+        require(vs.contains(v),
+          s"graft catalog: version $v not committed under ${spec.dir} " +
+            s"(have ${vs.sorted.mkString(",")})")
+        new GraftTable(s"$catalogName.${ident.toString}", spec, v)
+    }
   }
 
   private def readOnly(op: String): Nothing =
@@ -482,4 +499,36 @@ class GraftRelation(val scan: GraftScan, override val sqlContext: SQLContext)
   override def schema: StructType = scan.readSchema()
   override def buildScan(): RDD[Row] =
     scan.buildDf(sqlContext.sparkSession).rdd
+}
+
+/** A metadata table (`$history` / `$detail`): tiny ops-surface frames,
+  * no pushdown machinery — the whole frame is manifest/footer-sized. */
+class GraftMetaTable(ident: String, dir: String, kind: String)
+    extends Table with SupportsRead {
+  private def frame(spark: SparkSession): DataFrame = kind match {
+    case "history" => PartitionedTable.history(spark, dir)
+    case "detail" => PartitionedTable.describeDetail(spark, dir)
+    case other => throw new IllegalArgumentException(
+      s"graft catalog: unknown metadata table kind '$other'")
+  }
+  private lazy val tableSchema: StructType = frame(SparkSession.active).schema
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"GraftMetaScan $dir $$$kind"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = tableSchema
+            override def buildScan(): RDD[Row] =
+              frame(context.sparkSession).rdd
+          }.asInstanceOf[T]
+      }
+    }
 }

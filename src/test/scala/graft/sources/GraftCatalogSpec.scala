@@ -155,6 +155,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM graft.t.gen WHERE v = 500").count() === 1)
   }
 
+  test("metadata tables: t$history and t$detail read the ops surfaces through plain SQL") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"), "k", "part")
+    GraftCatalog.register(spark, "t", "meta", dir, partCol = Some("part"))
+
+    val hist = spark.sql(
+      "SELECT version, operation, touched FROM graft.t.`meta$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist === Seq((0L, "commit", 4L), (1L, "merge", 1L)))
+
+    val detail = spark.sql(
+      "SELECT partition, n_rows FROM graft.t.`meta$detail` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lib = PartitionedTable.describeDetail(spark, dir)
+      .select("partition", "n_rows").orderBy("partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(detail === lib, "SQL detail must equal the library surface")
+
+    // time travel doesn't apply to metadata tables — loud, not silent
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.t.`meta$history` VERSION AS OF 0").collect())
+  }
+
   test("the catalog is read-only; unregistered tables don't resolve") {
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(20), "part")
