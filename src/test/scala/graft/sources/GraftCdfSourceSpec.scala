@@ -111,6 +111,75 @@ class GraftCdfSourceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("composition: a replica maintained from the stream via mergeStream survives batch backfills AND full replays") {
+    import spark.implicits._
+    val src = s"${fresh()}/src"; val replica = s"${fresh()}/replica"
+    val ckpt = s"${fresh()}/ckpt"
+    PartitionedTable.commit(spark, src, table(100), "part") // src v0
+    // explicit bootstrap: replica = src v0 snapshot; the stream then
+    // subscribes to post-load changes only
+    PartitionedTable.commit(spark, replica,
+      PartitionedTable.read(spark, src), "part")
+
+    def drainToReplica(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("dir", src).option("key", "k").option("part", "part")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          // a micro-batch can span several source commits: apply each
+          // version's slice in order, exactly-once by its stream tag
+          val vs = df.select(ChangeFeed.VersionCol).distinct()
+            .collect().map(_.getLong(0)).sorted
+          vs.foreach { v =>
+            val slice = df.filter(col(ChangeFeed.VersionCol) === v)
+              .withColumn("op", when(col("op").isin("insert", "update"),
+                "upsert").otherwise(col("op")))
+              .drop(ChangeFeed.VersionCol)
+            PartitionedTable.mergeStream(spark, replica, slice,
+              "k", "part", "replica_maint", v): Unit
+          }
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    PartitionedTable.merge(spark, src, Seq( // src v1
+      (1L, "p1", 111L, "upsert"), (5L, "p1", 0L, "delete"))
+      .toDF("k", "part", "v", "op"), "k", "part")
+    drainToReplica()
+
+    // a BATCH BACKFILL lands directly on the replica between drains —
+    // the coexistence mergeAt's id==version contract could not survive
+    PartitionedTable.merge(spark, replica,
+      Seq((777L, "p7", 7770L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part")
+
+    PartitionedTable.merge(spark, src, Seq( // src v2
+      (2L, "p2", 0L, "delete"), (401L, "p1", 4010L, "upsert"))
+      .toDF("k", "part", "v", "op"), "k", "part")
+    drainToReplica()
+
+    def snap(dir: String) = PartitionedTable.read(spark, dir)
+      .select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = snap(src) + ((777L, "p7", 7770L))
+    assert(snap(replica) === expected,
+      "replica = source content + the backfill overlay")
+
+    // FULL REPLAY: wipe the engine checkpoint so every slice
+    // redelivers — each no-ops on its stream tag despite the backfill
+    // having shifted the replica's version numbers (mergeAt would
+    // silently skip or double-apply here)
+    val latest = PartitionedTable.latest(spark, replica).get
+    val hfs = graft.streaming.VersionedStore.fs(spark, ckpt)
+    hfs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drainToReplica()
+    assert(PartitionedTable.latest(spark, replica).get === latest,
+      "replayed slices must not mint replica versions")
+    assert(snap(replica) === expected, "replay must be a content no-op")
+  }
+
   test("missing required options and empty tables fail loud") {
     val ex = intercept[Exception] {
       spark.readStream.format("graft-cdf").load()
