@@ -9,7 +9,7 @@ import org.apache.spark.sql.{functions, Column, DataFrame, Row, SQLContext, Spar
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, to_date}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -286,8 +286,15 @@ object GraftCatalog {
       val store = workDir.resolve(tbl).toString
       val hfs = graft.streaming.VersionedStore.fs(s, store)
       hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      // fixture = the 1996 window only (12 month partitions, not the
+      // full ~84): the probe range sits strictly inside it, so the
+      // oracle — which filters the raw source by the SAME range — is
+      // unchanged, and the entry times the catalog's pruned read, not
+      // an oversized commit
       val orders = Tables.orders(s, dir).select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+        .filter(col("o_orderdate") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate") < to_date(lit("1997-01-01")))
       PartitionedTable.commitGenerated(s, store, orders, "o_orderdate",
         PartitionedTable.PartGen.Month, "pm",
         statsCols = Seq("o_orderdate"))
