@@ -51,7 +51,18 @@ object MergeInto {
 
   /** Run the MERGE; returns the committed manifest version (the current
     * version unchanged when no clause produced a change — an all-no-op
-    * merge must not forge a table version). */
+    * merge must not forge a table version).
+    *
+    * CONCURRENCY: the clause decisions and tgt-derived update values are
+    * computed against ONE pinned snapshot, and the landing is
+    * snapshot-pinned ([[PartitionedTable.merge]]'s `sinceVersion`) — a
+    * concurrent commit that moves a touched partition between snapshot
+    * and landing raises [[PartitionedTable.ConcurrentWriteException]]
+    * inside the landing, and the WHOLE merge re-derives from the new
+    * snapshot (bounded retries). Re-applying the frozen changes (the
+    * plain CDC-merge rebase) would silently overwrite the concurrent
+    * writer with values computed from the stale snapshot — the lost
+    * update Delta's ConcurrentAppendException exists to prevent. */
   def apply(
       spark: SparkSession,
       dir: String,
@@ -61,6 +72,33 @@ object MergeInto {
       matched: Seq[Matched] = Nil,
       notMatched: Option[NotMatched] = None,
       at: String = ""): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 8,
+        s"MergeInto: lost $attempts snapshot races under $dir — " +
+          "a faster writer keeps moving the touched partitions")
+      try return deriveAndLand(spark, dir, source, keyCol, partCol,
+        matched, notMatched, at)
+      catch { case _: PartitionedTable.ConcurrentWriteException => () }
+    }
+    -1L // unreachable
+  }
+
+  /** Test seam: runs after the target snapshot is pinned and before the
+    * landing — a spec injects a concurrent commit here to exercise the
+    * re-derive path deterministically. */
+  private[operators] var afterSnapshotHook: () => Unit = () => ()
+
+  private def deriveAndLand(
+      spark: SparkSession,
+      dir: String,
+      source: DataFrame,
+      keyCol: String,
+      partCol: String,
+      matched: Seq[Matched],
+      notMatched: Option[NotMatched],
+      at: String): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty,
       "MergeInto: need at least one WHEN clause")
     matched.flatMap(_.set).foreach { set =>
@@ -72,17 +110,18 @@ object MergeInto {
     val cur = PartitionedTable.latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"MergeInto: nothing to merge into under $dir"))
-    val dataCols = PartitionedTable.read(spark, dir).schema // footers only
+    val dataCols = PartitionedTable.read(spark, dir, Some(cur)).schema // footers only
     // target read manifest-pruned to the source's partitions (absent
-    // partitions hold nothing to match — their source rows are inserts)
+    // partitions hold nothing to match — their source rows are inserts),
+    // PINNED at the snapshot version the landing will verify against
     val srcParts = source.select(partCol).distinct()
       .collect().map(_.getString(0)).toSeq // touched-partition-sized
-    val live = PartitionedTable.partitionValues(spark, dir).toSet
+    val live = PartitionedTable.partitionValues(spark, dir, Some(cur)).toSet
     val liveParts = srcParts.filter(live.contains)
     val target =
       if (liveParts.isEmpty)
-        PartitionedTable.read(spark, dir).filter(lit(false))
-      else PartitionedTable.readPartitions(spark, dir, liveParts)
+        PartitionedTable.read(spark, dir, Some(cur)).filter(lit(false))
+      else PartitionedTable.readPartitions(spark, dir, liveParts, Some(cur))
     // matched rows: broadcast-hash INNER join — the table side streams,
     // nothing shuffles (an outer join could not broadcast the small
     // side, so match/no-match splits into inner + anti instead)
@@ -128,9 +167,10 @@ object MergeInto {
     val changes = (matchedChanges.toSeq ++ insertChanges.toSeq)
       .reduce(_ unionByName _)
       .localCheckpoint(true) // evaluate ONCE: merge reads it per partition
+    afterSnapshotHook()
     if (changes.isEmpty) cur // every clause no-op'd: no forged version
     else PartitionedTable.merge(spark, dir, changes, keyCol, partCol,
-      at = if (at.isEmpty) "merge_into" else at)
+      at = if (at.isEmpty) "merge_into" else at, sinceVersion = Some(cur))
   }
 
   /** Per-JVM scratch root (the ChangeFeed pattern). */

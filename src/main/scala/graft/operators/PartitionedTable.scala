@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Partition-scoped versioned tables: N per-partition
   * [[graft.streaming.VersionedStore]]s behind ONE table-level manifest
@@ -62,6 +62,15 @@ object PartitionedTable {
     * dir name would otherwise be lost). */
   private val PartDir = "__part"
   private val ManifestDir = "_table_manifest"
+
+  /** A snapshot-pinned write lost to a concurrent commit that moved one
+    * of its touched partitions (see [[merge]]'s `sinceVersion`) — the
+    * Delta `ConcurrentAppendException` contract: the caller re-derives
+    * its changes from the new snapshot and retries, or surfaces the
+    * conflict; silently re-applying rows computed against the stale
+    * snapshot would be a lost update. */
+  final class ConcurrentWriteException(msg: String)
+      extends RuntimeException(msg)
 
   private def escape(value: String): String =
     s"$PartDir=${ExternalCatalogUtils.escapePathName(value)}"
@@ -873,7 +882,8 @@ object PartitionedTable {
       dvMaxFraction: Double = DvMaxFraction,
       bloomCols: Seq[String] = Nil,
       bloomBits: Long = DefaultBloomBits,
-      dvMinBase: Long = DvMinBaseRows): Long = {
+      dvMinBase: Long = DvMinBaseRows,
+      sinceVersion: Option[Long] = None): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -886,6 +896,26 @@ object PartitionedTable {
       val (committed, touched) = applyMergeParts(spark, dir, base, changes,
         keyCol, partCol, opCol, statsCols, allowSchemaEvolution,
         dvMaxRows, dvMaxFraction, bloomCols, bloomBits, dvMinBase)
+      // SNAPSHOT PIN (`sinceVersion`): a caller whose `changes` were
+      // DERIVED FROM a target snapshot (MergeInto's tgt-referencing
+      // clauses, the SQL MERGE path) cannot safely re-apply them onto a
+      // base where a touched partition moved — the frozen rows would
+      // silently overwrite the concurrent writer (lost update / write
+      // skew). Such callers pin the snapshot version; any touched
+      // partition whose pointer moved since it fails LOUD with
+      // [[ConcurrentWriteException]] (Delta's ConcurrentAppendException
+      // contract) so the caller can RE-DERIVE from the new snapshot.
+      // Plain CDC merges (changes are the source of truth, independent
+      // of target content) keep the rebase/recompute protocol below.
+      sinceVersion.foreach { s0 =>
+        val snap = manifest(spark, dir, s0)
+        val moved = touched.filter(n => base.get(n) != snap.get(n))
+        if (moved.nonEmpty) throw new ConcurrentWriteException(
+          s"PartitionedTable: partitions ${moved.sorted.mkString(", ")} of " +
+            s"$dir moved since snapshot v=$s0 (now v=$cur) — the merge's " +
+            "changes were derived from a stale snapshot; re-derive and retry " +
+            "(landed store versions are orphans; vacuum collects them)")
+      }
       // optimistic commit with rebase (the Delta conflict protocol):
       // losing the manifest slot to a writer whose commit left every
       // partition I merged against untouched is NOT a conflict — my
@@ -911,7 +941,12 @@ object PartitionedTable {
         }
       }
       if (done) return v
-      // conflicted: loop re-reads the new snapshot and re-merges
+      // conflicted: a pinned caller must re-derive, not re-apply —
+      // surface the conflict; an unpinned one loops and re-merges
+      if (sinceVersion.isDefined) throw new ConcurrentWriteException(
+        s"PartitionedTable: lost the manifest slot under $dir to a writer " +
+          s"that moved a touched partition since snapshot " +
+          s"v=${sinceVersion.get} — re-derive and retry")
     }
     -1L // unreachable
   }
@@ -2285,22 +2320,19 @@ object PartitionedTable {
         val g = epochRuleOf(epochs, p)
         utf8Le(g.ofLiteral(lo), p) && utf8Le(p, g.ofLiteral(hi))
       }.toSeq.sorted
-    // the source column's stored type from ONE donor footer — never a
-    // full-table schema merge (mergeSchema over every partition would
-    // cost O(#partitions) footer reads on EVERY probe, defeating the
+    // the source column's stored type from donor footers, tried LAZILY
+    // across live slices (the readEq protocol) — never a full-table
+    // schema merge (mergeSchema over every partition would cost
+    // O(#partitions) footer reads on EVERY probe, defeating the
     // pruning this read exists for). The generated source column is
-    // present since table creation, so any partition donates.
+    // present since table creation, so the first slice donates in
+    // practice; the iteration only matters for evolved layouts.
     val cloneSrc = cloneSrcOf(spark, dir)
     require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
-    val (dn, dsv) = m.minBy(_._1)
-    val donorStore = storeDirOf(spark, dir, cloneSrc, dn, dsv)
-    val donorDir = VersionedStore.path(donorStore,
-      dvBaseOf(spark, donorStore, dsv).getOrElse(dsv))
-    val srcType = spark.read.parquet(donorDir.toString).schema
-      .find(_.name == srcCol).map(_.dataType).getOrElse(
-        throw new IllegalArgumentException(
-          s"PartitionedTable: generated source column $srcCol missing " +
-            s"from $donorDir"))
+    val srcType = donorTypesOf(spark, dir, m, cloneSrc, Seq(srcCol))(srcCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PartitionedTable: generated source column $srcCol missing " +
+          s"from every live partition footer of $dir at v=$v"))
     val pred = col(srcCol) >= lit(lo).cast(srcType) &&
       col(srcCol) <= lit(hi).cast(srcType)
     if (live.isEmpty) // rare: nothing in range — schema-only full read
@@ -2456,25 +2488,49 @@ object PartitionedTable {
           }
         }
       }.toSeq.sorted
-    // pred-column stored types from ONE donor footer (the readWhereSrc
-    // contract: source columns exist since table creation)
+    // pred-column stored types from donor footers, tried LAZILY across
+    // live slices (the readEq protocol — an alphabetically-first donor
+    // may predate a schema evolution that added a probed stats column).
+    // A column NO live footer carries holds NULL in every row by
+    // construction, and NULL never satisfies a closed range — the read
+    // folds to an empty, correctly-schemed frame rather than throwing.
     val cloneSrc = cloneSrcOf(spark, dir)
-    val (dn, dsv) = m.minBy(_._1)
-    val donorStore = storeDirOf(spark, dir, cloneSrc, dn, dsv)
-    val donorDir = VersionedStore.path(donorStore,
-      dvBaseOf(spark, donorStore, dsv).getOrElse(dsv))
-    val donorSchema = spark.read.parquet(donorDir.toString).schema
-    val casted = preds.map { case (c, lo, hi) =>
-      val t = donorSchema.find(_.name == c).map(_.dataType).getOrElse(
-        throw new IllegalArgumentException(
-          s"PartitionedTable: probe column $c missing from $donorDir"))
-      (c, lit(lo).cast(t), lit(hi).cast(t))
+    val types = donorTypesOf(spark, dir, m, cloneSrc, preds.map(_._1))
+    val casted = preds.flatMap { case (c, lo, hi) =>
+      types(c).map(t => (c, lit(lo).cast(t), lit(hi).cast(t)))
     }
-    if (live.isEmpty) {
+    if (live.isEmpty || casted.size < preds.size) {
+      val base = read(spark, dir, Some(v)).filter(lit(false))
       val pred = casted.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-        .reduce(_ && _)
-      read(spark, dir, Some(v)).filter(lit(false)).filter(pred)
+        .reduceOption(_ && _)
+      pred.map(base.filter).getOrElse(base)
     } else readWhereAll(spark, dir, casted, partValues = Some(live), asOf = Some(v))
+  }
+
+  /** Stored [[org.apache.spark.sql.types.DataType]] of each `cols`
+    * entry, resolved by trying live slices' footers LAZILY in
+    * partition order until every column is found (one footer read in
+    * the common case) — the readEq donor protocol: after schema
+    * evolution an arbitrary single donor may lack a column other
+    * partitions carry. Columns absent from EVERY live footer resolve
+    * to None (callers decide — see [[readWhereSrcLevels]]). */
+  private def donorTypesOf(
+      spark: SparkSession, dir: String, m: Map[String, Long],
+      cloneSrc: Option[String],
+      cols: Seq[String]): Map[String, Option[DataType]] = {
+    val found = scala.collection.mutable.Map.empty[String, DataType]
+    val it = m.toSeq.sortBy(_._1).iterator
+    while (found.size < cols.distinct.size && it.hasNext) {
+      val (name, sv) = it.next()
+      val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
+      val vd = VersionedStore.path(storeDir,
+        dvBaseOf(spark, storeDir, sv).getOrElse(sv))
+      val schema = spark.read.parquet(vd.toString).schema // footer only
+      cols.filterNot(found.contains).foreach { c =>
+        schema.find(_.name == c).foreach(f => found(c) = f.dataType)
+      }
+    }
+    cols.map(c => c -> found.get(c)).toMap
   }
 
   // ---------------------------------------------------------------------

@@ -392,7 +392,13 @@ case class GraftScan(
       case LessThanOrEqual(c, v) if v != null => (c, None, Some(v), false)
     }.groupBy(_._1).map { case (c, bs) =>
       val lo = bs.flatMap(_._2); val hi = bs.flatMap(_._3)
-      (c, lo.headOption, hi.headOption, bs.exists(_._4))
+      // TIGHTEST bound per column, not first-seen: `c > 10 AND c > 100`
+      // prunes with lo=100 (max of lowers; min of uppers). Mixed-type
+      // literal pairs keep the incumbent — sound either way, the
+      // residual re-filters exactly.
+      (c, lo.reduceOption(GraftScan.tighter(_, _, keepMax = true)),
+        hi.reduceOption(GraftScan.tighter(_, _, keepMax = false)),
+        bs.exists(_._4))
     }.toSeq
     val closed = dataCols.collect {
       case (c, Some(lo), Some(hi), eq) => (c, lo, hi, eq)
@@ -475,6 +481,19 @@ case class GraftScan(
 }
 
 object GraftScan {
+  /** The tighter of two pushed bound literals: the larger when merging
+    * lower bounds (`keepMax`), the smaller for upper bounds. Literals
+    * of different runtime classes (or non-Comparable ones) keep `a` —
+    * sound, because every pushed filter stays residual. */
+  private[sources] def tighter(a: Any, b: Any, keepMax: Boolean): Any =
+    (a, b) match {
+      case (x: Comparable[_], y: Any)
+          if x.getClass == y.getClass =>
+        val cmp = x.asInstanceOf[Comparable[Any]].compareTo(y)
+        if (keepMax == (cmp >= 0)) a else b
+      case _ => a
+    }
+
   /** Best-effort [[Filter]] → [[Column]]; None = untranslatable (the
     * residual still evaluates it exactly). */
   def toColumn(f: Filter): Option[Column] = f match {
@@ -509,7 +528,10 @@ class GraftRelation(val scan: GraftScan, override val sqlContext: SQLContext)
 }
 
 /** A metadata table (`$history` / `$detail`): tiny ops-surface frames,
-  * no pushdown machinery — the whole frame is manifest/footer-sized. */
+  * no pushdown machinery — the whole frame is manifest/footer-sized.
+  * Schemas are STATIC (both surfaces' shapes are fixed), so resolving a
+  * metadata table never runs the listing/footer pass — only `buildScan`
+  * (execution) does, and exactly once per query. */
 class GraftMetaTable(ident: String, dir: String, kind: String)
     extends Table with SupportsRead {
   private def frame(spark: SparkSession): DataFrame = kind match {
@@ -518,7 +540,7 @@ class GraftMetaTable(ident: String, dir: String, kind: String)
     case other => throw new IllegalArgumentException(
       s"graft catalog: unknown metadata table kind '$other'")
   }
-  private lazy val tableSchema: StructType = frame(SparkSession.active).schema
+  private val tableSchema: StructType = GraftMetaTable.schemaOf(kind)
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -533,9 +555,46 @@ class GraftMetaTable(ident: String, dir: String, kind: String)
           new BaseRelation with TableScan {
             override val sqlContext: SQLContext = context
             override def schema: StructType = tableSchema
-            override def buildScan(): RDD[Row] =
-              frame(context.sparkSession).rdd
+            override def buildScan(): RDD[Row] = {
+              val df = frame(context.sparkSession)
+              // the declared static schema is a contract — drift in the
+              // library frame must fail loud here, not as a cast error
+              // rows later
+              require(df.schema == tableSchema,
+                s"graft catalog: $$$kind frame schema ${df.schema.simpleString} " +
+                  s"drifted from the declared ${tableSchema.simpleString}")
+              df.rdd
+            }
           }.asInstanceOf[T]
       }
     }
+}
+
+object GraftMetaTable {
+  import org.apache.spark.sql.types._
+  /** [[PartitionedTable.history]]'s fixed shape. */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType),
+    StructField("touched", LongType),
+    StructField("partitions", LongType),
+    StructField("at", StringType),
+    StructField("commit_ts", LongType)))
+  /** [[PartitionedTable.describeDetail]]'s fixed shape. */
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("partition", StringType),
+    StructField("store_version", LongType, nullable = false),
+    StructField("resolves", StringType),
+    StructField("n_files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("is_dv", BooleanType, nullable = false),
+    StructField("has_stats", BooleanType, nullable = false),
+    StructField("has_bloom", BooleanType, nullable = false)))
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => HistorySchema
+    case "detail" => DetailSchema
+    case other => throw new IllegalArgumentException(
+      s"graft catalog: unknown metadata table kind '$other'")
+  }
 }

@@ -101,11 +101,20 @@ class CdfStream(spark: SparkSession, parameters: Map[String, String])
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(CdfOffset.of).getOrElse(startVersion)
     val to = CdfOffset.of(end)
+    val batch = ChangeFeed.batch(spark, dir, keyCol, partCol,
+      fromVersion = from, toVersion = Some(to), preImages = preImages)
+    // the source's schema was pinned at stream start — a schema-evolving
+    // commit mid-stream would otherwise surface as an opaque union/
+    // analysis error rows later; fail with the operable message instead
+    // (the Delta CDF contract: restart the stream to adopt a new schema)
+    require(batch.schema == schema,
+      s"graft-cdf: table schema evolved under a running stream — " +
+        s"versions ($from, $to] of $dir produce ${batch.schema.simpleString} " +
+        s"but the stream declared ${schema.simpleString} at start; " +
+        "restart the query to pick up the evolved schema")
     // re-tagged isStreaming (the FileStreamSource technique) — the
     // inner batch plan is the feed's own slice computation, lazy
-    org.apache.spark.sql.graft.Bridge.asStreaming(
-      ChangeFeed.batch(spark, dir, keyCol, partCol,
-        fromVersion = from, toVersion = Some(to), preImages = preImages))
+    org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }
 
   override def stop(): Unit = ()

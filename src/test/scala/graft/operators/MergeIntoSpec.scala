@@ -117,4 +117,79 @@ class MergeIntoSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("DELETE + INSERT"))
   }
+
+  test("a concurrent commit to a touched partition re-derives the merge: tgt-derived values come from the NEW snapshot") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part") // k=4: v=40
+    // between MergeInto's snapshot and its landing, a racing writer
+    // moves k=4 to v=5 — re-applying the frozen +1000 would land 1040
+    // and silently erase the racer (the r13 ADVICE lost-update)
+    var fired = 0
+    MergeInto.afterSnapshotHook = () => {
+      if (fired == 0) {
+        fired += 1
+        PartitionedTable.merge(spark, dir,
+          Seq((4L, "p0", 5L, "tag4", "upsert"))
+            .toDF("k", "part", "v", "tag", "op"), "k", "part")
+      }
+    }
+    try {
+      val src = Seq((4L, "p0"), (8L, "p0")).toDF("k", "part")
+      MergeInto(spark, dir, src, "k", "part",
+        matched = Seq(MergeInto.update(Map("v" -> (col("tgt.v") + 1000)))))
+    } finally MergeInto.afterSnapshotHook = () => ()
+    assert(fired === 1, "the hook must fire exactly once (attempt 1)")
+    val got = PartitionedTable.read(spark, dir)
+      .filter(col("k").isin(4L, 8L)).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(4L -> 1005L, 8L -> 1080L),
+      "the retry must re-derive from the racer's snapshot (5+1000), " +
+        s"not re-apply the stale 40+1000; got $got")
+  }
+
+  test("a concurrent commit to a DISJOINT partition does not conflict: the first attempt lands by rebase") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    var fired = 0
+    MergeInto.afterSnapshotHook = () => {
+      fired += 1
+      PartitionedTable.merge(spark, dir,
+        Seq((7L, "p3", 777L, "t", "upsert"))
+          .toDF("k", "part", "v", "tag", "op"), "k", "part")
+    }
+    try {
+      val src = Seq((4L, "p0")).toDF("k", "part")
+      MergeInto(spark, dir, src, "k", "part",
+        matched = Seq(MergeInto.update(Map("v" -> (col("tgt.v") + 1000)))))
+    } finally MergeInto.afterSnapshotHook = () => ()
+    assert(fired === 1, "a disjoint racer must not force a re-derive")
+    val got = PartitionedTable.read(spark, dir)
+      .filter(col("k").isin(4L, 7L)).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(4L -> 1040L, 7L -> 777L),
+      "both writes must survive: the merge rebases past the disjoint winner")
+  }
+
+  test("the snapshot-pinned merge primitive fails loud when a touched partition moved since the pin") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part") // v0
+    PartitionedTable.merge(spark, dir,
+      Seq((4L, "p0", 5L, "t", "upsert")).toDF("k", "part", "v", "tag", "op"),
+      "k", "part") // v1 moved p0
+    val stale = Seq((8L, "p0", 9L, "t", "upsert"))
+      .toDF("k", "part", "v", "tag", "op")
+    val ex = intercept[PartitionedTable.ConcurrentWriteException] {
+      PartitionedTable.merge(spark, dir, stale, "k", "part",
+        sinceVersion = Some(0L))
+    }
+    assert(ex.getMessage.contains("moved since snapshot v=0"))
+    // pinned at the CURRENT version it lands fine
+    PartitionedTable.merge(spark, dir, stale, "k", "part",
+      sinceVersion = Some(1L))
+    assert(PartitionedTable.read(spark, dir).filter(col("k") === 8L)
+      .select("v").head().getLong(0) === 9L)
+  }
 }

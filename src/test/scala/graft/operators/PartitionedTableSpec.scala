@@ -2142,4 +2142,36 @@ class PartitionedTableSpec extends SparkSpec {
       tags.contains("stream=ivf_maint;batch=1") &&
       tags.contains("stream=other_stream;batch=0"))
   }
+
+  test("source-range probes resolve types from ANY live footer: evolved stats columns don't fail the read, absent ones fold to empty") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(300).select(
+      col("id").as("k"),
+      concat(lit("grp"), (col("id") % 3).cast("string")).as("cat"),
+      to_date(concat(lit("1995-0"), ((col("id") % 3) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, df, Seq(
+      PartitionedTable.GenLevel("cat", PartitionedTable.PartGen.Prefix(4), "catp"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "month")))
+    // evolve: column x lands ONLY in grp2/1995-03 — alphabetically LAST,
+    // so the r13 single-first-donor resolution would throw on any probe
+    // naming x even though a live footer carries it
+    PartitionedTable.mergeLevels(spark, dir,
+      spark.range(300).filter(col("id") % 3 === 2).select(
+        col("id").as("k"), lit("grp2").as("cat"),
+        to_date(lit("1995-03-15")).as("d"), (col("id") * 10).as("v"),
+        (col("id") + 10000).as("x"), lit("upsert").as("op")),
+      "k", allowSchemaEvolution = true)
+    val q = PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
+      ("d", "1995-01-01", "1995-12-31"), ("x", "10005", "10010")))
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 8L), "x resolves from the evolved footer and filters exactly")
+    // a probe column NO live footer carries holds NULL in every row —
+    // the read folds to empty (NULL never satisfies a closed range)
+    // instead of throwing
+    assert(PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
+      ("d", "1995-01-01", "1995-12-31"), ("zzz", "0", "9"))).count() === 0)
+  }
 }

@@ -181,6 +181,32 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT * FROM graft.t.`meta$history` VERSION AS OF 0").collect())
   }
 
+  test("multiple pushed bounds on one column merge to the TIGHTEST, not the first seen") {
+    val dir = freshStore()
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+      (col("id") * 10).as("v"))
+    // range layout on v → tight per-file min/max in the stats sidecar
+    PartitionedTable.commit(spark, dir,
+      df.repartitionByRange(8, col("v")), "part", statsCols = Seq("v"))
+    GraftCatalog.register(spark, "t", "bounds", dir, partCol = Some("part"))
+
+    // the WEAK lower bound comes FIRST in both (first-seen merging —
+    // the r13 ADVICE bug — would prune with lo=0 and keep every file)
+    val weak = scanOf(spark.sql(
+      "SELECT k FROM graft.t.bounds WHERE v > 0 AND v <= 400000"))
+      .buildDf(spark)
+    val tight = spark.sql(
+      "SELECT k FROM graft.t.bounds WHERE v > 0 AND v >= 39000 AND v <= 400000")
+    assert(tight.collect().map(_.getLong(0)).sorted.toSeq ===
+      (3900L until 4000L).toSeq)
+    val weakFiles = weak.inputFiles.length
+    val tightFiles = scanOf(tight).buildDf(spark).inputFiles.length
+    assert(tightFiles < weakFiles,
+      s"lo must merge as max(0, 39000): $tightFiles of $weakFiles files")
+  }
+
   test("the catalog is read-only; unregistered tables don't resolve") {
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(20), "part")

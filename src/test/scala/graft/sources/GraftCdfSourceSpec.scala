@@ -193,4 +193,22 @@ class GraftCdfSourceSpec extends SparkSpec {
     assert(ex2.getMessage.contains("no committed versions") ||
       Option(ex2.getCause).exists(_.getMessage.contains("no committed versions")))
   }
+
+  test("a schema-evolving commit under a running stream fails loud with the restart message, not an opaque union error") {
+    import spark.implicits._
+    val dir = s"${fresh()}/t"; val root = fresh()
+    commitAndMerge(dir)
+    drain(root, dir) // healthy: v1-v2 land, schema pinned in the checkpoint
+
+    // evolve the schema mid-stream (new column w), then extend again
+    PartitionedTable.merge(spark, dir,
+      Seq((3L, "p3", 33L, 7L, "upsert")).toDF("k", "part", "v", "w", "op"),
+      "k", "part", allowSchemaEvolution = true) // v3
+    val ex = intercept[Exception](drain(root, dir))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null &&
+      m.contains("schema evolved under a running stream")),
+      s"want the operable restart message, got: ${messages(ex).mkString(" | ")}")
+  }
 }
