@@ -1841,6 +1841,30 @@ object PartitionedTable {
     * maintenance: run it from the committer (an in-flight merge's
     * freshly-landed, not-yet-manifested versions look exactly like
     * orphans to anyone else). */
+  /** WALL-CLOCK retention — the `VACUUM ... RETAIN n HOURS` operators
+    * actually run, on the version-count [[vacuum]] substrate: drop every
+    * manifest whose commit stamp (the same header `ts` TIMESTAMP AS OF
+    * resolves through) is older than `retain` before `now`, always
+    * keeping the newest version (a table must stay readable even when
+    * the whole log is stale). Time travel and change-feed offsets below
+    * the resolved horizon fail loud afterwards — exactly the vacuumed-
+    * version contract. `now` is injectable for deterministic specs;
+    * stamps are commit-monotone (one writer wins each slot, stamping at
+    * commit), so "newer than the horizon" is always a suffix of the
+    * log and the count maps exactly onto [[vacuum]]'s keep-newest. */
+  def vacuumRetain(
+      spark: SparkSession, dir: String,
+      retain: java.time.Duration,
+      now: Long = System.currentTimeMillis): (Seq[Long], Int) = {
+    require(!retain.isNegative,
+      s"vacuumRetain: retention must be >= 0, got $retain")
+    val vs = versions(spark, dir).sorted
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val horizon = now - retain.toMillis
+    val keep = math.max(1, vs.count(v => commitTimeOf(spark, dir, v) >= horizon))
+    vacuum(spark, dir, keep)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keep: Int): (Seq[Long], Int) = {
     require(keep >= 1, s"vacuum must keep >= 1 manifest, got $keep")
     val hfs = VersionedStore.fs(spark, dir)

@@ -80,15 +80,31 @@ object GraftCdfSource {
 }
 
 /** One streaming subscription; offset N = "everything through table
-  * version N has been emitted". */
+  * version N has been emitted".
+  *
+  * ADMISSION CONTROL (`maxversionsperbatch`, optional): a replica
+  * bootstrapping behind a long history would otherwise fold EVERY
+  * pending commit into one giant micro-batch; with the option set, each
+  * batch advances at most that many table versions (the
+  * [[DocGenMicroBatch]] stateless pattern — the engine hands us the
+  * committed start offset, so restarts can never re-offer consumed
+  * versions). `Trigger.Once`-style `ReadAllAvailable` limits are
+  * honored uncapped: ignoring them would deliver one quantum and
+  * terminate "successfully" with data missing. */
 class CdfStream(spark: SparkSession, parameters: Map[String, String])
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxRows}
   private val dir = GraftCdfSource.param(parameters, "dir")
   private val keyCol = GraftCdfSource.param(parameters, "key")
   private val partCol = GraftCdfSource.param(parameters, "part")
   private val preImages = parameters.get("preimages").exists(_.toBoolean)
   private val startVersion =
     parameters.get("startversion").map(_.toLong).getOrElse(0L)
+  private val maxVersionsPerBatch: Option[Int] =
+    parameters.get("maxversionsperbatch").map(_.toInt)
+  maxVersionsPerBatch.foreach(m => require(m >= 1,
+    s"graft-cdf: maxversionsperbatch must be >= 1, got $m"))
 
   override val schema: StructType =
     GraftCdfSource.feedSchema(spark, parameters)
@@ -96,6 +112,28 @@ class CdfStream(spark: SparkSession, parameters: Map[String, String])
   override def getOffset: Option[Offset] = {
     val latest = PartitionedTable.latest(spark, dir)
     latest.filter(_ > startVersion).map(CdfOffset(_))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(m => ReadLimit.maxRows(m.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** "Rows" in the limit are table VERSIONS (the feed's admission
+    * quantum — a commit's slice is indivisible, its row count unknown
+    * without doing the work). */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(CdfOffset.of).getOrElse(startVersion)
+    val pending = PartitionedTable.versions(spark, dir)
+      .filter(_ > from).sorted
+    val end = limit match {
+      case _: ReadAllAvailable => pending.lastOption
+      case m: ReadMaxRows =>
+        pending.take(math.max(1L, m.maxRows()).toInt).lastOption
+      case _ => pending.lastOption
+    }
+    end.map(CdfOffset(_)).orNull // null = caught up
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

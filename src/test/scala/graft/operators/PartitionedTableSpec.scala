@@ -2143,6 +2143,44 @@ class PartitionedTableSpec extends SparkSpec {
       tags.contains("stream=other_stream;batch=0"))
   }
 
+  test("wall-clock vacuum keeps exactly the stamped-window versions; reads and feeds below the horizon fail loud") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(40).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commit(spark, dir, df, "part") // v0
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis // v1/v2 stamp strictly after this
+    Thread.sleep(5)
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p1", 111L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v1
+    PartitionedTable.merge(spark, dir,
+      Seq((2L, "p0", 222L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v2
+    val now = System.currentTimeMillis
+    val (dropped, _) = PartitionedTable.vacuumRetain(spark, dir,
+      java.time.Duration.ofMillis(now - cut), now = now)
+    assert(dropped === Seq(0L), "only v0 predates the cut")
+    assert(PartitionedTable.versions(spark, dir).sorted === Seq(1L, 2L))
+    // the horizon contracts hold: v0 unreadable, pre-horizon ts probes
+    // and stale feed offsets fail loud, in-window reads stay exact
+    intercept[Exception](
+      PartitionedTable.read(spark, dir, Some(0L)).collect())
+    intercept[Exception](
+      graft.streaming.ChangeFeed.batch(spark, dir, "k", "part",
+        fromVersion = 0L).collect())
+    assert(PartitionedTable.read(spark, dir).filter(col("k") === 2L)
+      .select("v").head().getLong(0) === 222L)
+    // a horizon in the future still keeps the newest version (floor 1)
+    val (d2, _) = PartitionedTable.vacuumRetain(spark, dir,
+      java.time.Duration.ZERO, now = System.currentTimeMillis + 3600000L)
+    assert(d2 === Seq(1L) &&
+      PartitionedTable.versions(spark, dir) === Seq(2L))
+  }
+
   test("source-range probes resolve types from ANY live footer: evolved stats columns don't fail the read, absent ones fold to empty") {
     import spark.implicits._
     val dir = freshStore()

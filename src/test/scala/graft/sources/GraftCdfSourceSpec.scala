@@ -194,6 +194,52 @@ class GraftCdfSourceSpec extends SparkSpec {
       Option(ex2.getCause).exists(_.getMessage.contains("no committed versions")))
   }
 
+  test("maxversionsperbatch rate-limits the drain: N pending commits arrive over ceil(N/max) batches, nothing lost, resume intact") {
+    import spark.implicits._
+    val dir = s"${fresh()}/t"; val root = fresh()
+    PartitionedTable.commit(spark, dir, table(100), "part") // v0
+    (1 to 5).foreach { i => // v1..v5, one upsert each
+      PartitionedTable.merge(spark, dir,
+        Seq((i.toLong, s"p${i % 4}", i * 1000L, "upsert"))
+          .toDF("k", "part", "v", "op"), "k", "part")
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def drainLimited(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("dir", dir).option("key", "k").option("part", "part")
+        .option("maxversionsperbatch", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val vs = df.select(graft.streaming.ChangeFeed.VersionCol)
+            .distinct().collect().map(_.getLong(0)).sorted.toSeq
+          batches.synchronized { batches += ((id, vs)): Unit }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainLimited()
+    val versionsSeen = batches.flatMap(_._2).sorted.toSeq
+    assert(versionsSeen === (1L to 5L),
+      s"every commit drains exactly once, got $batches")
+    assert(batches.forall(_._2.size <= 2),
+      s"no batch may span more than 2 versions: $batches")
+    assert(batches.size >= 3, // ceil(5/2)
+      s"5 pending commits over max=2 need >= 3 batches: $batches")
+    // versions drain in commit order across batches
+    assert(batches.sortBy(_._1).flatMap(_._2).toSeq === (1L to 5L))
+
+    // resume: extend by one commit; the same checkpoint drains ONLY it
+    PartitionedTable.merge(spark, dir,
+      Seq((9L, "p1", 9999L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v6
+    batches.clear()
+    drainLimited()
+    assert(batches.flatMap(_._2).toSeq === Seq(6L),
+      s"resume must drain exactly the extension, got $batches")
+  }
+
   test("a schema-evolving commit under a running stream fails loud with the restart message, not an opaque union error") {
     import spark.implicits._
     val dir = s"${fresh()}/t"; val root = fresh()
