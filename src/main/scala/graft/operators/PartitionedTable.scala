@@ -569,6 +569,62 @@ object PartitionedTable {
     committed
   }
 
+  /** `INSERT OVERWRITE t PARTITION (...)` — Delta's `replaceWhere` on
+    * the manifest commit point: land the batch's partitions, then
+    * commit a mapping where EVERY partition in `partValues` is
+    * replaced — batch partitions get the fresh versions, filtered-but-
+    * absent partitions DROP (a refresh that no longer produces a slice
+    * must not resurrect the old one; an entirely empty batch is a
+    * partition-scoped delete). Batch rows OUTSIDE `partValues` fail
+    * loud inside the landing job (the Delta replaceWhere validation,
+    * as a codegen'd guard — no extra validation pass). Blind-write OCC
+    * (the [[overwritePartitions]] contract): a lost slot rebases onto
+    * any winner — last overwrite wins on the replaced set. */
+  def replacePartitions(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      partValues: Seq[String], statsCols: Seq[String] = Nil, at: String = "",
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
+    require(partValues.nonEmpty,
+      "replacePartitions: need at least one partition value to replace")
+    require(df.schema(partCol).dataType == StringType,
+      s"PartitionedTable: partition column $partCol must be a string")
+    if (latest(spark, dir).isEmpty) throw new IllegalArgumentException(
+      s"PartitionedTable: nothing to replace under $dir (use commit " +
+        "for the initial load)")
+    if (!allowSchemaEvolution) {
+      val tableCols = read(spark, dir).columns.toSet
+      require(df.columns.toSet == tableCols,
+        s"PartitionedTable: replace schema mismatch under $dir — batch " +
+          s"[${df.columns.sorted.mkString(",")}] vs table " +
+          s"[${tableCols.toSeq.sorted.mkString(",")}]")
+    }
+    refuseRetiredNames(spark, dir, df)
+    val guarded = df.withColumn(partCol,
+      when(col(partCol).isNull || col(partCol).isin(partValues: _*),
+        col(partCol))
+        .otherwise(raise_error(concat(
+          lit("PartitionedTable: replacePartitions batch row lands in "),
+          col(partCol),
+          lit(s", outside the replaced set ${partValues.sorted.mkString("{", ",", "}")}")))))
+    val batch = guarded.filter(col(partCol).isNotNull)
+    enforceConstraints(spark, dir, batch)
+    val committed =
+      if (batch.isEmpty) Map.empty[String, Long]
+      else landPartitions(spark, dir, batch, partCol, statsCols, bloomCols,
+        bloomBits)
+    val replaced = partValues.map(escape).toSet
+    var v = latest(spark, dir).get + 1
+    var mapping = (manifest(spark, dir, v - 1) -- replaced) ++ committed
+    while (!commitManifestAt(spark, dir, v, mapping,
+        Some(metaLine("replace_where", replaced.size, mapping.size, at)))) {
+      mapping = (manifest(spark, dir, v) -- replaced) ++ committed
+      v += 1
+    }
+    v
+  }
+
   /** The overwrite's commit loop over already-landed versions: take the
     * next manifest slot; on losing it, rebase onto the winner's mapping
     * (a blind write never read the base, so ANY winner rebases — last
@@ -585,6 +641,168 @@ object PartitionedTable {
       v += 1
     }
     v
+  }
+
+  /** APPEND `df`'s rows — SQL `INSERT INTO` semantics: no key identity,
+    * no dedup, every non-null-partition batch row lands. On an empty
+    * table this IS the initial [[commit]]. Existing partitions take the
+    * merge-on-read fast path when the growth bounds allow — the batch
+    * slice lands as a tiny `_append` delta next to the UNREWRITTEN base
+    * (an INSERT must never rewrite a 100 TB partition; the existing
+    * delta reader, compaction fold-back, and growth guard all apply
+    * unchanged) — and fold to a rewrite otherwise; new partitions land
+    * fresh. CHECK constraints gate the batch as [[commit]]'s do.
+    *
+    * OCC: the batch does not derive from target content, so a lost
+    * manifest slot rebases past disjoint winners and RECOMPUTES against
+    * touched conflicts (re-reading the winner's base) — the [[merge]]
+    * protocol, serializable either way. An empty batch returns the
+    * current version unchanged (no forged table version). */
+  def append(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String] = Nil, at: String = "",
+      allowSchemaEvolution: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits,
+      dvMaxRows: Long = DvMaxRows,
+      dvMaxFraction: Double = DvMaxFraction,
+      dvMinBase: Long = DvMinBaseRows): Long = {
+    require(df.schema(partCol).dataType == StringType,
+      s"PartitionedTable: partition column $partCol must be a string " +
+        "(cast upstream — the Hive partition-value convention)")
+    if (latest(spark, dir).isEmpty)
+      return commit(spark, dir, df, partCol, statsCols, at, bloomCols, bloomBits)
+    if (!allowSchemaEvolution) {
+      val tableCols = read(spark, dir).columns.toSet // footer-merged, no scan
+      require(df.columns.toSet == tableCols,
+        s"PartitionedTable: append schema mismatch under $dir — batch " +
+          s"[${df.columns.sorted.mkString(",")}] vs table " +
+          s"[${tableCols.toSeq.sorted.mkString(",")}] " +
+          "(pass allowSchemaEvolution = true to widen)")
+    }
+    refuseRetiredNames(spark, dir, df)
+    val batch = df.filter(col(partCol).isNotNull).localCheckpoint(true)
+    enforceConstraints(spark, dir, batch)
+    val census = batch.groupBy(partCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (census.isEmpty) return latest(spark, dir).get
+    val payloadCols = batch.columns.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 16,
+        s"PartitionedTable: append lost $attempts optimistic rounds under $dir")
+      val cur = latest(spark, dir).get
+      val base = manifest(spark, dir, cur)
+      val touchedNames = census.map { case (v, _) => escape(v) }
+      // MoR routing (the applyMergeParts policy, appends only): live
+      // partition, growth bounds hold (appends accrete like tombstones),
+      // schema matches the base exactly, and not a clone (a local delta
+      // would name a source-side base)
+      val edges = colMapOf(spark, dir)
+      def morCompatible(v: String): Boolean = {
+        val name = escape(v)
+        val storeDir = storeDirOf(spark, dir, name, base(name))
+        val b = dvBaseOf(spark, storeDir, base(name)).getOrElse(base(name))
+        readParquet(spark, Seq(VersionedStore.path(storeDir, b).toString))
+          .columns.flatMap(c => resolveName(edges, c)).toSet == payloadCols
+      }
+      val morVals =
+        if (cloneSrcOf(spark, dir).isDefined) Nil
+        else census.collect {
+          case (v, n) if base.contains(escape(v)) &&
+              dvWithinBounds(spark, dir, base, v, n, ups = n, dvMaxRows,
+                dvMaxFraction, dvMinBase) && morCompatible(v) => v
+        }
+      val morCommitted = landAppendDeltas(spark, dir, base, batch, morVals, partCol)
+      val rwVals = census.map(_._1).filterNot(morVals.contains)
+      val rwCommitted = if (rwVals.isEmpty) Map.empty[String, Long] else {
+        val rwBatch = batch.filter(col(partCol).isin(rwVals: _*))
+        val liveRw = rwVals.map(escape).filter(base.contains)
+        val merged = if (liveRw.isEmpty) rwBatch else {
+          readMapped(spark, dir, base.filter(kv => liveRw.contains(kv._1)))
+            .unionByName(rwBatch, allowSchemaEvolution)
+        }
+        landPartitions(spark, dir, merged, partCol, statsCols, bloomCols,
+          bloomBits)
+      }
+      val committed = morCommitted ++ rwCommitted
+      var v = cur + 1
+      var mapping = base ++ committed
+      var conflicted = false
+      var done = false
+      while (!done && !conflicted) {
+        if (commitManifestAt(spark, dir, v, mapping,
+            Some(metaLine("append", committed.size, mapping.size, at)))) done = true
+        else {
+          val winner = manifest(spark, dir, v)
+          if (touchedNames.exists(n => winner.get(n) != base.get(n))) conflicted = true
+          else { mapping = winner ++ committed; v += 1 }
+        }
+      }
+      if (done) return v
+      // conflicted: loop re-reads the new snapshot and re-lands
+    }
+    -1L // unreachable
+  }
+
+  /** Land append-only merge-on-read deltas: each routed partition's new
+    * store version is `batch=<next>/{_dv, _base.txt, _append}` where the
+    * DV carries over VERBATIM (nothing is deleted), `_append` holds the
+    * old appended rows plus this batch's slice (folded forward, so one
+    * delta resolves against the base — the [[landMorDeltas]] chain
+    * invariant), and the base is never read beyond its footer. */
+  private def landAppendDeltas(
+      spark: SparkSession, dir: String, m: Map[String, Long],
+      batch: DataFrame, vals: Seq[String], partCol: String): Map[String, Long] = {
+    if (vals.isEmpty) return Map.empty
+    val hfs = VersionedStore.fs(spark, dir)
+    val resolved = vals.map { v =>
+      val name = escape(v)
+      val sv = m(name)
+      val storeDir = storeDirOf(spark, dir, name, sv)
+      (v, name, storeDir, sv, dvBaseOf(spark, storeDir, sv).getOrElse(sv))
+    }
+    val slice = batch.filter(col(partCol).isin(vals: _*))
+    val oldAppendDirs = resolved.collect {
+      case (_, _, storeDir, sv, base) if sv != base &&
+          hfs.exists(new Path(VersionedStore.path(storeDir, sv), AppendDir)) =>
+        new Path(VersionedStore.path(storeDir, sv), AppendDir).toString
+    }
+    val appendRows =
+      if (oldAppendDirs.isEmpty) slice
+      else logicalize(spark, dir, readParquet(spark, oldAppendDirs))
+        .unionByName(slice, true)
+    val appTmp = new Path(dir, s".tmp-append-${java.util.UUID.randomUUID}")
+    appendRows.withColumn(PartDir, col(partCol))
+      .write.partitionBy(PartDir).parquet(appTmp.toString)
+    val emptyDv = spark.range(0).select(
+      lit("").as("part"), lit("").as("file"), lit(0L).as("row_index"))
+    val committed = resolved.map { case (v, name, storeDir, sv, base) =>
+      val stage = new Path(storeDir, s".tmp-app-${java.util.UUID.randomUUID}")
+      hfs.mkdirs(stage)
+      val appSlice = new Path(appTmp, escape(v))
+      if (hfs.exists(appSlice) &&
+          !hfs.rename(appSlice, new Path(stage, AppendDir)))
+        throw new java.io.IOException(
+          s"PartitionedTable: append rename $appSlice failed")
+      // the DV carries over byte-for-byte (append deletes nothing); a
+      // solid base gets the canonical empty DV the delta reader expects
+      val oldDv = new Path(VersionedStore.path(storeDir, sv), DvDir)
+      if (sv != base && hfs.exists(oldDv)) {
+        if (!org.apache.hadoop.fs.FileUtil.copy(hfs, oldDv, hfs,
+            new Path(stage, DvDir), false,
+            spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(
+            s"PartitionedTable: DV carry-over copy from $oldDv failed")
+      } else emptyDv.limit(0).write.parquet(new Path(stage, DvDir).toString)
+      val out = hfs.create(new Path(stage, BaseFile), true)
+      try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      name -> landStoreVersion(spark, storeDir, stage)
+    }.toMap
+    hfs.delete(appTmp, true)
+    committed
   }
 
   /** Read a committed table version: the newest manifest, or `asOf`.
@@ -2434,9 +2652,15 @@ object PartitionedTable {
     * write (date/prefix renderings never produce one from sane data).
     * Any null level nulls the whole composite, riding [[commit]]'s
     * existing null-partition-drop contract. */
-  private def withLevelCols(df: DataFrame, levels: Seq[GenLevel]): DataFrame = {
-    val lv = levels.foldLeft(df)((d, l) =>
-      d.withColumn(l.name, l.gen.expr(col(l.srcCol))))
+  private def withLevelCols(df: DataFrame, levels: Seq[GenLevel]): DataFrame =
+    withComposite(levels.foldLeft(df)((d, l) =>
+      d.withColumn(l.name, l.gen.expr(col(l.srcCol)))), levels)
+
+  /** The composite over ALREADY-PRESENT level columns — split out so
+    * the SQL write path can derive-and-VALIDATE each level column
+    * first (its check expressions survive into the composite; a
+    * re-derivation here would silently replace them). */
+  private[graft] def withComposite(df: DataFrame, levels: Seq[GenLevel]): DataFrame = {
     val guarded = levels.map { l =>
       when(col(l.name).contains("/"), raise_error(concat(
         lit(s"PartitionedTable: level ${l.name} rendered a '/' (value "),
@@ -2444,7 +2668,7 @@ object PartitionedTable {
         .otherwise(col(l.name))
     }
     val anyNull = levels.map(l => col(l.name).isNull).reduce(_ || _)
-    lv.withColumn(LevelsPartName,
+    df.withColumn(LevelsPartName,
       when(anyNull, lit(null)).otherwise(concat_ws("/", guarded: _*)))
   }
 

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{functions, Column, DataFrame, Row, SQLContext, Spar
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.{col, lit, to_date}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
+import org.apache.spark.sql.functions.{col, count, lit, round, sum, to_date}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,12 +49,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning is best-effort and can never change results.
   *
   * Tables resolve from an explicit registry ([[GraftCatalog.register]];
-  * carries the partition column, enabling manifest pruning) or, absent
-  * a registration, from `<root option>/<namespace>/<table>` — the
-  * deployment shape where `spark.sql.catalog.graft.root` points at the
-  * warehouse. This front door is READ-ONLY by design: writes keep going
-  * through `commit`/`merge`/`overwritePartitions`, whose OCC and
-  * exactly-once contracts a blind SQL INSERT could not honor.
+  * carries the partition column, enabling manifest pruning, and
+  * optionally the key column, enabling `t$changes` and the SQL
+  * row-level commands) or, absent a registration, from
+  * `<root option>/<namespace>/<table>` — the deployment shape where
+  * `spark.sql.catalog.graft.root` points at the warehouse.
+  *
+  * WRITES go through the front door too (round 14; see [[GraftWrites]]):
+  * `INSERT INTO` / `INSERT OVERWRITE [PARTITION (...)]` bind onto
+  * append/commit/replacePartitions via the V1 write bridge, and
+  * `MERGE INTO` / `UPDATE` / `DELETE` ride Spark's row-level-command
+  * rewrite onto the snapshot-pinned changelog merge — OCC, CHECK
+  * constraints, generated-column derivation and history all the
+  * library's own. Only DDL (CREATE/ALTER/DROP/RENAME) stays library-
+  * side: table layout is declared in code, not SQL strings.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
@@ -152,9 +161,9 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is a read-only front door: $op goes through the " +
-        "library write path (commit/merge/overwritePartitions), whose " +
-        "OCC and exactly-once contracts SQL DDL cannot honor")
+      s"graft catalog: $op is library-side DDL — declare table layout in " +
+        "code (commit/commitGenerated/commitLevels, addConstraint, " +
+        "renameColumn). DML (INSERT/MERGE/UPDATE/DELETE) works through SQL.")
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = readOnly("CREATE TABLE")
@@ -323,6 +332,82 @@ object GraftCatalog {
            |GROUP BY o_orderpriority""".stripMargin)
     },
 
+    // The SQL WRITE path, hash-gated against the library path: two
+    // identical stores; one takes the three-clause MERGE (q103's exact
+    // shape) through spark.sql — `MERGE INTO graft.lake.t USING src ON
+    // tgt.key = src.key AND tgt.part = src.part WHEN MATCHED [AND …]
+    // THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT *` riding the
+    // row-level-operation rewrite onto the snapshot-pinned changelog
+    // merge — the other the library MergeInto call. Both final states
+    // aggregate side by side under 'sql'/'library' probes; the oracle
+    // computes the closed form ONCE and emits it under both probes, so
+    // the gate breaks if EITHER path is wrong OR the two paths diverge
+    // (clause precedence, unnamed-column preservation, insert routing,
+    // version forging — byte-level commit equivalence is spec'd in
+    // GraftWritesSpec, incl. the OCC conflict failing loud).
+    QueryDef.sql("q107_sql_merge",
+      """WITH upd AS (
+        |  SELECT o_orderstatus, o_totalprice + 50 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 3 AND o_totalprice > 150000),
+        |kept AS (
+        |  SELECT o_orderstatus, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 10 <> 3),
+        |ins AS (
+        |  SELECT o_orderstatus, 42.0 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 1 AND o_orderstatus = 'O'),
+        |fin AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM kept
+        |  UNION ALL SELECT * FROM ins),
+        |agg AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |         round(sum(p), 2) AS rev
+        |  FROM fin GROUP BY o_orderstatus)
+        |SELECT 'sql' AS probe, * FROM agg
+        |UNION ALL
+        |SELECT 'library' AS probe, * FROM agg""".stripMargin) { (s, dir) =>
+      val tbl = "q107_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sqlStore = workDir.resolve(tbl + "_sql").toString
+      val libStore = workDir.resolve(tbl + "_lib").toString
+      val hfs = graft.streaming.VersionedStore.fs(s, sqlStore)
+      Seq(sqlStore, libStore).foreach { st =>
+        hfs.delete(new org.apache.hadoop.fs.Path(st), true)
+        PartitionedTable.commit(s, st, Tables.orders(s, dir), "o_orderstatus")
+      }
+      val orders = Tables.orders(s, dir)
+      val touched = col("o_orderkey") % 10
+      val src = orders.filter(touched === 3)
+        .withColumn("bump", lit(50.0))
+        .unionByName(orders
+          .filter(touched === 1 && col("o_orderstatus") === "O")
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_totalprice", lit(42.0))
+          .withColumn("bump", lit(0.0)))
+      register(s, "lake", tbl, sqlStore,
+        partCol = Some("o_orderstatus"), keyCol = Some("o_orderkey"))
+      src.createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE INTO graft.lake.$tbl AS tgt USING ${tbl}_src AS src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |   AND tgt.o_orderstatus = src.o_orderstatus
+           |WHEN MATCHED AND tgt.o_totalprice > 150000
+           |  THEN UPDATE SET o_totalprice = tgt.o_totalprice + src.bump
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      graft.operators.MergeInto(s, libStore, src, "o_orderkey", "o_orderstatus",
+        matched = Seq(
+          graft.operators.MergeInto.updateWhen(col("tgt.o_totalprice") > 150000,
+            Map("o_totalprice" -> (col("tgt.o_totalprice") + col("src.bump")))),
+          graft.operators.MergeInto.delete),
+        notMatched = Some(graft.operators.MergeInto.insertAll))
+      def agg(probe: String, st: String) = PartitionedTable.read(s, st)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .select(lit(probe).as("probe"), col("o_orderstatus"),
+          col("n_rows"), col("rev"))
+      agg("sql", sqlStore).unionByName(agg("library", libStore))
+    },
+
     // The change feed through SQL (`t$changes`, the third metadata
     // table), hash-gated: commit orders (v0), a mixed merge on 'F'
     // (≡3 update +100, ≡7 delete, ≡1 insert as key+10^8 — v1), a
@@ -386,19 +471,44 @@ object GraftCatalog {
 
 /** One resolved (table, version) — schema and scans both pin `version`,
   * so a query is a consistent snapshot no matter what commits land
-  * while it runs. */
+  * while it runs, and a row-level command's landing can verify nothing
+  * it touched moved since.
+  *
+  * Registered partition/key columns are declared NON-NULLABLE: the
+  * partition column by the commit contract (null-partition rows never
+  * land), the key column by the row-identity contract a `keyCol`
+  * registration asserts (Spark's row-level rewrite requires non-null
+  * row IDs, and a null merge key was already undefined behavior on the
+  * library path). A bonus on the write side: SQL INSERTs get engine-
+  * enforced null checks on both columns for free. */
 class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
-    extends Table with SupportsRead {
-  private lazy val tableSchema: StructType =
-    PartitionedTable.read(SparkSession.active, spec.dir, Some(version)).schema
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations {
+  private lazy val tableSchema: StructType = StructType(
+    PartitionedTable.read(SparkSession.active, spec.dir, Some(version))
+      .schema.fields.map { f =>
+        if (spec.partCol.contains(f.name) || spec.keyCol.contains(f.name))
+          f.copy(nullable = false)
+        else f
+      })
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     spec.partCol.map(c => Expressions.identity(c)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spec, version, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spec, info)
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(spec, version, info.command, tableSchema)
+    }
 }
 
 class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)

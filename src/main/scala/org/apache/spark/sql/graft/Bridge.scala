@@ -29,6 +29,16 @@ object Bridge {
   def plannerStrategies(spark: SparkSession): Seq[AnyRef] =
     spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
 
+  /** A DataFrame over an RDD of InternalRows with a known schema — the
+    * read-back side of a staged binary shuttle (the SQL write path's
+    * executor-written UnsafeRow files); `internalCreateDataFrame` is
+    * `private[sql]`. */
+  def dfFromInternal(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Re-tag a batch frame as a STREAMING frame — what a V1 streaming
     * `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`), built exactly the way Spark's own

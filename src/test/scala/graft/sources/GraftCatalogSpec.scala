@@ -254,14 +254,12 @@ class GraftCatalogSpec extends SparkSpec {
       s"lo must merge as max(0, 39000): $tightFiles of $weakFiles files")
   }
 
-  test("the catalog is read-only; unregistered tables don't resolve") {
+  test("DDL stays library-side; unregistered tables don't resolve") {
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(20), "part")
     GraftCatalog.register(spark, "t", "ro", dir, partCol = Some("part"))
-    val ex = intercept[Exception](spark.sql(
-      "INSERT INTO graft.t.ro VALUES (1, 'p1', 10)"))
-    assert(ex.getMessage.toLowerCase.contains("read-only") ||
-      ex.getMessage.contains("does not support"), ex.getMessage)
+    val ex = intercept[Exception](spark.sql("DROP TABLE graft.t.ro"))
+    assert(ex.getMessage.contains("library-side DDL"), ex.getMessage)
     intercept[Exception](
       spark.sql("SELECT * FROM graft.t.never_registered").collect())
   }

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{MergeInto, PartitionedTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The SQL write path: INSERT INTO appends (MoR fast path on big
+  * partitions), INSERT OVERWRITE replaces (full or partition-scoped),
+  * MERGE/UPDATE/DELETE through spark.sql equal their library
+  * counterparts commit-for-commit, generated columns validate on SQL
+  * writes, and the landing is snapshot-pinned (a concurrent commit to a
+  * touched partition fails the statement loud). */
+class GraftWritesSpec extends SparkSpec {
+
+  private def freshStore(): String =
+    Files.createTempDirectory("graftwrite").toString + "/t"
+
+  private def table(n: Int) = spark.range(n).select(
+    col("id").as("k"),
+    concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+    (col("id") * 10).as("v"))
+
+  private var seq = 0
+  private def reg(dir: String, withKey: Boolean = true): String = {
+    seq += 1
+    val name = s"w$seq"
+    GraftCatalog.register(spark, "w", name, dir,
+      partCol = Some("part"), keyCol = if (withKey) Some("k") else None)
+    s"graft.w.$name"
+  }
+
+  test("INSERT INTO appends through SQL: rows land, untouched partitions' pointers carry over, big partitions take the MoR append delta") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(20000), "part") // 5000/partition
+    val t = reg(dir)
+    val m0 = PartitionedTable.history(spark, dir).count()
+    spark.sql(s"INSERT INTO $t VALUES (100001, 'p1', 42), (100002, 'p1', 43)")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k >= 100001").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(42L, 43L))
+    assert(PartitionedTable.read(spark, dir).count() === 20002)
+    // the append landed as a merge-on-read delta (base unrewritten) —
+    // dvPartitions lists delta-form store versions
+    assert(PartitionedTable.dvPartitions(spark, dir,
+      PartitionedTable.latest(spark, dir).get) === Seq("__part=p1"),
+      "a 2-row INSERT into a 5000-row partition must not rewrite it")
+    val _ = m0
+    // history records the SQL op
+    assert(PartitionedTable.history(spark, dir)
+      .filter(col("operation") === "append" && col("at") === "sql_insert")
+      .count() === 1)
+    // chained: a second INSERT folds the append forward, reads exact
+    spark.sql(s"INSERT INTO $t VALUES (100003, 'p1', 44)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k >= 100001")
+      .head().getLong(0) === 3)
+    // inserting a NULL key or partition is refused (non-nullable schema)
+    val ex = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VALUES (null, 'p1', 1)"))
+    assert(ex.getMessage.toUpperCase.contains("NULL"))
+  }
+
+  test("INSERT OVERWRITE replaces the snapshot; PARTITION-scoped overwrite replaces exactly that partition") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    val t = reg(dir)
+    spark.sql(
+      s"INSERT OVERWRITE $t SELECT id AS k, 'fresh' AS part, id AS v FROM range(5)")
+    assert(PartitionedTable.partitionValues(spark, dir) === Seq("fresh"))
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $t").head().getLong(0) === 10)
+
+    // partition-scoped: Spark injects the static value; only 'fresh' is
+    // replaced and other partitions carry over untouched
+    spark.sql(s"INSERT INTO $t SELECT id AS k, 'other' AS part, id AS v FROM range(3)")
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (part = 'fresh') " +
+      "SELECT id + 100 AS k, id AS v FROM range(2)")
+    assert(spark.sql(s"SELECT k FROM $t WHERE part = 'fresh'").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE part = 'other'")
+      .head().getLong(0) === 3)
+
+    // the replaceWhere validation (library surface — static-partition
+    // SQL can't aim rows outside its own value): batch rows outside the
+    // replaced set are refused inside the landing job
+    val ex = intercept[Exception] {
+      PartitionedTable.replacePartitions(spark, dir,
+        spark.range(2).select(col("id").as("k"), lit("other").as("part"),
+          col("id").as("v")), "part", Seq("fresh"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("outside the replaced set")),
+      msgs(ex).mkString(" | "))
+  }
+
+  test("MERGE INTO through spark.sql equals the library MergeInto commit-for-commit") {
+    import spark.implicits._
+    val sqlDir = freshStore(); val libDir = freshStore()
+    Seq(sqlDir, libDir).foreach(d =>
+      PartitionedTable.commit(spark, d, table(100), "part"))
+    val t = reg(sqlDir)
+    // source: keys 4,8,12 matched in p0 (v=40/80/120); 400,401 fresh
+    Seq((4L, "p0", 7L), (8L, "p0", 5L), (12L, "p0", 3L),
+      (400L, "p0", 1L), (401L, "p1", 2L))
+      .toDF("k", "part", "w").createOrReplaceTempView("merge_src")
+
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING merge_src AS src
+         |ON tgt.k = src.k AND tgt.part = src.part
+         |WHEN MATCHED AND tgt.v > 50 THEN UPDATE SET v = tgt.v + src.w
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, part, v) VALUES (src.k, src.part, src.w)
+         |""".stripMargin)
+    MergeInto(spark, libDir, spark.table("merge_src"), "k", "part",
+      matched = Seq(
+        MergeInto.updateWhen(col("tgt.v") > 50,
+          Map("v" -> (col("tgt.v") + col("src.w")))),
+        MergeInto.delete),
+      notMatched = Some(MergeInto.NotMatched(None, Map("v" -> col("src.w")))))
+
+    def state(d: String) = PartitionedTable.read(spark, d)
+      .select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t3 => (t3._2, t3._1)).toSeq
+    assert(state(sqlDir) === state(libDir),
+      "SQL MERGE and library MergeInto must commit identical states")
+    assert(PartitionedTable.latest(spark, sqlDir).get ===
+      PartitionedTable.latest(spark, libDir).get,
+      "both paths commit exactly one table version")
+    // spot semantics: k=4 (v=40) deleted; k=8 (v=80) updated to 85
+    val m = state(sqlDir).map(t3 => t3._1 -> t3._3).toMap
+    assert(!m.contains(4L) && m(8L) === 85L && m(12L) === 123L &&
+      m(400L) === 1L && m(401L) === 2L)
+  }
+
+  test("UPDATE and DELETE through spark.sql land as snapshot-pinned merges") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part")
+    val t = reg(dir)
+    spark.sql(s"UPDATE $t SET v = v + 1000 WHERE part = 'p0' AND k < 20")
+    val got = PartitionedTable.read(spark, dir)
+      .filter(col("part") === "p0").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(4L) === 1040L && got(8L) === 1080L && got(12L) === 1120L &&
+      got(16L) === 1160L && got(24L) === 240L)
+    spark.sql(s"DELETE FROM $t WHERE k % 8 = 0")
+    assert(PartitionedTable.read(spark, dir)
+      .filter(col("k") % 8 === 0).count() === 0)
+    assert(PartitionedTable.read(spark, dir).count() === 100 - 13)
+    val ops = PartitionedTable.history(spark, dir)
+      .select("at").collect().map(_.getString(0)).filter(_ != null)
+    assert(ops.contains("sql_update") && ops.contains("sql_delete"))
+  }
+
+  test("the SQL landing is snapshot-pinned: a concurrent commit to a touched partition fails the statement loud") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(100), "part") // v0
+    // stage a changelog row against snapshot v0 through the REAL
+    // delta-write machinery, then race a commit into p0 before landing
+    val rowSchema = StructType(PartitionedTable.read(spark, dir)
+      .schema.fields.map(_.copy(nullable = true)))
+    val bw = new GraftDeltaBatchWrite(dir, 0L, "k", "part", rowSchema,
+      rowSchema, "merge")
+    val factory = bw.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 0L)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(rowSchema)
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+      .createSerializer()
+    w.insert(ser(org.apache.spark.sql.Row(4L, "p0", 99L)))
+    val msg = w.commit()
+    PartitionedTable.merge(spark, dir,
+      Seq((8L, "p0", 888L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // the racer moves p0 (v1)
+    val ex = intercept[PartitionedTable.ConcurrentWriteException] {
+      bw.commit(Array(msg))
+    }
+    assert(ex.getMessage.contains("moved since snapshot v=0"))
+    // the racer's write survives untouched; the failed statement left
+    // no table version behind
+    assert(PartitionedTable.latest(spark, dir).get === 1L)
+    assert(PartitionedTable.read(spark, dir).filter(col("k") === 8L)
+      .select("v").head().getLong(0) === 888L)
+  }
+
+  test("SQL INSERT into a generated table validates the provided derived column against the rule") {
+    val dir = freshStore()
+    val df = spark.range(100).select(
+      col("id").as("k"),
+      to_date(concat(lit("1996-0"), ((col("id") % 3) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir, df, "d",
+      PartitionedTable.PartGen.Month, "pm")
+    GraftCatalog.register(spark, "w", "gen", dir, partCol = Some("pm"))
+    // a consistent row lands in its derived partition
+    spark.sql("INSERT INTO graft.w.gen VALUES " +
+      "(1000, DATE '1996-02-20', 7, '1996-02')")
+    assert(PartitionedTable.readWhereSrc(spark, dir, "1996-02-20", "1996-02-20")
+      .filter(col("k") === 1000L).count() === 1)
+    // a lying derived value is refused inside the landing job
+    val ex = intercept[Exception](spark.sql(
+      "INSERT INTO graft.w.gen VALUES (1001, DATE '1996-02-20', 7, '1996-03')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("generated column pm")),
+      msgs(ex).mkString(" | "))
+  }
+}
