@@ -2610,8 +2610,9 @@ object PartitionedTable {
   private def levelsGenPath(dir: String): Path =
     new Path(new Path(dir, ManifestDir), LevelsGenFile)
 
-  /** The table's declared level spec, if created via [[commitLevels]]. */
-  def generatedLevelsOf(
+  /** The table's BASE level spec (epoch 0), if created via
+    * [[commitLevels]] — before any [[evolveGenLevel]]. */
+  private def genLevelsBaseOf(
       spark: SparkSession, dir: String): Option[Seq[GenLevel]] = {
     val hfs = VersionedStore.fs(spark, dir)
     val p = levelsGenPath(dir)
@@ -2620,6 +2621,98 @@ object PartitionedTable {
       val Array(src, g, name) = line.split("\t", 3)
       GenLevel(src, PartGen.parse(g), name)
     })
+  }
+
+  // per-level spec evolution: `_gen_levels.evolve.N` files (N >= 1),
+  // each naming (level, new rule); the base `_gen_levels` file is epoch
+  // 0 of every level and never rewritten — the evolveGenRule pattern,
+  // one append-only chain shared across levels
+  private val LevelsEvolvePrefix = "_gen_levels.evolve."
+
+  private def levelEvolutions(
+      spark: SparkSession, dir: String): Seq[(Long, String, PartGen)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(LevelsEvolvePrefix))
+      .flatMap { p =>
+        p.getName.stripPrefix(LevelsEvolvePrefix).toLongOption.map { n =>
+          val Array(lvl, g) = readManifestFile(hfs, p).trim.split("\t", 2)
+          (n, lvl, PartGen.parse(g))
+        }
+      }.sortBy(_._1)
+  }
+
+  /** The table's declared level spec with each level's CURRENT rule
+    * (after any [[evolveGenLevel]]) — what every subsequent write
+    * derives with, if created via [[commitLevels]]. */
+  def generatedLevelsOf(
+      spark: SparkSession, dir: String): Option[Seq[GenLevel]] =
+    genLevelsBaseOf(spark, dir).map { base =>
+      levelEvolutions(spark, dir).foldLeft(base) { case (ls, (_, lvl, g)) =>
+        ls.map(l => if (l.name == lvl) l.copy(gen = g) else l)
+      }
+    }
+
+  /** Per-level rule epoch chains, oldest first (size 1 = that level
+    * never evolved). Same order as the declared spec. */
+  def levelEpochsOf(
+      spark: SparkSession, dir: String): Option[Seq[Seq[PartGen]]] =
+    genLevelsBaseOf(spark, dir).map { base =>
+      levelEvolutions(spark, dir).foldLeft(base.map(l => Seq(l.gen))) {
+        case (chains, (_, lvl, g)) =>
+          base.indices.map(i =>
+            if (base(i).name == lvl) chains(i) :+ g else chains(i))
+      }
+    }
+
+  /** SPEC EVOLUTION on ONE level of a multi-level table — the
+    * reference's bronze `year/month/day` layout evolved to a finer or
+    * coarser granularity at one level, zero data movement: existing
+    * combinations keep their old-rule segment, subsequent writes derive
+    * the level with the new rule, and [[readWhereSrcLevels]] attributes
+    * each combination's SEGMENT to its own epoch before range-mapping.
+    * The [[evolveGenRule]] attribution constraint applies PER LEVEL:
+    * that level's epoch chain must be fixed-width rules with pairwise-
+    * distinct widths. KEYED merges guard against pre-evolution clashes
+    * exactly like [[mergeGenerated]] (see [[mergeLevels]]). */
+  def evolveGenLevel(
+      spark: SparkSession, dir: String, levelName: String,
+      newGen: PartGen): Unit = {
+    val levels = generatedLevelsOf(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no level spec declared under $dir — " +
+          "only level-partitioned tables can evolve a level"))
+    val idx = levels.indexWhere(_.name == levelName)
+    require(idx >= 0,
+      s"PartitionedTable: no level named '$levelName' under $dir " +
+        s"(have ${levels.map(_.name).mkString(", ")})")
+    require(newGen != levels(idx).gen,
+      s"PartitionedTable: level $levelName of $dir already partitions " +
+        s"by ${newGen.name}")
+    val chain = levelEpochsOf(spark, dir).get.apply(idx) :+ newGen
+    val lens = chain.map(_.renderLen)
+    require(lens.forall(_.isDefined) && lens.distinct.size == lens.size,
+      s"PartitionedTable: spec evolution needs fixed-width rules with " +
+        s"pairwise-distinct widths so every partition attributes to exactly " +
+        s"one epoch; level $levelName would chain " +
+        s"${chain.map(g => s"${g.name}=${g.renderLen.getOrElse("?")}ch").mkString(", ")}")
+    val hfs = VersionedStore.fs(spark, dir)
+    val next = levelEvolutions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-evolve-lv-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(s"$levelName\t${newGen.name}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(new Path(dir, ManifestDir), s"$LevelsEvolvePrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: level-spec evolution commit failed under $dir " +
+          "(concurrent evolve?)")
+    }
   }
 
   /** Declare (write-once, atomic) or verify the level spec — the
@@ -2697,6 +2790,36 @@ object PartitionedTable {
       throw new IllegalArgumentException(
         s"PartitionedTable: no level spec declared under $dir — " +
           "use merge() with an explicit partition column"))
+    // spec-evolution guard (the mergeGenerated contract, level-wise):
+    // the merge derives every level with its CURRENT rule, so a change
+    // row whose key still lives in a combination rendered under ANY
+    // pre-evolution epoch mix would land as a duplicate next to the
+    // stale row. Candidate composites = the cross product of per-level
+    // epoch renderings minus the all-current one — a handful of
+    // batch-sized distinct jobs (epoch chains are short by
+    // construction). Migrate clashing combinations first, or merge
+    // with an explicit partition column.
+    val chains = levelEpochsOf(spark, dir).get
+    if (chains.exists(_.size > 1)) {
+      val liveVals = partitionValues(spark, dir).toSet
+      val combos = chains.indices.foldLeft(Seq(Seq.empty[PartGen])) {
+        (acc, i) => acc.flatMap(pre => chains(i).map(pre :+ _))
+      }.filterNot(_ == chains.map(_.last)) // all-current derives fresh
+      combos.foreach { combo =>
+        val comp = concat_ws("/", levels.indices.map(i =>
+          combo(i).expr(col(levels(i).srcCol))): _*)
+        val clash = changes.select(comp.as("p")).distinct()
+          .collect().map(_.getString(0))
+          .filter(p => p != null && liveVals.contains(p))
+        require(clash.isEmpty,
+          s"PartitionedTable: keyed merge into evolved level table $dir " +
+            s"would shadow pre-evolution combination(s) " +
+            s"${clash.sorted.mkString(", ")} (epochs " +
+            s"${combo.map(_.name).mkString("/")}) — migrate them to the " +
+            "current spec before keyed merges, or merge with an explicit " +
+            "partition column")
+      }
+    }
     merge(spark, dir, withLevelCols(changes, levels), keyCol, LevelsPartName,
       opCol, statsCols, allowSchemaEvolution, at,
       bloomCols = bloomCols, bloomBits = bloomBits)
@@ -2725,13 +2848,19 @@ object PartitionedTable {
     val v = asOf.getOrElse(vs.max)
     val m = manifest(spark, dir, v)
     require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
+    // spec evolution composes per level: each combination's SEGMENT
+    // range-maps under ITS OWN epoch's rule (the readWhereSrc
+    // attribution, applied level-wise — a month segment tested against
+    // a day-rule bound would prune boundary months that still hold
+    // in-range days); never-evolved levels take the one-rule path
+    val chains = levelEpochsOf(spark, dir).get
     val live = m.keysIterator.map(n =>
       ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
       .filter { comp =>
         val parts = comp.split("/", -1)
         parts.length == levels.length && levels.indices.forall { i =>
           preds.filter(_._1 == levels(i).srcCol).forall { case (_, lo, hi) =>
-            val g = levels(i).gen
+            val g = epochRuleOf(chains(i), parts(i))
             utf8Le(g.ofLiteral(lo), parts(i)) && utf8Le(parts(i), g.ofLiteral(hi))
           }
         }
@@ -4190,6 +4319,51 @@ object PartitionedTable {
           .withColumn("op", lit("upsert")),
         "o_orderkey")
       readWhereSrc(s, store, "1995-03-15", "1996-10-05")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("rev"))
+    },
+
+    // Spec evolution × MULTI-LEVEL specs, hash-gated (q104 + q105
+    // composed — the reference's bronze year/month layout evolved at
+    // ONE level): commit 1995 orders under year/month levels, evolve
+    // the month LEVEL to day granularity (the 1995 combinations keep
+    // their 'yyyy/yyyy-MM' layout), merge 1996-H1 orders (landing as
+    // 'yyyy/yyyy-MM-dd'), then probe a source-date range SPANNING the
+    // boundary. Pruning attributes each combination's month/day
+    // SEGMENT to its own epoch while the year level composes
+    // unchanged, and the residual keeps mid-period bounds exact. The
+    // oracle filters the source directly, so wrong per-level epoch
+    // attribution, a boundary month pruned under the day rule, or rows
+    // lost in the post-evolution merge break the hash. Dirs-opened
+    // attribution and the cross-epoch merge clash guard are spec'd in
+    // PartitionedTableSpec.
+    QueryDef.sql("q109_level_evolution",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1995-11-15' AND DATE '1996-02-10'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = workDir.resolve(
+        "q109_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val hfs = VersionedStore.fs(s, store)
+      hfs.delete(new Path(store), true)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      val cut = to_date(lit("1996-01-01"))
+      commitLevels(s, store,
+        orders.filter(col("o_orderdate") >= to_date(lit("1995-01-01")) &&
+          col("o_orderdate") < cut),
+        Seq(GenLevel("o_orderdate", PartGen.Year, "py"),
+          GenLevel("o_orderdate", PartGen.Month, "pm")))
+      evolveGenLevel(s, store, "pm", PartGen.Day)
+      mergeLevels(s, store,
+        orders.filter(col("o_orderdate") >= cut &&
+          col("o_orderdate") < to_date(lit("1996-07-01")))
+          .withColumn("op", lit("upsert")),
+        "o_orderkey")
+      readWhereSrcLevels(s, store,
+        Seq(("o_orderdate", "1995-11-15", "1996-02-10")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("o_totalprice"), 2).as("rev"))

@@ -332,6 +332,54 @@ object GraftCatalog {
            |GROUP BY o_orderpriority""".stripMargin)
     },
 
+    // MULTI-LEVEL source-column pruning through the SQL front door,
+    // hash-gated: commit one year of orders under a TWO-LEVEL spec
+    // (status prefix / order month), register it, and probe with the
+    // predicate shape users actually write — `WHERE o_orderstatus = 'F'
+    // AND o_orderdate BETWEEN two MID-month instants` — via spark.sql.
+    // The catalog scan routes BOTH closed constraints through
+    // readWhereSrcLevels, so the manifest keeps only the intersection
+    // (one status × in-range months; dirs-opened is plan-asserted in
+    // GraftCatalogSpec, evolution included) while the residual keeps
+    // the mid-month bounds and the equality exact. The oracle filters
+    // the source directly — this gate pins exactness through the SQL
+    // path at any pruning coarseness.
+    QueryDef.sql("q110_sql_levels",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate BETWEEN DATE '1997-02-10' AND DATE '1997-05-20'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val tbl = "q110_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      val hfs = graft.streaming.VersionedStore.fs(s, store)
+      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+      // fixture = the 1997 window (the probe sits strictly inside it,
+      // so the oracle filtering the raw source by the same predicates
+      // is unchanged and the entry times the pruned read)
+      val orders = Tables.orders(s, dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority",
+        "o_totalprice")
+        .filter(col("o_orderdate") >= to_date(lit("1997-01-01")) &&
+          col("o_orderdate") < to_date(lit("1998-01-01")))
+      PartitionedTable.commitLevels(s, store, orders, Seq(
+        PartitionedTable.GenLevel("o_orderstatus",
+          PartitionedTable.PartGen.Prefix(1), "ps"),
+        PartitionedTable.GenLevel("o_orderdate",
+          PartitionedTable.PartGen.Month, "pm")),
+        statsCols = Seq("o_orderdate"))
+      register(s, "lake", tbl, store,
+        partCol = Some(PartitionedTable.LevelsPartName))
+      s.sql(
+        s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl
+           |WHERE o_orderstatus = 'F'
+           |  AND o_orderdate BETWEEN DATE '1997-02-10' AND DATE '1997-05-20'
+           |GROUP BY o_orderpriority""".stripMargin)
+    },
+
     // The SQL WRITE path, hash-gated against the library path: two
     // identical stores; one takes the three-clause MERGE (q103's exact
     // shape) through spark.sql — `MERGE INTO graft.lake.t USING src ON

@@ -2143,6 +2143,71 @@ class PartitionedTableSpec extends SparkSpec {
       tags.contains("stream=other_stream;batch=0"))
   }
 
+  test("level evolution: one level's rule evolves forward, pruning attributes segments per epoch, cross-epoch merges refuse clashes") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(600).select(
+      col("id").as("k"),
+      concat(lit("grp"), (col("id") % 2).cast("string")).as("cat"),
+      to_date(concat(lit("1995-"),
+        lpad(((col("id") % 3) + 1).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(((col("id") % 27) + 1).cast("string"), 2, "0"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, df, Seq(
+      PartitionedTable.GenLevel("cat", PartitionedTable.PartGen.Prefix(4), "catp"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "pm")))
+    // evolve the DATE level to day granularity; the cat level must stay
+    PartitionedTable.evolveGenLevel(spark, dir, "pm", PartitionedTable.PartGen.Day)
+    assert(PartitionedTable.generatedLevelsOf(spark, dir).get.map(_.gen) ===
+      Seq(PartitionedTable.PartGen.Prefix(4), PartitionedTable.PartGen.Day))
+    assert(PartitionedTable.levelEpochsOf(spark, dir).get ===
+      Seq(Seq(PartitionedTable.PartGen.Prefix(4)),
+        Seq(PartitionedTable.PartGen.Month, PartitionedTable.PartGen.Day)))
+    // post-evolution rows land day-grained; old combinations keep theirs
+    PartitionedTable.mergeLevels(spark, dir,
+      Seq((9000L, "grp0", java.sql.Date.valueOf("1995-04-05"), 1L, "upsert"),
+        (9001L, "grp0", java.sql.Date.valueOf("1995-04-06"), 2L, "upsert"))
+        .toDF("k", "cat", "d", "v", "op"), "k")
+    val vals = PartitionedTable.partitionValues(spark, dir)
+    assert(vals.contains("grp0/1995-04-05") && vals.contains("grp0/1995-03"))
+
+    // a range probe SPANNING the boundary attributes per epoch: the
+    // month combos survive under the month rule, day combos under day
+    val q = PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
+      ("cat", "grp0", "grp0"), ("d", "1995-03-10", "1995-04-05")))
+    val dirsRead = q.inputFiles.map(_.split("/")
+      .filter(p => p.startsWith("__part=")).mkString).toSet
+    assert(dirsRead ===
+      Set("__part=grp0%252F1995-03", "__part=grp0%252F1995-04-05"),
+      s"month epoch keeps 1995-03, day epoch keeps only 04-05: $dirsRead")
+    val expect = df.filter(col("cat") === "grp0" &&
+      col("d").between("1995-03-10", "1995-04-05"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq :+ 9000L
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq === expect)
+
+    // a keyed merge whose OLD-epoch rendering names a still-live
+    // combination is refused loud (it would shadow the stale row)
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedTable.mergeLevels(spark, dir,
+        Seq((42L, "grp1", java.sql.Date.valueOf("1995-02-10"), 5L, "upsert"))
+          .toDF("k", "cat", "d", "v", "op"), "k")
+    }
+    assert(ex.getMessage.contains("grp1/1995-02"))
+    // evolving an unknown level, or to the same rule, is refused
+    intercept[IllegalArgumentException](
+      PartitionedTable.evolveGenLevel(spark, dir, "nope",
+        PartitionedTable.PartGen.Year))
+    intercept[IllegalArgumentException](
+      PartitionedTable.evolveGenLevel(spark, dir, "pm",
+        PartitionedTable.PartGen.Day))
+    // a prefix level (no fixed width) cannot evolve — attribution
+    // would be ambiguous
+    intercept[IllegalArgumentException](
+      PartitionedTable.evolveGenLevel(spark, dir, "catp",
+        PartitionedTable.PartGen.Prefix(2)))
+  }
+
   test("wall-clock vacuum keeps exactly the stamped-window versions; reads and feeds below the horizon fail loud") {
     import spark.implicits._
     val dir = freshStore()

@@ -181,6 +181,56 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT * FROM graft.t.`meta$history` VERSION AS OF 0").collect())
   }
 
+  test("two-level tables prune from BOTH source predicates through SQL; level evolution attributes per epoch on the SQL path") {
+    import spark.implicits._
+    val dir = freshStore()
+    val df = spark.range(600).select(
+      col("id").as("k"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("st"),
+      to_date(concat(lit("1995-"),
+        lpad(((col("id") % 4) + 1).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(((col("id") % 27) + 1).cast("string"), 2, "0"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, df, Seq(
+      PartitionedTable.GenLevel("st", PartitionedTable.PartGen.Prefix(2), "ps"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "pm")))
+    GraftCatalog.register(spark, "t", "lv", dir,
+      partCol = Some(PartitionedTable.LevelsPartName))
+
+    val q = spark.sql("SELECT k FROM graft.t.lv WHERE st = 's1' " +
+      "AND d BETWEEN DATE '1995-02-10' AND DATE '1995-03-20'")
+    val expect = df.filter(col("st") === "s1" &&
+      col("d").between("1995-02-10", "1995-03-20"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === expect)
+    // dirs opened = the LIVE intersection: odd ids (st=s1) only land in
+    // months {02, 04}, so s1 × [02, 03] keeps exactly s1/1995-02
+    val dirsRead = scanOf(q).buildDf(spark).inputFiles.map(_.split("/")
+      .filter(p => p.startsWith("__part=")).mkString).toSet
+    assert(dirsRead === Set("__part=s1%252F1995-02"), dirsRead.toString)
+
+    // evolve the date level to DAY; post-evolution rows land day-
+    // grained, and the SQL probe attributes each combination's segment
+    // to its own epoch (a boundary month must survive a day-rule bound)
+    PartitionedTable.evolveGenLevel(spark, dir, "pm",
+      PartitionedTable.PartGen.Day)
+    PartitionedTable.mergeLevels(spark, dir,
+      Seq((9000L, "s1", java.sql.Date.valueOf("1995-05-06"), 1L, "upsert"),
+        (9001L, "s1", java.sql.Date.valueOf("1995-05-07"), 2L, "upsert"))
+        .toDF("k", "st", "d", "v", "op"), "k")
+    val q2 = spark.sql("SELECT k FROM graft.t.lv WHERE st = 's1' " +
+      "AND d BETWEEN DATE '1995-04-10' AND DATE '1995-05-06'")
+    val expect2 = df.filter(col("st") === "s1" &&
+      col("d").between("1995-04-10", "1995-05-06"))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq :+ 9000L
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq === expect2)
+    val dirs2 = scanOf(q2).buildDf(spark).inputFiles.map(_.split("/")
+      .filter(p => p.startsWith("__part=")).mkString).toSet
+    assert(dirs2 ===
+      Set("__part=s1%252F1995-04", "__part=s1%252F1995-05-06"), dirs2.toString)
+  }
+
   test("t$changes: SQL windows equal ChangeFeed.batch, pushed bounds reach the feed, horizon and registration contracts hold") {
     import spark.implicits._
     import graft.streaming.ChangeFeed
