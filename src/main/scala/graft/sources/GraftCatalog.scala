@@ -255,23 +255,30 @@ object GraftCatalog {
         |       round(sum(o_totalprice), 2) AS rev
         |FROM v1 WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       val tbl = "q102_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val store = workDir.resolve(tbl).toString
-      val hfs = graft.streaming.VersionedStore.fs(s, store)
-      hfs.delete(new org.apache.hadoop.fs.Path(store), true)
-      val orders = Tables.orders(s, dir)
-      PartitionedTable.commit(s, store, orders, "o_orderstatus")
-      val t0 = System.currentTimeMillis()
-      Thread.sleep(2) // v1's header stamp must land strictly after t0
-      val touched = col("o_orderkey") % 10
-      val inF = col("o_orderstatus") === "F"
-      val batch = orders.filter(inF && touched.isin(3, 7))
-        .withColumn("o_totalprice",
-          functions.when(touched === 3, col("o_totalprice") + 100)
-            .otherwise(col("o_totalprice")))
-        .withColumn("op",
-          functions.when(touched === 7, "delete").otherwise("upsert"))
-      PartitionedTable.merge(s, store, batch, "o_orderkey", "o_orderstatus")
-      register(s, "lake", tbl, store, partCol = Some("o_orderstatus"))
+      // fixture (two committed versions + the registration) cached per
+      // (JVM, dir): the entry times the four SQL READ states, not a
+      // repeated rebuild (FixtureCache doc)
+      val (store, t0) = graft.FixtureCache.once("q102", dir) {
+        val st = workDir.resolve(tbl).toString
+        val hfs = graft.streaming.VersionedStore.fs(s, st)
+        hfs.delete(new org.apache.hadoop.fs.Path(st), true)
+        val orders = Tables.orders(s, dir)
+        PartitionedTable.commit(s, st, orders, "o_orderstatus")
+        val cut = System.currentTimeMillis()
+        Thread.sleep(2) // v1's header stamp must land strictly after cut
+        val touched = col("o_orderkey") % 10
+        val inF = col("o_orderstatus") === "F"
+        val batch = orders.filter(inF && touched.isin(3, 7))
+          .withColumn("o_totalprice",
+            functions.when(touched === 3, col("o_totalprice") + 100)
+              .otherwise(col("o_totalprice")))
+          .withColumn("op",
+            functions.when(touched === 7, "delete").otherwise("upsert"))
+        PartitionedTable.merge(s, st, batch, "o_orderkey", "o_orderstatus")
+        register(s, "lake", tbl, st, partCol = Some("o_orderstatus"))
+        (st, cut)
+      }
+      val _ = store
       val ts0 = java.time.format.DateTimeFormatter
         .ofPattern("uuuu-MM-dd HH:mm:ss.SSS")
         .withZone(java.time.ZoneOffset.UTC)
@@ -308,6 +315,9 @@ object GraftCatalog {
         |WHERE o_orderdate BETWEEN DATE '1996-03-10' AND DATE '1996-07-20'
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       val tbl = "q106_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture cached per (JVM, dir): the entry times the generated-
+      // rule-pruned SQL read, not a repeated commit (FixtureCache doc)
+      graft.FixtureCache.once("q106", dir) {
       val store = workDir.resolve(tbl).toString
       val hfs = graft.streaming.VersionedStore.fs(s, store)
       hfs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -324,6 +334,7 @@ object GraftCatalog {
         PartitionedTable.PartGen.Month, "pm",
         statsCols = Seq("o_orderdate"))
       register(s, "lake", tbl, store, partCol = Some("pm"))
+      }
       s.sql(
         s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
            |       round(sum(o_totalprice), 2) AS rev
@@ -352,6 +363,8 @@ object GraftCatalog {
         |  AND o_orderdate BETWEEN DATE '1997-02-10' AND DATE '1997-05-20'
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       val tbl = "q110_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture cached per (JVM, dir), as q106
+      graft.FixtureCache.once("q110", dir) {
       val store = workDir.resolve(tbl).toString
       val hfs = graft.streaming.VersionedStore.fs(s, store)
       hfs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -371,6 +384,7 @@ object GraftCatalog {
         statsCols = Seq("o_orderdate"))
       register(s, "lake", tbl, store,
         partCol = Some(PartitionedTable.LevelsPartName))
+      }
       s.sql(
         s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
            |       round(sum(o_totalprice), 2) AS rev
