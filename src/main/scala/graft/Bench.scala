@@ -201,7 +201,7 @@ object Bench {
       val fl = flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","scaling":{"small_sf":"$smallDir","ratio_big_over_small":$rs,"superlinear_flagged":$fl}"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)}$scaling}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
@@ -225,6 +225,20 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** REFERENCE CPU canary for cross-round normalization (round 14):
+    * the round-13 definitive quiet board's canary (`bench/r13_quiet6
+    * .json`, canary 0.073 on the quietest observed window). Boards now
+    * carry `normalized_total` = total ÷ (canary / RefCanary) — the
+    * total this box-speed-adjusted run WOULD have posted on the
+    * reference window — so round-over-round comparisons stop
+    * re-litigating box drift by hand in BENCH_NOTES. The raw total and
+    * canaries stay on the line; normalization is a lens, not a
+    * replacement. */
+  private[graft] val RefCanary = 0.073
+
+  private[graft] def normalizedTotal(total: Double, canary: Double): Double =
+    if (canary <= 0) total else total * (RefCanary / canary)
 
   /** CANARY GATE (round 13): quiet windows used to be picked by hand —
     * boards spanning 139-217 s at identical code were excluded from the
@@ -287,7 +301,7 @@ object Bench {
     val excl = excluded.map { case (p, why) =>
       s"""{"path":"${esc(p)}","reason":"${esc(why)}"}"""
     }.mkString("[", ",", "]")
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"sources":$sources,"excluded_runs":$excl}""",
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)},"sources":$sources,"excluded_runs":$excl}""",
       failedCount)
   }
 }

@@ -47,6 +47,14 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(excl.size === 1 && excl.get(0).get("path").asText.endsWith("d.json"))
     assert(excl.get(0).get("reason").asText.contains("canary"))
     assert(!json.contains("3.0"), "excluded samples must not leak into medians")
+    // cross-round normalization (round 14): total adjusted to the
+    // recorded reference canary window, so BENCH_NOTES can compare
+    // rounds without re-litigating box drift by hand
+    assert(node.get("ref_canary").asDouble === Bench.RefCanary)
+    val total = node.get("value").asDouble
+    val canary = node.get("canary").asDouble
+    assert(math.abs(node.get("normalized_total").asDouble -
+      total * Bench.RefCanary / canary) < 1e-9)
   }
 
   test("gating needs a quorum: with fewer than 3 runs everything merges, even-count medians average") {
