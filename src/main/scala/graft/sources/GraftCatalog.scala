@@ -394,6 +394,59 @@ object GraftCatalog {
            |GROUP BY o_orderpriority""".stripMargin)
     },
 
+    // The flagship star join (q11) run PURELY through the engine's own
+    // catalog, hash-gated against q11's exact oracle: the five TPC-H
+    // tables commit once per (JVM, dir) as partition-scoped graft
+    // tables (lineitem by returnflag, orders by status, customer by
+    // market segment, nation/region by name — the fixture-cache
+    // pattern) and the five-way star with its broadcast-dim hints runs
+    // as one spark.sql statement over graft.tpch.*. A reference user's
+    // end state — a catalog-registered star queried through SQL
+    // (loadToWarehouse.py:44-78) — on the engine's own substrate; the
+    // flights-pipeline twin is spec'd in PipelineSpec via
+    // Warehouse.registerGraft/starRevenueSql.
+    QueryDef.sql("q111_sql_star_revenue",
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.FixtureCache.once("q111", dir) {
+        def mirror(name: String, df: DataFrame, pc: String): Unit = {
+          val st = workDir.resolve(s"q111_${name}_$sfx").toString
+          graft.streaming.VersionedStore.fs(s, st)
+            .delete(new org.apache.hadoop.fs.Path(st), true)
+          PartitionedTable.commit(s, st, df, pc)
+          register(s, "tpch", s"${name}_$sfx", st, partCol = Some(pc))
+        }
+        mirror("lineitem", Tables.lineitem(s, dir), "l_returnflag")
+        mirror("orders", Tables.orders(s, dir), "o_orderstatus")
+        mirror("customer", Tables.customer(s, dir), "c_mktsegment")
+        mirror("nation", Tables.nation(s, dir), "n_name")
+        mirror("region", Tables.region(s, dir), "r_name")
+      }
+      s.sql(
+        s"""SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+           |       r_name, n_name,
+           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |       count(*) AS n_items
+           |FROM graft.tpch.lineitem_$sfx lineitem
+           |JOIN graft.tpch.orders_$sfx orders
+           |  ON l_orderkey = o_orderkey
+           |JOIN graft.tpch.customer_$sfx customer
+           |  ON o_custkey = c_custkey
+           |JOIN graft.tpch.nation_$sfx nation
+           |  ON c_nationkey = n_nationkey
+           |JOIN graft.tpch.region_$sfx region
+           |  ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name""".stripMargin)
+    },
+
     // The SQL WRITE path, hash-gated against the library path: two
     // identical stores; one takes the three-clause MERGE (q103's exact
     // shape) through spark.sql — `MERGE INTO graft.lake.t USING src ON

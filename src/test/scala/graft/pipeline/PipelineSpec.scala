@@ -168,6 +168,26 @@ class PipelineSpec extends SparkSpec {
     assert(total === spark.read.parquet(paths.silver).count())
   }
 
+  test("the star schema is reachable through the engine's OWN catalog: graft SQL equals the DataFrame star query") {
+    firstRun
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("month_name", "code", "total_fare", "n_itineraries").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaSql = Warehouse.starRevenueSql(spark)
+    assert(rows(viaSql) === rows(Warehouse.starRevenue(spark)),
+      "graft.warehouse.* must serve the same star the Hive mirror does")
+    assert(rows(viaSql).nonEmpty)
+    // the dims resolve through graft too, versioned (history exists)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.warehouse.dim_airport")
+      .head().getLong(0) ===
+      spark.table("warehouse.dim_airport").count())
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.warehouse.`fact_flight_activites$history`")
+      .head().getLong(0) >= 1L)
+  }
+
   test("partition pruning: a year/month predicate reaches the bronze scan") {
     firstRun
     val q = spark.read.parquet(paths.bronze)
