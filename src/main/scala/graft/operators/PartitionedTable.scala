@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** Partition-scoped versioned tables: N per-partition
   * [[graft.streaming.VersionedStore]]s behind ONE table-level manifest
@@ -490,6 +490,7 @@ object PartitionedTable {
       s"PartitionedTable: partition column $partCol must be a string " +
         "(cast upstream — the Hive partition-value convention)")
     refuseRetiredNames(spark, dir, df)
+    enforceDeclaredTypes(spark, dir, df)
     enforceConstraints(spark, dir, df.filter(col(partCol).isNotNull))
     val committed = landPartitions(spark, dir,
       df.filter(col(partCol).isNotNull), partCol, statsCols, bloomCols,
@@ -559,6 +560,7 @@ object PartitionedTable {
           "(pass allowSchemaEvolution = true to widen)")
     }
     refuseRetiredNames(spark, dir, df)
+    enforceDeclaredTypes(spark, dir, df)
     val batch = df.filter(col(partCol).isNotNull)
     enforceConstraints(spark, dir, batch)
     val committed = landPartitions(spark, dir, batch, partCol, statsCols,
@@ -601,6 +603,7 @@ object PartitionedTable {
           s"[${tableCols.toSeq.sorted.mkString(",")}]")
     }
     refuseRetiredNames(spark, dir, df)
+    enforceDeclaredTypes(spark, dir, df)
     val guarded = df.withColumn(partCol,
       when(col(partCol).isNull || col(partCol).isin(partValues: _*),
         col(partCol))
@@ -681,6 +684,7 @@ object PartitionedTable {
           "(pass allowSchemaEvolution = true to widen)")
     }
     refuseRetiredNames(spark, dir, df)
+    enforceDeclaredTypes(spark, dir, df)
     val batch = df.filter(col(partCol).isNotNull).localCheckpoint(true)
     enforceConstraints(spark, dir, batch)
     val census = batch.groupBy(partCol).agg(count(lit(1)).as("n"))
@@ -1238,11 +1242,61 @@ object PartitionedTable {
       c == '"' || c == '\\' || c < ' '),
       s"mergeStream: bad stream id '$streamId'")
     val tag = s"stream=$streamId;batch=$batchId"
-    val replayed = versions(spark, dir).sorted.find(v =>
-      headerLineOf(spark, dir, v).exists(_.contains(s""""at":"$tag"""")))
-    replayed.getOrElse(
+    taggedVersion(spark, dir, tag).getOrElse(
       merge(spark, dir, changes, keyCol, partCol, opCol, statsCols,
         at = tag, bloomCols = bloomCols, bloomBits = bloomBits))
+  }
+
+  /** Replay probe for the streaming tag protocol: the committed
+    * manifest version whose history header carries tag `at`, if any.
+    * O(#retained versions) tiny driver reads — the [[history]] cost;
+    * vacuum retention must stay deeper than the stream's maximum
+    * redelivery window (the [[mergeStream]] horizon contract). */
+  def taggedVersion(
+      spark: SparkSession, dir: String, tag: String): Option[Long] =
+    versions(spark, dir).sorted.find(v =>
+      headerLineOf(spark, dir, v).exists(_.contains(s""""at":"$tag"""")))
+
+  private def validStreamId(streamId: String): Unit =
+    require(streamId.nonEmpty && !streamId.exists(c =>
+      c == '"' || c == '\\' || c < ' '),
+      s"bad stream id '$streamId'")
+
+  /** Exactly-once streaming APPEND — the keyless sink leg of
+    * [[mergeStream]]'s tag protocol (Append output mode): every batch
+    * row lands through an ordinary [[append]] (MoR `_append` routing,
+    * OCC, constraints all apply) tagged `stream=<id>;batch=<n>`; a
+    * redelivered batch finds its tag and no-ops. Returns the manifest
+    * version carrying the batch. */
+  def appendStream(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      streamId: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
+    validStreamId(streamId)
+    val tag = s"stream=$streamId;batch=$batchId"
+    taggedVersion(spark, dir, tag).getOrElse(
+      append(spark, dir, df, partCol, statsCols, at = tag,
+        bloomCols = bloomCols, bloomBits = bloomBits))
+  }
+
+  /** Exactly-once streaming FULL-SNAPSHOT commit — Complete output
+    * mode: each batch is the stream's whole result, committed as the
+    * next table version (untouched readers keep their snapshots; time
+    * travel keeps the previous completes). Same tag-replay contract as
+    * [[appendStream]]. */
+  def commitStream(
+      spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+      streamId: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Long = DefaultBloomBits): Long = {
+    validStreamId(streamId)
+    val tag = s"stream=$streamId;batch=$batchId"
+    taggedVersion(spark, dir, tag).getOrElse(
+      commit(spark, dir, df, partCol, statsCols, at = tag,
+        bloomCols = bloomCols, bloomBits = bloomBits))
   }
 
   /** The merge computation against an explicit base mapping; lands
@@ -3122,22 +3176,29 @@ object PartitionedTable {
   private def logicalize(
       spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
     val edges = colMapOf(spark, dir)
-    if (edges.isEmpty) return df
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
-    df.columns.foreach { c =>
-      resolveName(edges, c).foreach { fin =>
-        out(fin) = out.getOrElse(fin, Nil) :+ c
+    val mapped =
+      if (edges.isEmpty) df
+      else {
+        val out =
+          scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+        df.columns.foreach { c =>
+          resolveName(edges, c).foreach { fin =>
+            out(fin) = out.getOrElse(fin, Nil) :+ c
+          }
+        }
+        require(out.nonEmpty,
+          s"PartitionedTable: column mapping under $dir drops every column " +
+            s"of [${df.columns.mkString(",")}]")
+        df.select(out.map { case (fin, members) =>
+          // newest-first: the current name's own column (when present) wins
+          val ordered = members.sortBy(m => if (m == fin) 0 else 1)
+          (if (ordered.size == 1) col(ordered.head)
+           else coalesce(ordered.map(col): _*)).as(fin)
+        }.toSeq: _*)
       }
-    }
-    require(out.nonEmpty,
-      s"PartitionedTable: column mapping under $dir drops every column " +
-        s"of [${df.columns.mkString(",")}]")
-    df.select(out.map { case (fin, members) =>
-      // newest-first: the current name's own column (when present) wins
-      val ordered = members.sortBy(m => if (m == fin) 0 else 1)
-      (if (ordered.size == 1) col(ordered.head)
-       else coalesce(ordered.map(col): _*)).as(fin)
-    }.toSeq: _*)
+    // ADD COLUMN null-fill last: a declared column no surviving file
+    // carries yet still reads at its declared type
+    withAdded(spark, dir, mapped)
   }
 
   /** Fail loud when a batch reintroduces a retired column name. */
@@ -3209,6 +3270,235 @@ object PartitionedTable {
       s"PartitionedTable: cannot drop the last column $name under $dir")
     refuseReferencedColumn(spark, dir, name, "drop")
     writeColMap(spark, dir, edges :+ (name, ""))
+  }
+
+  // ---------------------------------------------------------------------
+  // Declared-schema DDL: CREATE TABLE (empty) and ADD COLUMN as pure
+  // catalog writes — the remaining metadata operations a SQL front door
+  // needs (the reference's users issue DDL through the warehouse
+  // catalog, loadToWarehouse.py:44-78). Both follow the colmap pattern:
+  // append-only files under the manifest dir, newest wins, zero data
+  // movement. A column ADDED here null-fills on every read until a
+  // write materializes it; the declared type is enforced on every
+  // incoming batch so parquet footers can never diverge from the
+  // declaration.
+  // ---------------------------------------------------------------------
+
+  private val CreateSchemaFile = "_schema.create"
+  private val AddColsPrefix = "_addcols."
+
+  /** Declare an EMPTY table: schema + partition column recorded under
+    * the manifest dir before any data exists — the SQL `CREATE TABLE`
+    * form. The first data commit must match the declaration exactly
+    * (names and types); until then reads resolve [[emptyDeclared]].
+    * One-shot per directory: re-declaring, or declaring over committed
+    * data, fails loud. */
+  def createEmpty(
+      spark: SparkSession, dir: String, schema: StructType,
+      partCol: String): Unit = {
+    require(schema.fieldNames.contains(partCol),
+      s"PartitionedTable: declared schema has no partition column $partCol " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    require(schema(partCol).dataType == StringType,
+      s"PartitionedTable: partition column $partCol must be a string " +
+        "(cast upstream — the Hive partition-value convention); got " +
+        schema(partCol).dataType.simpleString)
+    require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
+      schema.length,
+      s"PartitionedTable: duplicate column names in declared schema " +
+        s"[${schema.fieldNames.mkString(", ")}]")
+    require(versions(spark, dir).isEmpty,
+      s"PartitionedTable: $dir already has committed manifests — " +
+        "CREATE TABLE declares a NEW table")
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    val dest = new Path(md, CreateSchemaFile)
+    require(!hfs.exists(dest),
+      s"PartitionedTable: $dir already declares a schema")
+    hfs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-create-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(s"$partCol\n${schema.json}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: lost the CREATE TABLE slot under $dir " +
+          "(concurrent create?)")
+    }
+  }
+
+  /** The declared (schema, partCol) of a [[createEmpty]] table, if this
+    * directory was created through DDL rather than a first commit. */
+  def declaredSchemaOf(
+      spark: SparkSession, dir: String): Option[(StructType, String)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val p = new Path(new Path(dir, ManifestDir), CreateSchemaFile)
+    if (!hfs.exists(p)) None
+    else {
+      val txt = readManifestFile(hfs, p)
+      val nl = txt.indexOf('\n')
+      Some((DataType.fromJson(txt.substring(nl + 1)).asInstanceOf[StructType],
+        txt.substring(0, nl)))
+    }
+  }
+
+  private def addColsVersions(
+      spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(AddColsPrefix))
+      .flatMap(p => p.getName.stripPrefix(AddColsPrefix)
+        .toLongOption.map(_ -> p))
+  }
+
+  /** Columns declared by [[addColumn]] after creation, in declaration
+    * order under their ORIGINAL names (renames/drops resolve through
+    * the column map at read time). Always nullable — existing rows
+    * hold no value by definition. */
+  def addedColumnsOf(
+      spark: SparkSession, dir: String): Seq[(String, DataType)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    addColsVersions(spark, dir).maxByOption(_._1) match {
+      case None => Nil
+      case Some((_, p)) =>
+        readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
+          line =>
+            val Array(n, j) = line.split("\t", 2)
+            (n, DataType.fromJson(j))
+        }
+    }
+  }
+
+  /** ADD a column: one catalog write, zero data movement — every read
+    * null-fills it at the declared type until a write materializes it,
+    * and every later batch carrying it must match the declared type
+    * exactly (parquet footers never diverge from the declaration).
+    * NOT-NULL adds are refused — existing rows cannot satisfy them. */
+  def addColumn(
+      spark: SparkSession, dir: String, name: String,
+      dataType: DataType): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"addColumn: bad column name '$name' (empty/tab/newline)")
+    val current = logicalColumns(spark, dir)
+    require(!current.contains(name),
+      s"PartitionedTable: column $name already exists under $dir")
+    require(!retiredNames(colMapOf(spark, dir)).contains(name),
+      s"PartitionedTable: $name is a retired name under $dir — pick a " +
+        "name never used before")
+    val hfs = VersionedStore.fs(spark, dir)
+    hfs.mkdirs(new Path(dir, ManifestDir))
+    val next = addColsVersions(spark, dir)
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val edges = addedColumnsOf(spark, dir) :+ (name, dataType)
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-addcols-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try out.write(edges.map { case (n, dt) => s"$n\t${dt.json}" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(new Path(dir, ManifestDir), s"$AddColsPrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: lost the add-column slot $next under $dir " +
+          "(concurrent alter?); re-read and retry")
+    }
+  }
+
+  /** Current logical column names — footer-merged data schema when data
+    * exists, the declared CREATE schema otherwise — with added columns
+    * and the rename/drop chain applied. Metadata cost only. */
+  def logicalColumns(spark: SparkSession, dir: String): Seq[String] =
+    if (versions(spark, dir).nonEmpty) read(spark, dir).columns.toSeq
+    else {
+      val (schema, _) = declaredSchemaOf(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"PartitionedTable: no committed manifests or declared schema " +
+            s"under $dir"))
+      val edges = colMapOf(spark, dir)
+      (schema.fieldNames.toSeq ++ addedColumnsOf(spark, dir).map(_._1))
+        .flatMap(n => resolveName(edges, n))
+    }
+
+  /** An empty frame with a declared-but-never-written table's logical
+    * schema — what a created-empty table reads as. */
+  def emptyDeclared(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, _) = declaredSchemaOf(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no declared schema under $dir"))
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    logicalize(spark, dir, base)
+  }
+
+  /** Null-fill columns declared by [[addColumn]] that the frame does
+    * not carry (no surviving file materialized them yet). Runs AFTER
+    * column mapping, so renames/drops of added columns resolve; a
+    * dropped added column is never re-surfaced. */
+  private def withAdded(
+      spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val added = addedColumnsOf(spark, dir)
+    if (added.isEmpty) return df
+    val edges = colMapOf(spark, dir)
+    val have = df.columns.toSet
+    val extra = added.flatMap { case (n, dt) =>
+      resolveName(edges, n) match {
+        case Some(fin) if !have.contains(fin) =>
+          Some(lit(null).cast(dt).as(fin))
+        case _ => None
+      }
+    }
+    if (extra.isEmpty) df
+    else df.select(df.columns.toSeq.map(col) ++ extra: _*)
+  }
+
+  /** Declared-type gates for incoming batches: added columns must
+    * arrive at their declared type, and the FIRST commit of a
+    * [[createEmpty]] table must carry exactly the declared columns at
+    * the declared types — after it, parquet footers are the schema of
+    * record and the ordinary append checks take over. */
+  private def enforceDeclaredTypes(
+      spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val added = addedColumnsOf(spark, dir)
+    if (added.nonEmpty) {
+      val edges = colMapOf(spark, dir)
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      added.foreach { case (n, dt) =>
+        resolveName(edges, n).foreach { fin =>
+          byName.get(fin).foreach { got =>
+            require(got == dt,
+              s"PartitionedTable: column $fin under $dir was added as " +
+                s"${dt.simpleString}; batch carries ${got.simpleString} " +
+                "(cast upstream — declared types are the contract)")
+          }
+        }
+      }
+    }
+    if (versions(spark, dir).isEmpty) {
+      declaredSchemaOf(spark, dir).foreach { case (schema, _) =>
+        val logical = logicalColumns(spark, dir)
+        require(df.columns.toSet == logical.toSet,
+          s"PartitionedTable: first commit under $dir must carry exactly " +
+            s"the declared columns [${logical.sorted.mkString(",")}]; got " +
+            s"[${df.columns.sorted.mkString(",")}]")
+        val edges = colMapOf(spark, dir)
+        val declaredTypes =
+          schema.fields.map(f => (f.name, f.dataType)) ++ added
+        declaredTypes.foreach { case (n, dt) =>
+          resolveName(edges, n).foreach { fin =>
+            val got = df.schema(fin).dataType
+            require(got == dt,
+              s"PartitionedTable: declared column $fin under $dir is " +
+                s"${dt.simpleString}; first commit carries " +
+                s"${got.simpleString}")
+          }
+        }
+      }
+    }
   }
 
   /** Star-join partition pruning — the manifest-level analogue of

@@ -61,8 +61,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `MERGE INTO` / `UPDATE` / `DELETE` ride Spark's row-level-command
   * rewrite onto the snapshot-pinned changelog merge — OCC, CHECK
   * constraints, generated-column derivation and history all the
-  * library's own. Only DDL (CREATE/ALTER/DROP/RENAME) stays library-
-  * side: table layout is declared in code, not SQL strings.
+  * library's own.
+  *
+  * DDL works too (round 14): `CREATE TABLE ... PARTITIONED BY (p)`
+  * (and CTAS) declare an empty table whose first write commits v0
+  * against the declaration; `ALTER TABLE` binds ADD COLUMN (metadata-
+  * only null-fill at the declared type), RENAME/DROP COLUMN (the
+  * rename-chain column mapping) and ADD/DROP CHECK constraints onto
+  * the library's catalog writes; `DROP TABLE` unbinds and removes the
+  * directory; `RENAME TO` re-binds the identifier. Every form is the
+  * SAME metadata machinery a library caller gets — zero data movement,
+  * same guards.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
@@ -74,6 +83,10 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  /** `ALTER TABLE ... ADD CONSTRAINT` gates on this declaration. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.registry.keys.toSeq.collect {
@@ -92,7 +105,8 @@ class GraftCatalog extends TableCatalog {
     GraftCatalog.registry.contains((ident.namespace.toSeq, ident.name)) ||
       root.exists { r =>
         val dir = (r +: ident.namespace.toSeq :+ ident.name).mkString("/")
-        PartitionedTable.latest(SparkSession.active, dir).isDefined
+        PartitionedTable.latest(SparkSession.active, dir).isDefined ||
+          PartitionedTable.declaredSchemaOf(SparkSession.active, dir).isDefined
       }
 
   override def loadTable(ident: Identifier): Table =
@@ -149,8 +163,15 @@ class GraftCatalog extends TableCatalog {
         val spec = specOf(ident)
         val spark = SparkSession.active
         val vs = PartitionedTable.versions(spark, spec.dir)
-        if (vs.isEmpty) throw new org.apache.spark.sql.catalyst.analysis
-          .NoSuchTableException(ident)
+        if (vs.isEmpty) {
+          // created-but-never-written DDL table: resolves at the
+          // declared schema, scans empty (version sentinel -1)
+          if (asOf.isEmpty &&
+              PartitionedTable.declaredSchemaOf(spark, spec.dir).isDefined)
+            return new GraftTable(s"$catalogName.${ident.toString}", spec, -1L)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident)
+        }
         val v = asOf.getOrElse(vs.max)
         require(vs.contains(v),
           s"graft catalog: version $v not committed under ${spec.dir} " +
@@ -159,19 +180,130 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"graft catalog: $op is library-side DDL — declare table layout in " +
-        "code (commit/commitGenerated/commitLevels, addConstraint, " +
-        "renameColumn). DML (INSERT/MERGE/UPDATE/DELETE) works through SQL.")
+  /** `CREATE TABLE graft.db.t (...) PARTITIONED BY (p)` — and the
+    * createTable leg of CTAS. Declares an EMPTY
+    * [[PartitionedTable]] (schema + partition column recorded on the
+    * table's own filesystem, [[PartitionedTable.createEmpty]]) and
+    * registers the binding; the first INSERT/CTAS write commits v0
+    * against the declaration. Exactly one identity `PARTITIONED BY`
+    * column is required (the table format's layout contract) and it
+    * must be a string in the declared schema (the Hive
+    * partition-value convention — cast in the query). Recognized
+    * table properties: `location` (defaults to a per-JVM scratch
+    * warehouse or the catalog's `root` option) and `keycol` (row
+    * identity — enables MERGE/UPDATE/DELETE and `t$changes`). */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+      properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(partitions.length == 1 && partitions.head.name == "identity" &&
+      partitions.head.references.length == 1 &&
+      partitions.head.references.head.fieldNames.length == 1,
+      s"graft catalog: CREATE TABLE needs PARTITIONED BY (<one top-level " +
+        s"column>) — got [${partitions.map(_.describe).mkString(", ")}]")
+    val pc = partitions.head.references.head.fieldNames.head
+    val keyCol = Option(properties.get("keycol"))
+      .orElse(Option(properties.get("keyCol")))
+    keyCol.foreach(k => require(schema.fieldNames.contains(k),
+      s"graft catalog: keycol $k is not a declared column"))
+    val dir = Option(properties.get("location")).getOrElse(
+      (root.getOrElse(GraftCatalog.workDir.resolve("warehouse").toString) +:
+        ident.namespace.toSeq :+ ident.name).mkString("/"))
+    PartitionedTable.createEmpty(spark, dir, schema, pc)
+    GraftCatalog.registry.put((ident.namespace.toSeq, ident.name),
+      GraftTableSpec(dir, Some(pc), keyCol))
+    load(ident, None)
+  }
+
+  /** `ALTER TABLE` — each form binds onto the library's metadata-only
+    * catalog writes (zero data movement, same guards):
+    * ADD COLUMN → [[PartitionedTable.addColumn]] (nullable only —
+    * existing rows can't satisfy NOT NULL), RENAME/DROP COLUMN → the
+    * rename-chain column mapping, ADD/DROP CONSTRAINT → the persistent
+    * CHECK catalog (current rows validated on add, every future write
+    * gated). The registered partition/key columns refuse rename/drop —
+    * they are the table's layout and row-identity contracts. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spec = specOf(ident)
+    val spark = SparkSession.active
+    def refuseContract(name: String, op: String): Unit = {
+      require(!spec.partCol.contains(name),
+        s"graft catalog: cannot $op partition column $name — it is the " +
+          "table's layout contract")
+      require(!spec.keyCol.contains(name),
+        s"graft catalog: cannot $op key column $name — it is the table's " +
+          "row-identity contract")
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft catalog: nested ADD COLUMN unsupported " +
+            s"(${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN ${a.fieldNames.head} NOT NULL is " +
+            "unsatisfiable — existing rows hold no value (add nullable)")
+        PartitionedTable.addColumn(spark, spec.dir, a.fieldNames.head,
+          a.dataType)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft catalog: nested RENAME COLUMN unsupported")
+        refuseContract(r.fieldNames.head, "rename")
+        PartitionedTable.renameColumn(spark, spec.dir, r.fieldNames.head,
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft catalog: nested DROP COLUMN unsupported")
+        refuseContract(d.fieldNames.head, "drop")
+        PartitionedTable.dropColumn(spark, spec.dir, d.fieldNames.head)
+      case c: TableChange.AddConstraint =>
+        c.constraint match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            PartitionedTable.addConstraint(spark, spec.dir, chk.name,
+              chk.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported; got " +
+              other.toDDL)
+        }
+      case c: TableChange.DropConstraint =>
+        PartitionedTable.dropConstraint(spark, spec.dir, c.name)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — " +
+          "supported: ADD COLUMN (nullable), RENAME COLUMN, DROP COLUMN, " +
+          "ADD/DROP CHECK CONSTRAINT")
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE graft.db.t` — unbinds the registration and removes the
+    * table's directory (manifests, stores, sidecars). Registered
+    * tables only: a root-resolved directory was never declared through
+    * this catalog, so destroying it from SQL would be a surprise. */
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.registry.remove((ident.namespace.toSeq, ident.name)) match {
+      case None => false
+      case Some(spec) =>
+        val spark = SparkSession.active
+        graft.streaming.VersionedStore.fs(spark, spec.dir)
+          .delete(new org.apache.hadoop.fs.Path(spec.dir), true)
+        true
+    }
+
+  /** `ALTER TABLE ... RENAME TO ...` — a registry re-bind: the
+    * identifier moves, the directory (and every committed version in
+    * it) stays where it is. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    val spec = GraftCatalog.registry
+      .remove((oldIdent.namespace.toSeq, oldIdent.name))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent))
+    GraftCatalog.registry.put((newIdent.namespace.toSeq, newIdent.name), spec)
+  }
 }
 
 /** Where a catalog identifier's data lives; `partCol` (known for
@@ -580,6 +712,61 @@ object GraftCatalog {
            |FROM graft.lake.`$tbl$$changes`
            |WHERE _commit_version BETWEEN 2 AND 3
            |GROUP BY CAST(_commit_version AS INT), op""".stripMargin)
+    },
+
+    // SQL DDL end to end (round 14), hash-gated: the full lifecycle a
+    // warehouse operator runs — CTAS (declares the table AND commits
+    // v0 from the query), ALTER TABLE ADD COLUMN (metadata-only; old
+    // rows null-fill at the declared type), an INSERT materializing
+    // the new column, ALTER TABLE RENAME COLUMN (rename-chain
+    // mapping, zero data movement), then an UPDATE through the
+    // row-level path against the POST-rename schema. The oracle
+    // recomputes the final state closed-form from orders, so a CTAS
+    // that drops rows, an ADD COLUMN that surfaces wrong-typed or
+    // non-null values on old rows, a rename that loses pre-rename
+    // files' column, or an UPDATE that misses/over-matches after the
+    // rename each break the hash. DROP TABLE re-entrancy: each run
+    // drops and re-creates, exercising createTable's clean-slate
+    // contract too (the entry times DDL+DML writes by design — the
+    // write path IS the query).
+    QueryDef.sql("q112_sql_ddl",
+      """WITH rows_ AS (
+        |  SELECT o_orderstatus,
+        |         o_totalprice AS price,
+        |         CASE WHEN o_totalprice > 300000 THEN 'hot'
+        |              WHEN o_orderkey % 4 = 0 THEN 'late'
+        |              ELSE NULL END AS badge
+        |  FROM orders)
+        |SELECT o_orderstatus, badge,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(price), 2) AS rev
+        |FROM rows_ GROUP BY o_orderstatus, badge""".stripMargin) { (s, dir) =>
+      val tbl = "q112_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.sql(s"DROP TABLE IF EXISTS graft.ddl.$tbl")
+      graft.streaming.VersionedStore.fs(s, store)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      Tables.orders(s, dir).createOrReplaceTempView(s"${tbl}_orders")
+      s.sql(
+        s"""CREATE TABLE graft.ddl.$tbl PARTITIONED BY (o_orderstatus)
+           |LOCATION '$store' TBLPROPERTIES ('keycol' = 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM ${tbl}_orders WHERE o_orderkey % 4 <> 0""".stripMargin)
+      s.sql(s"ALTER TABLE graft.ddl.$tbl ADD COLUMN badge STRING")
+      s.sql(
+        s"""INSERT INTO graft.ddl.$tbl
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, 'late'
+           |FROM ${tbl}_orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE graft.ddl.$tbl RENAME COLUMN o_totalprice TO price")
+      s.sql(s"UPDATE graft.ddl.$tbl SET badge = 'hot' WHERE price > 300000")
+      s.sql(
+        s"""SELECT o_orderstatus, badge,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(price), 2) AS rev
+           |FROM graft.ddl.$tbl
+           |GROUP BY o_orderstatus, badge""".stripMargin)
     }
   )
 }
@@ -600,7 +787,9 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
   private lazy val tableSchema: StructType = StructType(
-    PartitionedTable.read(SparkSession.active, spec.dir, Some(version))
+    (if (version < 0)
+       PartitionedTable.emptyDeclared(SparkSession.active, spec.dir)
+     else PartitionedTable.read(SparkSession.active, spec.dir, Some(version)))
       .schema.fields.map { f =>
         if (spec.partCol.contains(f.name) || spec.keyCol.contains(f.name))
           f.copy(nullable = false)
@@ -611,7 +800,7 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     spec.partCol.map(c => Expressions.identity(c)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -680,6 +869,15 @@ case class GraftScan(
     * audit can assert which partitions/files the SQL path touches. */
   def buildDf(spark: SparkSession): DataFrame = {
     val dir = spec.dir
+    if (version < 0) {
+      // created-but-never-written table: empty at the declared schema
+      val base = PartitionedTable.emptyDeclared(spark, dir)
+      val projected = required.fields.toSeq.map { f =>
+        if (base.columns.contains(f.name)) functions.col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      return if (projected.isEmpty) base else base.select(projected: _*)
+    }
     // closed bounds per data column: EqualTo → [v, v]; a strict bound
     // prunes with its value inclusively (sound — boundary files only
     // ever KEEP; the residual exact filter Spark re-applies fixes rows)

@@ -304,12 +304,14 @@ class GraftCatalogSpec extends SparkSpec {
       s"lo must merge as max(0, 39000): $tightFiles of $weakFiles files")
   }
 
-  test("DDL stays library-side; unregistered tables don't resolve") {
+  test("unregistered tables don't resolve; DROP TABLE unbinds a registration (GraftDdlSpec covers the full DDL surface)") {
     val dir = freshStore()
     PartitionedTable.commit(spark, dir, table(20), "part")
     GraftCatalog.register(spark, "t", "ro", dir, partCol = Some("part"))
-    val ex = intercept[Exception](spark.sql("DROP TABLE graft.t.ro"))
-    assert(ex.getMessage.contains("library-side DDL"), ex.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t.ro")
+      .head().getLong(0) === 20)
+    spark.sql("DROP TABLE graft.t.ro")
+    intercept[Exception](spark.sql("SELECT * FROM graft.t.ro").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM graft.t.never_registered").collect())
   }
