@@ -88,6 +88,38 @@ object GraftWrites {
         }
     }
 
+  /** Decode per-task staging files of length-prefixed UnsafeRows back
+    * into a distributed frame — the read side of [[GraftDeltaWriter]]
+    * and the streaming sink's writers. One parquet-free pass; nothing
+    * funnels through the driver. */
+  private[sources] def readStaged(
+      spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame = {
+    val nFields = schema.length
+    val rdd = spark.sparkContext.binaryFiles(paths.mkString(","))
+      .flatMap { case (_, pds) =>
+        new Iterator[InternalRow] {
+          private val in = new DataInputStream(
+            new java.io.BufferedInputStream(pds.open()))
+          private var nextRow: UnsafeRow = advance()
+          private def advance(): UnsafeRow =
+            try {
+              val len = in.readInt()
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              val r = new UnsafeRow(nFields)
+              r.pointTo(bytes, len)
+              r
+            } catch { case _: EOFException => in.close(); null }
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = nextRow; nextRow = advance(); r
+          }
+        }
+      }
+    org.apache.spark.sql.graft.Bridge.dfFromInternal(spark, rdd, schema)
+  }
+
   /** Dispatch one V1-bridged INSERT. `filters`: None = append;
     * AlwaysTrue = full overwrite; partition equalities/INs =
     * replaceWhere. Anything else is refused loud — a row-scoped
@@ -126,7 +158,9 @@ object GraftWrites {
   * produced [[InsertableRelation]] executes the matching library
   * primitive. */
 class GraftWriteBuilder(spec: GraftTableSpec, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwrite {
+    extends WriteBuilder with SupportsOverwrite
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend {
   private var filters: Option[Array[Filter]] = None
   override def overwrite(fs: Array[Filter]): WriteBuilder = {
     filters = Some(fs); this
@@ -137,6 +171,13 @@ class GraftWriteBuilder(spec: GraftTableSpec, info: LogicalWriteInfo)
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
           GraftWrites.run(data.sparkSession, spec, data, filters)
       }
+    // streaming leg: Complete mode arrives as truncate()
+    // (SupportsOverwrite's AlwaysTrue), Append/Update as plain build
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(spec, info,
+        truncate = filters.exists(fs =>
+          fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue])))
   }
 }
 
@@ -226,30 +267,7 @@ class GraftDeltaBatchWrite(
         case GraftDeltaMessage(path, rows) if rows > 0 => path
       }
       if (paths.isEmpty) return // all-no-op statement: no forged version
-      val nFields = outSchema.length
-      val rdd = spark.sparkContext.binaryFiles(paths.mkString(","))
-        .flatMap { case (_, pds) =>
-          new Iterator[InternalRow] {
-            private val in = new DataInputStream(
-              new java.io.BufferedInputStream(pds.open()))
-            private var nextRow: UnsafeRow = advance()
-            private def advance(): UnsafeRow =
-              try {
-                val len = in.readInt()
-                val bytes = new Array[Byte](len)
-                in.readFully(bytes)
-                val r = new UnsafeRow(nFields)
-                r.pointTo(bytes, len)
-                r
-              } catch { case _: EOFException => in.close(); null }
-            override def hasNext: Boolean = nextRow != null
-            override def next(): InternalRow = {
-              val r = nextRow; nextRow = advance(); r
-            }
-          }
-        }
-      val changes = org.apache.spark.sql.graft.Bridge
-        .dfFromInternal(spark, rdd, outSchema)
+      val changes = GraftWrites.readStaged(spark, paths, outSchema)
       // snapshot-pinned: a concurrent commit that moved a touched
       // partition since the statement's scan fails the statement loud
       PartitionedTable.merge(spark, dir, changes, key, part,
