@@ -2526,6 +2526,19 @@ object PartitionedTable {
         s"$partName = ${gen.name}($srcCol)")
   }
 
+  /** DDL leg of the generated-partition machinery: declare the rule on
+    * an EMPTY ([[createEmpty]]) table, so the FIRST write already
+    * derives the partition column and every read prunes from
+    * source-column predicates — `CREATE TABLE ... PARTITIONED BY
+    * (months(ts))` binds here. Returns the partition column name. */
+  def declareGenerated(
+      spark: SparkSession, dir: String, srcCol: String, gen: PartGen,
+      partName: String = ""): String = {
+    val name = if (partName.nonEmpty) partName else s"part_${gen.name}"
+    declareGen(spark, dir, srcCol, gen, name)
+    name
+  }
+
   /** [[commit]] with a GENERATED partition column: derives
     * `partName` = gen(srcCol) (kept in the data, the Delta
     * generated-column convention) and records the rule so
@@ -3295,14 +3308,22 @@ object PartitionedTable {
     * data, fails loud. */
   def createEmpty(
       spark: SparkSession, dir: String, schema: StructType,
-      partCol: String): Unit = {
-    require(schema.fieldNames.contains(partCol),
-      s"PartitionedTable: declared schema has no partition column $partCol " +
-        s"(have ${schema.fieldNames.mkString(", ")})")
-    require(schema(partCol).dataType == StringType,
-      s"PartitionedTable: partition column $partCol must be a string " +
-        "(cast upstream — the Hive partition-value convention); got " +
-        schema(partCol).dataType.simpleString)
+      partCol: String, derivedPart: Boolean = false): Unit = {
+    if (derivedPart)
+      // a generation rule ([[declareGenerated]]) derives the column on
+      // every write — the declared schema carries only source columns
+      require(!schema.fieldNames.contains(partCol),
+        s"PartitionedTable: generated partition column $partCol must not " +
+          "be declared — the rule derives it")
+    else {
+      require(schema.fieldNames.contains(partCol),
+        s"PartitionedTable: declared schema has no partition column $partCol " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(schema(partCol).dataType == StringType,
+        s"PartitionedTable: partition column $partCol must be a string " +
+          "(cast upstream — the Hive partition-value convention); got " +
+          schema(partCol).dataType.simpleString)
+    }
     require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
       schema.length,
       s"PartitionedTable: duplicate column names in declared schema " +
@@ -3481,7 +3502,13 @@ object PartitionedTable {
     if (versions(spark, dir).isEmpty) {
       declaredSchemaOf(spark, dir).foreach { case (schema, _) =>
         val logical = logicalColumns(spark, dir)
-        require(df.columns.toSet == logical.toSet,
+        // rule-derived partition columns ride along without being
+        // declared (the engine adds them on every write)
+        val genNames = generatedBy(spark, dir).map(_._3).toSet ++
+          generatedLevelsOf(spark, dir).toSeq.flatten.map(_.name) ++
+          (if (generatedLevelsOf(spark, dir).isDefined) Set(LevelsPartName)
+           else Set.empty[String])
+        require((df.columns.toSet -- genNames) == logical.toSet,
           s"PartitionedTable: first commit under $dir must carry exactly " +
             s"the declared columns [${logical.sorted.mkString(",")}]; got " +
             s"[${df.columns.sorted.mkString(",")}]")

@@ -199,12 +199,26 @@ class GraftCatalog extends TableCatalog {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    require(partitions.length == 1 && partitions.head.name == "identity" &&
+    require(partitions.length == 1 &&
       partitions.head.references.length == 1 &&
       partitions.head.references.head.fieldNames.length == 1,
       s"graft catalog: CREATE TABLE needs PARTITIONED BY (<one top-level " +
-        s"column>) — got [${partitions.map(_.describe).mkString(", ")}]")
-    val pc = partitions.head.references.head.fieldNames.head
+        s"column or years/months/days(<column>)>) — got " +
+        s"[${partitions.map(_.describe).mkString(", ")}]")
+    val tr = partitions.head
+    val ref = tr.references.head.fieldNames.head
+    // Iceberg-style hidden-partitioning transforms bind to the
+    // generated-rule machinery: the partition column is DERIVED on
+    // every write and readers prune from SOURCE-column predicates
+    val genRule: Option[PartitionedTable.PartGen] = tr.name match {
+      case "identity" => None
+      case "years" => Some(PartitionedTable.PartGen.Year)
+      case "months" => Some(PartitionedTable.PartGen.Month)
+      case "days" => Some(PartitionedTable.PartGen.Day)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported PARTITIONED BY transform $other — " +
+          "supported: identity (plain column), years(c), months(c), days(c)")
+    }
     val keyCol = Option(properties.get("keycol"))
       .orElse(Option(properties.get("keyCol")))
     keyCol.foreach(k => require(schema.fieldNames.contains(k),
@@ -212,7 +226,26 @@ class GraftCatalog extends TableCatalog {
     val dir = Option(properties.get("location")).getOrElse(
       (root.getOrElse(GraftCatalog.workDir.resolve("warehouse").toString) +:
         ident.namespace.toSeq :+ ident.name).mkString("/"))
-    PartitionedTable.createEmpty(spark, dir, schema, pc)
+    val pc = genRule match {
+      case None =>
+        PartitionedTable.createEmpty(spark, dir, schema, ref)
+        ref
+      case Some(gen) =>
+        require(schema.fieldNames.contains(ref),
+          s"graft catalog: ${tr.name}($ref) references an undeclared column")
+        schema(ref).dataType match {
+          case _: org.apache.spark.sql.types.DateType => ()
+          case _: org.apache.spark.sql.types.TimestampType => ()
+          case _: org.apache.spark.sql.types.TimestampNTZType => ()
+          case dt => throw new IllegalArgumentException(
+            s"graft catalog: ${tr.name}($ref) needs a date/timestamp " +
+              s"column; $ref is ${dt.simpleString}")
+        }
+        val name = s"part_${gen.name}"
+        PartitionedTable.createEmpty(spark, dir, schema, name,
+          derivedPart = true)
+        PartitionedTable.declareGenerated(spark, dir, ref, gen, name)
+    }
     GraftCatalog.registry.put((ident.namespace.toSeq, ident.name),
       GraftTableSpec(dir, Some(pc), keyCol))
     load(ident, None)
@@ -767,6 +800,53 @@ object GraftCatalog {
            |       round(sum(price), 2) AS rev
            |FROM graft.ddl.$tbl
            |GROUP BY o_orderstatus, badge""".stripMargin)
+    },
+
+    // Hidden-partitioning DDL, hash-gated: CREATE TABLE PARTITIONED BY
+    // (months(o_orderdate)) binds the Iceberg-style transform onto the
+    // generated-rule machinery — the INSERT ships only source columns
+    // (the engine derives part_month), and the probe is the predicate
+    // users actually write: WHERE o_orderdate BETWEEN two mid-month
+    // instants, pruned at the manifest through readWhereSrc (the
+    // dirs-opened claim is plan-asserted in GraftDdlSpec). The oracle
+    // recomputes the window closed-form from orders, so a transform
+    // that mis-derives the partition, a first-commit that drops rows,
+    // or a pruning read that loses mid-month boundary rows breaks the
+    // hash.
+    QueryDef.sql("q113_sql_ddl_generated",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-10 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-06-20 00:00:00'
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tbl = "q113_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      graft.FixtureCache.once("q113", dir) {
+        s.sql(s"DROP TABLE IF EXISTS graft.ddl.$tbl")
+        graft.streaming.VersionedStore.fs(s, store)
+          .delete(new org.apache.hadoop.fs.Path(store), true)
+        Tables.orders(s, dir).createOrReplaceTempView(s"${tbl}_orders")
+        s.sql(
+          s"""CREATE TABLE graft.ddl.$tbl (o_orderkey BIGINT,
+             |o_orderstatus STRING, o_totalprice DOUBLE,
+             |o_orderdate TIMESTAMP) PARTITIONED BY (months(o_orderdate))
+             |LOCATION '$store' TBLPROPERTIES ('keycol' = 'o_orderkey')
+             |""".stripMargin)
+        s.sql(
+          s"""INSERT INTO graft.ddl.$tbl
+             |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM ${tbl}_orders""".stripMargin)
+      }
+      s.sql(
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.ddl.$tbl
+           |WHERE o_orderdate >= TIMESTAMP '1996-03-10 00:00:00'
+           |  AND o_orderdate <= TIMESTAMP '1996-06-20 00:00:00'
+           |GROUP BY o_orderstatus""".stripMargin)
     }
   )
 }
@@ -786,15 +866,32 @@ object GraftCatalog {
 class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
-  private lazy val tableSchema: StructType = StructType(
-    (if (version < 0)
-       PartitionedTable.emptyDeclared(SparkSession.active, spec.dir)
-     else PartitionedTable.read(SparkSession.active, spec.dir, Some(version)))
-      .schema.fields.map { f =>
-        if (spec.partCol.contains(f.name) || spec.keyCol.contains(f.name))
-          f.copy(nullable = false)
-        else f
-      })
+  private lazy val tableSchema: StructType = {
+    val spark = SparkSession.active
+    // a rule-DERIVED partition column stays nullable: NULL means
+    // "derive" on writes (the generated-column contract), so marking
+    // it non-null would reject the column-list INSERT form upstream
+    val derived =
+      PartitionedTable.generatedBy(spark, spec.dir).map(_._3).toSet ++
+        PartitionedTable.generatedLevelsOf(spark, spec.dir)
+          .toSeq.flatten.map(_.name) +
+        PartitionedTable.LevelsPartName
+    // the rule's SOURCE column is non-null instead: committed rows
+    // never carry one (null-source rows have a null partition, refused
+    // at the landing), and it doubles as the row-identity column for
+    // the row-level commands on generated tables
+    val genSrc =
+      PartitionedTable.generatedBy(spark, spec.dir).map(_._1).toSet
+    StructType(
+      (if (version < 0) PartitionedTable.emptyDeclared(spark, spec.dir)
+       else PartitionedTable.read(spark, spec.dir, Some(version)))
+        .schema.fields.map { f =>
+          if ((spec.partCol.contains(f.name) && !derived.contains(f.name)) ||
+              spec.keyCol.contains(f.name) || genSrc.contains(f.name))
+            f.copy(nullable = false)
+          else f
+        })
+  }
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -53,13 +53,16 @@ object GraftWrites {
 
   /** Generated-column check (the Delta generated-column write
     * contract): a provided value must EQUAL the declared rule's
-    * derivation, else the write fails loud inside the landing job —
-    * codegen'd, no extra validation pass. */
+    * derivation — NULL derives (the column-list INSERT form hands
+    * unnamed columns as nulls, indistinguishable from omission at this
+    * seam; Delta computes there too) — else the write fails loud
+    * inside the landing job: codegen'd, no extra validation pass. */
   private def checkedGen(name: String, derived: Column): Column =
-    when(col(name) <=> derived, derived).otherwise(raise_error(concat(
-      lit(s"graft catalog: generated column $name must equal its declared " +
-        "rule's derivation; provided "),
-      coalesce(col(name).cast("string"), lit("NULL")))))
+    when(col(name).isNull || (col(name) <=> derived), derived)
+      .otherwise(raise_error(concat(
+        lit(s"graft catalog: generated column $name must equal its declared " +
+          "rule's derivation; provided "),
+        col(name).cast("string"))))
 
   /** Resolve the physical partition column for a catalog write and
     * derive-and-validate generated columns: level tables check every
@@ -70,15 +73,23 @@ object GraftWrites {
       df: DataFrame): (DataFrame, String) =
     PartitionedTable.generatedLevelsOf(spark, spec.dir) match {
       case Some(levels) =>
+        // a level the batch does not carry derives outright (the DDL
+        // CREATE-then-INSERT shape); a provided one derive-validates
         val checked = levels.foldLeft(df)((d, l) =>
-          d.withColumn(l.name, checkedGen(l.name, l.gen.expr(col(l.srcCol)))))
+          d.withColumn(l.name,
+            if (d.columns.contains(l.name))
+              checkedGen(l.name, l.gen.expr(col(l.srcCol)))
+            else l.gen.expr(col(l.srcCol))))
         (PartitionedTable.withComposite(
           checked.drop(PartitionedTable.LevelsPartName), levels),
           PartitionedTable.LevelsPartName)
       case None =>
         PartitionedTable.generatedBy(spark, spec.dir) match {
           case Some((src, gen, name)) =>
-            (df.withColumn(name, checkedGen(name, gen.expr(col(src)))), name)
+            (df.withColumn(name,
+              if (df.columns.contains(name))
+                checkedGen(name, gen.expr(col(src)))
+              else gen.expr(col(src))), name)
           case None =>
             val pc = spec.partCol.getOrElse(
               throw new IllegalArgumentException(
@@ -193,29 +204,37 @@ class GraftRowLevelOperation(
     "graft catalog: SQL MERGE/UPDATE/DELETE need the table registered " +
       "with its key column (register(..., keyCol = Some(...))) — row " +
       "identity is (partition, key)"))
-  private val part = spec.partCol.getOrElse(throw new IllegalArgumentException(
-    "graft catalog: SQL MERGE/UPDATE/DELETE need the table registered " +
-      "with its partition column"))
+  // generated tables identify rows by (key, SOURCE column) and the
+  // landing re-derives the partition from the source value — the
+  // derived column itself stays nullable for the NULL-means-derive
+  // INSERT form, which Spark's row-id resolution would reject
+  private val gen =
+    PartitionedTable.generatedBy(SparkSession.active, spec.dir)
+  private val idCol = gen.map(_._1).orElse(spec.partCol).getOrElse(
+    throw new IllegalArgumentException(
+      "graft catalog: SQL MERGE/UPDATE/DELETE need the table registered " +
+        "with its partition column"))
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spec, version, full)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(
-        spec.dir, version, key, part, info.schema(), full,
+        spec.dir, version, key, idCol, gen, info.schema(), full,
         cmd.toString.toLowerCase)
     }
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(key), Expressions.column(part))
+    Array(Expressions.column(key), Expressions.column(idCol))
   override def description(): String = s"GraftRowLevel($cmd, ${spec.dir})"
 }
 
 class GraftDeltaWrite(
-    dir: String, snapshot: Long, key: String, part: String,
+    dir: String, snapshot: Long, key: String, idCol: String,
+    gen: Option[(String, PartitionedTable.PartGen, String)],
     rowSchema: StructType, tableSchema: StructType, tag: String)
     extends DeltaWrite {
   override def toBatch(): DeltaBatchWrite = new GraftDeltaBatchWrite(
-    dir, snapshot, key, part, rowSchema, tableSchema, tag)
+    dir, snapshot, key, idCol, gen, rowSchema, tableSchema, tag)
   override def description(): String = s"GraftDeltaWrite($dir v=$snapshot)"
 }
 
@@ -226,7 +245,8 @@ class GraftDeltaWrite(
   * abort leaves only the dot-tmp (removed here on abort; orphaned
   * dot-tmps are inert to every reader). */
 class GraftDeltaBatchWrite(
-    dir: String, snapshot: Long, key: String, part: String,
+    dir: String, snapshot: Long, key: String, idCol: String,
+    gen: Option[(String, PartitionedTable.PartGen, String)],
     rowSchema: StructType, tableSchema: StructType, tag: String)
     extends DeltaBatchWrite {
   import scala.jdk.CollectionConverters._
@@ -240,7 +260,7 @@ class GraftDeltaBatchWrite(
   // the merge's delete path reads. Payload fields stay nullable for
   // that reason; key/part keep the table's non-null marking.
   private val outSchema = StructType(tableSchema.fields.map { f =>
-    if (f.name == key || f.name == part) f else f.copy(nullable = true)
+    if (f.name == key || f.name == idCol) f else f.copy(nullable = true)
   } :+ org.apache.spark.sql.types.StructField("op",
     org.apache.spark.sql.types.StringType, nullable = false))
 
@@ -256,7 +276,7 @@ class GraftDeltaBatchWrite(
     val rowPos = rowSchema.fields.map(f => outSchema.fieldIndex(f.name))
     GraftDeltaWriterFactory(staging, outSchema, rowPos,
       rowSchema.fields.map(_.dataType),
-      outSchema.fieldIndex(key), outSchema.fieldIndex(part), confEntries)
+      outSchema.fieldIndex(key), outSchema.fieldIndex(idCol), confEntries)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -267,7 +287,16 @@ class GraftDeltaBatchWrite(
         case GraftDeltaMessage(path, rows) if rows > 0 => path
       }
       if (paths.isEmpty) return // all-no-op statement: no forged version
-      val changes = GraftWrites.readStaged(spark, paths, outSchema)
+      val staged = GraftWrites.readStaged(spark, paths, outSchema)
+      // generated tables: the partition column re-derives from the
+      // staged SOURCE value (deletes ship only (key, source)), so a
+      // changelog row can never land against a partition its source
+      // value contradicts
+      val (changes, part) = gen match {
+        case Some((src, g, name)) =>
+          (staged.withColumn(name, g.expr(col(src))), name)
+        case None => (staged, idCol)
+      }
       // snapshot-pinned: a concurrent commit that moved a touched
       // partition since the statement's scan fails the statement loud
       PartitionedTable.merge(spark, dir, changes, key, part,
@@ -288,7 +317,7 @@ case class GraftDeltaMessage(path: String, rows: Long)
 case class GraftDeltaWriterFactory(
     staging: String, outSchema: StructType, rowPos: Array[Int],
     rowTypes: Array[org.apache.spark.sql.types.DataType],
-    keyIdx: Int, partIdx: Int,
+    keyIdx: Int, idIdx: Int,
     conf: Seq[(String, String)]) extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -353,10 +382,10 @@ class GraftDeltaWriter(
     val sameKey = java.util.Objects.equals(
       buf.get(f.keyIdx, types(f.keyIdx)), id.get(0, types(f.keyIdx)))
     val samePart = java.util.Objects.equals(
-      buf.get(f.partIdx, types(f.partIdx)), id.get(1, types(f.partIdx)))
+      buf.get(f.idIdx, types(f.idIdx)), id.get(1, types(f.idIdx)))
     if (!sameKey || !samePart) throw new IllegalArgumentException(
       "graft catalog: UPDATE/MERGE must not move a row's key or " +
-        "partition column — a (partition, key) move is a DELETE + INSERT")
+        "partition(-source) column — such a move is a DELETE + INSERT")
     emit()
   }
 
@@ -364,7 +393,7 @@ class GraftDeltaWriter(
     var i = 0
     while (i < nOut - 1) { buf.update(i, null); i += 1 }
     buf.update(f.keyIdx, id.get(0, types(f.keyIdx)))
-    buf.update(f.partIdx, id.get(1, types(f.partIdx)))
+    buf.update(f.idIdx, id.get(1, types(f.idIdx)))
     buf.update(nOut - 1, deleteOp)
     emit()
   }

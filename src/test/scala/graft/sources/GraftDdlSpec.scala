@@ -147,6 +147,44 @@ class GraftDdlSpec extends SparkSpec {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("CREATE TABLE PARTITIONED BY (months(ts)) binds to the generated-rule machinery: writes derive the partition, reads prune from source predicates") {
+    ensureCatalog()
+    val dir = freshDir(); val t = freshName()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, d DATE, v BIGINT) " +
+      s"PARTITIONED BY (months(d)) LOCATION '$dir' " +
+      "TBLPROPERTIES ('keycol'='k')")
+    // the engine owns the mapping: INSERTs ship only source columns
+    spark.sql(s"INSERT INTO $t SELECT id, " +
+      "date_add(DATE '1995-01-01', cast(id * 20 AS int)), id * 10 " +
+      "FROM range(10)")
+    assert(PartitionedTable.partitionValues(spark, dir).sorted ===
+      Seq("1995-01", "1995-02", "1995-03", "1995-04", "1995-05", "1995-06"))
+    // post-v0 the derived column is part of the schema: NULL derives,
+    // a wrong explicit value fails loud inside the landing job
+    spark.sql(s"INSERT INTO $t VALUES (100, DATE '1995-07-04', 1, NULL)")
+    assert(spark.sql(s"SELECT part_month FROM $t WHERE k = 100").head()
+      .getString(0) === "1995-07")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $t VALUES (101, DATE '1995-07-04', 1, '1995-08')"))
+    assert(e.getMessage.contains("must equal its declared rule"))
+    // source-range predicates prune at the manifest through spark.sql
+    val q = spark.sql(s"SELECT k FROM $t " +
+      "WHERE d BETWEEN DATE '1995-02-10' AND DATE '1995-03-20'")
+    val dirsRead = q.queryExecution.executedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        r.relation
+    }.collect { case g: GraftRelation => g.scan }.get.buildDf(spark)
+      .inputFiles
+      .map(_.split("/").find(_.startsWith("__part=")).getOrElse("?")).toSet
+    assert(dirsRead === Set("__part=1995-02", "__part=1995-03"),
+      s"DDL-created generated table must source-prune, got $dirsRead")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
+      "mid-month bounds stay exact via the residual")
+    // keyed DML rides the derived partition too
+    spark.sql(s"UPDATE $t SET v = 999 WHERE k = 3")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 3").head().getLong(0) === 999)
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT CHECK bind to the persistent constraint catalog: violating writes fail loud until dropped") {
     ensureCatalog()
     val dir = freshDir(); val t = freshName()

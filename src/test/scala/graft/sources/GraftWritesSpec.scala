@@ -161,7 +161,7 @@ class GraftWritesSpec extends SparkSpec {
     // delta-write machinery, then race a commit into p0 before landing
     val rowSchema = StructType(PartitionedTable.read(spark, dir)
       .schema.fields.map(_.copy(nullable = true)))
-    val bw = new GraftDeltaBatchWrite(dir, 0L, "k", "part", rowSchema,
+    val bw = new GraftDeltaBatchWrite(dir, 0L, "k", "part", None, rowSchema,
       rowSchema, "merge")
     val factory = bw.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 0L)
