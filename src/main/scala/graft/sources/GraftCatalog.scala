@@ -73,9 +73,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SAME metadata machinery a library caller gets — zero data movement,
   * same guards.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = "graft"
   private var root: Option[String] = None
+
+  /** `CALL graft.system.<proc>(...)` — table maintenance through SQL
+    * (see [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -847,6 +856,48 @@ object GraftCatalog {
            |WHERE o_orderdate >= TIMESTAMP '1996-03-10 00:00:00'
            |  AND o_orderdate <= TIMESTAMP '1996-06-20 00:00:00'
            |GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // Maintenance procedures through SQL, hash-gated: commit orders
+    // (v0), corrupt it with a delete+bump merge (v1), run
+    // `CALL graft.system.restore(version => 0)` (v2 = v0's content,
+    // metadata-only) and `CALL graft.system.vacuum(keep => 1)` (v0/v1
+    // GC'd, orphan stores collected), then aggregate the LATEST state
+    // purely through spark.sql. The oracle is the pristine orders
+    // aggregate — a restore that resolves the wrong mapping, loses a
+    // partition pointer, or a vacuum that GCs a store version the
+    // restored manifest still references (the subtle bug class: v2
+    // re-references v0's store dirs) breaks the hash or the read
+    // itself. The CALL summaries are cross-checked in
+    // GraftProceduresSpec; this entry gates the data path.
+    QueryDef.sql("q114_sql_procedures",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tbl = "q114_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      graft.streaming.VersionedStore.fs(s, store)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      val orders = Tables.orders(s, dir)
+      PartitionedTable.commit(s, store, orders, "o_orderstatus") // v0
+      val touched = col("o_orderkey") % 10
+      PartitionedTable.merge(s, store, // v1: corrupt F
+        orders.filter(col("o_orderstatus") === "F" && touched.isin(3, 7))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("op",
+            functions.when(touched === 7, "delete").otherwise("upsert")),
+        "o_orderkey", "o_orderstatus")
+      register(s, "lake", tbl, store, partCol = Some("o_orderstatus"))
+      s.sql(s"CALL graft.system.restore(table => 'lake.$tbl', version => 0)")
+        .collect()
+      s.sql(s"CALL graft.system.vacuum(table => 'lake.$tbl', keep => 1)")
+        .collect()
+      s.sql(
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
     }
   )
 }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.operators.PartitionedTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance PROCEDURES for the SQL front door — the ops verbs
+  * a warehouse operator runs, callable as
+  *
+  * {{{
+  *   CALL graft.system.vacuum(table => 'lake.t', keep => 7)
+  *   CALL graft.system.vacuum_retain(table => 'lake.t', retain_hours => 168.0)
+  *   CALL graft.system.optimize(table => 'lake.t', target_mb => 128)
+  *   CALL graft.system.restore(table => 'lake.t', version => 3)
+  * }}}
+  *
+  * Each binds onto the library maintenance primitive (version-count /
+  * wall-clock vacuum with orphan GC, small-file compaction with
+  * untouched partitions' pointers carried over, metadata-only RESTORE)
+  * and returns a one-row summary as a [[LocalScan]] — driver-side
+  * metadata answers; the data jobs (compaction's rewrite) are the
+  * ordinary library jobs. Tables resolve as `'db.table'` against the
+  * same registry the SQL reads use. */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("vacuum", "vacuum_retain", "optimize", "restore")
+
+  def load(name: String): UnboundProcedure = name match {
+    case "vacuum" => Vacuum
+    case "vacuum_retain" => VacuumRetain
+    case "optimize" => Optimize
+    case "restore" => Restore
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog: no procedure $other — have ${names.mkString(", ")}")
+  }
+
+  private def specOf(table: String): GraftTableSpec = {
+    val parts = table.split("\\.", 2)
+    require(parts.length == 2,
+      s"graft procedures: table must be 'db.table', got '$table'")
+    GraftCatalog.registry.getOrElse((Seq(parts(0)), parts(1)),
+      throw new IllegalArgumentException(
+        s"graft procedures: no registered table graft.$table"))
+  }
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  /** One-row, fixed-schema driver-side result. */
+  private final case class SummaryScan(
+      schema: StructType, row: InternalRow) extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+    override def description(): String = "GraftProcedureSummary"
+  }
+
+  private def result(fields: (String, DataType, Any)*):
+      java.util.Iterator[Scan] = {
+    val schema = StructType(fields.map { case (n, dt, _) =>
+      StructField(n, dt, nullable = false) })
+    val row = new GenericInternalRow(fields.map {
+      case (_, StringType, v) => UTF8String.fromString(v.toString)
+      case (_, _, v) => v
+    }.toArray[Any])
+    java.util.List.of[Scan](SummaryScan(schema, row)).iterator()
+  }
+
+  private abstract class GraftProcedure(
+      procName: String, params: Seq[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  private object Vacuum extends GraftProcedure("vacuum",
+    Seq(param("table", StringType), param("keep", IntegerType))) {
+    override def description(): String =
+      "drop all but the newest <keep> table versions; GC orphan stores"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val (manifests, stores) =
+        PartitionedTable.vacuum(spark, spec.dir, input.getInt(1))
+      result(
+        ("dropped_manifests", IntegerType, manifests.size),
+        ("dropped_store_versions", IntegerType, stores),
+        ("newest_version", LongType,
+          PartitionedTable.latest(spark, spec.dir).get))
+    }
+  }
+
+  private object VacuumRetain extends GraftProcedure("vacuum_retain",
+    Seq(param("table", StringType), param("retain_hours", DoubleType))) {
+    override def description(): String =
+      "drop table versions committed more than <retain_hours> ago " +
+        "(always keeps the newest)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val hours = input.getDouble(1)
+      val (manifests, stores) = PartitionedTable.vacuumRetain(spark, spec.dir,
+        java.time.Duration.ofMillis((hours * 3600 * 1000).toLong))
+      result(
+        ("dropped_manifests", IntegerType, manifests.size),
+        ("dropped_store_versions", IntegerType, stores),
+        ("newest_version", LongType,
+          PartitionedTable.latest(spark, spec.dir).get))
+    }
+  }
+
+  private object Optimize extends GraftProcedure("optimize",
+    Seq(param("table", StringType), param("target_mb", IntegerType))) {
+    override def description(): String =
+      "bin-pack small files per partition toward <target_mb>; untouched " +
+        "partitions' pointers carry over"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val flagged = PartitionedTable.compactPartitions(spark, spec.dir,
+        targetBytes = input.getInt(1).toLong << 20,
+        partCol = spec.partCol.getOrElse("part"))
+      result(
+        ("compacted_partitions", IntegerType, flagged.size),
+        ("newest_version", LongType,
+          PartitionedTable.latest(spark, spec.dir).get))
+    }
+  }
+
+  private object Restore extends GraftProcedure("restore",
+    Seq(param("table", StringType), param("version", LongType))) {
+    override def description(): String =
+      "commit a past version's content as the new table version " +
+        "(metadata-only; history keeps both timelines)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val v = PartitionedTable.restore(spark, spec.dir, input.getLong(1),
+        at = "sql_restore")
+      result(("restored_to", LongType, input.getLong(1)),
+        ("new_version", LongType, v))
+    }
+  }
+}

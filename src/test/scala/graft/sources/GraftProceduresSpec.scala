@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.PartitionedTable
+import org.apache.spark.sql.functions._
+
+/** `CALL graft.system.<proc>(...)`: the maintenance verbs through SQL —
+  * vacuum (version-count), vacuum_retain (wall-clock), optimize
+  * (small-file compaction), restore — each returning a one-row summary
+  * and landing the SAME library operation a Scala caller gets. */
+class GraftProceduresSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private var seq = 0
+  private def fresh(): (String, String) = {
+    seq += 1
+    val dir = Files.createTempDirectory("graftproc").toString + "/t"
+    val name = s"p$seq"
+    GraftCatalog.register(spark, "ops", name, dir, partCol = Some("part"))
+    (dir, s"ops.$name")
+  }
+
+  private def commitN(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      PartitionedTable.commit(spark, dir,
+        Seq((i.toLong, "p0", i * 10L)).toDF("k", "part", "v"), "part")
+    }
+
+  test("CALL vacuum drops all but the newest <keep> versions and reports the GC") {
+    val (dir, t) = fresh()
+    commitN(dir, 4) // v0..v3
+    val row = spark.sql(
+      s"CALL graft.system.vacuum(table => '$t', keep => 2)").head()
+    assert(row.getInt(0) === 2, "two manifests dropped")
+    assert(row.getLong(2) === 3L, "newest version reported")
+    assert(PartitionedTable.versions(spark, dir).sorted === Seq(2L, 3L))
+    intercept[Exception](PartitionedTable.read(spark, dir, Some(0L)))
+  }
+
+  test("CALL vacuum_retain resolves the horizon from commit stamps: 0 hours keeps only the newest, a wide window keeps everything") {
+    val (dir, t) = fresh()
+    commitN(dir, 3)
+    val kept = spark.sql(
+      s"CALL graft.system.vacuum_retain(table => '$t', retain_hours => 1000.0)")
+      .head()
+    assert(kept.getInt(0) === 0, "a wide window drops nothing")
+    val row = spark.sql(
+      s"CALL graft.system.vacuum_retain(table => '$t', retain_hours => 0.0)")
+      .head()
+    assert(row.getInt(0) === 2, "zero retention keeps only the newest")
+    assert(PartitionedTable.versions(spark, dir) === Seq(2L))
+  }
+
+  test("CALL optimize bin-packs small files; a second call is a no-op") {
+    val (dir, t) = fresh()
+    PartitionedTable.commit(spark, dir,
+      spark.range(2000).select(col("id").as("k"), lit("p0").as("part"),
+        col("id").as("v")).repartition(8), "part")
+    val before = PartitionedTable.read(spark, dir).inputFiles.length
+    assert(before === 8)
+    val row = spark.sql(
+      s"CALL graft.system.optimize(table => '$t', target_mb => 128)").head()
+    assert(row.getInt(0) === 1, "the 8-file partition is flagged")
+    assert(PartitionedTable.read(spark, dir).inputFiles.length < 8)
+    assert(PartitionedTable.read(spark, dir)
+      .agg(sum("v")).head().getLong(0) === 1999L * 2000 / 2)
+    assert(spark.sql(
+      s"CALL graft.system.optimize(table => '$t', target_mb => 128)").head()
+      .getInt(0) === 0, "already-packed partitions are not rewritten")
+  }
+
+  test("CALL restore commits a past version's content as the new version; SHOW PROCEDURES lists the surface") {
+    val (dir, t) = fresh()
+    PartitionedTable.commit(spark, dir,
+      Seq((1L, "p0", 10L)).toDF("k", "part", "v"), "part") // v0
+    PartitionedTable.merge(spark, dir,
+      Seq((1L, "p0", 99L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v1
+    val row = spark.sql(
+      s"CALL graft.system.restore(table => '$t', version => 0)").head()
+    assert(row.getLong(1) === 2L, "restore mints a new version")
+    assert(PartitionedTable.read(spark, dir).select("v").head()
+      .getLong(0) === 10L, "content equals v0")
+    val procs = spark.sql("SHOW PROCEDURES IN graft.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(Set("vacuum", "vacuum_retain", "optimize", "restore")
+      .subsetOf(procs), s"got $procs")
+  }
+}
