@@ -2565,7 +2565,8 @@ object PartitionedTable {
       spark: SparkSession, dir: String, changes: DataFrame, keyCol: String,
       opCol: String = "op", statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false, at: String = "",
-      bloomCols: Seq[String] = Nil, bloomBits: Long = DefaultBloomBits): Long = {
+      bloomCols: Seq[String] = Nil, bloomBits: Long = DefaultBloomBits,
+      sinceVersion: Option[Long] = None): Long = {
     val (srcCol, gen, name) = generatedBy(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: no generation rule declared under $dir — " +
@@ -2596,7 +2597,8 @@ object PartitionedTable {
     }
     merge(spark, dir, changes.withColumn(name, gen.expr(col(srcCol))),
       keyCol, name, opCol, statsCols, allowSchemaEvolution, at,
-      bloomCols = bloomCols, bloomBits = bloomBits)
+      bloomCols = bloomCols, bloomBits = bloomBits,
+      sinceVersion = sinceVersion)
   }
 
   /** Source-column range probe over a generated table: maps [lo, hi]
@@ -2852,7 +2854,8 @@ object PartitionedTable {
       spark: SparkSession, dir: String, changes: DataFrame, keyCol: String,
       opCol: String = "op", statsCols: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false, at: String = "",
-      bloomCols: Seq[String] = Nil, bloomBits: Long = DefaultBloomBits): Long = {
+      bloomCols: Seq[String] = Nil, bloomBits: Long = DefaultBloomBits,
+      sinceVersion: Option[Long] = None): Long = {
     val levels = generatedLevelsOf(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: no level spec declared under $dir — " +
@@ -2889,7 +2892,8 @@ object PartitionedTable {
     }
     merge(spark, dir, withLevelCols(changes, levels), keyCol, LevelsPartName,
       opCol, statsCols, allowSchemaEvolution, at,
-      bloomCols = bloomCols, bloomBits = bloomBits)
+      bloomCols = bloomCols, bloomBits = bloomBits,
+      sinceVersion = sinceVersion)
   }
 
   /** Source-column range probes over a level-partitioned table. Each

@@ -932,7 +932,9 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     // at the landing), and it doubles as the row-identity column for
     // the row-level commands on generated tables
     val genSrc =
-      PartitionedTable.generatedBy(spark, spec.dir).map(_._1).toSet
+      PartitionedTable.generatedBy(spark, spec.dir).map(_._1).toSet ++
+        PartitionedTable.generatedLevelsOf(spark, spec.dir)
+          .toSeq.flatten.map(_.srcCol)
     StructType(
       (if (version < 0) PartitionedTable.emptyDeclared(spark, spec.dir)
        else PartitionedTable.read(spark, spec.dir, Some(version)))

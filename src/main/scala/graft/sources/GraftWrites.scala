@@ -204,37 +204,41 @@ class GraftRowLevelOperation(
     "graft catalog: SQL MERGE/UPDATE/DELETE need the table registered " +
       "with its key column (register(..., keyCol = Some(...))) — row " +
       "identity is (partition, key)"))
-  // generated tables identify rows by (key, SOURCE column) and the
-  // landing re-derives the partition from the source value — the
-  // derived column itself stays nullable for the NULL-means-derive
-  // INSERT form, which Spark's row-id resolution would reject
-  private val gen =
-    PartitionedTable.generatedBy(SparkSession.active, spec.dir)
-  private val idCol = gen.map(_._1).orElse(spec.partCol).getOrElse(
-    throw new IllegalArgumentException(
-      "graft catalog: SQL MERGE/UPDATE/DELETE need the table registered " +
-        "with its partition column"))
+  // generated/level tables identify rows by (key, SOURCE column(s)):
+  // the landing re-derives the partition from the source values (so an
+  // UPDATE can never desync value and partition), and the derived
+  // columns themselves stay nullable for the NULL-means-derive INSERT
+  // form, which Spark's non-null row-id resolution would reject
+  private val idCols: Seq[String] =
+    PartitionedTable.generatedLevelsOf(SparkSession.active, spec.dir) match {
+      case Some(levels) => levels.map(_.srcCol).distinct
+      case None =>
+        Seq(PartitionedTable.generatedBy(SparkSession.active, spec.dir)
+          .map(_._1).orElse(spec.partCol).getOrElse(
+            throw new IllegalArgumentException(
+              "graft catalog: SQL MERGE/UPDATE/DELETE need the table " +
+                "registered with its partition column")))
+    }
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spec, version, full)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(
-        spec.dir, version, key, idCol, gen, info.schema(), full,
+        spec.dir, version, key, idCols, info.schema(), full,
         cmd.toString.toLowerCase)
     }
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(key), Expressions.column(idCol))
+    (key +: idCols).map(Expressions.column).toArray
   override def description(): String = s"GraftRowLevel($cmd, ${spec.dir})"
 }
 
 class GraftDeltaWrite(
-    dir: String, snapshot: Long, key: String, idCol: String,
-    gen: Option[(String, PartitionedTable.PartGen, String)],
+    dir: String, snapshot: Long, key: String, idCols: Seq[String],
     rowSchema: StructType, tableSchema: StructType, tag: String)
     extends DeltaWrite {
   override def toBatch(): DeltaBatchWrite = new GraftDeltaBatchWrite(
-    dir, snapshot, key, idCol, gen, rowSchema, tableSchema, tag)
+    dir, snapshot, key, idCols, rowSchema, tableSchema, tag)
   override def description(): String = s"GraftDeltaWrite($dir v=$snapshot)"
 }
 
@@ -245,8 +249,7 @@ class GraftDeltaWrite(
   * abort leaves only the dot-tmp (removed here on abort; orphaned
   * dot-tmps are inert to every reader). */
 class GraftDeltaBatchWrite(
-    dir: String, snapshot: Long, key: String, idCol: String,
-    gen: Option[(String, PartitionedTable.PartGen, String)],
+    dir: String, snapshot: Long, key: String, idCols: Seq[String],
     rowSchema: StructType, tableSchema: StructType, tag: String)
     extends DeltaBatchWrite {
   import scala.jdk.CollectionConverters._
@@ -260,7 +263,8 @@ class GraftDeltaBatchWrite(
   // the merge's delete path reads. Payload fields stay nullable for
   // that reason; key/part keep the table's non-null marking.
   private val outSchema = StructType(tableSchema.fields.map { f =>
-    if (f.name == key || f.name == idCol) f else f.copy(nullable = true)
+    if (f.name == key || idCols.contains(f.name)) f
+    else f.copy(nullable = true)
   } :+ org.apache.spark.sql.types.StructField("op",
     org.apache.spark.sql.types.StringType, nullable = false))
 
@@ -276,7 +280,8 @@ class GraftDeltaBatchWrite(
     val rowPos = rowSchema.fields.map(f => outSchema.fieldIndex(f.name))
     GraftDeltaWriterFactory(staging, outSchema, rowPos,
       rowSchema.fields.map(_.dataType),
-      outSchema.fieldIndex(key), outSchema.fieldIndex(idCol), confEntries)
+      outSchema.fieldIndex(key),
+      idCols.map(outSchema.fieldIndex).toArray, confEntries)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -288,19 +293,22 @@ class GraftDeltaBatchWrite(
       }
       if (paths.isEmpty) return // all-no-op statement: no forged version
       val staged = GraftWrites.readStaged(spark, paths, outSchema)
-      // generated tables: the partition column re-derives from the
-      // staged SOURCE value (deletes ship only (key, source)), so a
-      // changelog row can never land against a partition its source
-      // value contradicts
-      val (changes, part) = gen match {
-        case Some((src, g, name)) =>
-          (staged.withColumn(name, g.expr(col(src))), name)
-        case None => (staged, idCol)
-      }
+      // generated/level tables land through the GUARDED merges: the
+      // partition re-derives from the staged SOURCE value(s) (deletes
+      // ship only (key, sources)), and the spec-evolution clash guard
+      // refuses a keyed change that would shadow a pre-evolution
+      // partition — exactly the library contract. Everything is
       // snapshot-pinned: a concurrent commit that moved a touched
-      // partition since the statement's scan fails the statement loud
-      PartitionedTable.merge(spark, dir, changes, key, part,
-        at = s"sql_$tag", sinceVersion = Some(snapshot)): Unit
+      // partition since the statement's scan fails the statement loud.
+      if (PartitionedTable.generatedLevelsOf(spark, dir).isDefined)
+        PartitionedTable.mergeLevels(spark, dir, staged, key,
+          at = s"sql_$tag", sinceVersion = Some(snapshot)): Unit
+      else if (PartitionedTable.generatedBy(spark, dir).isDefined)
+        PartitionedTable.mergeGenerated(spark, dir, staged, key,
+          at = s"sql_$tag", sinceVersion = Some(snapshot)): Unit
+      else
+        PartitionedTable.merge(spark, dir, staged, key, idCols.head,
+          at = s"sql_$tag", sinceVersion = Some(snapshot)): Unit
     } finally hfs.delete(new Path(staging), true): Unit
   }
 
@@ -317,7 +325,7 @@ case class GraftDeltaMessage(path: String, rows: Long)
 case class GraftDeltaWriterFactory(
     staging: String, outSchema: StructType, rowPos: Array[Int],
     rowTypes: Array[org.apache.spark.sql.types.DataType],
-    keyIdx: Int, idIdx: Int,
+    keyIdx: Int, idIdxs: Array[Int],
     conf: Seq[(String, String)]) extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -376,14 +384,20 @@ class GraftDeltaWriter(
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     fill(row, upsert)
-    // key identity is (partition, key): an UPDATE that moves either is
-    // a DELETE + INSERT, exactly the MergeInto contract — refused loud
-    // rather than landing a duplicate next to the stale row
-    val sameKey = java.util.Objects.equals(
+    // row identity is (partition(-sources), key): an UPDATE that moves
+    // any identity column is a DELETE + INSERT, exactly the MergeInto
+    // contract — refused loud rather than landing a duplicate next to
+    // the stale row
+    var same = java.util.Objects.equals(
       buf.get(f.keyIdx, types(f.keyIdx)), id.get(0, types(f.keyIdx)))
-    val samePart = java.util.Objects.equals(
-      buf.get(f.idIdx, types(f.idIdx)), id.get(1, types(f.idIdx)))
-    if (!sameKey || !samePart) throw new IllegalArgumentException(
+    var i = 0
+    while (same && i < f.idIdxs.length) {
+      val idx = f.idIdxs(i)
+      same = java.util.Objects.equals(
+        buf.get(idx, types(idx)), id.get(i + 1, types(idx)))
+      i += 1
+    }
+    if (!same) throw new IllegalArgumentException(
       "graft catalog: UPDATE/MERGE must not move a row's key or " +
         "partition(-source) column — such a move is a DELETE + INSERT")
     emit()
@@ -393,7 +407,12 @@ class GraftDeltaWriter(
     var i = 0
     while (i < nOut - 1) { buf.update(i, null); i += 1 }
     buf.update(f.keyIdx, id.get(0, types(f.keyIdx)))
-    buf.update(f.idIdx, id.get(1, types(f.idIdx)))
+    i = 0
+    while (i < f.idIdxs.length) {
+      val idx = f.idIdxs(i)
+      buf.update(idx, id.get(i + 1, types(idx)))
+      i += 1
+    }
     buf.update(nOut - 1, deleteOp)
     emit()
   }

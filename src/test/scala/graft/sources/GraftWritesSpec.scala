@@ -153,6 +153,55 @@ class GraftWritesSpec extends SparkSpec {
     assert(ops.contains("sql_update") && ops.contains("sql_delete"))
   }
 
+  test("UPDATE/DELETE ride generated and two-level tables: row identity is (key, sources), the landing derives partitions, and an evolved table's shadow-risk change fails loud") {
+    import spark.implicits._
+    // two-level table: status prefix × order year
+    val lvDir = freshStore()
+    val rows = spark.range(40).select(
+      col("id").as("k"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("status"),
+      to_date(concat(lit("199"), (col("id") % 3).cast("string"),
+        lit("-06-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, lvDir, rows, Seq(
+      PartitionedTable.GenLevel("status", PartitionedTable.PartGen.Prefix(2),
+        "ls"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Year, "ly")))
+    seq += 1
+    GraftCatalog.register(spark, "w", s"lv$seq", lvDir,
+      partCol = Some(PartitionedTable.LevelsPartName), keyCol = Some("k"))
+    val t = s"graft.w.lv$seq"
+    spark.sql(s"UPDATE $t SET v = 7777 WHERE k = 10")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 10").head()
+      .getLong(0) === 7777)
+    assert(PartitionedTable.read(spark, lvDir).count() === 40,
+      "an UPDATE must replace, not duplicate, across level partitions")
+    spark.sql(s"DELETE FROM $t WHERE k % 4 = 1")
+    assert(PartitionedTable.read(spark, lvDir).count() === 30)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k % 4 = 1")
+      .head().getLong(0) === 0)
+
+    // evolved single-rule table: a keyed SQL change that would shadow a
+    // pre-evolution partition is refused (the mergeGenerated guard)
+    val gdir = freshStore()
+    val gen = spark.range(20).select(col("id").as("k"),
+      to_date(concat(lit("1995-0"), (col("id") % 5 + 1).cast("string"),
+        lit("-10"))).as("d"), (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, gdir, gen, "d",
+      PartitionedTable.PartGen.Year, "pd")
+    PartitionedTable.evolveGenRule(spark, gdir, PartitionedTable.PartGen.Month)
+    seq += 1
+    GraftCatalog.register(spark, "w", s"ev$seq", gdir,
+      partCol = Some("pd"), keyCol = Some("k"))
+    val te = s"graft.w.ev$seq"
+    val ex = intercept[Exception](
+      spark.sql(s"UPDATE $te SET v = 1 WHERE k = 3"))
+    def msgs(th: Throwable): Seq[String] = Option(th).toSeq
+      .flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("shadow pre-evolution")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("the SQL landing is snapshot-pinned: a concurrent commit to a touched partition fails the statement loud") {
     import spark.implicits._
     val dir = freshStore()
@@ -161,7 +210,7 @@ class GraftWritesSpec extends SparkSpec {
     // delta-write machinery, then race a commit into p0 before landing
     val rowSchema = StructType(PartitionedTable.read(spark, dir)
       .schema.fields.map(_.copy(nullable = true)))
-    val bw = new GraftDeltaBatchWrite(dir, 0L, "k", "part", None, rowSchema,
+    val bw = new GraftDeltaBatchWrite(dir, 0L, "k", Seq("part"), rowSchema,
       rowSchema, "merge")
     val factory = bw.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 0L)
