@@ -2526,6 +2526,18 @@ object PartitionedTable {
         s"$partName = ${gen.name}($srcCol)")
   }
 
+  /** DDL leg of the MULTI-LEVEL machinery: declare a level spec on an
+    * EMPTY ([[createEmpty]]) table — `CREATE TABLE ... PARTITIONED BY
+    * (truncate(status, 1), months(ts))` binds here; the first write
+    * derives every level and the composite. */
+  def declareGeneratedLevels(
+      spark: SparkSession, dir: String, levels: Seq[GenLevel]): Unit = {
+    require(levels.nonEmpty, "declareGeneratedLevels: need >= 1 level")
+    require(levels.map(_.name).distinct.size == levels.size,
+      s"declareGeneratedLevels: duplicate level names in ${levels.map(_.name)}")
+    declareGenLevels(spark, dir, levels)
+  }
+
   /** DDL leg of the generated-partition machinery: declare the rule on
     * an EMPTY ([[createEmpty]]) table, so the FIRST write already
     * derives the partition column and every read prunes from
@@ -3214,8 +3226,9 @@ object PartitionedTable {
         }.toSeq: _*)
       }
     // ADD COLUMN null-fill last: a declared column no surviving file
-    // carries yet still reads at its declared type
-    withAdded(spark, dir, mapped)
+    // carries yet still reads at its declared type (edges shared — one
+    // catalog read serves both steps; logicalize runs per delta slice)
+    withAdded(spark, dir, mapped, edges)
   }
 
   /** Fail loud when a batch reintroduces a retired column name. */
@@ -3465,10 +3478,10 @@ object PartitionedTable {
     * column mapping, so renames/drops of added columns resolve; a
     * dropped added column is never re-surfaced. */
   private def withAdded(
-      spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, df: DataFrame,
+      edges: Seq[(String, String)]): DataFrame = {
     val added = addedColumnsOf(spark, dir)
     if (added.isEmpty) return df
-    val edges = colMapOf(spark, dir)
     val have = df.columns.toSet
     val extra = added.flatMap { case (n, dt) =>
       resolveName(edges, n) match {

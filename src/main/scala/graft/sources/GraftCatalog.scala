@@ -208,26 +208,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    require(partitions.length == 1 &&
-      partitions.head.references.length == 1 &&
-      partitions.head.references.head.fieldNames.length == 1,
-      s"graft catalog: CREATE TABLE needs PARTITIONED BY (<one top-level " +
-        s"column or years/months/days(<column>)>) — got " +
-        s"[${partitions.map(_.describe).mkString(", ")}]")
-    val tr = partitions.head
-    val ref = tr.references.head.fieldNames.head
+    require(partitions.nonEmpty,
+      "graft catalog: CREATE TABLE needs PARTITIONED BY (<column> | " +
+        "years/months/days(<column>) | truncate(<column>, n), ...)")
     // Iceberg-style hidden-partitioning transforms bind to the
-    // generated-rule machinery: the partition column is DERIVED on
-    // every write and readers prune from SOURCE-column predicates
-    val genRule: Option[PartitionedTable.PartGen] = tr.name match {
-      case "identity" => None
-      case "years" => Some(PartitionedTable.PartGen.Year)
-      case "months" => Some(PartitionedTable.PartGen.Month)
-      case "days" => Some(PartitionedTable.PartGen.Day)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported PARTITIONED BY transform $other — " +
-          "supported: identity (plain column), years(c), months(c), days(c)")
+    // generated-rule machinery: partition columns are DERIVED on every
+    // write and readers prune from SOURCE-column predicates. One
+    // transform → a single-rule generated table; several → a
+    // multi-level spec (the reference's year/month bronze layout).
+    def srcOf(tr: Transform): String = {
+      require(tr.references.length == 1 &&
+        tr.references.head.fieldNames.length == 1,
+        s"graft catalog: PARTITIONED BY transform ${tr.describe} must " +
+          "reference exactly one top-level column")
+      tr.references.head.fieldNames.head
     }
+    def dateRule(tr: Transform, gen: PartitionedTable.PartGen)
+        : (String, PartitionedTable.PartGen) = {
+      val ref = srcOf(tr)
+      require(schema.fieldNames.contains(ref),
+        s"graft catalog: ${tr.name}($ref) references an undeclared column")
+      schema(ref).dataType match {
+        case _: org.apache.spark.sql.types.DateType => ()
+        case _: org.apache.spark.sql.types.TimestampType => ()
+        case _: org.apache.spark.sql.types.TimestampNTZType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft catalog: ${tr.name}($ref) needs a date/timestamp " +
+            s"column; $ref is ${dt.simpleString}")
+      }
+      (ref, gen)
+    }
+    def rule(tr: Transform): Option[(String, PartitionedTable.PartGen)] =
+      tr.name match {
+        case "identity" => None
+        case "years" => Some(dateRule(tr, PartitionedTable.PartGen.Year))
+        case "months" => Some(dateRule(tr, PartitionedTable.PartGen.Month))
+        case "days" => Some(dateRule(tr, PartitionedTable.PartGen.Day))
+        case "truncate" =>
+          val ref = srcOf(tr)
+          val n = tr.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: truncate needs an int width — ${tr.describe}"))
+          require(schema.fieldNames.contains(ref) &&
+            schema(ref).dataType ==
+              org.apache.spark.sql.types.StringType,
+            s"graft catalog: truncate($ref, $n) needs a declared string " +
+              "column")
+          Some((ref, PartitionedTable.PartGen.Prefix(n)))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported PARTITIONED BY transform $other — " +
+            "supported: identity (plain column, alone), years(c), " +
+            "months(c), days(c), truncate(c, n)")
+      }
     val keyCol = Option(properties.get("keycol"))
       .orElse(Option(properties.get("keyCol")))
     keyCol.foreach(k => require(schema.fieldNames.contains(k),
@@ -235,25 +270,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val dir = Option(properties.get("location")).getOrElse(
       (root.getOrElse(GraftCatalog.workDir.resolve("warehouse").toString) +:
         ident.namespace.toSeq :+ ident.name).mkString("/"))
-    val pc = genRule match {
-      case None =>
+    val rules = partitions.toSeq.map(tr => (tr, rule(tr)))
+    val pc = rules match {
+      case Seq((tr, None)) => // plain identity partitioning
+        val ref = srcOf(tr)
         PartitionedTable.createEmpty(spark, dir, schema, ref)
         ref
-      case Some(gen) =>
-        require(schema.fieldNames.contains(ref),
-          s"graft catalog: ${tr.name}($ref) references an undeclared column")
-        schema(ref).dataType match {
-          case _: org.apache.spark.sql.types.DateType => ()
-          case _: org.apache.spark.sql.types.TimestampType => ()
-          case _: org.apache.spark.sql.types.TimestampNTZType => ()
-          case dt => throw new IllegalArgumentException(
-            s"graft catalog: ${tr.name}($ref) needs a date/timestamp " +
-              s"column; $ref is ${dt.simpleString}")
-        }
+      case Seq((_, Some((ref, gen)))) => // one rule: generated table
         val name = s"part_${gen.name}"
         PartitionedTable.createEmpty(spark, dir, schema, name,
           derivedPart = true)
         PartitionedTable.declareGenerated(spark, dir, ref, gen, name)
+      case many => // several rules: a multi-level spec
+        require(many.forall(_._2.isDefined),
+          "graft catalog: multi-column PARTITIONED BY takes transforms " +
+            "only (years/months/days/truncate) — a plain column level " +
+            "is truncate(col, <width>)")
+        val levels = many.map(_._2.get).zipWithIndex.map {
+          case ((ref, gen), i) =>
+            val base = s"part_${gen.name}"
+            val name = if (many.count(_._2.get._2.name == gen.name) > 1)
+              s"${base}_$i" else base
+            PartitionedTable.GenLevel(ref, gen, name)
+        }
+        PartitionedTable.createEmpty(spark, dir, schema,
+          PartitionedTable.LevelsPartName, derivedPart = true)
+        PartitionedTable.declareGeneratedLevels(spark, dir, levels)
+        PartitionedTable.LevelsPartName
     }
     GraftCatalog.registry.put((ident.namespace.toSeq, ident.name),
       GraftTableSpec(dir, Some(pc), keyCol))

@@ -185,6 +185,39 @@ class GraftDdlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT v FROM $t WHERE k = 3").head().getLong(0) === 999)
   }
 
+  test("CREATE TABLE PARTITIONED BY (truncate(status,1), months(d)) declares a two-level spec: writes derive both levels, reads prune from both source predicates") {
+    ensureCatalog()
+    val dir = freshDir(); val t = freshName()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, status STRING, d DATE, " +
+      "v BIGINT) PARTITIONED BY (truncate(status, 1), months(d)) " +
+      s"LOCATION '$dir' TBLPROPERTIES ('keycol'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'open' ELSE 'closed' END, " +
+      "date_add(DATE '1995-01-01', cast(id * 20 AS int)), id * 10 " +
+      "FROM range(10)")
+    assert(PartitionedTable.partitionValues(spark, dir).sorted ===
+      Seq("c/1995-01", "c/1995-03", "c/1995-04", "c/1995-05", "c/1995-06",
+        "o/1995-01", "o/1995-02", "o/1995-03", "o/1995-05", "o/1995-06"))
+    // both source predicates prune at the manifest through spark.sql
+    val q = spark.sql(s"SELECT k FROM $t WHERE status = 'open' " +
+      "AND d BETWEEN DATE '1995-02-10' AND DATE '1995-05-20'")
+    val dirsRead = q.queryExecution.executedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        r.relation
+    }.collect { case g: GraftRelation => g.scan }.get.buildDf(spark)
+      .inputFiles
+      .map(_.split("/").find(_.startsWith("__part=")).getOrElse("?")).toSet
+    assert(dirsRead === Set("__part=o%2F1995-02", "__part=o%2F1995-03",
+      "__part=o%2F1995-05"),
+      s"two-level DDL table must prune on both levels, got $dirsRead")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 6L))
+    // keyed DML rides the derived levels
+    spark.sql(s"UPDATE $t SET v = 123 WHERE k = 6")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 6").head().getLong(0) === 123)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 10,
+      "an UPDATE must replace, not duplicate")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT CHECK bind to the persistent constraint catalog: violating writes fail loud until dropped") {
     ensureCatalog()
     val dir = freshDir(); val t = freshName()
