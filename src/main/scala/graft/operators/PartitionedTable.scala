@@ -1870,7 +1870,8 @@ object PartitionedTable {
       cluster: Option[Column] = None,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomBits: Long = DefaultBloomBits): Seq[String] = {
+      bloomBits: Long = DefaultBloomBits,
+      force: Boolean = false): Seq[String] = {
     require(targetBytes > 0 && smallFileRatio >= 1.0,
       s"bad policy: targetBytes=$targetBytes ratio=$smallFileRatio")
     val cur = latest(spark, dir).getOrElse(
@@ -1881,8 +1882,11 @@ object PartitionedTable {
     val flagged = m.toSeq.sortBy(_._1).filter { case (name, sv) =>
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       // DV deltas always fold: compaction is what materializes the
-      // tombstone-filtered rows back into plain full files
-      dvBaseOf(spark, storeDir, sv).isDefined || {
+      // tombstone-filtered rows back into plain full files. `force`
+      // rewrites every live partition regardless of layout — the
+      // OPTIMIZE ZORDER form, whose point is the clustering, not the
+      // file count
+      force || dvBaseOf(spark, storeDir, sv).isDefined || {
         val vdir = VersionedStore.path(storeDir, sv).toString
         val (files, bytes) = Compaction.layoutStats(spark, vdir)
         val ideal = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)

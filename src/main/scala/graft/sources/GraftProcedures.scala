@@ -117,16 +117,32 @@ object GraftProcedures {
   }
 
   private object Optimize extends GraftProcedure("optimize",
-    Seq(param("table", StringType), param("target_mb", IntegerType))) {
+    Seq(param("table", StringType), param("target_mb", IntegerType),
+      ProcedureParameter.in("zorder_by", StringType)
+        .defaultValue("''").build())) {
     override def description(): String =
       "bin-pack small files per partition toward <target_mb>; untouched " +
-        "partitions' pointers carry over"
+        "partitions' pointers carry over. zorder_by => 'c1,c2' " +
+        "interleave-clusters the rewrite (Delta's OPTIMIZE ZORDER BY)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val spec = specOf(input.getUTF8String(0).toString)
+      val zorder = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty).map { s =>
+          val cols = s.split(",").map(_.trim).filter(_.nonEmpty)
+          require(cols.length == 2,
+            s"graft procedures: zorder_by takes exactly two columns " +
+              s"('c1,c2'), got '$s'")
+          // rank-bucketed interleave: quantile edges come from one scan
+          // of the live table, applied inside the compaction rewrite
+          graft.operators.ZOrder.zvalueRanked(
+            PartitionedTable.read(spark, spec.dir), cols(0), cols(1))
+        }
       val flagged = PartitionedTable.compactPartitions(spark, spec.dir,
         targetBytes = input.getInt(1).toLong << 20,
-        partCol = spec.partCol.getOrElse("part"))
+        partCol = spec.partCol.getOrElse("part"),
+        cluster = zorder,
+        force = zorder.isDefined) // ZORDER rewrites for clustering, not size
       result(
         ("compacted_partitions", IntegerType, flagged.size),
         ("newest_version", LongType,

@@ -72,6 +72,31 @@ class GraftProceduresSpec extends SparkSpec {
       .getInt(0) === 0, "already-packed partitions are not rewritten")
   }
 
+  test("CALL optimize(zorder_by => 'a,b') interleave-clusters the rewrite: per-file spans tighten on both columns") {
+    val (dir, t) = fresh()
+    // 8 shuffled files, ~8 MB total (the pad column defeats parquet
+    // compression so the 1 MB target yields SEVERAL output files):
+    // every input file spans ~the full range of both cluster columns
+    PartitionedTable.commit(spark, dir,
+      spark.range(500000).select(col("id").as("k"), lit("p0").as("part"),
+        (col("id") % 64).as("a"), ((col("id") * 37) % 64).as("b"),
+        (col("id") * 6364136223846793005L).as("pad"))
+        .repartition(8), "part")
+    val spanBefore = graft.operators.ZOrder.fileStats(
+      PartitionedTable.read(spark, dir), "a", "b")
+      .selectExpr("avg(max1 - min1)").head().getDouble(0)
+    assert(spanBefore > 55, s"shuffled layout must span a, got $spanBefore")
+    val row = spark.sql(s"CALL graft.system.optimize(table => '$t', " +
+      "target_mb => 1, zorder_by => 'a,b')").head()
+    assert(row.getInt(0) === 1)
+    val after = PartitionedTable.read(spark, dir)
+    assert(after.agg(sum("k")).head().getLong(0) === 499999L * 500000 / 2)
+    val spanAfter = graft.operators.ZOrder.fileStats(after, "a", "b")
+      .selectExpr("avg(max1 - min1)").head().getDouble(0)
+    assert(spanAfter < spanBefore * 0.6,
+      s"z-ordered files must tighten per-file spans: $spanBefore -> $spanAfter")
+  }
+
   test("CALL restore commits a past version's content as the new version; SHOW PROCEDURES lists the surface") {
     val (dir, t) = fresh()
     PartitionedTable.commit(spark, dir,

@@ -154,6 +154,32 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(prev === s1)
   }
 
+  test("streaming into a hidden-partitioned DDL table: the sink derives the partition per batch; reads prune from source predicates") {
+    val dir = s"${fresh()}/t"; val ckpt = s"${fresh()}/ckpt"
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    seq += 1
+    val t = s"graft.sink.gen$seq"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, d DATE, v BIGINT) " +
+      s"PARTITIONED BY (months(d)) LOCATION '$dir'")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Int, Long)]
+    def start() = in.toDF().toDF("k", "off", "v")
+      .select(col("k"), date_add(lit("1995-01-01").cast("date"),
+        col("off")).as("d"), col("v"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable(t)
+    in.addData((1L, 5, 10L), (2L, 40, 20L))
+    val q1 = start(); q1.awaitTermination()
+    in.addData((3L, 70, 30L))
+    val q2 = start(); q2.awaitTermination()
+    assert(PartitionedTable.partitionValues(spark, dir).sorted ===
+      Seq("1995-01", "1995-02", "1995-03"),
+      "the sink must derive the generated partition per batch")
+    assert(spark.sql(s"SELECT k FROM $t WHERE d >= DATE '1995-02-01'")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("cdf source → sink loop: a second table replicates the first through two streaming queries") {
     val src = s"${fresh()}/a"; val dst = s"${fresh()}/b"
     val ckpt = s"${fresh()}/ckpt"
