@@ -219,6 +219,21 @@ class GraftDdlSpec extends SparkSpec {
       "an UPDATE must replace, not duplicate")
   }
 
+  test("CTAS with a hidden-partitioning transform: the query ships source columns, the table derives the partition; SHOW TABLES lists the bindings") {
+    ensureCatalog()
+    val dir = freshDir(); val t = freshName()
+    spark.sql(s"CREATE TABLE $t PARTITIONED BY (months(d)) LOCATION '$dir' " +
+      "AS SELECT id AS k, " +
+      "to_date(concat('1995-0', cast(id % 3 + 1 AS string), '-10')) AS d " +
+      "FROM range(9)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 9)
+    assert(PartitionedTable.partitionValues(spark, dir).sorted ===
+      Seq("1995-01", "1995-02", "1995-03"))
+    val listed = spark.sql("SHOW TABLES IN graft.ddl")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(listed.contains(t.stripPrefix("graft.ddl.")), s"got $listed")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT CHECK bind to the persistent constraint catalog: violating writes fail loud until dropped") {
     ensureCatalog()
     val dir = freshDir(); val t = freshName()
