@@ -27,6 +27,8 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Post-pushdown rule — extensions hooks all run too early for it
+    graft.plans.GraftScanStats.ensureInstalled(spark)
     spark
   }
 
@@ -42,6 +44,9 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.BandedRangeJoin]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin()
+    // Manifest-derived scan statistics for the SQL catalog's V1-bridged
+    // scans (auto-broadcast of small graft tables; see GraftScanStats).
+    graft.plans.GraftScanStats.ensureInstalled(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

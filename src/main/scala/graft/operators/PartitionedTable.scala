@@ -3701,6 +3701,60 @@ object PartitionedTable {
       fsOf(effDir).exists(new Path(effDir, BloomDir)))
   }
 
+  /** Per-slice on-disk byte sums, cached process-wide: a committed
+    * store-version dir is immutable, so an entry never goes stale —
+    * vacuumed slices simply stop being looked up. Bounded so a
+    * long-lived session's footprint stays fixed. */
+  private val sliceBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Plan-time SIZE ESTIMATE for table version `asOf` (None = latest),
+    * optionally restricted to partition VALUES: the sum of every live
+    * slice's on-disk bytes. Sidecars are included and a merge-on-read
+    * delta adds its whole base chain — both overestimate, which is the
+    * safe direction for the one decision this feeds (can the SQL
+    * planner auto-broadcast this table?). Returns None past
+    * `maxSlices` live slices: a table that wide is no broadcast
+    * candidate, and the caller should fall back to Spark's default
+    * rather than pay a wide driver-side listing at plan time. Cost is
+    * one `getContentSummary` per UNCACHED slice; slices are immutable,
+    * so a table's steady-state estimate is manifest-read-only. */
+  def estimateBytes(
+      spark: SparkSession, dir: String, asOf: Option[Long] = None,
+      partitions: Option[Seq[String]] = None,
+      maxSlices: Int = 512): Option[Long] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return Some(0L)
+    val v = asOf.getOrElse(vs.max)
+    if (!vs.contains(v)) return None
+    val m0 = manifest(spark, dir, v)
+    val m = partitions match {
+      case Some(vals) =>
+        val wanted = vals.map(escape).toSet
+        m0.filter(kv => wanted.contains(kv._1))
+      case None => m0
+    }
+    if (m.size > maxSlices) return None
+    val cloneSrc = cloneSrcOf(spark, dir)
+    val hfs = VersionedStore.fs(spark, dir)
+    def sliceBytes(storeDir: String, sv: Long, depth: Int): Long = {
+      val p = VersionedStore.path(storeDir, sv)
+      val key = p.toString
+      val cached = sliceBytesCache.get(key)
+      if (cached != null) return cached
+      val own = hfs.getContentSummary(p).getLength
+      val total = // DV delta: the base chain is read too, so count it
+        if (depth >= 8) own
+        else own + dvBaseOf(spark, storeDir, sv)
+          .map(b => sliceBytes(storeDir, b, depth + 1)).getOrElse(0L)
+      if (sliceBytesCache.size < 65536) sliceBytesCache.put(key, total)
+      total
+    }
+    Some(m.toSeq.map { case (name, sv) =>
+      sliceBytes(storeDirOf(spark, dir, cloneSrc, name, sv), sv, 0)
+    }.sum)
+  }
+
   def describeDetail(
       spark: SparkSession, dir: String, asOf: Option[Long] = None,
       distributed: Option[Boolean] = None): DataFrame = {

@@ -81,6 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // Declarative range-join banding, gated on spark.graft.rangeJoin.binSize
     ext.injectOptimizerRule(_ => BandedRangeJoin())
+    // NOTE: GraftScanStats (manifest statistics for V1-bridged catalog
+    // scans) cannot install here — every extensions hook runs before
+    // V2ScanRelationPushDown creates the wrapper it rewrites ("Pre CBO
+    // Rules" precedes "Early Filter and Projection Push-Down"). It
+    // installs via experimental.extraOptimizations ("User Provided
+    // Optimizers", the one post-pushdown batch) in Sessions.local/tune.
     ext.injectFunction((
       FunctionIdentifier("duration_to_minutes"),
       new ExpressionInfo(classOf[DurationToMinutes].getName, "duration_to_minutes"),

@@ -8,7 +8,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{functions, Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.functions.{col, count, lit, round, sum, to_date}
 import org.apache.spark.sql.sources._
@@ -647,9 +647,12 @@ object GraftCatalog {
         mirror("nation", Tables.nation(s, dir), "n_name")
         mirror("region", Tables.region(s, dir), "r_name")
       }
+      // No broadcast hints: the manifest statistics the scans report
+      // (GraftScanStats) make the planner broadcast the small dims on
+      // its own — the 100 TB posture, where hand-hinting every star
+      // query is exactly what a lakehouse's stats should replace.
       s.sql(
-        s"""SELECT /*+ BROADCAST(nation), BROADCAST(region) */
-           |       r_name, n_name,
+        s"""SELECT r_name, n_name,
            |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            |       count(*) AS n_items
            |FROM graft.tpch.lineitem_$sfx lineitem
@@ -1032,7 +1035,7 @@ class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
 
 case class GraftScan(
     spec: GraftTableSpec, version: Long, required: StructType,
-    filters: Seq[Filter]) extends V1Scan {
+    filters: Seq[Filter]) extends V1Scan with SupportsReportStatistics {
 
   /** Manifest-level partition pruning, decided at PLAN time: the
     * intersection of every pushed equality/IN constraint on the
@@ -1048,6 +1051,30 @@ case class GraftScan(
   }
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived size, computed once per scan: live-slice bytes of
+    * the pinned version, restricted to the plan-time pruned partitions.
+    * Feeds the SQL planner's auto-broadcast decision — a small graft
+    * dimension joins as a BroadcastHashJoin with NO hint, exactly like
+    * a parquet table (the V1 bridge otherwise reports
+    * `defaultSizeInBytes` = never broadcast). Unknown (wide table, FS
+    * hiccup) returns empty → Spark's default, i.e. the conservative
+    * never-broadcast posture. NOTE: `V1ScanWrapper` does not forward
+    * this interface, so the SQL path needs [[graft.plans.GraftScanStats]]
+    * installed (Sessions.tune / GraftExtensions do) to see it. */
+  private lazy val estimatedBytes: Option[Long] =
+    try {
+      if (version < 0) Some(0L)
+      else PartitionedTable.estimateBytes(
+        SparkSession.active, spec.dir, Some(version), prunedPartitions)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      estimatedBytes.map(b => util.OptionalLong.of(math.max(1L, b)))
+        .getOrElse(util.OptionalLong.empty())
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
 
   override def description(): String =
     s"GraftScan ${spec.dir} v=$version partitions=" +
