@@ -628,6 +628,60 @@ object PartitionedTable {
     v
   }
 
+  /** DROP the named partitions: a METADATA-ONLY commit removing their
+    * manifest pointers — no file is read, rewritten, or deleted
+    * (dropped slices stay time-travel-readable until [[vacuum]]), so
+    * the cost at 100 TB is delta-log bytes. SQL `ALTER TABLE ... DROP
+    * PARTITION` lands here. Absent values fail loud unless `ifExists`
+    * (Hive's IF EXISTS contract); dropping every live partition leaves
+    * a legitimately EMPTY table version — reads resolve the prior
+    * version's shape (see [[read]]). OCC: a blind drop never read
+    * table content, so a lost manifest slot rebases onto ANY winner
+    * and re-drops (last writer wins on the dropped set, the
+    * [[overwriteCommit]] argument). Returns the committed version. */
+  def dropPartitions(
+      spark: SparkSession, dir: String, values: Seq[String],
+      at: String = "", ifExists: Boolean = false): Long = {
+    require(values.nonEmpty, "dropPartitions: need at least one value")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val dropped = values.map(escape).toSet
+    var v = vs.max + 1
+    if (!ifExists) {
+      val missing = dropped -- manifest(spark, dir, v - 1).keySet
+      require(missing.isEmpty,
+        "PartitionedTable: cannot drop absent partition(s) " +
+          missing.toSeq.sorted.map(n => ExternalCatalogUtils
+            .unescapePathName(n.stripPrefix(s"$PartDir=")))
+            .mkString("[", ",", "]") + s" under $dir (IF EXISTS to skip)")
+    }
+    var mapping = manifest(spark, dir, v - 1) -- dropped
+    while (!commitManifestAt(spark, dir, v, mapping,
+        Some(metaLine("drop_partitions", dropped.size, mapping.size, at)))) {
+      mapping = manifest(spark, dir, v) -- dropped
+      v += 1
+    }
+    v
+  }
+
+  /** TRUNCATE: one metadata-only commit to an EMPTY table version (SQL
+    * `TRUNCATE TABLE`). Blind-write semantics like [[dropPartitions]]:
+    * a concurrent writer's partitions are dropped too — the truncate
+    * wins on everything, which is what TRUNCATE means. Rows stay
+    * time-travel-readable until [[vacuum]]. No-op on an already-empty
+    * table (no forged version). */
+  def truncate(spark: SparkSession, dir: String, at: String = ""): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val live = manifest(spark, dir, vs.max)
+    if (live.isEmpty) return vs.max
+    var v = vs.max + 1
+    while (!commitManifestAt(spark, dir, v, Map.empty,
+        Some(metaLine("truncate", live.size, 0, at))))
+      v += 1
+    v
+  }
+
   /** The overwrite's commit loop over already-landed versions: take the
     * next manifest slot; on losing it, rebase onto the winner's mapping
     * (a blind write never read the base, so ANY winner rebases — last
@@ -818,9 +872,27 @@ object PartitionedTable {
     require(vs.contains(v),
       s"PartitionedTable: manifest v=$v not committed under $dir (have ${vs.sorted.mkString(",")})")
     val m = manifest(spark, dir, v)
-    require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
-    readMapped(spark, dir, m)
+    if (m.nonEmpty) readMapped(spark, dir, m) else emptyAt(spark, dir, v)
   }
+
+  /** An EMPTY table version's frame (post-[[truncate]] / every
+    * partition dropped): the shape of the newest non-empty RETAINED
+    * version at or below `v` — so reads after a truncate keep
+    * answering with the table's schema — else the declared CREATE
+    * schema, else fail loud (a table that never had a shape has no
+    * readable form, e.g. a truncate whose entire pre-history was
+    * vacuumed on a library-created table). */
+  private def emptyAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    versions(spark, dir).filter(_ < v).sorted.reverse
+      .find(p => manifest(spark, dir, p).nonEmpty) match {
+      case Some(p) =>
+        readMapped(spark, dir, manifest(spark, dir, p)).filter(lit(false))
+      case None if declaredSchemaOf(spark, dir).isDefined =>
+        emptyDeclared(spark, dir)
+      case None => throw new IllegalArgumentException(
+        s"PartitionedTable: table version $v is empty under $dir and no " +
+          "prior version or declared schema provides its shape")
+    }
 
   private def partPaths(
       spark: SparkSession, dir: String, m: Map[String, Long]): Seq[String] = {
@@ -3447,6 +3519,70 @@ object PartitionedTable {
       hfs.delete(tmp, true)
       throw new java.io.IOException(
         s"PartitionedTable: lost the add-column slot $next under $dir " +
+          "(concurrent alter?); re-read and retry")
+    }
+  }
+
+  private val PropsPrefix = "_props."
+
+  private def propsVersions(
+      spark: SparkSession, dir: String): Seq[(Long, Path)] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!hfs.exists(md)) Nil
+    else hfs.listStatus(md).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(PropsPrefix))
+      .flatMap(p => p.getName.stripPrefix(PropsPrefix)
+        .toLongOption.map(_ -> p))
+  }
+
+  /** Persisted table properties (SQL `SET TBLPROPERTIES` / `COMMENT
+    * ON`): the newest `_props.N` snapshot under the manifest dir.
+    * Metadata cost only. */
+  def propertiesOf(spark: SparkSession, dir: String): Map[String, String] = {
+    val hfs = VersionedStore.fs(spark, dir)
+    propsVersions(spark, dir).maxByOption(_._1) match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val props = new java.util.Properties()
+        val in = hfs.open(p)
+        try props.load(new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+        import scala.jdk.CollectionConverters._
+        props.asScala.toMap
+    }
+  }
+
+  /** Set/remove table properties, persisted as the next full `_props.N`
+    * snapshot (the [[addColumn]] slot-claim protocol: losing the
+    * rename means a concurrent alter won — re-read and retry). Values
+    * with `None` remove the key. */
+  def alterProperties(
+      spark: SparkSession, dir: String,
+      updates: Map[String, Option[String]]): Unit = {
+    require(updates.nonEmpty, "alterProperties: nothing to change")
+    val hfs = VersionedStore.fs(spark, dir)
+    hfs.mkdirs(new Path(dir, ManifestDir))
+    val next = propsVersions(spark, dir)
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val merged = updates.foldLeft(propertiesOf(spark, dir)) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None)) => m - k
+    }
+    val props = new java.util.Properties()
+    merged.foreach { case (k, v) => props.setProperty(k, v) }
+    val tmp = new Path(new Path(dir, ManifestDir),
+      s".tmp-props-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, true)
+    try props.store(new java.io.OutputStreamWriter(out,
+      java.nio.charset.StandardCharsets.UTF_8), null)
+    finally out.close()
+    val dest = new Path(new Path(dir, ManifestDir), s"$PropsPrefix$next")
+    if (!hfs.rename(tmp, dest)) {
+      hfs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"PartitionedTable: lost the properties slot $next under $dir " +
           "(concurrent alter?); re-read and retry")
     }
   }

@@ -73,7 +73,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SAME metadata machinery a library caller gets — zero data movement,
   * same guards.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with SupportsNamespaces {
   private var catalogName: String = "graft"
   private var root: Option[String] = None
 
@@ -354,10 +355,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         }
       case c: TableChange.DropConstraint =>
         PartitionedTable.dropConstraint(spark, spec.dir, c.name)
+      case s: TableChange.SetProperty =>
+        require(!Seq("partcol", "keycol").contains(s.property.toLowerCase),
+          s"graft catalog: '${s.property}' is a registration contract — " +
+            "re-register the table to change it")
+        PartitionedTable.alterProperties(spark, spec.dir,
+          Map(s.property -> Some(s.value)))
+      case r: TableChange.RemoveProperty =>
+        require(!Seq("partcol", "keycol").contains(r.property.toLowerCase),
+          s"graft catalog: '${r.property}' is a registration contract — " +
+            "re-register the table to change it")
+        PartitionedTable.alterProperties(spark, spec.dir,
+          Map(r.property -> None))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — " +
           "supported: ADD COLUMN (nullable), RENAME COLUMN, DROP COLUMN, " +
-          "ADD/DROP CHECK CONSTRAINT")
+          "ADD/DROP CHECK CONSTRAINT, SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
@@ -375,6 +388,57 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           .delete(new org.apache.hadoop.fs.Path(spec.dir), true)
         true
     }
+
+  // ---- SupportsNamespaces: namespaces are one-level labels — the set
+  // holding registered tables, plus any explicitly CREATEd (tracked
+  // JVM-wide like the registry), plus the procedures' `system`. They
+  // carry no metadata; DROP without CASCADE refuses a non-empty one.
+  override def listNamespaces(): Array[Array[String]] = {
+    val ns = GraftCatalog.registry.keys.map(_._1).toSet ++
+      GraftCatalog.createdNamespaces.keys ++ Set(Seq("system"))
+    ns.toSeq.sortBy(_.mkString("/")).map(_.toArray).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // one level, no nesting
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.toSeq == Seq("system") ||
+      GraftCatalog.registry.keys.exists(_._1 == namespace.toSeq) ||
+      GraftCatalog.createdNamespaces.contains(namespace.toSeq)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
+    GraftCatalog.createdNamespaces.put(namespace.toSeq, ()): Unit
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException((name() +: namespace.toSeq).toArray)
+    tables.foreach(t => dropTable(t): Unit)
+    GraftCatalog.createdNamespaces.remove(namespace.toSeq).isDefined ||
+      tables.nonEmpty
+  }
 
   /** `ALTER TABLE ... RENAME TO ...` — a registry re-bind: the
     * identifier moves, the directory (and every committed version in
@@ -402,6 +466,11 @@ case class GraftTableSpec(
 object GraftCatalog {
   private[sources] val registry =
     scala.collection.concurrent.TrieMap.empty[(Seq[String], String), GraftTableSpec]
+
+  /** Namespaces declared via SQL `CREATE NAMESPACE` (beyond those
+    * implied by registered tables); JVM-wide like the registry. */
+  private[sources] val createdNamespaces =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
 
   /** Bind `dir` as `graft.<db>.<table>` in SQL, and (idempotently) bind
     * the `graft` catalog name in the session. JVM-wide, like the
@@ -944,6 +1013,71 @@ object GraftCatalog {
         s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
            |       round(sum(o_totalprice), 2) AS rev
            |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // SQL partition ops + TRUNCATE, hash-gated end to end: CTAS a
+    // status-partitioned mirror of orders, ALTER TABLE DROP PARTITION
+    // one status (a METADATA-ONLY manifest commit — no file moves at
+    // any scale), TRUNCATE (same), and gate THREE probes at once: the
+    // post-drop aggregate, the post-truncate emptiness (count over the
+    // empty table version, whose schema must still resolve), and the
+    // time-travel re-read of the post-drop version AFTER the truncate
+    // (dropped/truncated slices stay readable until vacuum). The
+    // oracle computes the closed form from orders, so a drop that
+    // loses the wrong partition, a truncate that breaks time travel,
+    // or an empty-version read that forgets the schema all break the
+    // hash.
+    QueryDef.sql("q115_sql_partition_ops",
+      """WITH agg AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  GROUP BY o_orderstatus)
+        |SELECT 'dropped' AS probe, * FROM agg
+        |UNION ALL
+        |SELECT 'time_travel' AS probe, * FROM agg
+        |UNION ALL
+        |SELECT 'truncated' AS probe, 'ALL' AS o_orderstatus,
+        |       CAST(0 AS BIGINT) AS n_rows, 0.0 AS rev""".stripMargin) { (s, dir) =>
+      val tbl = "q115_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.sql(s"DROP TABLE IF EXISTS graft.lake.$tbl")
+      graft.streaming.VersionedStore.fs(s, store)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      Tables.orders(s, dir).createOrReplaceTempView(s"${tbl}_orders")
+      s.sql(
+        s"""CREATE TABLE graft.lake.$tbl PARTITIONED BY (o_orderstatus)
+           |LOCATION '$store'
+           |AS SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM ${tbl}_orders""".stripMargin) // v0
+      s.sql(s"ALTER TABLE graft.lake.$tbl DROP PARTITION " +
+        "(o_orderstatus='F')") // v1, metadata-only
+      val postDrop = PartitionedTable.latest(s, store).get
+      // snapshot isolation probe: this DataFrame is ANALYZED before the
+      // truncate, so its plan object pins v1 — evaluating it lazily
+      // after the truncate must still see the post-drop rows. (A temp
+      // VIEW would not do: views re-resolve their relations by
+      // identifier on every read — view semantics — and would see the
+      // truncated latest.)
+      val dropped = s.sql(
+        s"""SELECT 'dropped' AS probe, o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
+      s.sql(s"TRUNCATE TABLE graft.lake.$tbl") // v2, metadata-only
+      dropped.unionAll(s.sql(
+        s"""SELECT 'time_travel' AS probe, o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl VERSION AS OF $postDrop
+           |GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'truncated' AS probe, 'ALL' AS o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(coalesce(sum(o_totalprice), 0.0), 2) AS rev
+           |FROM graft.lake.$tbl""".stripMargin))
     }
   )
 }
@@ -962,7 +1096,8 @@ object GraftCatalog {
   * enforced null checks on both columns for free. */
 class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsPartitionManagement
+    with TruncatableTable {
   private lazy val tableSchema: StructType = {
     val spark = SparkSession.active
     // a rule-DERIVED partition column stays nullable: NULL means
@@ -1009,6 +1144,95 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
       override def build(): RowLevelOperation =
         new GraftRowLevelOperation(spec, version, info.command, tableSchema)
     }
+
+  // ---- SupportsPartitionManagement: SHOW PARTITIONS + ALTER TABLE
+  // DROP PARTITION over the manifest. Partition VALUES are strings by
+  // the commit contract (identity part cols are required string;
+  // generated/level tables render their combination strings), so the
+  // partition schema is the one string column and identifiers are its
+  // values verbatim. A DROP is the library's metadata-only
+  // dropPartitions commit — no file is touched, time travel keeps the
+  // rows until vacuum.
+  private def partCol: String = spec.partCol.getOrElse(
+    throw new UnsupportedOperationException(
+      s"graft catalog: $ident has no declared partition column — " +
+        "partition management needs a registration with partCol"))
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      partCol, org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private def liveValues: Seq[String] =
+    if (version < 0) Nil
+    else PartitionedTable.partitionValues(
+      SparkSession.active, spec.dir, Some(version))
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pc = partCol
+    require(names.forall(_ == pc),
+      s"graft catalog: unknown partition column(s) " +
+        s"${names.filterNot(_ == pc).mkString(",")} — $ident partitions by $pc")
+    val want = if (names.isEmpty) None
+      else Option(ident0.getUTF8String(0)).map(_.toString)
+    liveValues.filter(v => want.forall(_ == v)).map(v =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))).toArray
+  }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"graft catalog: partitions of $ident materialize on first write — " +
+        "INSERT the partition's rows instead of ADD PARTITION")
+
+  override def dropPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val value = ident0.getUTF8String(0).toString
+    val spark = SparkSession.active
+    // the drop always lands on LATEST (an alter never targets a
+    // time-travel handle); ifExists absorbs a concurrent drop race
+    if (PartitionedTable.latest(spark, spec.dir).isEmpty) return false
+    val live = PartitionedTable.partitionValues(spark, spec.dir).toSet
+    if (!live.contains(value)) false
+    else {
+      PartitionedTable.dropPartitions(spark, spec.dir, Seq(value),
+        at = "sql", ifExists = true)
+      true
+    }
+  }
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: per-partition properties are not modeled")
+
+  override def loadPartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
+
+  /** SQL `TRUNCATE TABLE`: one metadata-only commit to an empty table
+    * version; rows stay time-travel-readable until vacuum. */
+  override def truncateTable(): Boolean = {
+    if (version >= 0)
+      PartitionedTable.truncate(SparkSession.active, spec.dir, at = "sql")
+    true // a created-but-never-written table is already empty
+  }
+
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED: persisted `_props`
+    * snapshots plus the registration contract (informative, and it
+    * makes SHOW CREATE TABLE round-trippable). */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = spec.partCol.map("partcol" -> _).toMap ++
+      spec.keyCol.map("keycol" -> _).toMap
+    (base ++ PartitionedTable.propertiesOf(
+      SparkSession.active, spec.dir)).asJava
+  }
 }
 
 class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
