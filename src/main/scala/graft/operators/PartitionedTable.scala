@@ -2203,17 +2203,25 @@ object PartitionedTable {
   def vacuumRetain(
       spark: SparkSession, dir: String,
       retain: java.time.Duration,
-      now: Long = System.currentTimeMillis): (Seq[Long], Int) = {
+      now: Long = System.currentTimeMillis,
+      dryRun: Boolean = false): (Seq[Long], Int) = {
     require(!retain.isNegative,
       s"vacuumRetain: retention must be >= 0, got $retain")
     val vs = versions(spark, dir).sorted
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val horizon = now - retain.toMillis
     val keep = math.max(1, vs.count(v => commitTimeOf(spark, dir, v) >= horizon))
-    vacuum(spark, dir, keep)
+    vacuum(spark, dir, keep, dryRun)
   }
 
-  def vacuum(spark: SparkSession, dir: String, keep: Int): (Seq[Long], Int) = {
+  /** `dryRun` answers "what WOULD go" — the same (dropped manifests,
+    * orphan store count) the destructive pass returns, computed from
+    * the same reference set, with zero mutations (no checkpoint
+    * materialization, no deletes). The ops pre-flight every vacuum at
+    * scale deserves. */
+  def vacuum(
+      spark: SparkSession, dir: String, keep: Int,
+      dryRun: Boolean = false): (Seq[Long], Int) = {
     require(keep >= 1, s"vacuum must keep >= 1 manifest, got $keep")
     val hfs = VersionedStore.fs(spark, dir)
     val vs = versions(spark, dir).sorted
@@ -2228,6 +2236,15 @@ object PartitionedTable {
           storeDirOf(spark, dir, cloneSrc, name, sv), sv)
           .map(b => (name, b)).toList
       }).toSet
+    if (dryRun) {
+      val partDirs = hfs.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
+      val orphans = partDirs.map { p =>
+        VersionedStore.versions(spark, p.getPath.toString)
+          .count(sv => !referenced.contains((p.getPath.getName, sv)))
+      }.sum
+      return (dropped, orphans)
+    }
     // before any log file goes: the oldest KEPT version must survive as
     // a self-contained checkpoint (its reconstruction chain is about to
     // lose its prefix). Materialize it — same mapping, original history

@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * a warehouse operator runs, callable as
   *
   * {{{
-  *   CALL graft.system.vacuum(table => 'lake.t', keep => 7)
+  *   CALL graft.system.vacuum(table => 'lake.t', keep => 7 [, dry_run => true])
   *   CALL graft.system.vacuum_retain(table => 'lake.t', retain_hours => 168.0)
   *   CALL graft.system.optimize(table => 'lake.t', target_mb => 128)
   *   CALL graft.system.restore(table => 'lake.t', version => 3)
+  *   CALL graft.system.clone(table => 'lake.t', target => 'lake.t2',
+  *                           location => '/path' [, version => 3])
   * }}}
   *
   * Each binds onto the library maintenance primitive (version-count /
@@ -29,13 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * same registry the SQL reads use. */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("vacuum", "vacuum_retain", "optimize", "restore")
+  val names: Seq[String] =
+    Seq("vacuum", "vacuum_retain", "optimize", "restore", "clone")
 
   def load(name: String): UnboundProcedure = name match {
     case "vacuum" => Vacuum
     case "vacuum_retain" => VacuumRetain
     case "optimize" => Optimize
     case "restore" => Restore
+    case "clone" => Clone
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure $other — have ${names.mkString(", ")}")
   }
@@ -81,38 +85,48 @@ object GraftProcedures {
   }
 
   private object Vacuum extends GraftProcedure("vacuum",
-    Seq(param("table", StringType), param("keep", IntegerType))) {
+    Seq(param("table", StringType), param("keep", IntegerType),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())) {
     override def description(): String =
-      "drop all but the newest <keep> table versions; GC orphan stores"
+      "drop all but the newest <keep> table versions; GC orphan stores. " +
+        "dry_run => true reports what WOULD go, mutating nothing"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val spec = specOf(input.getUTF8String(0).toString)
+      val dry = !input.isNullAt(2) && input.getBoolean(2)
       val (manifests, stores) =
-        PartitionedTable.vacuum(spark, spec.dir, input.getInt(1))
+        PartitionedTable.vacuum(spark, spec.dir, input.getInt(1), dryRun = dry)
       result(
         ("dropped_manifests", IntegerType, manifests.size),
         ("dropped_store_versions", IntegerType, stores),
         ("newest_version", LongType,
-          PartitionedTable.latest(spark, spec.dir).get))
+          PartitionedTable.latest(spark, spec.dir).get),
+        ("dry_run", BooleanType, dry))
     }
   }
 
   private object VacuumRetain extends GraftProcedure("vacuum_retain",
-    Seq(param("table", StringType), param("retain_hours", DoubleType))) {
+    Seq(param("table", StringType), param("retain_hours", DoubleType),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())) {
     override def description(): String =
       "drop table versions committed more than <retain_hours> ago " +
-        "(always keeps the newest)"
+        "(always keeps the newest). dry_run => true mutates nothing"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val spec = specOf(input.getUTF8String(0).toString)
       val hours = input.getDouble(1)
+      val dry = !input.isNullAt(2) && input.getBoolean(2)
       val (manifests, stores) = PartitionedTable.vacuumRetain(spark, spec.dir,
-        java.time.Duration.ofMillis((hours * 3600 * 1000).toLong))
+        java.time.Duration.ofMillis((hours * 3600 * 1000).toLong),
+        dryRun = dry)
       result(
         ("dropped_manifests", IntegerType, manifests.size),
         ("dropped_store_versions", IntegerType, stores),
         ("newest_version", LongType,
-          PartitionedTable.latest(spark, spec.dir).get))
+          PartitionedTable.latest(spark, spec.dir).get),
+        ("dry_run", BooleanType, dry))
     }
   }
 
@@ -147,6 +161,44 @@ object GraftProcedures {
         ("compacted_partitions", IntegerType, flagged.size),
         ("newest_version", LongType,
           PartitionedTable.latest(spark, spec.dir).get))
+    }
+  }
+
+  /** `CALL graft.system.clone(table => 'db.t', target => 'db.t2',
+    * location => '/path')` — SHALLOW CLONE through SQL: the target's
+    * manifest POINTS AT the source's stores (zero data movement, the
+    * only clone affordable at 100 TB); writes to the clone are
+    * copy-on-write, the source is never written. The target registers
+    * in the catalog with the source's partition/key contract, readable
+    * immediately as `graft.db.t2`. */
+  private object Clone extends GraftProcedure("clone",
+    Seq(param("table", StringType), param("target", StringType),
+      param("location", StringType),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build())) {
+    override def description(): String =
+      "shallow-clone <table> (optionally at <version>) to <location>, " +
+        "registered as graft.<target> — manifest bytes, zero data movement"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val target = input.getUTF8String(1).toString
+      val tparts = target.split("\\.", 2)
+      require(tparts.length == 2,
+        s"graft procedures: target must be 'db.table', got '$target'")
+      require(!GraftCatalog.registry.contains((Seq(tparts(0)), tparts(1))),
+        s"graft procedures: graft.$target is already registered")
+      val location = input.getUTF8String(2).toString
+      val vArg = if (input.isNullAt(3)) -1L else input.getLong(3)
+      val asOf = if (vArg >= 0) Some(vArg) else None
+      val v = PartitionedTable.cloneTable(spark, spec.dir, location,
+        asOf, at = "sql_clone")
+      GraftCatalog.register(spark, tparts(0), tparts(1), location,
+        partCol = spec.partCol, keyCol = spec.keyCol)
+      result(
+        ("cloned_version", LongType,
+          asOf.getOrElse(PartitionedTable.versions(spark, spec.dir).max)),
+        ("target_version", LongType, v))
     }
   }
 

@@ -111,7 +111,68 @@ class GraftProceduresSpec extends SparkSpec {
       .getLong(0) === 10L, "content equals v0")
     val procs = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
-    assert(Set("vacuum", "vacuum_retain", "optimize", "restore")
+    assert(Set("vacuum", "vacuum_retain", "optimize", "restore", "clone")
       .subsetOf(procs), s"got $procs")
+  }
+
+  test("CALL vacuum(dry_run => true) reports exactly what the real vacuum then drops, mutating nothing") {
+    val (dir, t) = fresh()
+    commitN(dir, 4) // v0..v3, one store version each
+    val dry = spark.sql(
+      s"CALL graft.system.vacuum(table => '$t', keep => 1, dry_run => true)")
+      .head()
+    // nothing moved: every version still reconstructs and reads
+    assert(PartitionedTable.versions(spark, dir).sorted
+      === Seq(0L, 1L, 2L, 3L))
+    assert(PartitionedTable.read(spark, dir, Some(0L)).count() === 1L)
+    assert(dry.getBoolean(3) === true)
+    val real = spark.sql(
+      s"CALL graft.system.vacuum(table => '$t', keep => 1)").head()
+    assert((dry.getInt(0), dry.getInt(1)) === (real.getInt(0), real.getInt(1)),
+      "dry run must predict the destructive pass exactly")
+    assert(PartitionedTable.versions(spark, dir) === Seq(3L))
+  }
+
+  test("CALL clone shallow-clones through SQL: registered, readable, zero data copied, COW on write") {
+    // own registration WITH keyCol: the clone inherits the full
+    // contract, so SQL UPDATE works on it
+    val dir = Files.createTempDirectory("graftproc").toString + "/t"
+    val t = "ops.csrc"
+    GraftCatalog.register(spark, "ops", "csrc", dir,
+      partCol = Some("part"), keyCol = Some("k"))
+    PartitionedTable.commit(spark, dir,
+      (0 until 20).map(i => (i.toLong, s"p${i % 2}", i * 10L))
+        .toDF("k", "part", "v"), "part") // v0
+    PartitionedTable.merge(spark, dir,
+      Seq((0L, "p0", 999L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part") // v1
+    val base = Files.createTempDirectory("graftclone").toString
+    val row = spark.sql(s"CALL graft.system.clone(table => '$t', " +
+      s"target => 'ops.c1', location => '$base/c1')").head()
+    assert(row.getLong(0) === 1L, "cloned the latest version by default")
+    // readable through SQL immediately, content == source latest
+    assert(spark.sql("SELECT sum(v) FROM graft.ops.c1").head().getLong(0)
+      === spark.sql(s"SELECT sum(v) FROM graft.$t").head().getLong(0))
+    // zero data movement: the clone dir holds no partition stores yet
+    val hfs = graft.streaming.VersionedStore.fs(spark, s"$base/c1")
+    assert(!hfs.listStatus(new org.apache.hadoop.fs.Path(s"$base/c1"))
+      .exists(_.getPath.getName.startsWith("__part=")),
+      "shallow clone must not copy partition stores")
+    // versioned clone takes the pinned snapshot
+    spark.sql(s"CALL graft.system.clone(table => '$t', " +
+      s"target => 'ops.c0', location => '$base/c0', version => 0)")
+    assert(spark.sql("SELECT sum(v) FROM graft.ops.c0 WHERE k = 0")
+      .head().getLong(0) === 0L, "v0 content, not the merged v1")
+    // COW: writing the clone never touches the source
+    spark.sql("UPDATE graft.ops.c1 SET v = 0 WHERE k = 1")
+    assert(spark.sql(s"SELECT v FROM graft.$t WHERE k = 1").head().getLong(0)
+      === 10L, "source unwritten after clone update")
+    assert(spark.sql("SELECT v FROM graft.ops.c1 WHERE k = 1")
+      .head().getLong(0) === 0L)
+    // an already-registered target is refused
+    intercept[Exception](spark.sql(s"CALL graft.system.clone(" +
+      s"table => '$t', target => 'ops.c1', location => '$base/cX')"))
+    GraftCatalog.unregister("ops", "c1")
+    GraftCatalog.unregister("ops", "c0")
   }
 }
