@@ -94,9 +94,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catalogName
 
-  /** `ALTER TABLE ... ADD CONSTRAINT` gates on this declaration. */
+  /** `ALTER TABLE ... ADD CONSTRAINT` and column DEFAULT values gate on
+    * these declarations. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.registry.keys.toSeq.collect {
@@ -331,6 +333,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(a.isNullable,
           s"graft catalog: ADD COLUMN ${a.fieldNames.head} NOT NULL is " +
             "unsatisfiable — existing rows hold no value (add nullable)")
+        require(a.defaultValue == null,
+          s"graft catalog: ADD COLUMN ${a.fieldNames.head} DEFAULT is " +
+            "unsupported — existing rows null-fill (add, then backfill); " +
+            "declare DEFAULTs at CREATE TABLE")
         PartitionedTable.addColumn(spark, spec.dir, a.fieldNames.head,
           a.dataType)
       case r: TableChange.RenameColumn =>
@@ -1116,10 +1122,26 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
       PartitionedTable.generatedBy(spark, spec.dir).map(_._1).toSet ++
         PartitionedTable.generatedLevelsOf(spark, spec.dir)
           .toSeq.flatten.map(_.srcCol)
+    // column DEFAULTs (and any other declared field metadata) live on
+    // the CREATE schema; the footer-merged data schema strips metadata,
+    // so re-overlay it by name — an INSERT omitting a DEFAULT column
+    // must keep working after the first write materializes data
+    val declaredMeta: Map[String, org.apache.spark.sql.types.Metadata] =
+      PartitionedTable.declaredSchemaOf(spark, spec.dir)
+        .map(_._1.fields.collect {
+          case f if f.metadata != org.apache.spark.sql.types.Metadata.empty =>
+            f.name -> f.metadata
+        }.toMap).getOrElse(Map.empty)
     StructType(
       (if (version < 0) PartitionedTable.emptyDeclared(spark, spec.dir)
        else PartitionedTable.read(spark, spec.dir, Some(version)))
-        .schema.fields.map { f =>
+        .schema.fields.map { f0 =>
+          val f = declaredMeta.get(f0.name) match {
+            case Some(m) if f0.metadata ==
+                org.apache.spark.sql.types.Metadata.empty =>
+              f0.copy(metadata = m)
+            case _ => f0
+          }
           if ((spec.partCol.contains(f.name) && !derived.contains(f.name)) ||
               spec.keyCol.contains(f.name) || genSrc.contains(f.name))
             f.copy(nullable = false)
@@ -1128,9 +1150,16 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
   }
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+  // BATCH_WRITE + V1_BATCH_WRITE together: the analyzer's capability
+  // check wants BATCH_WRITE for dynamic overwrite, while the physical
+  // strategy dispatches per WRITE INSTANCE — the V1Write legs (INSERT /
+  // overwrite-by-filter) keep their V1 execs, and only the dynamic
+  // overwrite's real BatchWrite takes the V2 exec.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     spec.partCol.map(c => Expressions.identity(c)).toArray

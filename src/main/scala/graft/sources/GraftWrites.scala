@@ -169,14 +169,20 @@ object GraftWrites {
   * produced [[InsertableRelation]] executes the matching library
   * primitive. */
 class GraftWriteBuilder(spec: GraftTableSpec, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwrite
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
     with org.apache.spark.sql.internal.connector
       .SupportsStreamingUpdateAsAppend {
   private var filters: Option[Array[Filter]] = None
+  private var dynamic = false
   override def overwrite(fs: Array[Filter]): WriteBuilder = {
     filters = Some(fs); this
   }
-  override def build(): Write = new V1Write {
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
+  override def build(): Write = if (dynamic)
+    new GraftDynamicOverwrite(spec, info.schema())
+  else new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
@@ -190,6 +196,102 @@ class GraftWriteBuilder(spec: GraftTableSpec, info: LogicalWriteInfo)
         truncate = filters.exists(fs =>
           fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue])))
   }
+}
+
+/** DYNAMIC partition overwrite — `df.writeTo(t).overwritePartitions()`
+  * and `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`:
+  * replace EXACTLY the partitions present in the batch, leave the rest
+  * untouched. Spark's `OverwritePartitionsDynamicExec` calls `toBatch`
+  * (there is no V1 fallback for this command), so this is a real DSv2
+  * [[BatchWrite]] on the row-level path's staging seam: executors
+  * append the query's rows as length-prefixed UnsafeRows to per-task
+  * files on the table's filesystem (nothing funnels through the
+  * driver), and the driver-side commit reads them back as ONE
+  * distributed frame, derives/validates generated partition columns
+  * ([[GraftWrites.prepare]] — the same contract as every other write
+  * leg), and lands one [[PartitionedTable.overwritePartitions]] commit
+  * (blind-write OCC: last overwrite wins on the touched set). */
+class GraftDynamicOverwrite(spec: GraftTableSpec, schema: StructType)
+    extends Write with BatchWrite {
+  import scala.jdk.CollectionConverters._
+
+  private val staging =
+    s"${spec.dir}/.tmp-sqldyn-${java.util.UUID.randomUUID}"
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftDynamicOverwrite(${spec.dir})"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val confEntries = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    GraftStageWriterFactory(staging, schema, confEntries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val hfs = graft.streaming.VersionedStore.fs(spark, spec.dir)
+    try {
+      val paths = messages.collect {
+        case GraftDeltaMessage(path, rows) if rows > 0 => path
+      }
+      // an empty dynamic overwrite replaces nothing — a no-op, not a
+      // forged table version (the overwritePartitions contract)
+      if (paths.isEmpty) return
+      val staged = GraftWrites.readStaged(spark, paths.toSeq, schema)
+      val (prepared, pc) = GraftWrites.prepare(spark, spec, staged)
+      PartitionedTable.overwritePartitions(spark, spec.dir, prepared, pc,
+        at = "sql_dynamic_overwrite"): Unit
+    } finally hfs.delete(new Path(staging), true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    graft.streaming.VersionedStore.fs(spark, spec.dir)
+      .delete(new Path(staging), true): Unit
+  }
+}
+
+case class GraftStageWriterFactory(
+    staging: String, schema: StructType, conf: Seq[(String, String)])
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftStageWriter(this, partitionId, taskId)
+}
+
+/** Plain row stager — the [[GraftDeltaWriter]] protocol without the op
+  * column: one length-prefixed UnsafeRow per query row. */
+class GraftStageWriter(
+    f: GraftStageWriterFactory, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val path = new Path(
+    s"${f.staging}/dyn-$partitionId-$taskId-${java.util.UUID.randomUUID}.bin")
+  private val proj = UnsafeProjection.create(f.schema)
+  private val writeBuffer = new Array[Byte](4096)
+  private var out: DataOutputStream = _
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      f.conf.foreach { case (k, v) => conf.set(k, v) }
+      val fs = path.getFileSystem(conf)
+      fs.mkdirs(path.getParent)
+      out = new DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(path, true)))
+    }
+    val u = proj(row)
+    out.writeInt(u.getSizeInBytes)
+    u.writeToStream(out, writeBuffer)
+    count += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftDeltaMessage(path.toString, count)
+  }
+  override def abort(): Unit = if (out != null) out.close()
+  override def close(): Unit = ()
 }
 
 /** The row-level operation: Spark's MERGE/UPDATE/DELETE rewrite reads

@@ -234,6 +234,105 @@ class GraftWritesSpec extends SparkSpec {
       .select("v").head().getLong(0) === 888L)
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions: writeTo API, INSERT OVERWRITE dynamic mode, untouched pointers carry over") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part") // 10/partition
+    val t = reg(dir)
+    // writeTo(...).overwritePartitions(): the batch only holds p0 rows
+    spark.range(2).select((col("id") + 5000).as("k"),
+      lit("p0").as("part"), lit(1L).as("v"))
+      .writeTo(t).overwritePartitions()
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE part='p0'")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 32L)
+    // untouched partitions carried their pointers (no rewrite): the
+    // p1 slice's pinned store version is unchanged across the commit
+    val latest = PartitionedTable.latest(spark, dir).get
+    assert(PartitionedTable.manifest(spark, dir, latest)("__part=p1") ===
+      PartitionedTable.manifest(spark, dir, latest - 1)("__part=p1"),
+      "dynamic overwrite must not touch absent partitions")
+    // INSERT OVERWRITE under dynamic partitionOverwriteMode
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $t SELECT 7777L, 'p1', 1L")
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE part='p1'")
+        .head.getLong(0) === 1L)
+      assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 23L)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // history names the op
+    assert(PartitionedTable.history(spark, dir)
+      .filter(col("at") === "sql_dynamic_overwrite").count() === 2L)
+  }
+
+  test("dynamic overwrite derives generated partitions from the batch's source values") {
+    val base = Files.createTempDirectory("graftdyngen").toString
+    val t = s"graft.w.dyngen"
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, d TIMESTAMP, v BIGINT)
+         |PARTITIONED BY (months(d)) LOCATION '$base/t'
+         |TBLPROPERTIES ('keycol' = 'k')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, TIMESTAMP '1996-01-15 00:00:00', 10), " +
+      "(2, TIMESTAMP '1996-02-15 00:00:00', 20)")
+    // batch holds only a January row: February must survive untouched
+    spark.range(1).select(lit(9L).as("k"),
+      lit(java.sql.Timestamp.valueOf("1996-01-20 00:00:00")).as("d"),
+      lit(99L).as("v"))
+      .writeTo(t).overwritePartitions()
+    assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((2L, 20L), (9L, 99L)))
+    GraftCatalog.unregister("w", "dyngen")
+  }
+
+  test("column DEFAULTs: declared at CREATE, filled on INSERT (omitted column, explicit DEFAULT), surviving the first materializing write") {
+    val base = Files.createTempDirectory("graftdefs").toString
+    val t = "graft.w.defs"
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, part STRING, v BIGINT DEFAULT 42)
+         |PARTITIONED BY (part) LOCATION '$base/t'
+         |TBLPROPERTIES ('keycol' = 'k')""".stripMargin)
+    spark.sql(s"INSERT INTO $t (k, part) VALUES (1, 'p0')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'p0', DEFAULT)")
+    // after data exists, the footer-merged schema must still carry the
+    // declared default (the metadata overlay) — this INSERT resolves
+    // against a table whose schema came from parquet footers
+    spark.sql(s"INSERT INTO $t (k, part) VALUES (3, 'p0')")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'p0', 7)")
+    assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 42L), (2L, 42L), (3L, 42L), (4L, 7L)))
+    // ADD COLUMN DEFAULT is refused with direction
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ADD COLUMN w BIGINT DEFAULT 5"))
+    assert(e.getMessage.contains("backfill"))
+    GraftCatalog.unregister("w", "defs")
+  }
+
+  test("DataFrameWriterV2 surface: writeTo append / create / createOrReplace bind the same legs") {
+    val base = Files.createTempDirectory("graftwv2").toString
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(8), "part")
+    val t = reg(dir)
+    spark.range(1).select(lit(900L).as("k"), lit("p0").as("part"),
+      lit(1L).as("v")).writeTo(t).append()
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 9L)
+    // create: CTAS through the API (location via table property)
+    table(6).writeTo("graft.w.v2new")
+      .tableProperty("location", s"$base/v2new")
+      .partitionedBy(col("part")).create()
+    assert(spark.sql("SELECT count(*) FROM graft.w.v2new")
+      .head.getLong(0) === 6L)
+    // createOrReplace on an existing table replaces it (non-atomic
+    // drop+create — this catalog does not stage; documented trade)
+    table(3).writeTo("graft.w.v2new")
+      .tableProperty("location", s"$base/v2new2")
+      .partitionedBy(col("part")).createOrReplace()
+    assert(spark.sql("SELECT count(*) FROM graft.w.v2new")
+      .head.getLong(0) === 3L)
+    GraftCatalog.unregister("w", "v2new")
+  }
+
   test("SQL INSERT into a generated table validates the provided derived column against the rule") {
     val dir = freshStore()
     val df = spark.range(100).select(
