@@ -74,9 +74,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same guards.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with StagingTableCatalog {
   private var catalogName: String = "graft"
   private var root: Option[String] = None
+
+  // ---- StagingTableCatalog: atomic CREATE/REPLACE ... AS SELECT (see
+  // GraftStagedTable — REPLACE commits the new snapshot on the SAME
+  // manifest log; CREATE becomes visible only at commitStagedChanges).
+  override def stageCreate(
+      ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new GraftStagedTable(this, ident, info.schema(), info.partitions(),
+      info.properties(), replace = false)
+  }
+  override def stageReplace(
+      ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    new GraftStagedTable(this, ident, info.schema(), info.partitions(),
+      info.properties(), replace = true)
+  }
+  override def stageCreateOrReplace(
+      ident: Identifier, info: TableInfo): StagedTable =
+    new GraftStagedTable(this, ident, info.schema(), info.partitions(),
+      info.properties(), replace = tableExists(ident))
 
   /** `CALL graft.system.<proc>(...)` — table maintenance through SQL
     * (see [[GraftProcedures]]). */
@@ -477,6 +501,23 @@ object GraftCatalog {
     * implied by registered tables); JVM-wide like the registry. */
   private[sources] val createdNamespaces =
     scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
+
+  /** Registry lookup for the staged-DDL path (registered tables only —
+    * staging needs the exact directory the replace will commit on). */
+  private[sources] def specFor(ident: Identifier): GraftTableSpec =
+    registry.getOrElse((ident.namespace.toSeq, ident.name),
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+
+  /** Where a staged CREATE's files park before the table exists: the
+    * explicit LOCATION when given, else the default warehouse shape
+    * (only the staging dir placement — createTable re-derives the
+    * final dir itself, root option included). */
+  private[sources] def plannedLocation(
+      ident: Identifier, properties: util.Map[String, String]): String =
+    Option(properties.get("location")).getOrElse(
+      (workDir.resolve("warehouse").toString +:
+        ident.namespace.toSeq :+ ident.name).mkString("/"))
 
   /** Bind `dir` as `graft.<db>.<table>` in SQL, and (idempotently) bind
     * the `graft` catalog name in the session. JVM-wide, like the

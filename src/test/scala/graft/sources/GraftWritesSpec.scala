@@ -323,13 +323,15 @@ class GraftWritesSpec extends SparkSpec {
       .partitionedBy(col("part")).create()
     assert(spark.sql("SELECT count(*) FROM graft.w.v2new")
       .head.getLong(0) === 6L)
-    // createOrReplace on an existing table replaces it (non-atomic
-    // drop+create — this catalog does not stage; documented trade)
+    // createOrReplace on an existing table is the ATOMIC staged
+    // replace (GraftStagedDdlSpec): one commit on the same manifest
+    // log, the pre-replace snapshot stays time-travelable
     table(3).writeTo("graft.w.v2new")
-      .tableProperty("location", s"$base/v2new2")
       .partitionedBy(col("part")).createOrReplace()
     assert(spark.sql("SELECT count(*) FROM graft.w.v2new")
       .head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.w.v2new VERSION AS OF 0")
+      .head.getLong(0) === 6L)
     GraftCatalog.unregister("w", "v2new")
   }
 
