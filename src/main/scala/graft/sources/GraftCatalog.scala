@@ -231,10 +231,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val spark = SparkSession.active
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    val spec = planTable(ident, schema, partitions, properties)
+    GraftCatalog.registry.put((ident.namespace.toSeq, ident.name), spec)
+    load(ident, None)
+  }
+
+  /** The filesystem side of CREATE TABLE — declare the empty table and
+    * its partitioning rules on disk WITHOUT binding the identifier.
+    * `createTable` binds immediately; the staged-CTAS path
+    * ([[GraftStagedTable]]) lands the query's rows against the planned
+    * spec first and binds only at commit, so a failed CTAS never shows
+    * a table. */
+  private[sources] def planTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftTableSpec = {
+    val spark = SparkSession.active
     require(partitions.nonEmpty,
       "graft catalog: CREATE TABLE needs PARTITIONED BY (<column> | " +
         "years/months/days(<column>) | truncate(<column>, n), ...)")
@@ -325,9 +339,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         PartitionedTable.declareGeneratedLevels(spark, dir, levels)
         PartitionedTable.LevelsPartName
     }
-    GraftCatalog.registry.put((ident.namespace.toSeq, ident.name),
-      GraftTableSpec(dir, Some(pc), keyCol))
-    load(ident, None)
+    GraftTableSpec(dir, Some(pc), keyCol)
   }
 
   /** `ALTER TABLE` — each form binds onto the library's metadata-only

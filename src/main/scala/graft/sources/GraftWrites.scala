@@ -299,122 +299,115 @@ class GraftStageWriter(
   * `REPLACE TABLE ... AS SELECT`, `writeTo(...).createOrReplace()`.
   * Without a [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
   * Spark falls back to DROP then CREATE — a failed CTAS destroys the
-  * old table. Staged, the query's rows land on the staging seam first
-  * and visibility flips at the END:
+  * old table. Staged, the write is ONE materialization (the V1 bridge
+  * hands the query\'s frame straight to the library landing — no
+  * stage-then-reread; at 100 TB a CTAS writes its data exactly once)
+  * and the ATOMIC POINT is explicit:
   *
-  *  - CREATE: nothing exists until `commitStagedChanges` — it creates
-  *    the declared table, lands the staged rows as v0, and rolls the
-  *    create back if the landing fails (the old world returns).
+  *  - CREATE: [[GraftCatalog.planTable]] declares the table on disk
+  *    UNBOUND, the landing commits v0 against it, and the identifier
+  *    binds only in `commitStagedChanges` — a failure at any earlier
+  *    point leaves no visible table (`abortStagedChanges` collects the
+  *    unbound directory).
   *  - REPLACE: the new snapshot commits on the SAME manifest log as
-  *    the next version (the Delta REPLACE semantic): one atomic
-  *    manifest rename, history + time travel keep the pre-replace
-  *    table until vacuum, and a failure changes nothing. Changing the
-  *    PARTITIONING on replace is refused with direction (a manifest
-  *    log has one layout contract; DROP + CREATE to change it). An
-  *    empty replacement query truncates (the new snapshot IS empty).
+  *    the next version (the Delta REPLACE semantic) — the manifest
+  *    rename IS the atomic point; history and time travel keep every
+  *    pre-replace snapshot until vacuum, and a failed query changes
+  *    nothing. Changing the PARTITIONING on replace is refused at
+  *    STAGE time (one manifest log carries one layout contract); a
+  *    row-less REPLACE truncates (the new snapshot is empty).
   */
 class GraftStagedTable(
     catalog: GraftCatalog, ident: Identifier, declared: StructType,
     partitions: Array[Transform], properties: java.util.Map[String, String],
     replace: Boolean) extends StagedTable with SupportsWrite {
-  import scala.jdk.CollectionConverters._
 
-  // staging lives beside the final location (same filesystem — the
-  // landing never copies across stores); dot-prefixed = reader-inert
-  private val plannedDir: String =
-    if (replace) GraftCatalog.specFor(ident).dir
-    else GraftCatalog.plannedLocation(ident, properties)
-  private val staging =
-    s"$plannedDir/.tmp-sqlstage-${java.util.UUID.randomUUID}"
-  @volatile private var stagedPaths: Seq[String] = Nil
-  @volatile private var stagedSchema: StructType = declared
+  if (replace) {
+    // layout-contract check at stage time: fail before any work
+    val spark = SparkSession.active
+    val spec = GraftCatalog.specFor(ident)
+    val sameIdentity = partitions.length == 1 &&
+      partitions.head.name == "identity" &&
+      partitions.head.references.headOption
+        .exists(r => spec.partCol.contains(r.fieldNames.mkString(".")))
+    val isGenerated =
+      PartitionedTable.generatedBy(spark, spec.dir).isDefined ||
+        PartitionedTable.generatedLevelsOf(spark, spec.dir).isDefined
+    require(sameIdentity && !isGenerated,
+      s"graft catalog: REPLACE TABLE $ident must keep the table\'s " +
+        s"partitioning (PARTITIONED BY (${spec.partCol.getOrElse("?")})); " +
+        "to change the layout, DROP and re-CREATE under the new contract")
+  }
+
+  // CREATE leg: the table is planned on disk lazily, bound at commit
+  @volatile private var planned: Option[GraftTableSpec] = None
+  @volatile private var wrote = false
+  private def plannedSpec(): GraftTableSpec = synchronized {
+    planned.getOrElse {
+      val s = catalog.planTable(ident, declared, partitions, properties)
+      planned = Some(s); s
+    }
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = declared
   override def partitioning(): Array[Transform] = partitions
   override def properties(): java.util.Map[String, String] = properties
-  // TRUNCATE: the replace-as-select write plans as truncate+append
-  // against the staged table — a no-op here, the staged table holds
-  // nothing and the landing is a full snapshot by construction
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
+      // replace-as-select plans as truncate+append over the staged
+      // table; the landing is a full snapshot either way
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write with BatchWrite {
-        stagedSchema = info.schema()
-        override def toBatch: BatchWrite = this
-        override def description(): String = s"GraftStagedWrite($ident)"
-        override def createBatchWriterFactory(
-            pinfo: PhysicalWriteInfo): DataWriterFactory = {
-          val spark = SparkSession.active
-          val confEntries = spark.sparkContext.hadoopConfiguration
-            .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
-          GraftStageWriterFactory(staging, info.schema(), confEntries)
-        }
-        // the WRITE's commit only records the staged files — nothing
-        // becomes visible until commitStagedChanges
-        override def commit(messages: Array[WriterCommitMessage]): Unit =
-          stagedPaths = messages.collect {
-            case GraftDeltaMessage(path, rows) if rows > 0 => path
-          }.toSeq
-        override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              land(data)
+          }
       }
     }
 
-  override def commitStagedChanges(): Unit = {
-    val spark = SparkSession.active
-    val hfs = graft.streaming.VersionedStore.fs(spark, plannedDir)
-    try {
-      if (!replace) {
-        catalog.createTable(ident, declared, partitions, properties)
-        if (stagedPaths.nonEmpty) {
-          try {
-            val staged = GraftWrites.readStaged(spark, stagedPaths, stagedSchema)
-            val spec = GraftCatalog.specFor(ident)
-            val (prepared, pc) = GraftWrites.prepare(spark, spec, staged)
-            PartitionedTable.commit(spark, spec.dir, prepared, pc,
-              at = "sql_ctas"): Unit
-          } catch {
-            case e: Throwable => // roll the create back: old world returns
-              catalog.dropTable(ident); throw e
-          }
-        }
-      } else {
-        val spec = GraftCatalog.specFor(ident)
-        // one manifest log = one layout contract: the replacement must
-        // keep the table's partitioning (identity on the registered
-        // partCol; generated/level tables refuse — their rules are
-        // table-global declarations)
-        val sameIdentity = partitions.length == 1 &&
-          partitions.head.name == "identity" &&
-          partitions.head.references.headOption
-            .exists(r => spec.partCol.contains(r.fieldNames.mkString(".")))
-        val isGenerated =
-          PartitionedTable.generatedBy(spark, spec.dir).isDefined ||
-            PartitionedTable.generatedLevelsOf(spark, spec.dir).isDefined
-        require(sameIdentity && !isGenerated,
-          s"graft catalog: REPLACE TABLE $ident must keep the table's " +
-            s"partitioning (PARTITIONED BY (${spec.partCol.getOrElse("?")})); " +
-            "to change the layout, DROP and re-CREATE under the new contract")
-        if (stagedPaths.isEmpty)
-          PartitionedTable.truncate(spark, spec.dir, at = "sql_replace"): Unit
-        else {
-          val staged = GraftWrites.readStaged(spark, stagedPaths, stagedSchema)
-          val (prepared, pc) = GraftWrites.prepare(spark, spec, staged)
-          PartitionedTable.commit(spark, spec.dir, prepared, pc,
-            at = "sql_replace"): Unit
-        }
+  private def land(data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    if (!replace) {
+      val spec = plannedSpec()
+      val (prepared, pc) = GraftWrites.prepare(spark, spec, data)
+      PartitionedTable.commit(spark, spec.dir, prepared, pc,
+        at = "sql_ctas"): Unit
+    } else {
+      val spec = GraftCatalog.specFor(ident)
+      if (data.isEmpty)
+        PartitionedTable.truncate(spark, spec.dir, at = "sql_replace"): Unit
+      else {
+        val (prepared, pc) = GraftWrites.prepare(spark, spec, data)
+        PartitionedTable.commit(spark, spec.dir, prepared, pc,
+          at = "sql_replace"): Unit
       }
-    } finally hfs.delete(new Path(staging), true): Unit
+    }
+    wrote = true
   }
 
-  override def abortStagedChanges(): Unit = {
-    val spark = SparkSession.active
-    graft.streaming.VersionedStore.fs(spark, plannedDir)
-      .delete(new Path(staging), true): Unit
+  override def commitStagedChanges(): Unit =
+    if (!replace) planned match {
+      case Some(spec) => // bind: the one visibility flip of a CTAS
+        GraftCatalog.registry.put((ident.namespace.toSeq, ident.name), spec)
+      case None => // staged CREATE with no write: ordinary empty create
+        catalog.createTable(ident, declared, partitions, properties): Unit
+    } else if (!wrote) {
+      // plain REPLACE TABLE (no AS SELECT): the new snapshot is empty
+      PartitionedTable.truncate(SparkSession.active,
+        GraftCatalog.specFor(ident).dir, at = "sql_replace"): Unit
+    } // else: the replace already committed atomically at the landing
+
+  override def abortStagedChanges(): Unit = planned.foreach { spec =>
+    // unbound CREATE leftovers only; an aborted REPLACE landed nothing
+    // (or durably landed its one commit — the manifest-rename contract)
+    graft.streaming.VersionedStore.fs(SparkSession.active, spec.dir)
+      .delete(new Path(spec.dir), true): Unit
   }
 }
 
