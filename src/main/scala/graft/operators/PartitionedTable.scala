@@ -638,7 +638,12 @@ object PartitionedTable {
     * version's shape (see [[read]]). OCC: a blind drop never read
     * table content, so a lost manifest slot rebases onto ANY winner
     * and re-drops (last writer wins on the dropped set, the
-    * [[overwriteCommit]] argument). Returns the committed version. */
+    * [[overwriteCommit]] argument). A drop whose named set intersects
+    * NOTHING live (reachable only with `ifExists`) is a no-op returning
+    * the current version — like [[truncate]] on an empty table, it
+    * refuses to forge a history entry with no change behind it; the
+    * history line records the ACTUALLY dropped count, not the request's.
+    * Returns the committed (or, for the no-op, current) version. */
   def dropPartitions(
       spark: SparkSession, dir: String, values: Seq[String],
       at: String = "", ifExists: Boolean = false): Long = {
@@ -647,18 +652,24 @@ object PartitionedTable {
     require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
     val dropped = values.map(escape).toSet
     var v = vs.max + 1
+    var base = manifest(spark, dir, v - 1)
     if (!ifExists) {
-      val missing = dropped -- manifest(spark, dir, v - 1).keySet
+      val missing = dropped -- base.keySet
       require(missing.isEmpty,
         "PartitionedTable: cannot drop absent partition(s) " +
           missing.toSeq.sorted.map(n => ExternalCatalogUtils
             .unescapePathName(n.stripPrefix(s"$PartDir=")))
             .mkString("[", ",", "]") + s" under $dir (IF EXISTS to skip)")
     }
-    var mapping = manifest(spark, dir, v - 1) -- dropped
+    var actual = dropped intersect base.keySet
+    if (actual.isEmpty) return v - 1 // nothing named is live: no-op
+    var mapping = base -- dropped
     while (!commitManifestAt(spark, dir, v, mapping,
-        Some(metaLine("drop_partitions", dropped.size, mapping.size, at)))) {
-      mapping = manifest(spark, dir, v) -- dropped
+        Some(metaLine("drop_partitions", actual.size, mapping.size, at)))) {
+      base = manifest(spark, dir, v)
+      actual = dropped intersect base.keySet
+      if (actual.isEmpty) return v // the slot's winner already dropped them
+      mapping = base -- dropped
       v += 1
     }
     v
@@ -3889,13 +3900,17 @@ object PartitionedTable {
     }
     if (m.size > maxSlices) return None
     val cloneSrc = cloneSrcOf(spark, dir)
-    val hfs = VersionedStore.fs(spark, dir)
+    // per-slice FS resolution: a shallow clone's slices can point into
+    // the clone SOURCE's directory, which may live on a different
+    // filesystem/scheme than the clone's own dir — the table-dir handle
+    // would throw an opaque wrong-FS error there
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     def sliceBytes(storeDir: String, sv: Long, depth: Int): Long = {
       val p = VersionedStore.path(storeDir, sv)
       val key = p.toString
       val cached = sliceBytesCache.get(key)
       if (cached != null) return cached
-      val own = hfs.getContentSummary(p).getLength
+      val own = p.getFileSystem(hadoopConf).getContentSummary(p).getLength
       val total = // DV delta: the base chain is read too, so count it
         if (depth >= 8) own
         else own + dvBaseOf(spark, storeDir, sv)

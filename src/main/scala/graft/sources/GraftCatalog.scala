@@ -247,7 +247,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * a table. */
   private[sources] def planTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): GraftTableSpec = {
+      properties: util.Map[String, String],
+      requireEmptyDir: Boolean = false): GraftTableSpec = {
     val spark = SparkSession.active
     require(partitions.nonEmpty,
       "graft catalog: CREATE TABLE needs PARTITIONED BY (<column> | " +
@@ -311,6 +312,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val dir = Option(properties.get("location")).getOrElse(
       (root.getOrElse(GraftCatalog.workDir.resolve("warehouse").toString) +:
         ident.namespace.toSeq :+ ident.name).mkString("/"))
+    if (requireEmptyDir) {
+      // staged-CTAS contract: an aborted stage removes the WHOLE
+      // directory (the only way to collect partially-landed stores), so
+      // a LOCATION holding unrelated pre-existing files is refused at
+      // plan time rather than destroyed at abort time
+      val hfs = graft.streaming.VersionedStore.fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      require(!hfs.exists(p) || hfs.listStatus(p).isEmpty,
+        s"graft catalog: staged CREATE TABLE $ident AS SELECT needs an " +
+          s"empty or absent LOCATION; '$dir' holds pre-existing files " +
+          "(a failed CTAS cleans its location by deleting it)")
+    }
     val rules = partitions.toSeq.map(tr => (tr, rule(tr)))
     val pc = rules match {
       case Seq((tr, None)) => // plain identity partitioning

@@ -241,8 +241,14 @@ class GraftDynamicOverwrite(spec: GraftTableSpec, schema: StructType)
       if (paths.isEmpty) return
       val staged = GraftWrites.readStaged(spark, paths.toSeq, schema)
       val (prepared, pc) = GraftWrites.prepare(spark, spec, staged)
-      PartitionedTable.overwritePartitions(spark, spec.dir, prepared, pc,
-        at = "sql_dynamic_overwrite"): Unit
+      // a created-but-never-written table has nothing to overwrite:
+      // the batch IS the initial load (the same fallback append takes)
+      if (PartitionedTable.latest(spark, spec.dir).isEmpty)
+        PartitionedTable.commit(spark, spec.dir, prepared, pc,
+          at = "sql_dynamic_overwrite"): Unit
+      else
+        PartitionedTable.overwritePartitions(spark, spec.dir, prepared, pc,
+          at = "sql_dynamic_overwrite"): Unit
     } finally hfs.delete(new Path(staging), true): Unit
   }
 
@@ -344,7 +350,8 @@ class GraftStagedTable(
   @volatile private var wrote = false
   private def plannedSpec(): GraftTableSpec = synchronized {
     planned.getOrElse {
-      val s = catalog.planTable(ident, declared, partitions, properties)
+      val s = catalog.planTable(ident, declared, partitions, properties,
+        requireEmptyDir = true)
       planned = Some(s); s
     }
   }
@@ -398,9 +405,36 @@ class GraftStagedTable(
       case None => // staged CREATE with no write: ordinary empty create
         catalog.createTable(ident, declared, partitions, properties): Unit
     } else if (!wrote) {
-      // plain REPLACE TABLE (no AS SELECT): the new snapshot is empty
-      PartitionedTable.truncate(SparkSession.active,
-        GraftCatalog.specFor(ident).dir, at = "sql_replace"): Unit
+      // plain REPLACE TABLE (no AS SELECT): the new snapshot is empty.
+      // The statement's declared schema must MATCH the table's — this
+      // engine's schema of record is parquet footers (an AS-SELECT
+      // replace lands its new schema as data), so a row-less replace
+      // cannot apply a new one; silently truncating under a different
+      // declaration would leave the user believing the schema changed.
+      val spark = SparkSession.active
+      val spec = GraftCatalog.specFor(ident)
+      val current: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        (if (PartitionedTable.versions(spark, spec.dir).nonEmpty)
+          PartitionedTable.read(spark, spec.dir).schema
+        else PartitionedTable.emptyDeclared(spark, spec.dir).schema)
+          .fields.toSeq.map(f => (f.name, f.dataType))
+      val genNames =
+        PartitionedTable.generatedBy(spark, spec.dir).map(_._3).toSet ++
+          PartitionedTable.generatedLevelsOf(spark, spec.dir)
+            .toSeq.flatten.map(_.name) + PartitionedTable.LevelsPartName
+      val declaredCols = declared.fields.toSeq.map(f => (f.name, f.dataType))
+      val currentCols = current.filterNot(c => genNames.contains(c._1))
+      require(declaredCols.toSet == currentCols.toSet,
+        s"graft catalog: REPLACE TABLE $ident declares " +
+          declaredCols.map { case (n, t) => s"$n ${t.simpleString}" }
+            .mkString("(", ", ", ")") +
+          " but the table's schema is " +
+          currentCols.map { case (n, t) => s"$n ${t.simpleString}" }
+            .mkString("(", ", ", ")") +
+          " — a row-less REPLACE keeps the schema (footers are the " +
+          "schema of record); use REPLACE TABLE ... AS SELECT to land " +
+          "the new shape, or DROP and re-CREATE")
+      PartitionedTable.truncate(spark, spec.dir, at = "sql_replace"): Unit
     } // else: the replace already committed atomically at the landing
 
   override def abortStagedChanges(): Unit = planned.foreach { spec =>

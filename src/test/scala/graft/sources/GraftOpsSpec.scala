@@ -44,10 +44,17 @@ class GraftOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PartitionedTable.dropPartitions(spark, dir, Seq("p1", "nope")))
     val v2 = PartitionedTable.dropPartitions(spark, dir, Seq("p1", "nope"),
-      ifExists = true) // p1 already gone: still commits the (no-op) drop
-    assert(v2 === 2L)
+      ifExists = true) // nothing named is live: a no-op, NOT a forged version
+    assert(v2 === 1L)
     assert(PartitionedTable.history(spark, dir)
-      .filter(col("operation") === "drop_partitions").count() === 2L)
+      .filter(col("operation") === "drop_partitions").count() === 1L)
+    // a half-live set drops the live half and records the ACTUAL count
+    val v3 = PartitionedTable.dropPartitions(spark, dir, Seq("p0", "nope"),
+      ifExists = true)
+    assert(v3 === 2L)
+    assert(PartitionedTable.history(spark, dir)
+      .filter(col("operation") === "drop_partitions" && col("version") === 2)
+      .select("touched").collect().head.getLong(0) === 1L)
   }
 
   test("truncate: empty version keeps the schema, feeds deletes, accepts new writes") {

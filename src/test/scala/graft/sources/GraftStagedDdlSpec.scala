@@ -87,6 +87,50 @@ class GraftStagedDdlSpec extends SparkSpec {
     GraftCatalog.unregister("stg2", "t")
   }
 
+  test("plain REPLACE TABLE (no AS SELECT) truncates at a MATCHING schema and refuses a different one loud") {
+    ensureCatalog()
+    val base = Files.createTempDirectory("graftstage4").toString
+    spark.sql(
+      s"""CREATE TABLE graft.stg4.t PARTITIONED BY (part)
+         |LOCATION '$base/t'
+         |AS SELECT id AS k, 'p0' AS part, id AS v FROM range(4)""".stripMargin)
+    // same declared shape: the replace is a truncate (empty new snapshot)
+    spark.sql(
+      s"""REPLACE TABLE graft.stg4.t (k BIGINT, part STRING, v BIGINT)
+         |PARTITIONED BY (part)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.stg4.t").head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.stg4.t VERSION AS OF 0")
+      .head.getLong(0) === 4L)
+    // a DIFFERENT declared schema must not silently truncate under the
+    // old one — fail loud with direction (footers are the schema of
+    // record; a row-less replace cannot apply a new shape)
+    val e = intercept[Exception](spark.sql(
+      s"""REPLACE TABLE graft.stg4.t (k BIGINT, part STRING, w STRING)
+         |PARTITIONED BY (part)""".stripMargin))
+    assert(e.getMessage.contains("schema of record"), s"got: ${e.getMessage}")
+    // nothing changed: still the truncated v1
+    assert(PartitionedTable.latest(spark, s"$base/t").get === 1L)
+    GraftCatalog.unregister("stg4", "t")
+  }
+
+  test("staged CTAS refuses a LOCATION holding pre-existing files (abort would destroy them)") {
+    ensureCatalog()
+    val base = Files.createTempDirectory("graftstage5").toString
+    // unrelated pre-existing content at the target location
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/t"))
+    Files.write(java.nio.file.Paths.get(s"$base/t/precious.txt"),
+      "do not destroy".getBytes)
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.stg5.t PARTITIONED BY (part)
+         |LOCATION '$base/t'
+         |AS SELECT id AS k, 'p0' AS part, id AS v FROM range(4)""".stripMargin))
+    assert(e.getMessage.contains("empty or absent LOCATION"),
+      s"got: ${e.getMessage}")
+    // the pre-existing file survived the refused stage
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/t/precious.txt")))
+    assert(spark.sql("SHOW TABLES IN graft.stg5").count() === 0L)
+  }
+
   test("REPLACE with an empty query truncates: the new snapshot is empty, schema-bearing") {
     ensureCatalog()
     val base = Files.createTempDirectory("graftstage3").toString

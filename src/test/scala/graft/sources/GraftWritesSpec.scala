@@ -264,6 +264,29 @@ class GraftWritesSpec extends SparkSpec {
       .filter(col("at") === "sql_dynamic_overwrite").count() === 2L)
   }
 
+  test("dynamic overwrite on a created-but-never-written table commits the batch as the initial load") {
+    val base = Files.createTempDirectory("graftdyninit").toString
+    val t = "graft.w.dyninit"
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, part STRING, v BIGINT)
+         |PARTITIONED BY (part) LOCATION '$base/t'""".stripMargin)
+    // no committed version yet: the overwrite IS the initial commit
+    spark.range(4).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+      (col("id") * 10).as("v"))
+      .writeTo(t).overwritePartitions()
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 4L)
+    assert(PartitionedTable.latest(spark, s"$base/t").get === 0L)
+    // and a second dynamic overwrite takes the ordinary replace path
+    spark.range(1).select(lit(99L).as("k"), lit("p0").as("part"),
+      lit(1L).as("v")).writeTo(t).overwritePartitions()
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE part='p0'")
+      .head.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE part='p1'")
+      .head.getLong(0) === 2L)
+    GraftCatalog.unregister("w", "dyninit")
+  }
+
   test("dynamic overwrite derives generated partitions from the batch's source values") {
     val base = Files.createTempDirectory("graftdyngen").toString
     val t = s"graft.w.dyngen"
