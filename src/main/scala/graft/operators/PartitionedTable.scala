@@ -258,6 +258,21 @@ object PartitionedTable {
   def readAt(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     read(spark, dir, Some(versionAt(spark, dir, tsMillis)))
 
+  /** TAG time travel: the NEWEST table version whose history header
+    * carries `tag` as its `at` mark — how operators actually pin
+    * releases ("the table as tagged pre_migration"), without anyone
+    * remembering version numbers. Backs SQL `VERSION AS OF '<tag>'`.
+    * Resolution is #versions tiny driver-side header reads (the
+    * [[versionAt]] cost), never a data scan; None = no retained commit
+    * carries the tag. Tags are free-form minus quotes/control chars
+    * (the [[metaLine]] contract), so the header match is exact. */
+  def versionByTag(spark: SparkSession, dir: String, tag: String): Option[Long] = {
+    require(tag.nonEmpty, "versionByTag: empty tag")
+    val needle = s""""at":"$tag""""
+    versions(spark, dir).sorted.reverse.find(v =>
+      headerLineOf(spark, dir, v).exists(_.contains(needle)))
+  }
+
   /** Atomically commit `mapping` (with its history header) as manifest
     * version `v` — as a DELTA against the newest committed version when
     * off the checkpoint cadence, as a full checkpoint otherwise (the
@@ -3196,7 +3211,16 @@ object PartitionedTable {
     * 1); per-constraint attribution only on the failure path. */
   private def enforceConstraints(
       spark: SparkSession, dir: String, df: DataFrame): Unit = {
-    val cs = constraintsOf(spark, dir)
+    // implicit invariant of DEFAULTed added columns: a batch CARRYING
+    // one must carry it non-null, so the read path's coalesce (which
+    // fills pre-add files' rows) can never repaint an explicit null —
+    // omit the column (or write the DEFAULT) instead
+    val edges = colMapOf(spark, dir)
+    val defaulted = addedColumnsWithDefaultsOf(spark, dir).collect {
+      case (n, _, Some(_)) => resolveName(edges, n)
+    }.flatten.filter(df.columns.contains).map(n =>
+      (s"defaulted_column_${n}_non_null", s"$n IS NOT NULL"))
+    val cs = constraintsOf(spark, dir) ++ defaulted
     if (cs.isEmpty) return
     val anyBad = cs.map { case (_, e) => expr(e) <=> lit(false) }.reduce(_ || _)
     if (df.filter(anyBad).limit(1).isEmpty) return
@@ -3502,16 +3526,42 @@ object PartitionedTable {
     * the column map at read time). Always nullable — existing rows
     * hold no value by definition. */
   def addedColumnsOf(
-      spark: SparkSession, dir: String): Seq[(String, DataType)] = {
+      spark: SparkSession, dir: String): Seq[(String, DataType)] =
+    addedColumnsWithDefaultsOf(spark, dir).map(t => (t._1, t._2))
+
+  /** [[addedColumnsOf]] plus each column's DEFAULT expression SQL, when
+    * one was declared at add time (the Delta add-column-default
+    * semantic): rows predating the add — and batches omitting the
+    * column — read the default instead of null. Sidecar line format is
+    * `name\ttype-json[\tdefault-sql]`; the third field is absent for
+    * pre-default adds, so old sidecars parse unchanged. */
+  def addedColumnsWithDefaultsOf(
+      spark: SparkSession, dir: String)
+      : Seq[(String, DataType, Option[String])] = {
     val hfs = VersionedStore.fs(spark, dir)
     addColsVersions(spark, dir).maxByOption(_._1) match {
       case None => Nil
       case Some((_, p)) =>
         readManifestFile(hfs, p).split("\n").toSeq.filter(_.nonEmpty).map {
           line =>
-            val Array(n, j) = line.split("\t", 2)
-            (n, DataType.fromJson(j))
+            line.split("\t", 3) match {
+              case Array(n, j) => (n, DataType.fromJson(j), None)
+              case Array(n, j, d) => (n, DataType.fromJson(j),
+                Some(d).filter(_.nonEmpty))
+            }
         }
+    }
+  }
+
+  /** [[addedColumnsWithDefaultsOf]] under CURRENT (post-rename-chain)
+    * names, dropped columns excluded — the shape a catalog schema
+    * overlay needs. */
+  def addedColumnsWithDefaultsResolved(
+      spark: SparkSession, dir: String)
+      : Seq[(String, DataType, Option[String])] = {
+    val edges = colMapOf(spark, dir)
+    addedColumnsWithDefaultsOf(spark, dir).flatMap { case (n, dt, d) =>
+      resolveName(edges, n).map(fin => (fin, dt, d))
     }
   }
 
@@ -3519,10 +3569,20 @@ object PartitionedTable {
     * null-fills it at the declared type until a write materializes it,
     * and every later batch carrying it must match the declared type
     * exactly (parquet footers never diverge from the declaration).
-    * NOT-NULL adds are refused — existing rows cannot satisfy them. */
+    * NOT-NULL adds are refused — existing rows cannot satisfy them.
+    *
+    * `defaultSql` (ALTER TABLE ADD COLUMN ... DEFAULT): a constant,
+    * deterministic expression the column's type can hold. Declared, it
+    * changes the fill contract from null to the default — reads
+    * COALESCE rows whose files predate the column's materialization,
+    * and (to keep that coalesce exact) every future batch CARRYING the
+    * column must carry it non-null: an explicit NULL in a defaulted
+    * column is refused at the landing (write the DEFAULT, or omit the
+    * column and let it derive). Still one catalog write, zero data
+    * movement at any scale. */
   def addColumn(
       spark: SparkSession, dir: String, name: String,
-      dataType: DataType): Unit = {
+      dataType: DataType, defaultSql: Option[String] = None): Unit = {
     require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
       s"addColumn: bad column name '$name' (empty/tab/newline)")
     val current = logicalColumns(spark, dir)
@@ -3531,16 +3591,38 @@ object PartitionedTable {
     require(!retiredNames(colMapOf(spark, dir)).contains(name),
       s"PartitionedTable: $name is a retired name under $dir — pick a " +
         "name never used before")
+    defaultSql.foreach { sql =>
+      require(sql.nonEmpty && !sql.exists(c => c == '\t' || c == '\n'),
+        s"addColumn: bad DEFAULT expression '$sql' (empty/tab/newline)")
+      // the declared-type contract stays strict: the default must
+      // analyze to the column's type (or a lossless upcast of it) and
+      // be a constant — validated HERE, not rows later
+      val probe = spark.range(1).select(expr(sql).as("d"))
+      val analyzed = probe.schema.head.dataType
+      require(analyzed == dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(analyzed, dataType),
+        s"PartitionedTable: DEFAULT ($sql) is ${analyzed.simpleString}; " +
+          s"column $name is declared ${dataType.simpleString} under $dir " +
+          "(cast the default, or declare the matching type)")
+      require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+        s"PartitionedTable: DEFAULT ($sql) must be deterministic — the " +
+          "same value fills every pre-add row")
+      probe.head() // must evaluate (no unresolved functions / columns)
+    }
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
     val next = addColsVersions(spark, dir)
       .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
-    val edges = addedColumnsOf(spark, dir) :+ (name, dataType)
+    val edges = addedColumnsWithDefaultsOf(spark, dir) :+
+      ((name, dataType, defaultSql))
     val tmp = new Path(new Path(dir, ManifestDir),
       s".tmp-addcols-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, true)
-    try out.write(edges.map { case (n, dt) => s"$n\t${dt.json}" }
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(edges.map { case (n, dt, d) =>
+      s"$n\t${dt.json}" + d.map(s => s"\t$s").getOrElse("")
+    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(new Path(dir, ManifestDir), s"$AddColsPrefix$next")
     if (!hfs.rename(tmp, dest)) {
@@ -3641,25 +3723,34 @@ object PartitionedTable {
     logicalize(spark, dir, base)
   }
 
-  /** Null-fill columns declared by [[addColumn]] that the frame does
-    * not carry (no surviving file materialized them yet). Runs AFTER
+  /** Fill columns declared by [[addColumn]] that the frame does not
+    * carry (no surviving file materialized them yet): null — or the
+    * declared DEFAULT, when one exists. A defaulted column SOME files
+    * already materialized coalesces instead (the footer-merging scan
+    * null-fills pre-add files' rows; the landing refuses explicit
+    * nulls in defaulted columns, so the coalesce is exact). Runs AFTER
     * column mapping, so renames/drops of added columns resolve; a
     * dropped added column is never re-surfaced. */
   private def withAdded(
       spark: SparkSession, dir: String, df: DataFrame,
       edges: Seq[(String, String)]): DataFrame = {
-    val added = addedColumnsOf(spark, dir)
+    val added = addedColumnsWithDefaultsOf(spark, dir)
     if (added.isEmpty) return df
     val have = df.columns.toSet
-    val extra = added.flatMap { case (n, dt) =>
-      resolveName(edges, n) match {
-        case Some(fin) if !have.contains(fin) =>
-          Some(lit(null).cast(dt).as(fin))
-        case _ => None
-      }
+    val fill = added.flatMap { case (n, dt, d) =>
+      resolveName(edges, n).map(fin => (fin, dt, d))
     }
-    if (extra.isEmpty) df
-    else df.select(df.columns.toSeq.map(col) ++ extra: _*)
+    val extra = fill.collect {
+      case (fin, dt, d) if !have.contains(fin) =>
+        d.map(s => expr(s).cast(dt)).getOrElse(lit(null).cast(dt)).as(fin)
+    }
+    val coalesced: Map[String, Column] = fill.collect {
+      case (fin, dt, Some(d)) if have.contains(fin) =>
+        fin -> coalesce(col(fin), expr(d).cast(dt)).as(fin)
+    }.toMap
+    if (extra.isEmpty && coalesced.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      coalesced.getOrElse(c, col(c))) ++ extra: _*)
   }
 
   /** Declared-type gates for incoming batches: added columns must
@@ -3872,6 +3963,64 @@ object PartitionedTable {
   private val sliceBytesCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per-slice live ROW counts (footer math, DV/append-aware), cached
+    * process-wide under the same immutability argument. */
+  private val sliceRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Plan-time ROW-COUNT estimate for table version `asOf` (None =
+    * latest), optionally restricted to partition VALUES: the sum of
+    * every live slice's footer row counts — EXACT for full slices, and
+    * exact for merge-on-read deltas too (base footers − tombstones +
+    * appended rows, the [[describeDetail]] math). Feeds the SQL
+    * planner: CBO join estimation consumes `numRows` directly, and
+    * when the byte estimate is unavailable Spark derives a usable
+    * `sizeInBytes` from rows × schema width — so a rows-only estimate
+    * still unlocks auto-broadcast. Returns None past `maxSlices` live
+    * slices (same argument as [[estimateBytes]]); cost is one listing
+    * + footer reads per UNCACHED slice, amortized to zero by the
+    * process-wide cache because slices are immutable. */
+  def estimateRows(
+      spark: SparkSession, dir: String, asOf: Option[Long] = None,
+      partitions: Option[Seq[String]] = None,
+      maxSlices: Int = 4096): Option[Long] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return Some(0L)
+    val v = asOf.getOrElse(vs.max)
+    if (!vs.contains(v)) return None
+    val m0 = manifest(spark, dir, v)
+    val m = partitions match {
+      case Some(vals) =>
+        val wanted = vals.map(escape).toSet
+        m0.filter(kv => wanted.contains(kv._1))
+      case None => m0
+    }
+    if (m.size > maxSlices) return None
+    val cloneSrc = cloneSrcOf(spark, dir)
+    def sliceRows(storeDir: String, sv: Long): Long = {
+      val pinned = VersionedStore.path(storeDir, sv)
+      val key = pinned.toString
+      val cached = sliceRowsCache.get(key)
+      if (cached != null) return cached
+      val rows = dvBaseOf(spark, storeDir, sv) match {
+        case None => VersionedStore.footerRowCount(spark, pinned)
+        case Some(b) => // live rows of a MoR delta: base − DV + appends
+          val hfs = VersionedStore.fs(spark, storeDir)
+          val app = new Path(pinned, AppendDir)
+          VersionedStore.footerRowCount(spark,
+            VersionedStore.path(storeDir, b)) -
+            VersionedStore.footerRowCount(spark, new Path(pinned, DvDir)) +
+            (if (hfs.exists(app)) VersionedStore.footerRowCount(spark, app)
+             else 0L)
+      }
+      if (sliceRowsCache.size < 65536) sliceRowsCache.put(key, rows)
+      rows
+    }
+    Some(m.toSeq.map { case (name, sv) =>
+      sliceRows(storeDirOf(spark, dir, cloneSrc, name, sv), sv)
+    }.sum)
+  }
+
   /** Plan-time SIZE ESTIMATE for table version `asOf` (None = latest),
     * optionally restricted to partition VALUES: the sum of every live
     * slice's on-disk bytes. Sidecars are included and a merge-on-read
@@ -3882,11 +4031,13 @@ object PartitionedTable {
     * candidate, and the caller should fall back to Spark's default
     * rather than pay a wide driver-side listing at plan time. Cost is
     * one `getContentSummary` per UNCACHED slice; slices are immutable,
-    * so a table's steady-state estimate is manifest-read-only. */
+    * so a table's steady-state estimate is manifest-read-only (which
+    * is also why the cap can sit at thousands of slices: the wide
+    * listing is paid once per process, not once per plan). */
   def estimateBytes(
       spark: SparkSession, dir: String, asOf: Option[Long] = None,
       partitions: Option[Seq[String]] = None,
-      maxSlices: Int = 512): Option[Long] = {
+      maxSlices: Int = 4096): Option[Long] = {
     val vs = versions(spark, dir)
     if (vs.isEmpty) return Some(0L)
     val v = asOf.getOrElse(vs.max)

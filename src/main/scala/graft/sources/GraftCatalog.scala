@@ -148,16 +148,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
 
-  /** `VERSION AS OF <v>` — the manifest version, verbatim. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val v =
-      try version.toLong
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft catalog: VERSION AS OF takes a manifest version number, got '$version'")
-      }
-    load(ident, Some(v))
-  }
+  /** `VERSION AS OF <v>` — the manifest version, verbatim — or
+    * `VERSION AS OF '<tag>'`: the newest version whose history header
+    * carries that `at` tag (how operators pin releases by name; a
+    * driver-side header scan, #versions-sized). Unknown tags fail loud
+    * with the retained tag set's shape rather than silently reading
+    * latest. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    version.toLongOption match {
+      case Some(v) => load(ident, Some(v))
+      case None =>
+        val spec = specOf(ident)
+        val v = PartitionedTable.versionByTag(
+          SparkSession.active, spec.dir, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: VERSION AS OF '$version' — no retained commit " +
+              s"of $ident carries that tag (tags are the history's 'at' " +
+              "column: SELECT version, at FROM " +
+              s"${name()}.${ident.namespace.mkString(".")}." +
+              s"`${ident.name}$$history`)"))
+        load(ident, Some(v))
+    }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolve
     * through the same header-stamp scan as the library's readAt. */
@@ -324,6 +335,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"empty or absent LOCATION; '$dir' holds pre-existing files " +
           "(a failed CTAS cleans its location by deleting it)")
     }
+    // derived partition columns may appear in the DECLARED schema (as
+    // strings) and are stripped: the engine derives them on every
+    // write, and SHOW CREATE TABLE output — whose column list is the
+    // table's READ schema, derived columns included — must re-execute
+    // into the same contract
+    def stripDerived(s: StructType, names: Seq[String]): StructType = {
+      names.foreach { n =>
+        if (s.fieldNames.contains(n))
+          require(s(n).dataType == org.apache.spark.sql.types.StringType,
+            s"graft catalog: derived partition column $n must be a string " +
+              s"if declared; got ${s(n).dataType.simpleString}")
+      }
+      StructType(s.fields.filterNot(f => names.contains(f.name)))
+    }
     val rules = partitions.toSeq.map(tr => (tr, rule(tr)))
     val pc = rules match {
       case Seq((tr, None)) => // plain identity partitioning
@@ -332,8 +357,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         ref
       case Seq((_, Some((ref, gen)))) => // one rule: generated table
         val name = s"part_${gen.name}"
-        PartitionedTable.createEmpty(spark, dir, schema, name,
-          derivedPart = true)
+        PartitionedTable.createEmpty(spark, dir,
+          stripDerived(schema, Seq(name)), name, derivedPart = true)
         PartitionedTable.declareGenerated(spark, dir, ref, gen, name)
       case many => // several rules: a multi-level spec
         require(many.forall(_._2.isDefined),
@@ -347,7 +372,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               s"${base}_$i" else base
             PartitionedTable.GenLevel(ref, gen, name)
         }
-        PartitionedTable.createEmpty(spark, dir, schema,
+        PartitionedTable.createEmpty(spark, dir,
+          stripDerived(schema,
+            levels.map(_.name) :+ PartitionedTable.LevelsPartName),
           PartitionedTable.LevelsPartName, derivedPart = true)
         PartitionedTable.declareGeneratedLevels(spark, dir, levels)
         PartitionedTable.LevelsPartName
@@ -382,12 +409,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(a.isNullable,
           s"graft catalog: ADD COLUMN ${a.fieldNames.head} NOT NULL is " +
             "unsatisfiable — existing rows hold no value (add nullable)")
-        require(a.defaultValue == null,
-          s"graft catalog: ADD COLUMN ${a.fieldNames.head} DEFAULT is " +
-            "unsupported — existing rows null-fill (add, then backfill); " +
-            "declare DEFAULTs at CREATE TABLE")
+        // DEFAULT rides the _addcols sidecar: pre-add rows read the
+        // default (coalesced), INSERTs omitting the column resolve it
+        // (the CURRENT_DEFAULT metadata overlay on the table schema)
+        val defaultSql = Option(a.defaultValue).map { dv =>
+          Option(dv.getSql).getOrElse(throw new UnsupportedOperationException(
+            s"graft catalog: ADD COLUMN ${a.fieldNames.head} DEFAULT " +
+              "needs the default's SQL form"))
+        }
         PartitionedTable.addColumn(spark, spec.dir, a.fieldNames.head,
-          a.dataType)
+          a.dataType, defaultSql)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"graft catalog: nested RENAME COLUMN unsupported")
@@ -1150,6 +1181,177 @@ object GraftCatalog {
            |       CAST(count(*) AS BIGINT) AS n_rows,
            |       round(coalesce(sum(o_totalprice), 0.0), 2) AS rev
            |FROM graft.lake.$tbl""".stripMargin))
+    },
+
+    // RUNTIME (join-driven) partition pruning through the SQL front
+    // door, hash-gated against q95's exact oracle: customer commits
+    // partitioned by nation key, nation/region stay plain temp views,
+    // and the star runs as ONE spark.sql statement with NO library
+    // call and NO partition predicate — the GraftRuntimePrune rule
+    // attaches the dim subquery to the fact scan, which resolves the 5
+    // surviving EUROPE keys driver-side at execution planning and
+    // keeps 5 of 25 manifest partitions (never-listed/never-opened is
+    // inputFiles-asserted in GraftRuntimePruneSpec, together with the
+    // rule-disabled A/B). The oracle joins the raw tables, so pruning
+    // that drops a matching partition or keeps a row it shouldn't
+    // breaks the hash.
+    QueryDef.sql("q116_sql_join_pruned",
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c.c_acctbal), 2) AS bal
+        |FROM customer c
+        |JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE'
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val tbl = "q116_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture (the committed fact + registration) cached per
+      // (JVM, dir): the entry times the runtime-pruned SQL star
+      graft.FixtureCache.once("q116", dir) {
+        val store = workDir.resolve(tbl).toString
+        graft.streaming.VersionedStore.fs(s, store)
+          .delete(new org.apache.hadoop.fs.Path(store), true)
+        val customer = Tables.customer(s, dir).withColumn("c_nationkey",
+          col("c_nationkey").cast(org.apache.spark.sql.types.StringType))
+        PartitionedTable.commit(s, store, customer, "c_nationkey")
+        register(s, "lake", tbl, store, partCol = Some("c_nationkey"))
+      }
+      Tables.nation(s, dir).createOrReplaceTempView(s"${tbl}_nation")
+      Tables.region(s, dir).createOrReplaceTempView(s"${tbl}_region")
+      s.sql(
+        s"""SELECT d.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+           |       round(sum(c.c_acctbal), 2) AS bal
+           |FROM graft.lake.$tbl c
+           |JOIN (SELECT CAST(n.n_nationkey AS STRING) AS nk, n.n_name
+           |      FROM ${tbl}_nation n
+           |      JOIN ${tbl}_region r ON n.n_regionkey = r.r_regionkey
+           |      WHERE r.r_name = 'EUROPE') d
+           |  ON c.c_nationkey = d.nk
+           |GROUP BY d.n_name""".stripMargin)
+    },
+
+    // ALTER TABLE ADD COLUMN ... DEFAULT, hash-gated end to end: CTAS a
+    // status-partitioned mirror (v0), add `badge STRING DEFAULT
+    // 'legacy'` (one sidecar write, zero data movement), INSERT rows
+    // OMITTING the column (the analyzer resolves CURRENT_DEFAULT from
+    // the schema overlay → they materialize 'legacy'), INSERT rows
+    // carrying an explicit badge, then gate TWO probes: the head state
+    // (pre-add rows must READ the default — their files lack the
+    // column, the read coalesces) and the time-travel read of v0 (the
+    // engine's table-wide column contract: old versions surface the
+    // added column at its default). The oracle recomputes both
+    // closed-form, so a default that leaks null into old rows, an
+    // omitted-column INSERT that lands null, or a coalesce that
+    // repaints the explicit badge breaks the hash. (Strict-type and
+    // explicit-null refusals are spec'd in GraftWritesSpec.)
+    QueryDef.sql("q117_sql_add_default",
+      """WITH head AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 4 = 0 AND o_orderstatus = 'F'
+        |              THEN 'fresh' ELSE 'legacy' END AS badge,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT 'head' AS probe, o_orderstatus, badge,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM head GROUP BY o_orderstatus, badge
+        |UNION ALL
+        |SELECT 'time_travel' AS probe, o_orderstatus, 'legacy' AS badge,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_orderkey % 4 <> 0
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tbl = "q117_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.sql(s"DROP TABLE IF EXISTS graft.ddl.$tbl")
+      graft.streaming.VersionedStore.fs(s, store)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      Tables.orders(s, dir).createOrReplaceTempView(s"${tbl}_orders")
+      s.sql(
+        s"""CREATE TABLE graft.ddl.$tbl PARTITIONED BY (o_orderstatus)
+           |LOCATION '$store'
+           |AS SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM ${tbl}_orders WHERE o_orderkey % 4 <> 0""".stripMargin) // v0
+      s.sql(s"ALTER TABLE graft.ddl.$tbl " +
+        "ADD COLUMN badge STRING DEFAULT 'legacy'")
+      s.sql( // omitted column: the analyzer fills the DEFAULT
+        s"""INSERT INTO graft.ddl.$tbl (o_orderkey, o_orderstatus, o_totalprice)
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM ${tbl}_orders
+           |WHERE o_orderkey % 4 = 0 AND o_orderstatus <> 'F'""".stripMargin)
+      s.sql( // explicit value: materializes next to coalesced old rows
+        s"""INSERT INTO graft.ddl.$tbl
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, 'fresh'
+           |FROM ${tbl}_orders
+           |WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'F'""".stripMargin)
+      s.sql(
+        s"""SELECT 'head' AS probe, o_orderstatus, badge,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.ddl.$tbl GROUP BY o_orderstatus, badge
+           |UNION ALL
+           |SELECT 'time_travel' AS probe, o_orderstatus, badge,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.ddl.$tbl VERSION AS OF 0
+           |GROUP BY o_orderstatus, badge""".stripMargin)
+    },
+
+    // TAG time travel through SQL, hash-gated: commit orders tagged
+    // 'initial_load' (v0), apply a delete+bump merge tagged 'migration'
+    // (v1), then read BOTH states purely as `VERSION AS OF '<tag>'` —
+    // the tag resolves through the history headers' `at` marks
+    // (driver-side header scan, newest-wins; the unknown-tag loud
+    // failure and same-tag-newest-wins are spec'd in GraftCatalogSpec).
+    // The oracle recomputes both states closed-form from orders, so a
+    // tag that resolves the wrong version — or falls through to latest
+    // — breaks the hash on the 'initial_load' rows.
+    QueryDef.sql("q118_sql_tag_travel",
+      """WITH v1 AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7))
+        |SELECT 'initial_load' AS tag, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'migration' AS tag, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM v1 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tbl = "q118_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture (two tagged versions + registration) cached per
+      // (JVM, dir): the entry times the two tag-resolved SQL reads
+      graft.FixtureCache.once("q118", dir) {
+        val store = workDir.resolve(tbl).toString
+        graft.streaming.VersionedStore.fs(s, store)
+          .delete(new org.apache.hadoop.fs.Path(store), true)
+        val orders = Tables.orders(s, dir)
+        PartitionedTable.commit(s, store, orders, "o_orderstatus",
+          at = "initial_load")
+        val touched = col("o_orderkey") % 10
+        val inF = col("o_orderstatus") === "F"
+        val batch = orders.filter(inF && touched.isin(3, 7))
+          .withColumn("o_totalprice",
+            functions.when(touched === 3, col("o_totalprice") + 100)
+              .otherwise(col("o_totalprice")))
+          .withColumn("op",
+            functions.when(touched === 7, "delete").otherwise("upsert"))
+        PartitionedTable.merge(s, store, batch, "o_orderkey",
+          "o_orderstatus", at = "migration")
+        register(s, "lake", tbl, store, partCol = Some("o_orderstatus"))
+      }
+      def agg(tag: String) = s.sql(
+        s"""SELECT '$tag' AS tag, o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl VERSION AS OF '$tag'
+           |GROUP BY o_orderstatus""".stripMargin)
+      agg("initial_load").unionByName(agg("migration"))
     }
   )
 }
@@ -1170,6 +1372,10 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsPartitionManagement
     with TruncatableTable {
+  /** The resolution seam [[GraftStreamTableRead]] (readStream.table)
+    * binds through. */
+  private[graft] def tableSpec: GraftTableSpec = spec
+  private[graft] def tableVersion: Long = version
   private lazy val tableSchema: StructType = {
     val spark = SparkSession.active
     // a rule-DERIVED partition column stays nullable: NULL means
@@ -1197,7 +1403,19 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
         .map(_._1.fields.collect {
           case f if f.metadata != org.apache.spark.sql.types.Metadata.empty =>
             f.name -> f.metadata
-        }.toMap).getOrElse(Map.empty)
+        }.toMap).getOrElse(Map.empty) ++
+        // ALTER-time ADD COLUMN ... DEFAULT: surface the sidecar default
+        // as the standard column metadata so the analyzer resolves
+        // INSERTs omitting the column (the CREATE-time machinery's key)
+        PartitionedTable.addedColumnsWithDefaultsResolved(spark, spec.dir)
+          .collect { case (n, _, Some(d)) =>
+            n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, d)
+              .putString(org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, d)
+              .build()
+          }.toMap
     StructType(
       (if (version < 0) PartitionedTable.emptyDeclared(spark, spec.dir)
        else PartitionedTable.read(spark, spec.dir, Some(version)))
@@ -1227,8 +1445,42 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
       TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
-  override def partitioning(): Array[Transform] =
-    spec.partCol.map(c => Expressions.identity(c)).toArray
+  /** The table's layout contract as DSv2 transforms — hidden
+    * partitioning renders as its TRANSFORMS (years/months/days/
+    * truncate over the SOURCE column), not as the derived column, so
+    * `SHOW CREATE TABLE` output re-executes into an equivalently-
+    * contracted table and DESCRIBE shows the rule a user declared. */
+  override def partitioning(): Array[Transform] = {
+    val spark = SparkSession.active
+    def transformOf(src: String, gen: PartitionedTable.PartGen): Transform =
+      gen match {
+        case PartitionedTable.PartGen.Year => Expressions.years(src)
+        case PartitionedTable.PartGen.Month => Expressions.months(src)
+        case PartitionedTable.PartGen.Day => Expressions.days(src)
+        case PartitionedTable.PartGen.Prefix(n) => Expressions.apply(
+          "truncate", Expressions.column(src), Expressions.literal(n))
+      }
+    PartitionedTable.generatedLevelsOf(spark, spec.dir) match {
+      case Some(levels) =>
+        levels.map(l => transformOf(l.srcCol, l.gen)).toArray
+      case None =>
+        PartitionedTable.generatedBy(spark, spec.dir) match {
+          case Some((src, gen, _)) => Array(transformOf(src, gen))
+          case None => spec.partCol.map(c => Expressions.identity(c)).toArray
+        }
+    }
+  }
+
+  /** Persistent CHECK constraints, surfaced on the DSv2 contract so
+    * DESCRIBE EXTENDED and SHOW CREATE TABLE render them. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    PartitionedTable.constraintsOf(SparkSession.active, spec.dir)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spec, version, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1319,16 +1571,33 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
   }
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED: persisted `_props`
-    * snapshots plus the registration contract (informative, and it
-    * makes SHOW CREATE TABLE round-trippable). */
+    * snapshots plus the registration contract — which WINS over any
+    * same-named persisted key (the registration is authoritative) —
+    * plus `location`, so SHOW CREATE TABLE renders the LOCATION clause
+    * and its output re-executes against a real directory. */
   override def properties(): util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    val base = spec.partCol.map("partcol" -> _).toMap ++
-      spec.keyCol.map("keycol" -> _).toMap
-    (base ++ PartitionedTable.propertiesOf(
-      SparkSession.active, spec.dir)).asJava
+    val contract = spec.partCol.map("partcol" -> _).toMap ++
+      spec.keyCol.map("keycol" -> _).toMap +
+      ("location" -> spec.dir)
+    (PartitionedTable.propertiesOf(SparkSession.active, spec.dir) ++
+      contract).asJava
   }
 }
+
+/** A runtime (join-driven) partition-pruning obligation attached to a
+  * [[GraftScan]] by [[graft.plans.GraftRuntimePrune]]: at EXECUTION
+  * planning — after the optimizer proved `keyExpr` (a dim-side
+  * expression equi-joined to the fact's partition column) bounds the
+  * fact rows that can survive the join — the scan resolves the dim
+  * side's DISTINCT key values driver-side (dimension-key-count-sized,
+  * the side the planner broadcasts anyway) and keeps only matching
+  * manifest partitions. The manifest-level analogue of Spark's dynamic
+  * partition pruning, for the V1-bridged scan `BatchScanExec`'s
+  * `SupportsRuntimeV2Filtering` machinery cannot reach. */
+case class GraftRuntimePruneSpec(
+    dimPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    keyExpr: org.apache.spark.sql.catalyst.expressions.Expression)
 
 class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
@@ -1354,7 +1623,37 @@ class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
 
 case class GraftScan(
     spec: GraftTableSpec, version: Long, required: StructType,
-    filters: Seq[Filter]) extends V1Scan with SupportsReportStatistics {
+    filters: Seq[Filter],
+    runtimePrune: Option[GraftRuntimePruneSpec] = None)
+    extends V1Scan with SupportsReportStatistics {
+
+  /** Dim-side join-key values, resolved ONCE at execution planning
+    * (the first `buildScan`) and pinned for the scan's lifetime: the
+    * distinct `keyExpr` values of the optimizer-captured dim plan,
+    * rendered to partition-value strings. None = no pruning (no
+    * obligation attached, over-cap cardinality, or any resolution
+    * failure) — pruning is best-effort by construction; the join above
+    * re-evaluates the exact condition either way, and the dim values
+    * only ever REMOVE partitions that cannot match an equi-join. */
+  lazy val resolvedRuntimeValues: Option[Seq[String]] = runtimePrune.flatMap {
+    rp =>
+      try {
+        val spark = SparkSession.active
+        val cap = spark.conf
+          .getOption("spark.graft.runtimePruning.maxKeys")
+          .map(_.toInt).getOrElse(100000)
+        import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val key = Alias(Cast(rp.keyExpr,
+          org.apache.spark.sql.types.StringType), "__graft_prune_key")()
+        val vals = org.apache.spark.sql.graft.Bridge
+          .ofRows(spark, Project(Seq(key), rp.dimPlan))
+          .distinct().limit(cap + 1)
+          .collect().flatMap(r => Option(r.getString(0)))
+        if (vals.length > cap) None // too many keys to enumerate: skip
+        else Some(vals.toSeq.sorted)
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Manifest-level partition pruning, decided at PLAN time: the
     * intersection of every pushed equality/IN constraint on the
@@ -1381,23 +1680,55 @@ case class GraftScan(
     * never-broadcast posture. NOTE: `V1ScanWrapper` does not forward
     * this interface, so the SQL path needs [[graft.plans.GraftScanStats]]
     * installed (Sessions.tune / GraftExtensions do) to see it. */
+  private def statsCap(key: String): Int =
+    SparkSession.active.conf.getOption(key).map(_.toInt).getOrElse(4096)
+
   private lazy val estimatedBytes: Option[Long] =
     try {
       if (version < 0) Some(0L)
       else PartitionedTable.estimateBytes(
-        SparkSession.active, spec.dir, Some(version), prunedPartitions)
+        SparkSession.active, spec.dir, Some(version), prunedPartitions,
+        maxSlices = statsCap("spark.graft.stats.maxSlicesBytes"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Manifest-derived ROW count (exact: footer math, DV-aware),
+    * restricted to the plan-time pruned partitions. Feeds CBO join
+    * estimation directly, and — when the byte estimate is unavailable —
+    * Spark derives `sizeInBytes` from rows × schema width, so a
+    * rows-only estimate still unlocks auto-broadcast. */
+  private lazy val estimatedRows: Option[Long] =
+    try {
+      if (version < 0) Some(0L)
+      else PartitionedTable.estimateRows(
+        SparkSession.active, spec.dir, Some(version), prunedPartitions,
+        maxSlices = statsCap("spark.graft.stats.maxSlicesRows"))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      estimatedBytes.map(b => util.OptionalLong.of(math.max(1L, b)))
+      estimatedBytes
+        .orElse {
+          // rows-only fallback: Spark's transformV2Stats does NOT
+          // derive sizeInBytes from numRows (absent bytes become
+          // defaultSizeInBytes = never-broadcast), so derive it here —
+          // exact row count × the read schema's estimated row width
+          // (the EstimationUtils shape: 8 bytes row overhead + field
+          // defaults)
+          val width = 8L +
+            required.fields.map(_.dataType.defaultSize.toLong).sum
+          estimatedRows.map(r => math.max(1L, r) * math.max(1L, width))
+        }
+        .map(b => util.OptionalLong.of(math.max(1L, b)))
         .getOrElse(util.OptionalLong.empty())
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      estimatedRows.map(util.OptionalLong.of)
+        .getOrElse(util.OptionalLong.empty())
   }
 
   override def description(): String =
     s"GraftScan ${spec.dir} v=$version partitions=" +
       prunedPartitions.map(_.mkString("[", ",", "]")).getOrElse("*") +
+      (if (runtimePrune.isDefined) " runtimePruned=dim-join-keys" else "") +
       s" filters=${filters.mkString(", ")}"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -1478,9 +1809,17 @@ case class GraftScan(
               Some(version))
         }
       }
-    // partition constraint: intersect with what actually exists — SQL
+    // partition constraint: STATIC pushed equalities ∩ RUNTIME dim join
+    // keys (when a pruning obligation resolved; generated-routed reads
+    // keep their own source-range pruning) ∩ what actually exists — SQL
     // asking for an absent partition is an empty result, never an error
-    val partVals = prunedPartitions.map { vals =>
+    val constrained: Option[Seq[String]] =
+      (prunedPartitions,
+        if (genRouted.isDefined) None else resolvedRuntimeValues) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+    val partVals = constrained.map { vals =>
       val live = PartitionedTable
         .partitionValues(spark, dir, Some(version)).toSet
       vals.filter(live.contains)

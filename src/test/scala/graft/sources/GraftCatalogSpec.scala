@@ -71,6 +71,39 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.t.orders VERSION AS OF 'nope'").collect())
   }
 
+  test("VERSION AS OF '<tag>' resolves the newest commit carrying that at-tag; unknown tags fail loud") {
+    import spark.implicits._
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(50), "part",
+      at = "initial_load") // v0
+    PartitionedTable.merge(spark, dir,
+      Seq((500L, "p0", 1L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", at = "nightly") // v1
+    PartitionedTable.merge(spark, dir,
+      Seq((501L, "p0", 2L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", at = "nightly") // v2 — same tag, newest must win
+    GraftCatalog.register(spark, "t", "tagged", dir, partCol = Some("part"))
+
+    assert(PartitionedTable.versionByTag(spark, dir, "initial_load")
+      === Some(0L))
+    assert(PartitionedTable.versionByTag(spark, dir, "nightly") === Some(2L),
+      "a repeated tag resolves to the NEWEST version carrying it")
+    assert(PartitionedTable.versionByTag(spark, dir, "nope") === None)
+
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.t.tagged VERSION AS OF 'initial_load'")
+      .head.getLong(0) === 50L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.t.tagged VERSION AS OF 'nightly'")
+      .head.getLong(0) === 52L)
+    // a tag must never match a SUBSTRING of another tag's mark
+    assert(PartitionedTable.versionByTag(spark, dir, "initial") === None)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.t.tagged VERSION AS OF 'pre_migration'").collect())
+    assert(e.getMessage.contains("no retained commit"), s"got: ${e.getMessage}")
+    GraftCatalog.unregister("t", "tagged")
+  }
+
   test("manifest partition pruning survives the catalog path; absent partitions answer empty") {
     import spark.implicits._
     val dir = freshStore()

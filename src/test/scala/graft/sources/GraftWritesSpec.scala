@@ -325,10 +325,41 @@ class GraftWritesSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
       === Seq((1L, 42L), (2L, 42L), (3L, 42L), (4L, 7L)))
-    // ADD COLUMN DEFAULT is refused with direction
-    val e = intercept[Exception](spark.sql(
-      s"ALTER TABLE $t ADD COLUMN w BIGINT DEFAULT 5"))
-    assert(e.getMessage.contains("backfill"))
+    // ADD COLUMN ... DEFAULT: pre-add rows READ the default (their
+    // files lack the column), INSERTs omitting it resolve it, and an
+    // INSERT carrying it materializes next to the coalesced old rows
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w BIGINT DEFAULT 5")
+    assert(spark.sql(s"SELECT k, w FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
+    spark.sql(s"INSERT INTO $t (k, part) VALUES (5, 'p0')")
+    spark.sql(s"INSERT INTO $t VALUES (6, 'p0', 1, 9)")
+    assert(spark.sql(s"SELECT k, w FROM $t WHERE k >= 4 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((4L, 5L), (5L, 5L), (6L, 9L)))
+    // explicit NULL in a defaulted column is refused — the read-side
+    // coalesce must never repaint a real null. On the SQL path Spark
+    // itself enforces it (the coalesced column is structurally
+    // non-null in the table schema → AssertNotNull on insert)...
+    val en = intercept[Exception](spark.sql(
+      s"INSERT INTO $t VALUES (7, 'p0', 1, NULL)"))
+    assert(en.getMessage.contains("NULL"), s"got: ${en.getMessage}")
+    // ...and on the LIBRARY path (no analyzer) the landing's implicit
+    // constraint catches it
+    val storeDir = s"$base/t"
+    val el = intercept[IllegalArgumentException](PartitionedTable.append(
+      spark,
+      storeDir,
+      spark.range(1).select(lit(8L).as("k"), lit("p0").as("part"),
+        lit(1L).as("v"), lit(null).cast("bigint").as("w")),
+      "part"))
+    assert(el.getMessage.contains("defaulted_column_w_non_null"),
+      s"got: ${el.getMessage}")
+    // strict types hold for defaults: a mismatching DEFAULT is refused
+    val et = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ADD COLUMN bad BIGINT DEFAULT 'oops'"))
+    assert(et.getMessage.toLowerCase.contains("default"),
+      s"got: ${et.getMessage}")
     GraftCatalog.unregister("w", "defs")
   }
 
