@@ -27,8 +27,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Post-pushdown rule — extensions hooks all run too early for it
+    // Post-pushdown rules — extensions hooks all run too early for them
     graft.plans.GraftScanStats.ensureInstalled(spark)
+    graft.plans.GraftRuntimePrune.ensureInstalled(spark)
     spark
   }
 
@@ -45,8 +46,10 @@ object Sessions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoin()
     // Manifest-derived scan statistics for the SQL catalog's V1-bridged
-    // scans (auto-broadcast of small graft tables; see GraftScanStats).
+    // scans (auto-broadcast of small graft tables; see GraftScanStats),
+    // and runtime (join-driven) manifest partition pruning.
     graft.plans.GraftScanStats.ensureInstalled(spark)
+    graft.plans.GraftRuntimePrune.ensureInstalled(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: the native as-of join's planner strategy
     // (logical node [[AsOfJoinPlan]] → physical [[AsOfJoinExec]]).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // readStream.table("graft.db.t") → the table's change feed, bound
+    // onto the graft-cdf V1 source at resolution (see
+    // GraftStreamTableRead — exactly-once/admission control inherited)
+    ext.injectResolutionRule(spark =>
+      graft.sources.GraftStreamTableRead(spark))
     // Declarative range-join banding, gated on spark.graft.rangeJoin.binSize
     ext.injectOptimizerRule(_ => BandedRangeJoin())
     // NOTE: GraftScanStats (manifest statistics for V1-bridged catalog

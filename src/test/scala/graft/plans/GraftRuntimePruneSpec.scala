@@ -1,0 +1,182 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.PartitionedTable
+import graft.sources.{GraftCatalog, GraftRelation, GraftScan}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Runtime (join-driven) manifest partition pruning on the SQL path:
+  * a star join whose fact is partitioned by the dim join key must scan
+  * ONLY the partitions the dim's filter keeps — inputFiles-asserted —
+  * with results identical to the rule-disabled A/B, and the guards
+  * (selective dim, identity partition key, cardinality cap) must keep
+  * the rewrite away from joins it cannot prove. */
+class GraftRuntimePruneSpec extends SparkSpec {
+
+  GraftScanStats.ensureInstalled(spark)
+  GraftRuntimePrune.ensureInstalled(spark)
+
+  private def freshStore(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** 1000 rows over 10 string partitions p0..p9. */
+  private def fact(n: Int) = spark.range(n).select(
+    col("id").as("k"),
+    concat(lit("p"), (col("id") % 10).cast("string")).as("part"),
+    (col("id") * 10).as("v"))
+
+  /** AQE-aware scan extraction: joins plan under AdaptiveSparkPlanExec,
+    * whose inner/staged plans aren't TreeNode children — recurse
+    * explicitly after forcing execution to settle the final plan. */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[GraftScan] =
+    p.collect {
+      case r: RowDataSourceScanExec => r.relation match {
+        case g: GraftRelation => Seq(g.scan)
+        case _ => Nil
+      }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+
+  private def scanOf(df: DataFrame): GraftScan = {
+    df.collect(): Unit // settle AQE's final plan
+    scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no GraftRelation in the plan: " +
+        df.queryExecution.executedPlan))
+  }
+
+  test("star join prunes the manifest to the dim's surviving keys; A/B identical; never-opened asserted at file level") {
+    import spark.implicits._
+    val dir = freshStore("graftrtp")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "fact", dir, partCol = Some("part"))
+    Seq(("p1", "keep"), ("p3", "keep"), ("p7", "drop"), ("px", "keep"))
+      .toDF("pk", "grp").createOrReplaceTempView("rtp_dim")
+
+    val sql =
+      """SELECT f.part, CAST(count(*) AS BIGINT) AS n, sum(f.v) AS sv
+        |FROM graft.rtp.fact f
+        |JOIN rtp_dim d ON f.part = d.pk
+        |WHERE d.grp = 'keep'
+        |GROUP BY f.part""".stripMargin
+
+    val df = spark.sql(sql)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(("p1", 100L), ("p3", 100L)),
+      "pruned results must equal the exact join (px matches nothing)")
+
+    // the obligation landed on the scan and resolved the dim's keys
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.isDefined, "rule must attach the obligation")
+    assert(scan.resolvedRuntimeValues === Some(Seq("p1", "p3", "px")),
+      "resolved keys = the dim's filtered DISTINCT join keys")
+
+    // never opened: the executed read's files cover ONLY matching
+    // partitions (px isn't live — intersecting with the manifest drops
+    // it before any listing)
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("__part=p1") || f.contains("__part=p3")),
+      s"pruned scan opened a non-matching partition: ${files.mkString("\n")}")
+
+    // A/B: rule disabled → same rows, unpruned scan
+    spark.conf.set("spark.graft.runtimePruning.enabled", "false")
+    try {
+      val ab = spark.sql(sql)
+      assert(ab.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq === rows)
+      val abScan = scanOf(ab)
+      assert(abScan.runtimePrune.isEmpty, "disabled rule must not rewrite")
+      assert(abScan.buildDf(spark).inputFiles.length > files.length,
+        "the unpruned scan reads every live partition")
+    } finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+  }
+
+  test("guards: non-selective dims, non-partition keys, over-cap dims, and non-inner joins stay unpruned") {
+    import spark.implicits._
+    val dir = freshStore("graftrtpg")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "guard", dir, partCol = Some("part"))
+    // a STORED (parquet) dim — the selectivity bar applies to it (a
+    // local literal frame is exempt: its keys are already materialized)
+    val dimPq = Files.createTempDirectory("graftrtpgd").toString + "/d"
+    Seq(("p1", "keep"), ("p3", "keep")).toDF("pk", "grp")
+      .write.parquet(dimPq)
+    spark.read.parquet(dimPq).createOrReplaceTempView("rtpg_dim")
+
+    // no selective filter on the stored dim → no obligation
+    val noFilter = spark.sql(
+      """SELECT count(*) FROM graft.rtp.guard f
+        |JOIN rtpg_dim d ON f.part = d.pk""".stripMargin)
+    assert(scanOf(noFilter).runtimePrune.isEmpty,
+      "an unfiltered stored dim must not trigger pruning (the Spark DPP bar)")
+    // ...and WITH a selective filter the same stored dim prunes
+    val filtered = spark.sql(
+      """SELECT count(*) FROM graft.rtp.guard f
+        |JOIN rtpg_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
+    assert(scanOf(filtered).runtimePrune.isDefined,
+      "a selectively-filtered stored dim must prune")
+
+    // join key is NOT the partition column → no obligation
+    Seq((5L, "keep")).toDF("kk", "grp").createOrReplaceTempView("rtpg_keys")
+    val wrongKey = spark.sql(
+      """SELECT count(*) FROM graft.rtp.guard f
+        |JOIN rtpg_keys d ON f.k = d.kk WHERE d.grp = 'keep'""".stripMargin)
+    assert(scanOf(wrongKey).runtimePrune.isEmpty,
+      "a non-partition join key must not trigger pruning")
+
+    // LEFT OUTER preserves unmatched fact rows → must not prune
+    val outer = spark.sql(
+      """SELECT count(*) FROM graft.rtp.guard f
+        |LEFT JOIN (SELECT * FROM rtpg_dim WHERE grp = 'keep') d
+        |ON f.part = d.pk""".stripMargin)
+    assert(scanOf(outer).runtimePrune.isEmpty,
+      "outer joins preserve unmatched fact rows — never prune them")
+    assert(outer.head.getLong(0) === 1000L)
+
+    // over-cap dim cardinality → obligation resolves to None (unpruned)
+    spark.conf.set("spark.graft.runtimePruning.maxKeys", "1")
+    try {
+      val capped = spark.sql(
+        """SELECT count(*) FROM graft.rtp.guard f
+          |JOIN rtpg_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
+      assert(capped.head.getLong(0) === 200L)
+      val s = scanOf(capped)
+      assert(s.runtimePrune.isDefined && s.resolvedRuntimeValues.isEmpty,
+        "an over-cap dim must fall back to the unpruned scan")
+    } finally spark.conf.unset("spark.graft.runtimePruning.maxKeys")
+  }
+
+  test("semi joins prune too, and the fact may sit on the JOIN's right for inner") {
+    import spark.implicits._
+    val dir = freshStore("graftrtps")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "semi", dir, partCol = Some("part"))
+    Seq(("p2", "keep"), ("p4", "drop")).toDF("pk", "grp")
+      .createOrReplaceTempView("rtps_dim")
+
+    val semi = spark.sql(
+      """SELECT count(*) FROM graft.rtp.semi f
+        |WHERE f.part IN (SELECT pk FROM rtps_dim WHERE grp = 'keep')""".stripMargin)
+    assert(semi.head.getLong(0) === 100L)
+    val semiScan = scanOf(semi)
+    assert(semiScan.runtimePrune.isDefined, "IN-subquery plans as LeftSemi")
+    assert(semiScan.resolvedRuntimeValues === Some(Seq("p2")))
+
+    val flipped = spark.sql(
+      """SELECT count(*)
+        |FROM (SELECT pk FROM rtps_dim WHERE grp = 'keep') d
+        |JOIN graft.rtp.semi f ON f.part = d.pk""".stripMargin)
+    assert(flipped.head.getLong(0) === 100L)
+    assert(scanOf(flipped).runtimePrune.isDefined,
+      "inner joins prune the fact on either side")
+  }
+}

@@ -118,6 +118,82 @@ class GraftScanStatsSpec extends SparkSpec {
     assert(viaSql.take(2).map(_._1).toSeq === Seq(0L, 1L))
   }
 
+  test("estimateRows: exact footer math incl. MoR deltas, pruned subsets, unknown past maxSlices") {
+    import spark.implicits._
+    val dir = freshStore("graftrows")
+    PartitionedTable.commit(spark, dir, table(1000), "part") // 250/partition
+    assert(PartitionedTable.estimateRows(spark, dir).get === 1000L)
+    assert(PartitionedTable.estimateRows(
+      spark, dir, partitions = Some(Seq("p0"))).get === 250L)
+    assert(PartitionedTable.estimateRows(
+      spark, dir, partitions = Some(Seq("nope"))).get === 0L)
+    assert(PartitionedTable.estimateRows(spark, dir, maxSlices = 3).isEmpty)
+    // MoR delta: a delete lands a DV — live rows drop by exactly one
+    PartitionedTable.merge(spark, dir,
+      Seq((4L, "p0", 0L, "delete")).toDF("k", "part", "v", "op"),
+      "k", "part") // v1
+    assert(PartitionedTable.estimateRows(spark, dir).get === 999L,
+      "DV tombstones must subtract from the slice's footer count")
+    // time travel counts the PINNED version
+    assert(PartitionedTable.estimateRows(spark, dir, Some(0L)).get === 1000L)
+  }
+
+  test("rows-only statistics still unlock auto-broadcast (bytes unknown), and CBO consumes the row counts") {
+    GraftScanStats.ensureInstalled(spark)
+    val factDir = freshStore("graftrowsf")
+    val dimDir = freshStore("graftrowsd")
+    PartitionedTable.commit(spark, factDir, table(20000), "part")
+    PartitionedTable.commit(spark, dimDir,
+      table(40).select(col("k"), col("part"),
+        concat(lit("name"), col("k")).as("nm")), "part")
+    GraftCatalog.register(spark, "rstats", "fact", factDir,
+      partCol = Some("part"))
+    GraftCatalog.register(spark, "rstats", "dim", dimDir,
+      partCol = Some("part"))
+
+    // the scan reports exact row counts, pruned along with the manifest
+    val fullScan = scanOf(spark.sql("SELECT * FROM graft.rstats.fact"))
+    assert(fullScan.estimateStatistics().numRows().getAsLong === 20000L)
+    val pruned = scanOf(
+      spark.sql("SELECT * FROM graft.rstats.fact WHERE part = 'p0'"))
+    assert(pruned.estimateStatistics().numRows().getAsLong === 5000L)
+
+    val joinSql =
+      """SELECT f.k, f.v, d.nm
+        |FROM graft.rstats.fact f JOIN graft.rstats.dim d ON f.k = d.k""".stripMargin
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // A/B: byte estimation disabled (cap 0 → every table too wide) —
+    // the planner must still auto-broadcast the 40-row dim, deriving
+    // sizeInBytes from numRows × schema width (transformV2Stats)
+    spark.conf.set("spark.graft.stats.maxSlicesBytes", "0")
+    try {
+      val scan = scanOf(spark.sql("SELECT * FROM graft.rstats.dim"))
+      assert(scan.estimateStatistics().numRows().getAsLong === 40L)
+      // with the listing-based byte estimate capped out, sizeInBytes
+      // derives from rows × schema width — tiny, so the dim broadcasts
+      val derived = scan.estimateStatistics().sizeInBytes()
+      assert(derived.isPresent && derived.getAsLong < 10000L,
+        s"rows-derived size must be schema-width-scaled: $derived")
+      val joins = spark.sql(joinSql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(joins.nonEmpty,
+        "a rows-only estimate must still auto-broadcast the small dim")
+      // CBO consumes the counts: the optimized JOIN's estimated row
+      // count exists (JoinEstimation needs rowCount on BOTH sides)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val joinStats = spark.sql(joinSql).queryExecution.optimizedPlan.stats
+      assert(joinStats.rowCount.isDefined,
+        s"CBO join estimation must see the scans' row counts: $joinStats")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.graft.stats.maxSlicesBytes")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // rows unchanged by any of it
+    assert(spark.sql(joinSql).count() === 40L)
+  }
+
   test("rule is idempotent and leaves non-graft scans alone") {
     GraftScanStats.ensureInstalled(spark)
     GraftScanStats.ensureInstalled(spark)
