@@ -87,7 +87,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new GraftStagedTable(this, ident, info.schema(), info.partitions(),
-      info.properties(), replace = false)
+      info.properties(), replace = false, constraints = info.constraints())
   }
   override def stageReplace(
       ident: Identifier, info: TableInfo): StagedTable = {
@@ -95,12 +95,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     new GraftStagedTable(this, ident, info.schema(), info.partitions(),
-      info.properties(), replace = true)
+      info.properties(), replace = true, constraints = info.constraints())
   }
   override def stageCreateOrReplace(
       ident: Identifier, info: TableInfo): StagedTable =
     new GraftStagedTable(this, ident, info.schema(), info.partitions(),
-      info.properties(), replace = tableExists(ident))
+      info.properties(), replace = tableExists(ident),
+      constraints = info.constraints())
 
   /** `CALL graft.system.<proc>(...)` — table maintenance through SQL
     * (see [[GraftProcedures]]). */
@@ -248,6 +249,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val spec = planTable(ident, schema, partitions, properties)
     GraftCatalog.registry.put((ident.namespace.toSeq, ident.name), spec)
     load(ident, None)
+  }
+
+  /** The TableInfo overload additionally carries CREATE-time table
+    * CONSTRAINTS (`CREATE TABLE (..., CONSTRAINT c CHECK (...))` — and
+    * SHOW CREATE TABLE output, which renders constraints inside the
+    * column list); bind them onto the persistent CHECK catalog so the
+    * rendered DDL re-executes contract-complete. The default
+    * implementation would silently drop them. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    GraftCatalog.applyConstraints(ident, info.constraints())
+    t
   }
 
   /** The filesystem side of CREATE TABLE — declare the empty table and
@@ -557,6 +571,21 @@ object GraftCatalog {
     * implied by registered tables); JVM-wide like the registry. */
   private[sources] val createdNamespaces =
     scala.collection.concurrent.TrieMap.empty[Seq[String], Unit]
+
+  /** Bind CREATE-time table constraints (CHECK only) onto the library
+    * constraint catalog of an already-registered identifier. */
+  private[sources] def applyConstraints(
+      ident: Identifier,
+      constraints: Array[org.apache.spark.sql.connector.catalog
+        .constraints.Constraint]): Unit =
+    Option(constraints).toSeq.flatten.foreach {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        PartitionedTable.addConstraint(SparkSession.active,
+          specFor(ident).dir, chk.name, chk.predicateSql)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only CHECK constraints are supported; got " +
+          other.toDDL)
+    }
 
   /** Registry lookup for the staged-DDL path (registered tables only —
     * staging needs the exact directory the replace will commit on). */

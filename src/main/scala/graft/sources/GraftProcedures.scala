@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("vacuum", "vacuum_retain", "optimize", "restore", "clone")
+    Seq("vacuum", "vacuum_retain", "optimize", "restore", "clone",
+      "create_like")
 
   def load(name: String): UnboundProcedure = name match {
     case "vacuum" => Vacuum
@@ -40,6 +41,7 @@ object GraftProcedures {
     case "optimize" => Optimize
     case "restore" => Restore
     case "clone" => Clone
+    case "create_like" => CreateLike
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure $other — have ${names.mkString(", ")}")
   }
@@ -199,6 +201,57 @@ object GraftProcedures {
         ("cloned_version", LongType,
           asOf.getOrElse(PartitionedTable.versions(spark, spec.dir).max)),
         ("target_version", LongType, v))
+    }
+  }
+
+  /** `CALL graft.system.create_like(table => 'db.t', target => 'db.u',
+    * location => '/path')` — the CREATE TABLE LIKE semantic for this
+    * catalog (Spark's `CREATE TABLE ... LIKE` grammar takes 1-2-part
+    * identifiers only, so it can never reach a named catalog): declare
+    * an EMPTY table under <location> with the source's full layout
+    * CONTRACT — logical schema (column DEFAULTs included), identity or
+    * hidden-transform partitioning, key column, CHECK constraints — and
+    * register it as graft.<target>. No data, no store pointers (that's
+    * `clone`); the new table's first write commits v0. Implemented as
+    * "re-execute what SHOW CREATE TABLE renders": the same
+    * schema/partitioning/constraints surfaces feed both. */
+  private object CreateLike extends GraftProcedure("create_like",
+    Seq(param("table", StringType), param("target", StringType),
+      param("location", StringType))) {
+    override def description(): String =
+      "declare an empty graft.<target> at <location> with <table>'s " +
+        "layout contract (schema, partitioning, keycol, constraints) — " +
+        "CREATE TABLE LIKE, catalog-routed; no data is referenced"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val source = input.getUTF8String(0).toString
+      val spec = specOf(source)
+      val target = input.getUTF8String(1).toString
+      val tparts = target.split("\\.", 2)
+      require(tparts.length == 2,
+        s"graft procedures: target must be 'db.table', got '$target'")
+      require(!GraftCatalog.registry.contains((Seq(tparts(0)), tparts(1))),
+        s"graft procedures: graft.$target is already registered")
+      val location = input.getUTF8String(2).toString
+      val src = new GraftTable(s"graft.$source", spec,
+        PartitionedTable.latest(spark, spec.dir).getOrElse(-1L))
+      val props = new java.util.HashMap[String, String]()
+      props.put("location", location)
+      spec.keyCol.foreach(k => props.put("keycol", k))
+      // the catalog's own CREATE path: binds transforms, strips derived
+      // columns, declares the empty table, registers the identifier
+      new GraftCatalog().createTable(
+        Identifier.of(Array(tparts(0)), tparts(1)),
+        src.schema(), src.partitioning(), props): Unit
+      val constraints = PartitionedTable.constraintsOf(spark, spec.dir)
+      constraints.foreach { case (n, sql) =>
+        PartitionedTable.addConstraint(spark, location, n, sql)
+      }
+      result(
+        ("target", StringType, s"graft.$target"),
+        ("location", StringType, location),
+        ("n_columns", IntegerType, src.schema().length),
+        ("n_constraints", IntegerType, constraints.size))
     }
   }
 

@@ -326,7 +326,10 @@ class GraftStageWriter(
 class GraftStagedTable(
     catalog: GraftCatalog, ident: Identifier, declared: StructType,
     partitions: Array[Transform], properties: java.util.Map[String, String],
-    replace: Boolean) extends StagedTable with SupportsWrite {
+    replace: Boolean,
+    constraints: Array[org.apache.spark.sql.connector.catalog
+      .constraints.Constraint] = Array.empty)
+    extends StagedTable with SupportsWrite {
 
   if (replace) {
     // layout-contract check at stage time: fail before any work
@@ -402,8 +405,10 @@ class GraftStagedTable(
     if (!replace) planned match {
       case Some(spec) => // bind: the one visibility flip of a CTAS
         GraftCatalog.registry.put((ident.namespace.toSeq, ident.name), spec)
+        GraftCatalog.applyConstraints(ident, constraints)
       case None => // staged CREATE with no write: ordinary empty create
         catalog.createTable(ident, declared, partitions, properties): Unit
+        GraftCatalog.applyConstraints(ident, constraints)
     } else if (!wrote) {
       // plain REPLACE TABLE (no AS SELECT): the new snapshot is empty.
       // The statement's declared schema must MATCH the table's — this
