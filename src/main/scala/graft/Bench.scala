@@ -76,9 +76,31 @@ object Bench {
     // small-scale warm-up could compile different codegen than the timed
     // pass executes. Warm-up failures are ignored; the timed pass still
     // surfaces them as "err".
-    selected.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case NonFatal(_) => () }
+    // The warm-up pass doubles as the CLASSIFICATION pass (round 15):
+    // each query is tagged exchange-bound (its executed plan shuffles)
+    // or cpu-bound (pure codegen) ONCE, from the same plans the timed
+    // passes run. The two-factor normalized total divides each class by
+    // its own canary ratio — r14 burned a session proving by hand-built
+    // A/B that a +38% shuffle-canary window inflates exchange-heavy
+    // rows while codegen rows track the CPU canary; this mechanizes
+    // that adjudication.
+    val exchangeBound = scala.collection.mutable.Set.empty[String]
+    def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasShuffle(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasShuffle(q.plan)
+      }.contains(true)
+    selected.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        if (hasShuffle(df.queryExecution.executedPlan))
+          exchangeBound += name: Unit
+      } catch { case NonFatal(_) => () }
     }
     // Fixed-cost canary (round 6, after the unattributable fleet-wide r5
     // drift): a data-independent, plan-stable pure-codegen aggregate.
@@ -201,7 +223,14 @@ object Bench {
       val fl = flaggedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","scaling":{"small_sf":"$smallDir","ratio_big_over_small":$rs,"superlinear_flagged":$fl}"""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)}$scaling}""")
+    val eb = results.collect {
+      case (n, v) if !v.startsWith("\"") && exchangeBound(n) => v.toDouble
+    }.sum
+    val cb = total - eb
+    val ebNames = results.collect {
+      case (n, v) if !v.startsWith("\"") && exchangeBound(n) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"ref_shuffle_canary":$RefShuffleCanary,"normalized_total":${normalizedTotal(total, canary)},"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary)},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":$ebNames$scaling}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
@@ -237,8 +266,27 @@ object Bench {
     * replacement. */
   private[graft] val RefCanary = 0.073
 
+  /** REFERENCE SHUFFLE canary (round 15): r13 quiet6's exchange-path
+    * figure. Round 14's adjudication found the two canaries MOVE
+    * INDEPENDENTLY (CPU flat at +0%, shuffle +38% on the same window),
+    * so a single-factor normalization misattributes exchange-path box
+    * drift to code. `normalized_total_2f` divides each query class by
+    * its own canary ratio — classification comes from the executed
+    * plans (any shuffle exchange → exchange-bound) and rides the line
+    * as `exchange_bound` so merged boards can recompute it. */
+  private[graft] val RefShuffleCanary = 0.337
+
   private[graft] def normalizedTotal(total: Double, canary: Double): Double =
     if (canary <= 0) total else total * (RefCanary / canary)
+
+  /** Two-factor normalization: cpu-bound seconds scale by the CPU
+    * canary ratio, exchange-bound seconds by the shuffle canary ratio. */
+  private[graft] def normalizedTotal2f(
+      cpuSeconds: Double, exchangeSeconds: Double,
+      canary: Double, shuffleCanary: Double): Double =
+    normalizedTotal(cpuSeconds, canary) +
+      (if (shuffleCanary <= 0) exchangeSeconds
+       else exchangeSeconds * (RefShuffleCanary / shuffleCanary))
 
   /** CANARY GATE (round 13): quiet windows used to be picked by hand —
     * boards spanning 139-217 s at identical code were excluded from the
@@ -301,7 +349,21 @@ object Bench {
     val excl = excluded.map { case (p, why) =>
       s"""{"path":"${esc(p)}","reason":"${esc(why)}"}"""
     }.mkString("[", ",", "]")
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)},"sources":$sources,"excluded_runs":$excl}""",
+    // two-factor recompute over the MERGED medians: classification =
+    // the union of the kept runs' exchange_bound tags (plan shapes are
+    // code-identical across runs; union absorbs a warm-up hiccup).
+    // Old boards without the field merge without the 2f lens.
+    val ebNames: Set[String] = runs.flatMap(r =>
+      Option(r.get("exchange_bound")).toSeq.flatMap(_.elements().asScala
+        .map(_.asText()))).toSet
+    val twoFactor = if (ebNames.isEmpty) "" else {
+      val eb = perQuery.collect {
+        case (q, Some(v)) if ebNames.contains(q) => v
+      }.sum
+      val cb = total - eb
+      s""","ref_shuffle_canary":$RefShuffleCanary,"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffle)},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":${ebNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)}$twoFactor,"sources":$sources,"excluded_runs":$excl}""",
       failedCount)
   }
 }

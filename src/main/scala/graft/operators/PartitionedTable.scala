@@ -2412,6 +2412,25 @@ object PartitionedTable {
       genEpochsOf(spark, srcDir).drop(1)
         .foreach(g => evolveGenRule(spark, dstDir, g))
     }
+    // MULTI-LEVEL specs (and each level's evolution chain) carry over
+    // too — verbatim file copies, so a clone of the bronze year/month
+    // layout derives and prunes exactly like its source
+    locally {
+      val srcFs = VersionedStore.fs(spark, srcDir)
+      val srcMd = new Path(srcDir, ManifestDir)
+      if (srcFs.exists(srcMd)) {
+        srcFs.listStatus(srcMd).toSeq.map(_.getPath).filter { p =>
+          p.getName == LevelsGenFile ||
+            p.getName.startsWith(LevelsEvolvePrefix)
+        }.foreach { p =>
+          val bytes = readManifestFile(srcFs, p)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val out = hfs.create(new Path(new Path(dstDir, ManifestDir),
+            p.getName), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
     constraintsOf(spark, srcDir) match {
       case Nil => ()
       case cs => writeConstraints(spark, dstDir, cs) // invariants carry over
@@ -5059,18 +5078,28 @@ object PartitionedTable {
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1995-11-15' AND DATE '1996-02-10'
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val store = workDir.resolve(
-        "q109_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(s"q109_$sfx").toString
       val hfs = VersionedStore.fs(s, store)
-      hfs.delete(new Path(store), true)
       val orders = Tables.orders(s, dir).select(
         "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
       val cut = to_date(lit("1996-01-01"))
-      commitLevels(s, store,
-        orders.filter(col("o_orderdate") >= to_date(lit("1995-01-01")) &&
-          col("o_orderdate") < cut),
-        Seq(GenLevel("o_orderdate", PartGen.Year, "py"),
-          GenLevel("o_orderdate", PartGen.Month, "pm")))
+      // the two-level 1995 base commits ONCE per (JVM, dir); each pass
+      // clones it metadata-only — level specs carry over with the
+      // clone — so the entry times the evolution + cross-boundary
+      // merge, not a repeated base build
+      val base = graft.FixtureCache.once("q109", dir) {
+        val b = workDir.resolve(s"q109_base_$sfx").toString
+        VersionedStore.fs(s, b).delete(new Path(b), true)
+        commitLevels(s, b,
+          orders.filter(col("o_orderdate") >= to_date(lit("1995-01-01")) &&
+            col("o_orderdate") < cut),
+          Seq(GenLevel("o_orderdate", PartGen.Year, "py"),
+            GenLevel("o_orderdate", PartGen.Month, "pm")))
+        b
+      }
+      hfs.delete(new Path(store), true)
+      cloneTable(s, base, store)
       evolveGenLevel(s, store, "pm", PartGen.Day)
       mergeLevels(s, store,
         orders.filter(col("o_orderdate") >= cut &&

@@ -904,10 +904,21 @@ object GraftCatalog {
       val tbl = "q107_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val sqlStore = workDir.resolve(tbl + "_sql").toString
       val libStore = workDir.resolve(tbl + "_lib").toString
+      // base v0 committed ONCE per (JVM, dir); each pass takes a
+      // METADATA-ONLY shallow clone per side, so the entry times the
+      // MERGE paths (and dogfoods copy-on-write clones), not two full
+      // orders commits
+      val base = graft.FixtureCache.once("q107", dir) {
+        val b = workDir.resolve(tbl + "_base").toString
+        graft.streaming.VersionedStore.fs(s, b)
+          .delete(new org.apache.hadoop.fs.Path(b), true)
+        PartitionedTable.commit(s, b, Tables.orders(s, dir), "o_orderstatus")
+        b
+      }
       val hfs = graft.streaming.VersionedStore.fs(s, sqlStore)
       Seq(sqlStore, libStore).foreach { st =>
         hfs.delete(new org.apache.hadoop.fs.Path(st), true)
-        PartitionedTable.commit(s, st, Tables.orders(s, dir), "o_orderstatus")
+        PartitionedTable.cloneTable(s, base, st)
       }
       val orders = Tables.orders(s, dir)
       val touched = col("o_orderkey") % 10
@@ -1125,10 +1136,21 @@ object GraftCatalog {
       val store = workDir.resolve(tbl).toString
       if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
         s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      // base v0 committed ONCE per (JVM, dir); each pass clones it
+      // (metadata-only) so the entry times corrupt→restore→vacuum, not
+      // a repeated full commit — and vacuum's GC runs against a CLONE,
+      // proving it collects only LOCAL store versions
+      val base = graft.FixtureCache.once("q114", dir) {
+        val b = workDir.resolve(tbl + "_base").toString
+        graft.streaming.VersionedStore.fs(s, b)
+          .delete(new org.apache.hadoop.fs.Path(b), true)
+        PartitionedTable.commit(s, b, Tables.orders(s, dir), "o_orderstatus")
+        b
+      }
       graft.streaming.VersionedStore.fs(s, store)
         .delete(new org.apache.hadoop.fs.Path(store), true)
+      PartitionedTable.cloneTable(s, base, store) // v0
       val orders = Tables.orders(s, dir)
-      PartitionedTable.commit(s, store, orders, "o_orderstatus") // v0
       val touched = col("o_orderkey") % 10
       PartitionedTable.merge(s, store, // v1: corrupt F
         orders.filter(col("o_orderstatus") === "F" && touched.isin(3, 7))
@@ -1147,9 +1169,10 @@ object GraftCatalog {
            |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
     },
 
-    // SQL partition ops + TRUNCATE, hash-gated end to end: CTAS a
-    // status-partitioned mirror of orders, ALTER TABLE DROP PARTITION
-    // one status (a METADATA-ONLY manifest commit — no file moves at
+    // SQL partition ops + TRUNCATE, hash-gated end to end: a
+    // status-partitioned mirror of orders (fixture-cached base, cloned
+    // per pass), ALTER TABLE DROP PARTITION one status (a
+    // METADATA-ONLY manifest commit — no file moves at
     // any scale), TRUNCATE (same), and gate THREE probes at once: the
     // post-drop aggregate, the post-truncate emptiness (count over the
     // empty table version, whose schema must still resolve), and the
@@ -1175,15 +1198,25 @@ object GraftCatalog {
       val store = workDir.resolve(tbl).toString
       if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
         s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
-      s.sql(s"DROP TABLE IF EXISTS graft.lake.$tbl")
+      // base v0 (the CTAS result's content) committed ONCE per
+      // (JVM, dir); each pass re-clones it metadata-only so the entry
+      // times the PARTITION OPS — which are themselves metadata-only —
+      // not a repeated full build (the SQL CTAS write path keeps its
+      // own per-pass gate in q112)
+      val base = graft.FixtureCache.once("q115", dir) {
+        val b = workDir.resolve(tbl + "_base").toString
+        graft.streaming.VersionedStore.fs(s, b)
+          .delete(new org.apache.hadoop.fs.Path(b), true)
+        PartitionedTable.commit(s, b, Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          "o_orderstatus")
+        b
+      }
+      GraftCatalog.unregister("lake", tbl)
       graft.streaming.VersionedStore.fs(s, store)
         .delete(new org.apache.hadoop.fs.Path(store), true)
-      Tables.orders(s, dir).createOrReplaceTempView(s"${tbl}_orders")
-      s.sql(
-        s"""CREATE TABLE graft.lake.$tbl PARTITIONED BY (o_orderstatus)
-           |LOCATION '$store'
-           |AS SELECT o_orderkey, o_orderstatus, o_totalprice
-           |FROM ${tbl}_orders""".stripMargin) // v0
+      PartitionedTable.cloneTable(s, base, store) // v0
+      register(s, "lake", tbl, store, partCol = Some("o_orderstatus"))
       s.sql(s"ALTER TABLE graft.lake.$tbl DROP PARTITION " +
         "(o_orderstatus='F')") // v1, metadata-only
       val postDrop = PartitionedTable.latest(s, store).get

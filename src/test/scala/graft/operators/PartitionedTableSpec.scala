@@ -2277,4 +2277,43 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.readWhereSrcLevels(spark, dir, Seq(
       ("d", "1995-01-01", "1995-12-31"), ("zzz", "0", "9"))).count() === 0)
   }
+
+  test("clone carries multi-level specs AND their evolution chains: the clone derives, prunes, and guards like its source") {
+    import PartitionedTable._
+    val src = freshStore()
+    val dst = freshStore()
+    val df = spark.range(90).select(
+      col("id").as("k"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("st"),
+      to_date(concat(lit("1995-0"), ((col("id") % 3) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    commitLevels(spark, src, df, Seq(
+      GenLevel("st", PartGen.Prefix(2), "ps"),
+      GenLevel("d", PartGen.Month, "pm")))
+    evolveGenLevel(spark, src, "pm", PartGen.Day)
+
+    cloneTable(spark, src, dst)
+    assert(generatedLevelsOf(spark, dst) === generatedLevelsOf(spark, src),
+      "current level rules must carry over")
+    assert(levelEpochsOf(spark, dst) === levelEpochsOf(spark, src),
+      "the full per-level epoch chain must carry over")
+
+    // behavior on the clone: a keyed merge derives the evolved level
+    // (day) for new rows, and source-range pruning attributes inherited
+    // month-epoch combinations correctly
+    import spark.implicits._
+    mergeLevels(spark, dst, Seq(
+      (1000L, "s0", java.sql.Date.valueOf("1996-02-10"), 1L, "upsert"))
+      .toDF("k", "st", "d", "v", "op"), "k")
+    assert(partitionValues(spark, dst).exists(_.contains("1996-02-10")),
+      "post-evolution rows must land under the DAY rule on the clone")
+    assert(readWhereSrcLevels(spark, dst,
+      Seq(("d", "1995-02-01", "1995-02-28"))).count() ===
+      readWhereSrcLevels(spark, src,
+        Seq(("d", "1995-02-01", "1995-02-28"))).count(),
+      "inherited combinations prune identically on the clone")
+    // the source never sees the clone's write
+    assert(read(spark, src).count() === 90L)
+  }
 }
