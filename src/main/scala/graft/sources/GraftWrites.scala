@@ -100,6 +100,26 @@ object GraftWrites {
         }
     }
 
+  /** Clustering columns for the write-side distribution contract: the
+    * generation rule's SOURCE column(s) when declared (they group
+    * identically to the derived partition), else the registered
+    * partition column — restricted to columns the write schema
+    * actually carries (a DELETE changelog ships only row IDs). */
+  private[sources] def clusteringColumns(
+      spec: GraftTableSpec, schema: StructType): Seq[String] = {
+    val spark = SparkSession.active
+    val wanted =
+      PartitionedTable.generatedLevelsOf(spark, spec.dir) match {
+        case Some(levels) => levels.map(_.srcCol).distinct
+        case None =>
+          PartitionedTable.generatedBy(spark, spec.dir) match {
+            case Some((src, _, _)) => Seq(src)
+            case None => spec.partCol.toSeq
+          }
+      }
+    wanted.filter(schema.fieldNames.contains)
+  }
+
   /** Decode per-task staging files of length-prefixed UnsafeRows back
     * into a distributed frame — the read side of [[GraftDeltaWriter]]
     * and the streaming sink's writers. One parquet-free pass; nothing
@@ -213,13 +233,37 @@ class GraftWriteBuilder(spec: GraftTableSpec, info: LogicalWriteInfo)
   * leg), and lands one [[PartitionedTable.overwritePartitions]] commit
   * (blind-write OCC: last overwrite wins on the touched set). */
 class GraftDynamicOverwrite(spec: GraftTableSpec, schema: StructType)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import scala.jdk.CollectionConverters._
 
   private val staging =
     s"${spec.dir}/.tmp-sqldyn-${java.util.UUID.randomUUID}"
   override def toBatch: BatchWrite = this
   override def description(): String = s"GraftDynamicOverwrite(${spec.dir})"
+
+  /** Write-side DISTRIBUTION contract (the Iceberg hash-mode default):
+    * request the incoming query CLUSTERED by the partition column — or
+    * the generation rule's SOURCE column(s), which group identically —
+    * so each task's staged file holds WHOLE partition values and the
+    * landing writes ~one file per final partition, instead of a
+    * task × partition file spread a wide INSERT would otherwise leave.
+    * Spark adds the exchange only when the incoming distribution
+    * doesn't already satisfy it; not strictly required, so AQE keeps
+    * its coalescing freedom. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val cols = GraftWrites.clusteringColumns(spec, schema)
+    if (cols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      cols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -494,10 +538,23 @@ class GraftRowLevelOperation(
 class GraftDeltaWrite(
     dir: String, snapshot: Long, key: String, idCols: Seq[String],
     rowSchema: StructType, tableSchema: StructType, tag: String)
-    extends DeltaWrite {
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch(): DeltaBatchWrite = new GraftDeltaBatchWrite(
     dir, snapshot, key, idCols, rowSchema, tableSchema, tag)
   override def description(): String = s"GraftDeltaWrite($dir v=$snapshot)"
+  /** Cluster the changelog by the partition(-source) identity columns
+    * (always present — they ARE the row ID), so staged slices group by
+    * partition and the landing merge's rewrites stay file-tight. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      idCols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
 }
 
 /** Staged-changelog batch write: executors append length-prefixed

@@ -264,6 +264,36 @@ class GraftWritesSpec extends SparkSpec {
       .filter(col("at") === "sql_dynamic_overwrite").count() === 2L)
   }
 
+  test("write-side distribution contract: a deliberately spread dynamic-overwrite batch lands ~one file per final partition") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(40), "part")
+    val t = reg(dir)
+    // 4000 rows over 4 partitions, spread round-robin across 8 tasks —
+    // without the clustered distribution each task's staged slice mixes
+    // all 4 values and the landing writes a task x partition file spread
+    spark.range(4000).repartition(8).select(col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      lit(1L).as("v"))
+      .writeTo(t).overwritePartitions()
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 4000L)
+    val latest = PartitionedTable.latest(spark, dir).get
+    val m = PartitionedTable.manifest(spark, dir, latest)
+    val hfs = graft.streaming.VersionedStore.fs(spark, dir)
+    val perPart = Seq("p0", "p1", "p2", "p3").map { p =>
+      val sv = m(s"__part=$p")
+      val vdir = new org.apache.hadoop.fs.Path(
+        s"$dir/__part=$p", s"batch=$sv")
+      hfs.listStatus(vdir).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    assert(perPart.forall(_ <= 2),
+      s"clustered staging must land ~1 file per partition, got $perPart")
+    assert(perPart.sum <= 6,
+      s"vs the unclustered ~8x4 spread, got ${perPart.sum} total files")
+  }
+
   test("dynamic overwrite on a created-but-never-written table commits the batch as the initial load") {
     val base = Files.createTempDirectory("graftdyninit").toString
     val t = "graft.w.dyninit"
