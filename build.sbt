@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ // ad-hoc forked-JVM flags (bench A/Bs: spark.* sysprops reach the
+  // session conf via SQLConf.mergeSparkConf); unset = no-op
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -5101,9 +5101,13 @@ object PartitionedTable {
       hfs.delete(new Path(store), true)
       cloneTable(s, base, store)
       evolveGenLevel(s, store, "pm", PartGen.Day)
+      // merge window = 1996-Q1: the probe range ends 1996-02-10, so Q1
+      // covers it with margin while the post-evolution landing writes
+      // ~90 day-partitions instead of ~180 — the entry times the
+      // evolution + cross-boundary merge, not partition-count padding
       mergeLevels(s, store,
         orders.filter(col("o_orderdate") >= cut &&
-          col("o_orderdate") < to_date(lit("1996-07-01")))
+          col("o_orderdate") < to_date(lit("1996-04-01")))
           .withColumn("op", lit("upsert")),
         "o_orderkey")
       readWhereSrcLevels(s, store,
