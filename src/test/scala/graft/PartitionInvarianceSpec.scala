@@ -81,6 +81,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q99_overwrite_partitions", // blind replace + metadata carry-over
     "q100_column_mapping", // rename-chain coalesce, any fan-out
     "q101_mor_upserts", // chained delta folds + tombstones, any layout
+    "q116_sql_join_pruned", // runtime dim-key manifest pruning, any fan-out
+    "q118_sql_tag_travel", // tag-resolved versions, any fan-out
     "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 
   test("results are identical under shuffle partition counts 3, 7, 16") {
