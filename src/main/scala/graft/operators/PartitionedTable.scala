@@ -3823,6 +3823,34 @@ object PartitionedTable {
     }
   }
 
+  /** Live partition values of table version `asOf` (default newest)
+    * that some SOURCE-column literal in `values` lands in — each
+    * partition tested under its OWN epoch's rule, so evolved tables
+    * attribute correctly (a '1996-01' month partition matches
+    * '1996-01-15'; a post-evolution '1996-02-10' day partition matches
+    * only that day). The point-set analogue of [[readWhereSrc]]'s
+    * range mapping — what a runtime (join-driven) prune of a GENERATED
+    * table needs when the dim joins on the rule's source column (the
+    * calendar-dim star shape). Driver-side: O(#live × #values) string
+    * truncations over manifest metadata. */
+  def partitionsForSourceValues(
+      spark: SparkSession, dir: String, values: Seq[String],
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val epochs = genEpochsOf(spark, dir)
+    require(epochs.nonEmpty,
+      s"PartitionedTable: no generation rule declared under $dir — " +
+        "source-value partition mapping needs one")
+    val live = manifest(spark, dir, asOf.getOrElse(vs.max)).keys.toSeq
+      .map(n => ExternalCatalogUtils.unescapePathName(
+        n.stripPrefix(s"$PartDir=")))
+    live.filter { p =>
+      val rule = epochRuleOf(epochs, p)
+      values.exists(v => rule.ofLiteral(v) == p)
+    }.sorted
+  }
+
   /** Star-join partition pruning — the manifest-level analogue of
     * Spark's dynamic partition pruning, for the one join shape a
     * partitioned fact table exists for: fact ⋈ selective dim on the

@@ -60,17 +60,30 @@ case class GraftRuntimePrune() extends Rule[LogicalPlan] with PredicateHelper {
     .getOption("spark.graft.runtimePruning.maxDimBytes")
     .map(_.toLong).getOrElse(256L << 20)
 
-  /** The fact-side scan relation exporting attribute `a` as its
-    * partition column, not already carrying an obligation. */
+  /** The fact-side scan relation exporting attribute `a` as a
+    * PRUNABLE column — its partition column, or (for a generated
+    * table) its generation rule's SOURCE column, the calendar-dim
+    * star shape — not already carrying an obligation. The returned
+    * boolean is [[GraftRuntimePruneSpec.sourceKey]]. */
   private def factScanOf(side: LogicalPlan, a: AttributeReference)
-      : Option[(DataSourceV2ScanRelation, V1ScanWrapper, GraftScan)] =
+      : Option[(DataSourceV2ScanRelation, V1ScanWrapper, GraftScan, Boolean)] =
     side.collectFirst {
       case r @ DataSourceV2ScanRelation(_, w: V1ScanWrapper, _, _, _)
           if w.v1Scan.isInstanceOf[GraftScan] &&
             r.output.exists(_.exprId == a.exprId) &&
-            w.v1Scan.asInstanceOf[GraftScan].runtimePrune.isEmpty &&
-            w.v1Scan.asInstanceOf[GraftScan].spec.partCol.contains(a.name) =>
+            w.v1Scan.asInstanceOf[GraftScan].runtimePrune.isEmpty =>
         (r, w, w.v1Scan.asInstanceOf[GraftScan])
+    }.flatMap { case (r, w, gs) =>
+      if (gs.spec.partCol.contains(a.name)) Some((r, w, gs, false))
+      else {
+        // generated single-rule table joined on its SOURCE column —
+        // one manifest-dir metadata read at optimize time, only
+        // reached when a graft scan matched the key's exprId
+        val src = try graft.operators.PartitionedTable
+          .generatedBy(SparkSession.active, gs.spec.dir).map(_._1)
+        catch { case scala.util.control.NonFatal(_) => None }
+        if (src.contains(a.name)) Some((r, w, gs, true)) else None
+      }
     }
 
   /** The Spark DPP bar for "worth pruning by": some filter in the dim
@@ -126,9 +139,10 @@ case class GraftRuntimePrune() extends Rule[LogicalPlan] with PredicateHelper {
         }
         candidates.find { case (_, _, dim, _) => dimOk(dim) } match {
           case None => j
-          case Some(((rel, w, gs), keyExpr: Expression, dim, factOnLeft)) =>
+          case Some(((rel, w, gs, sourceKey), keyExpr: Expression, dim,
+              factOnLeft)) =>
             val pruned = gs.copy(runtimePrune =
-              Some(GraftRuntimePruneSpec(dim, keyExpr)))
+              Some(GraftRuntimePruneSpec(dim, keyExpr, sourceKey)))
             val newWrapper = new StatsV1ScanWrapper(V1ScanWrapper(
               pruned, w.handledFilters, w.pushedDownOperators))
             def rewrite(side: LogicalPlan): LogicalPlan =

@@ -1659,7 +1659,12 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
   * `SupportsRuntimeV2Filtering` machinery cannot reach. */
 case class GraftRuntimePruneSpec(
     dimPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-    keyExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+    keyExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+    /** true = the join key is a generation rule's SOURCE column: the
+      * resolved dim values map through each live partition's epoch rule
+      * (the calendar-dim star shape) instead of matching partition
+      * values verbatim. */
+    sourceKey: Boolean = false)
 
 class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
@@ -1872,12 +1877,28 @@ case class GraftScan(
         }
       }
     // partition constraint: STATIC pushed equalities ∩ RUNTIME dim join
-    // keys (when a pruning obligation resolved; generated-routed reads
-    // keep their own source-range pruning) ∩ what actually exists — SQL
-    // asking for an absent partition is an empty result, never an error
+    // keys (when a pruning obligation resolved) ∩ what actually exists
+    // — SQL asking for an absent partition is an empty result, never an
+    // error. A SOURCE-keyed obligation (generated table joined on the
+    // rule's source column — the calendar-dim shape) maps the dim
+    // values through each live partition's epoch rule first; it takes
+    // precedence over the range-routed generated read (the residual
+    // keeps both exact, and the dim's point set prunes tighter than
+    // any range). A PARTITION-keyed obligation is ignored when the
+    // generated routing fired (partCol there is the derived column —
+    // nobody joins on it AND ranges the source in the same query).
+    val runtimeVals: Option[Seq[String]] = runtimePrune match {
+      case Some(rp) if rp.sourceKey =>
+        resolvedRuntimeValues.flatMap { vals =>
+          try Some(PartitionedTable.partitionsForSourceValues(
+            spark, dir, vals, Some(version)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      case Some(_) if genRouted.isEmpty => resolvedRuntimeValues
+      case _ => None
+    }
     val constrained: Option[Seq[String]] =
-      (prunedPartitions,
-        if (genRouted.isDefined) None else resolvedRuntimeValues) match {
+      (prunedPartitions, runtimeVals) match {
         case (Some(a), Some(b)) => Some(a.intersect(b))
         case (a, b) => a.orElse(b)
       }
@@ -1886,7 +1907,7 @@ case class GraftScan(
         .partitionValues(spark, dir, Some(version)).toSet
       vals.filter(live.contains)
     }
-    val base = if (genRouted.isDefined) genRouted.get
+    val base = if (genRouted.isDefined && runtimeVals.isEmpty) genRouted.get
     else (partVals, closed) match {
       case (Some(Nil), _) => // every requested partition absent
         PartitionedTable.read(spark, dir, Some(version)).filter(lit(false))

@@ -155,6 +155,73 @@ class GraftRuntimePruneSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.runtimePruning.maxKeys")
   }
 
+  test("calendar-dim shape: a generated fact joined on its SOURCE column prunes through the epoch rules") {
+    import spark.implicits._
+    val dir = freshStore("graftrtpc")
+    // fact: month-generated over dates spanning 1996-01..1996-06
+    val rows = spark.range(600).select(
+      col("id").as("k"),
+      to_date(concat(lit("1996-0"), ((col("id") % 6) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir, rows, "d",
+      PartitionedTable.PartGen.Month, "pm")
+    GraftCatalog.register(spark, "rtp", "cal", dir, partCol = Some("pm"))
+    // calendar dim keyed by DATE with a selective flag
+    Seq((java.sql.Date.valueOf("1996-02-15"), "holiday"),
+      (java.sql.Date.valueOf("1996-05-15"), "holiday"),
+      (java.sql.Date.valueOf("1996-03-15"), "workday"))
+      .toDF("cal_d", "kind").createOrReplaceTempView("rtpc_dim")
+
+    val sql =
+      """SELECT f.d, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.cal f
+        |JOIN rtpc_dim c ON f.d = c.cal_d
+        |WHERE c.kind = 'holiday'
+        |GROUP BY f.d""".stripMargin
+    val df = spark.sql(sql)
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq(("1996-02-15", 100L), ("1996-05-15", 100L)))
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.exists(_.sourceKey),
+      "a source-column join key must attach a SOURCE-keyed obligation")
+    assert(scan.resolvedRuntimeValues === Some(Seq("1996-02-15", "1996-05-15")))
+    // only the two matching MONTH partitions are ever opened
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("__part=1996-02") || f.contains("__part=1996-05")),
+      s"epoch-mapped pruning opened a non-matching month: ${files.mkString("\n")}")
+
+    // A/B: rule disabled → identical rows
+    spark.conf.set("spark.graft.runtimePruning.enabled", "false")
+    try assert(spark.sql(sql).collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq(("1996-02-15", 100L), ("1996-05-15", 100L)))
+    finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+
+    // evolution: new rows land under a DAY rule; the same join still
+    // prunes correctly across BOTH epochs (per-partition attribution)
+    PartitionedTable.evolveGenRule(spark, dir, PartitionedTable.PartGen.Day)
+    PartitionedTable.mergeGenerated(spark, dir,
+      Seq((9001L, java.sql.Date.valueOf("1996-08-02"), 1L, "upsert"),
+        (9002L, java.sql.Date.valueOf("1996-08-03"), 2L, "upsert"))
+        .toDF("k", "d", "v", "op"), "k")
+    Seq((java.sql.Date.valueOf("1996-08-02"), "holiday"))
+      .toDF("cal_d", "kind").createOrReplaceTempView("rtpc_dim2")
+    val evolved = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.cal f
+        |JOIN rtpc_dim2 c ON f.d = c.cal_d
+        |WHERE c.kind = 'holiday'""".stripMargin)
+    assert(evolved.head.getLong(0) === 1L)
+    val eScan = scanOf(evolved)
+    assert(eScan.runtimePrune.exists(_.sourceKey))
+    val eFiles = eScan.buildDf(spark).inputFiles
+    assert(eFiles.nonEmpty && eFiles.forall(_.contains("__part=1996-08-02")),
+      s"post-evolution day partition must attribute under ITS epoch: " +
+        eFiles.mkString("\n"))
+    GraftCatalog.unregister("rtp", "cal")
+  }
+
   test("semi joins prune too, and the fact may sit on the JOIN's right for inner") {
     import spark.implicits._
     val dir = freshStore("graftrtps")
