@@ -84,7 +84,17 @@ object Bench {
     // A/B that a +38% shuffle-canary window inflates exchange-heavy
     // rows while codegen rows track the CPU canary; this mechanizes
     // that adjudication.
+    //
+    // Round 16: classification reads the WRITE'S OWN executed plan via
+    // a QueryExecutionListener — `df.queryExecution` is a separate,
+    // never-executed QueryExecution whose adaptive plan AQE hasn't
+    // finalized (it may still show exchanges an SMJ→BHJ conversion
+    // later removes); the listener hands the post-execution plan of
+    // the noop save that actually ran. A query whose warm-up THROWS is
+    // tagged `unclassified` (not silently cpu-bound): its seconds ride
+    // the two-factor total raw rather than under the wrong canary.
     val exchangeBound = scala.collection.mutable.Set.empty[String]
+    val classified = scala.collection.mutable.Set.empty[String]
     def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collect {
         case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
@@ -94,14 +104,43 @@ object Bench {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           hasShuffle(q.plan)
       }.contains(true)
-    selected.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        if (hasShuffle(df.queryExecution.executedPlan))
-          exchangeBound += name: Unit
-      } catch { case NonFatal(_) => () }
+    @volatile var lastExecuted
+        : Option[org.apache.spark.sql.execution.SparkPlan] = None
+    val classListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        // only the noop save's own event: a V2 overwrite via
+        // DataFrameWriter (funcName "overwrite", root
+        // OverwriteByExpressionExec — probed on this Spark build).
+        // Fixture-internal actions inside fn() — collects, library
+        // parquet commits (V1 DataWritingCommandExec, funcName
+        // "save"/"parquet"), eager SQL commands — never match, so they
+        // can't be misattributed as the query's plan.
+        if (funcName == "overwrite" &&
+          qe.executedPlan.nodeName.contains("OverwriteByExpression"))
+          lastExecuted = Some(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(classListener)
+    try selected.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        lastExecuted = None
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // listener events post asynchronously; bounded wait for the
+        // save's own event (events are in-order, and the previous
+        // query's save event was consumed by ITS wait)
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (lastExecuted.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        lastExecuted.foreach { p =>
+          classified += name
+          if (hasShuffle(p)) exchangeBound += name: Unit
+        }
+      } catch { case NonFatal(_) => () }
+    } finally spark.listenerManager.unregister(classListener)
     // Fixed-cost canary (round 6, after the unattributable fleet-wide r5
     // drift): a data-independent, plan-stable pure-codegen aggregate.
     // Its plan can never change with engine code, so round-over-round
@@ -226,11 +265,38 @@ object Bench {
     val eb = results.collect {
       case (n, v) if !v.startsWith("\"") && exchangeBound(n) => v.toDouble
     }.sum
-    val cb = total - eb
+    // warm-up-failed queries that still timed clean: no executed plan
+    // to classify from — their seconds ride the two-factor total RAW
+    // (under the wrong canary they'd skew merged boards)
+    val unclNames = results.collect {
+      case (n, v) if !v.startsWith("\"") && !classified(n) => n
+    }
+    val uncl = results.collect {
+      case (n, v) if !v.startsWith("\"") && !classified(n) => v.toDouble
+    }.sum
+    val cb = total - eb - uncl
     val ebNames = results.collect {
       case (n, v) if !v.startsWith("\"") && exchangeBound(n) => "\"" + n + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"ref_shuffle_canary":$RefShuffleCanary,"normalized_total":${normalizedTotal(total, canary)},"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary)},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":$ebNames$scaling}""")
+    val unclJson = unclNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val boardLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"ref_shuffle_canary":$RefShuffleCanary,"normalized_total":${normalizedTotal(total, canary)},"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary) + uncl},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":$ebNames,"unclassified":$unclJson$scaling}"""
+    println(boardLine)
+    // The driver's capture tail-truncates long stdout: fifteen rounds
+    // of BENCH_r*.json carried `parsed: null` because the ~6 KB board
+    // line lost its head. Persist the full board to a file and print a
+    // SHORT summary as the LAST line, so the tail always holds one
+    // complete, parseable JSON verdict.
+    val boardPath = "bench/last_board.json"
+    try {
+      val p = java.nio.file.Paths.get(boardPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (boardLine + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not persist $boardPath: $e") }
+    val superlinear = "\"superlinear_flagged\":(\\[[^\\]]*\\])".r
+      .findFirstMatchIn(scaling).map(_.group(1)).getOrElse("[]")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":${failures.size},"canary":$canary,"shuffle_canary":$shuffleCanary,"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary) + uncl},"superlinear_flagged":$superlinear,"full_board":"$boardPath"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
@@ -356,12 +422,23 @@ object Bench {
     val ebNames: Set[String] = runs.flatMap(r =>
       Option(r.get("exchange_bound")).toSeq.flatMap(_.elements().asScala
         .map(_.asText()))).toSet
+    // a query only counts as unclassified when NO kept run classified
+    // it (classification is plan-derived and code-identical across
+    // runs; any run's tag stands for all)
+    val unclNames: Set[String] = runs.map(r =>
+      Option(r.get("unclassified")).map(_.elements().asScala
+        .map(_.asText()).toSet).getOrElse(Set.empty[String]))
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+      .diff(ebNames)
     val twoFactor = if (ebNames.isEmpty) "" else {
       val eb = perQuery.collect {
         case (q, Some(v)) if ebNames.contains(q) => v
       }.sum
-      val cb = total - eb
-      s""","ref_shuffle_canary":$RefShuffleCanary,"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffle)},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":${ebNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val uncl = perQuery.collect {
+        case (q, Some(v)) if unclNames.contains(q) => v
+      }.sum
+      val cb = total - eb - uncl
+      s""","ref_shuffle_canary":$RefShuffleCanary,"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffle) + uncl},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":${ebNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"unclassified":${unclNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }
     (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedCount,"runs":${runs.size},"stat":"median-of-runs","canary":$canary,"shuffle_canary":$shuffle,"ref_canary":$RefCanary,"normalized_total":${normalizedTotal(total, canary)}$twoFactor,"sources":$sources,"excluded_runs":$excl}""",
       failedCount)

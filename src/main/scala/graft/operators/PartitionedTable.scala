@@ -214,6 +214,14 @@ object PartitionedTable {
       !t.exists(c => c == '"' || c == '\\' || c < ' ')),
       s"history tags must not contain quotes/backslashes/control chars: " +
         s"$operation / $at")
+    // purely-numeric tags are UNREACHABLE through SQL time travel:
+    // `VERSION AS OF '5'` resolves quoted numerics as manifest version
+    // numbers first (the loadTable contract), so a commit tagged '5'
+    // would quietly never be the snapshot that name reads
+    require(at.isEmpty || at.toLongOption.isEmpty,
+      s"history tag '$at' is purely numeric — quoted numerics in " +
+        "VERSION AS OF always mean manifest versions, so a numeric tag " +
+        "could never be read back by name; pick a non-numeric tag")
     s"""#{"operation":"$operation","touched":$touched,"partitions":$partitions,"at":"$at","ts":${System.currentTimeMillis}}"""
   }
 
@@ -3610,13 +3618,21 @@ object PartitionedTable {
     require(!retiredNames(colMapOf(spark, dir)).contains(name),
       s"PartitionedTable: $name is a retired name under $dir — pick a " +
         "name never used before")
-    defaultSql.foreach { sql =>
+    // The DEFAULT is CONSTANT-FOLDED HERE and the folded LITERAL is
+    // what persists (the Delta/Spark EXISTS_DEFAULT semantic): the
+    // read path re-evaluates the stored SQL on EVERY read, so storing
+    // raw `current_date()` — foldable AND deterministic in catalyst
+    // terms, because it's a per-query constant — would fill pre-add
+    // rows with a DIFFERENT value each day and make time-travel reads
+    // non-reproducible. Folding once pins the contract: one value,
+    // every pre-add row, forever.
+    val foldedDefault: Option[String] = defaultSql.map { sql =>
       require(sql.nonEmpty && !sql.exists(c => c == '\t' || c == '\n'),
         s"addColumn: bad DEFAULT expression '$sql' (empty/tab/newline)")
-      // the declared-type contract stays strict: the default must
-      // analyze to the column's type (or a lossless upcast of it) and
-      // be a constant — validated HERE, not rows later
-      val probe = spark.range(1).select(expr(sql).as("d"))
+      // analyze against a ONE-ROW, ZERO-COLUMN relation: a default
+      // referencing any column must fail analysis here (spark.range's
+      // probe would silently resolve a reference to `id`)
+      val probe = spark.range(1).select().select(expr(sql).as("d"))
       val analyzed = probe.schema.head.dataType
       require(analyzed == dataType ||
         org.apache.spark.sql.catalyst.expressions.Cast
@@ -3624,18 +3640,28 @@ object PartitionedTable {
         s"PartitionedTable: DEFAULT ($sql) is ${analyzed.simpleString}; " +
           s"column $name is declared ${dataType.simpleString} under $dir " +
           "(cast the default, or declare the matching type)")
-      require(probe.queryExecution.analyzed.expressions
-        .forall(_.deterministic),
-        s"PartitionedTable: DEFAULT ($sql) must be deterministic — the " +
-          "same value fills every pre-add row")
-      probe.head() // must evaluate (no unresolved functions / columns)
+      val root = probe.queryExecution.analyzed.expressions.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+      require(root.deterministic && root.foldable,
+        s"PartitionedTable: DEFAULT ($sql) must be a constant " +
+          "(deterministic and foldable) — one value fills every " +
+          "pre-add row")
+      val v = probe.select(expr(sql).cast(dataType).as("d")).head().get(0)
+      val folded = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, dataType).sql
+      require(!folded.exists(c => c == '\t' || c == '\n'),
+        s"addColumn: DEFAULT ($sql) folds to a literal containing " +
+          "tab/newline — unsupported in the sidecar line format")
+      folded
     }
     val hfs = VersionedStore.fs(spark, dir)
     hfs.mkdirs(new Path(dir, ManifestDir))
     val next = addColsVersions(spark, dir)
       .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
     val edges = addedColumnsWithDefaultsOf(spark, dir) :+
-      ((name, dataType, defaultSql))
+      ((name, dataType, foldedDefault))
     val tmp = new Path(new Path(dir, ManifestDir),
       s".tmp-addcols-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, true)
@@ -3714,6 +3740,87 @@ object PartitionedTable {
         s"PartitionedTable: lost the properties slot $next under $dir " +
           "(concurrent alter?); re-read and retry")
     }
+  }
+
+  /** ANALYZE TABLE — compute table-level and per-column statistics in
+    * ONE aggregation job over table version `asOf` (default newest)
+    * and persist them as `stats.*` table properties, where
+    * [[graft.sources.GraftScan]] serves them to the planner
+    * (`columnStats()` → CBO join estimation / reorder) and `DESCRIBE
+    * EXTENDED` surfaces them to operators:
+    *
+    *   - `stats.version` / `stats.rows` — the analyzed snapshot
+    *   - `stats.col.<c>.ndv` — approx distinct count (HLL, one pass)
+    *   - `stats.col.<c>.nulls` — null count
+    *   - `stats.col.<c>.min` / `.max` — orderable scalars only
+    *     (numeric/date/timestamp; strings carry `.avglen`/`.maxlen`
+    *     instead — CBO sizes rows with them)
+    *
+    * Statistics are ESTIMATES pinned to the analyzed version: reads of
+    * other versions still see them (the Spark/Delta staleness trade),
+    * and correctness never depends on them. One props write; re-ANALYZE
+    * replaces the whole `stats.` key space atomically. Returns the
+    * persisted key→value map. */
+  def analyzeTable(
+      spark: SparkSession, dir: String, cols: Seq[String] = Nil,
+      asOf: Option[Long] = None): Map[String, String] = {
+    val v = asOf.orElse(latest(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: nothing to analyze under $dir"))
+    val df = read(spark, dir, Some(v))
+    val targets =
+      (if (cols.nonEmpty) cols else df.columns.toSeq).distinct
+        .filter(df.columns.contains)
+    require(cols.isEmpty || targets.size == cols.distinct.size,
+      s"PartitionedTable: analyze columns ${cols.diff(targets).mkString(", ")} " +
+        s"do not exist under $dir (have ${df.columns.mkString(", ")})")
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampNTZType, TimestampType}
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ targets.flatMap { c =>
+      val dt = df.schema(c).dataType
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(col(c)).as(s"__cnt_$c")) ++
+        (if (orderable(dt))
+          Seq(min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        else if (dt == StringType)
+          Seq(avg(length(col(c))).as(s"__avglen_$c"),
+            max(length(col(c))).as(s"__maxlen_$c"))
+        else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def str(name: String): Option[String] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+    }
+    val rows = row.getLong(row.fieldIndex("__rows"))
+    val computed: Map[String, String] =
+      Map("stats.version" -> v.toString, "stats.rows" -> rows.toString) ++
+        targets.flatMap { c =>
+          Seq(s"stats.col.$c.ndv" -> str(s"__ndv_$c"),
+            s"stats.col.$c.nulls" ->
+              str(s"__cnt_$c").map(n => (rows - n.toLong).toString)) ++
+            (if (orderable(df.schema(c).dataType))
+              Seq(s"stats.col.$c.min" -> str(s"__min_$c"),
+                s"stats.col.$c.max" -> str(s"__max_$c"))
+            else if (df.schema(c).dataType == StringType)
+              Seq(s"stats.col.$c.avglen" ->
+                str(s"__avglen_$c").map(d => math.ceil(d.toDouble).toLong.toString),
+                s"stats.col.$c.maxlen" -> str(s"__maxlen_$c"))
+            else Nil)
+        }.collect { case (k, Some(vv)) => k -> vv }.toMap
+    // replace the whole stats key space: stale keys from a previous
+    // analyze (dropped/renamed/unselected columns) must not linger
+    val stale = propertiesOf(spark, dir).keys
+      .filter(_.startsWith("stats.")).filterNot(computed.contains)
+      .map(_ -> (None: Option[String])).toMap
+    alterProperties(spark, dir,
+      stale ++ computed.map { case (k, vv) => k -> Some(vv) })
+    computed
   }
 
   /** Current logical column names — footer-merged data schema when data
@@ -3849,6 +3956,44 @@ object PartitionedTable {
       val rule = epochRuleOf(epochs, p)
       values.exists(v => rule.ofLiteral(v) == p)
     }.sorted
+  }
+
+  /** [[partitionsForSourceValues]] for LEVEL-partitioned tables: live
+    * composite partition values of table version `asOf` (default
+    * newest) whose LEVEL(S) derived from `srcCol` render — each
+    * combination's segment tested under ITS OWN epoch's rule for that
+    * level, the [[readWhereSrcLevels]] attribution — equal to some
+    * literal in `values`. Levels deriving from other source columns
+    * are unconstrained (the join key bounds only its own level; the
+    * residual join condition above stays the exact gate). What a
+    * runtime (join-driven) prune of the reference's bronze
+    * status×year/month layout needs when a dim joins on one level's
+    * source column. Driver-side: O(#live × #values) string
+    * truncations over manifest metadata. */
+  def partitionsForSourceValuesLevels(
+      spark: SparkSession, dir: String, srcCol: String, values: Seq[String],
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val levels = generatedLevelsOf(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no level spec declared under $dir — " +
+          "use partitionsForSourceValues for single-rule tables"))
+    val idxs = levels.indices.filter(i => levels(i).srcCol == srcCol)
+    require(idxs.nonEmpty,
+      s"PartitionedTable: no level of $dir derives from '$srcCol' " +
+        s"(levels: ${levels.map(l => s"${l.name}(${l.srcCol})").mkString(", ")})")
+    val chains = levelEpochsOf(spark, dir).get
+    manifest(spark, dir, asOf.getOrElse(vs.max)).keysIterator
+      .map(n => ExternalCatalogUtils.unescapePathName(
+        n.stripPrefix(s"$PartDir=")))
+      .filter { comp =>
+        val parts = comp.split("/", -1)
+        parts.length == levels.length && idxs.forall { i =>
+          val g = epochRuleOf(chains(i), parts(i))
+          values.exists(v => g.ofLiteral(v) == parts(i))
+        }
+      }.toSeq.sorted
   }
 
   /** Star-join partition pruning — the manifest-level analogue of

@@ -4,7 +4,7 @@ import graft.sources.{GraftRuntimePruneSpec, GraftScan}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
 
@@ -60,31 +60,70 @@ case class GraftRuntimePrune() extends Rule[LogicalPlan] with PredicateHelper {
     .getOption("spark.graft.runtimePruning.maxDimBytes")
     .map(_.toLong).getOrElse(256L << 20)
 
+  /** Share ONE cached execution of a stored dim between the pruning
+    * collect and the join (default on). */
+  private def reuseDim: Boolean = SparkSession.active.conf
+    .getOption("spark.graft.runtimePruning.reuseDim")
+    .forall(_.toBoolean)
+
   /** The fact-side scan relation exporting attribute `a` as a
     * PRUNABLE column — its partition column, or (for a generated
-    * table) its generation rule's SOURCE column, the calendar-dim
-    * star shape — not already carrying an obligation. The returned
-    * boolean is [[GraftRuntimePruneSpec.sourceKey]]. */
+    * table, single-rule or multi-level) a generation rule's SOURCE
+    * column, the calendar-dim star shape — not already carrying an
+    * obligation. The returned option is [[GraftRuntimePruneSpec
+    * .srcCol]]: None = partition-keyed, Some = source-keyed.
+    *
+    * The walk from the join down to the scan admits ONLY
+    * row-preserving-by-partition operators (the Spark DPP
+    * `getFilterableTableScan` posture): Project, Filter, and an
+    * Aggregate whose grouping keys include `a` (pruning drops WHOLE
+    * groups whose key cannot join — surviving groups keep every row,
+    * so their aggregate values are untouched). Anything else on the
+    * path — Limit, Offset, Sample, Window, Sort-with-limit, nested
+    * joins — bails out: e.g. `(SELECT * FROM fact LIMIT 100) f JOIN
+    * dim` must keep the SAME 100-row prefix the unpruned scan feeds,
+    * and pruning under the Limit would change which rows it keeps. */
   private def factScanOf(side: LogicalPlan, a: AttributeReference)
-      : Option[(DataSourceV2ScanRelation, V1ScanWrapper, GraftScan, Boolean)] =
-    side.collectFirst {
+      : Option[(DataSourceV2ScanRelation, V1ScanWrapper, GraftScan,
+        Option[String])] = {
+    @scala.annotation.tailrec
+    def walk(p: LogicalPlan): Option[DataSourceV2ScanRelation] = p match {
       case r @ DataSourceV2ScanRelation(_, w: V1ScanWrapper, _, _, _)
           if w.v1Scan.isInstanceOf[GraftScan] &&
             r.output.exists(_.exprId == a.exprId) &&
             w.v1Scan.asInstanceOf[GraftScan].runtimePrune.isEmpty =>
-        (r, w, w.v1Scan.asInstanceOf[GraftScan])
-    }.flatMap { case (r, w, gs) =>
-      if (gs.spec.partCol.contains(a.name)) Some((r, w, gs, false))
+        Some(r)
+      case pr: Project => walk(pr.child)
+      case f: Filter => walk(f.child)
+      case ag: Aggregate if ag.groupingExpressions.exists {
+            case g: AttributeReference => g.exprId == a.exprId
+            case _ => false
+          } => walk(ag.child)
+      case _ => None
+    }
+    walk(side).flatMap { r =>
+      val w = r.scan.asInstanceOf[V1ScanWrapper]
+      val gs = w.v1Scan.asInstanceOf[GraftScan]
+      if (gs.spec.partCol.contains(a.name)) Some((r, w, gs, None))
       else {
-        // generated single-rule table joined on its SOURCE column —
-        // one manifest-dir metadata read at optimize time, only
-        // reached when a graft scan matched the key's exprId
-        val src = try graft.operators.PartitionedTable
-          .generatedBy(SparkSession.active, gs.spec.dir).map(_._1)
-        catch { case scala.util.control.NonFatal(_) => None }
-        if (src.contains(a.name)) Some((r, w, gs, true)) else None
+        // generated table joined on a SOURCE column — one manifest-dir
+        // metadata read at optimize time, only reached when a graft
+        // scan matched the key's exprId. Multi-level tables admit any
+        // level's source column (the status×year star shape).
+        val spark = SparkSession.active
+        val sourceCols: Set[String] =
+          try {
+            val levels = graft.operators.PartitionedTable
+              .generatedLevelsOf(spark, gs.spec.dir)
+            levels.map(_.map(_.srcCol).toSet).getOrElse(
+              graft.operators.PartitionedTable
+                .generatedBy(spark, gs.spec.dir).map(_._1).toSet)
+          } catch { case scala.util.control.NonFatal(_) => Set.empty }
+        if (sourceCols.contains(a.name)) Some((r, w, gs, Some(a.name)))
+        else None
       }
     }
+  }
 
   /** The Spark DPP bar for "worth pruning by": some filter in the dim
     * subtree that is likely selective. */
@@ -139,10 +178,24 @@ case class GraftRuntimePrune() extends Rule[LogicalPlan] with PredicateHelper {
         }
         candidates.find { case (_, _, dim, _) => dimOk(dim) } match {
           case None => j
-          case Some(((rel, w, gs, sourceKey), keyExpr: Expression, dim,
+          case Some(((rel, w, gs, srcCol), keyExpr: Expression, dim,
               factOnLeft)) =>
+            // Execute the STORED dim once, not twice: the obligation's
+            // key-resolution collect and the join itself both read the
+            // dim — route BOTH through one cached InMemoryRelation
+            // (the collect materializes it, the join reads it), so the
+            // 256 MB-cap worst case never scans the dim's source
+            // twice. All-local dims skip the cache (their keys are
+            // already driver-materialized); any caching failure keeps
+            // the original plan on both legs — reuse is an
+            // optimization, never a dependency.
+            val dimShared: LogicalPlan =
+              if (allLocal(dim) || !reuseDim) dim
+              else try org.apache.spark.sql.graft.Bridge
+                .cachedPlanOf(SparkSession.active, dim).getOrElse(dim)
+              catch { case scala.util.control.NonFatal(_) => dim }
             val pruned = gs.copy(runtimePrune =
-              Some(GraftRuntimePruneSpec(dim, keyExpr, sourceKey)))
+              Some(GraftRuntimePruneSpec(dimShared, keyExpr, srcCol)))
             val newWrapper = new StatsV1ScanWrapper(V1ScanWrapper(
               pruned, w.handledFilters, w.pushedDownOperators))
             def rewrite(side: LogicalPlan): LogicalPlan =
@@ -150,8 +203,9 @@ case class GraftRuntimePrune() extends Rule[LogicalPlan] with PredicateHelper {
                 case r: DataSourceV2ScanRelation if r eq rel =>
                   r.copy(scan = newWrapper)
               }
-            if (factOnLeft) j.copy(left = rewrite(left))
-            else j.copy(right = rewrite(right))
+            if (factOnLeft)
+              j.copy(left = rewrite(left), right = dimShared)
+            else j.copy(left = dimShared, right = rewrite(right))
         }
     }
   }

@@ -58,11 +58,37 @@ case class GraftScanStats() extends Rule[LogicalPlan] {
   }
 }
 
+/** CBO join REORDER at a position where graft statistics are visible.
+  *
+  * Spark's own "Join Reorder" batch runs BEFORE pushdown builds the
+  * `V1ScanWrapper` that [[GraftScanStats]] upgrades (and extension
+  * hooks — "Pre CBO Rules" included — run before pushdown too), so at
+  * the built-in rule's position every graft relation still reports
+  * `defaultSizeInBytes` with no row count and the reorder always
+  * skips graft join chains. This re-runs Spark's own
+  * `CostBasedJoinReorder` in the post-pushdown user batch, where
+  * [[StatsV1ScanWrapper]] has already restored exact row counts and
+  * ANALYZE's column NDVs. Self-gating like the original: a no-op
+  * unless `spark.sql.cbo.enabled` AND `spark.sql.cbo.joinReorder
+  * .enabled`. The DP search is deterministic, so re-costing its own
+  * output reproduces it and the fixpoint batch converges. */
+case class GraftCboReorder() extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder(plan)
+}
+
 object GraftScanStats {
   /** Post-hoc installation on an externally-built session (the
-    * [[graft.Sessions.tune]] path); idempotent. */
-  def ensureInstalled(spark: SparkSession): Unit =
+    * [[graft.Sessions.tune]] path); idempotent. Installs the
+    * stats-aware join reorder with it — the two are one feature: the
+    * stats upgrade is what makes the reorder able to see graft
+    * tables. */
+  def ensureInstalled(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[GraftScanStats]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftScanStats()
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[GraftCboReorder]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftCboReorder()
+  }
 }

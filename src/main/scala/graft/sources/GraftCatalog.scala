@@ -1414,6 +1414,144 @@ object GraftCatalog {
            |FROM graft.lake.$tbl VERSION AS OF '$tag'
            |GROUP BY o_orderstatus""".stripMargin)
       agg("initial_load").unionByName(agg("migration"))
+    },
+
+    // RUNTIME (join-driven) pruning on a MULTI-LEVEL generated table,
+    // hash-gated — the reference's bronze status×date layout
+    // (ingestToBronze.py:79-84) joined the way stars actually join: a
+    // two-level fact (status prefix / order-date month, EVOLVED to day
+    // mid-history so the probe spans both epochs) joined on the DATE
+    // level's SOURCE column against an inline calendar dim. The rule
+    // attaches the dim to the scan, the scan maps the dim's surviving
+    // date keys through EACH live combination's own epoch rule at the
+    // date level (month partitions match by yyyy-MM truncation, day
+    // partitions exactly), and only matching combinations are listed —
+    // dirs-opened/inputFiles + the rule-disabled A/B are asserted in
+    // GraftRuntimePruneSpec; this entry gates exactness (the oracle
+    // recomputes closed-form from raw orders, so pruning that drops a
+    // matching combination — e.g. attributing a day partition under
+    // the month rule — breaks the hash).
+    QueryDef.sql("q119_sql_levels_join_pruned",
+      """SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate IN (TIMESTAMP '1996-03-15 00:00:00',
+        |                      TIMESTAMP '1997-02-10 00:00:00',
+        |                      TIMESTAMP '1999-05-05 00:00:00')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY o_orderstatus, CAST(o_orderdate AS DATE)""".stripMargin) { (s, dir) =>
+      val tbl = "q119_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture (two-epoch levels table + registration) cached per
+      // (JVM, dir): the entry times the runtime-pruned SQL star
+      graft.FixtureCache.once("q119", dir) {
+        val store = workDir.resolve(tbl).toString
+        graft.streaming.VersionedStore.fs(s, store)
+          .delete(new org.apache.hadoop.fs.Path(store), true)
+        val orders = Tables.orders(s, dir).select(
+          "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        // epoch 1: 1996 under status/MONTH
+        PartitionedTable.commitLevels(s, store,
+          orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          Seq(
+            PartitionedTable.GenLevel("o_orderstatus",
+              PartitionedTable.PartGen.Prefix(1), "ps"),
+            PartitionedTable.GenLevel("o_orderdate",
+              PartitionedTable.PartGen.Month, "pm")))
+        // evolve the date level to DAY; epoch 2: 1997-Q1 lands as days
+        PartitionedTable.evolveGenLevel(s, store, "pm",
+          PartitionedTable.PartGen.Day)
+        PartitionedTable.mergeLevels(s, store,
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+            .withColumn("op", lit("upsert")),
+          "o_orderkey")
+        register(s, "lake", tbl, store,
+          partCol = Some(PartitionedTable.LevelsPartName))
+      }
+      s.sql(
+        s"""SELECT f.o_orderstatus, CAST(f.o_orderdate AS DATE) AS od,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(f.o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl f
+           |JOIN (SELECT dt FROM VALUES
+           |        (TIMESTAMP '1996-03-15 00:00:00', 'keep'),
+           |        (TIMESTAMP '1997-02-10 00:00:00', 'keep'),
+           |        (TIMESTAMP '1999-05-05 00:00:00', 'keep'),
+           |        (TIMESTAMP '1996-05-01 00:00:00', 'skip') AS t(dt, flag)
+           |      WHERE flag = 'keep') d
+           |  ON f.o_orderdate = d.dt
+           |GROUP BY f.o_orderstatus, CAST(f.o_orderdate AS DATE)""".stripMargin)
+    },
+
+    // SQL `MERGE WITH SCHEMA EVOLUTION`, hash-gated against q98's exact
+    // oracle: the analyzer gates on the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability, derives the source's
+    // missing columns (o_flag), routes them through the catalog's
+    // alterTable — the same metadata-only _addcols sidecar the
+    // library's allowSchemaEvolution merge uses — and rewrites the
+    // merge against the widened schema. Only the touched 'F' partition
+    // rewrites; untouched partitions' files keep the old schema and
+    // the footer-merging read null-fills. The oracle recomputes the
+    // evolved table from source, so a leaked non-null on a kept row, a
+    // lost flag on an upserted row, or any price drift breaks the
+    // hash. The strict-mode refusal (same merge WITHOUT the clause
+    // fails analysis on the unknown target column) is spec'd in
+    // GraftWritesSpec.
+    QueryDef.sql("q120_sql_merge_schema_evolution",
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+        |              THEN 'reviewed' END AS o_flag
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(o_flag) AS BIGINT) AS n_flagged,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val tbl = "q120_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = workDir.resolve(tbl).toString
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      // base v0 (3-column orders) committed ONCE per (JVM, dir); each
+      // pass clones it metadata-only so the entry times the evolving
+      // MERGE, not a repeated full commit
+      val base = graft.FixtureCache.once("q120", dir) {
+        val b = workDir.resolve(tbl + "_base").toString
+        graft.streaming.VersionedStore.fs(s, b)
+          .delete(new org.apache.hadoop.fs.Path(b), true)
+        PartitionedTable.commit(s, b, Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          "o_orderstatus")
+        b
+      }
+      GraftCatalog.unregister("lake", tbl)
+      graft.streaming.VersionedStore.fs(s, store)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      PartitionedTable.cloneTable(s, base, store)
+      register(s, "lake", tbl, store,
+        partCol = Some("o_orderstatus"), keyCol = Some("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          lit("reviewed").as("o_flag"))
+        .createOrReplaceTempView(s"${tbl}_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.lake.$tbl AS tgt
+           |USING ${tbl}_src AS src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |   AND tgt.o_orderstatus = src.o_orderstatus
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_totalprice = src.o_totalprice, o_flag = src.o_flag""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(o_flag) AS BIGINT) AS n_flagged,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
     }
   )
 }
@@ -1506,7 +1644,15 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      // `MERGE WITH SCHEMA EVOLUTION`: the analyzer's
+      // ResolveMergeIntoSchemaEvolution gates on this capability, then
+      // routes the source's missing columns through alterTable
+      // (AddColumn) — i.e. the same metadata-only _addcols sidecar the
+      // library's allowSchemaEvolution merge uses — before rewriting
+      // the merge against the widened schema. WITHOUT the clause the
+      // strict contract stands: unknown source columns fail analysis.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   /** The table's layout contract as DSv2 transforms — hidden
     * partitioning renders as its TRANSFORMS (years/months/days/
     * truncate over the SOURCE column), not as the derived column, so
@@ -1660,11 +1806,14 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
 case class GraftRuntimePruneSpec(
     dimPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     keyExpr: org.apache.spark.sql.catalyst.expressions.Expression,
-    /** true = the join key is a generation rule's SOURCE column: the
-      * resolved dim values map through each live partition's epoch rule
-      * (the calendar-dim star shape) instead of matching partition
-      * values verbatim. */
-    sourceKey: Boolean = false)
+    /** Some(col) = the join key is a generation rule's SOURCE column
+      * `col` (single-rule table, or ANY level of a multi-level one):
+      * the resolved dim values map through each live partition's own
+      * epoch rule at that column's level(s) — the calendar-dim star
+      * shape — instead of matching partition values verbatim. */
+    srcCol: Option[String] = None) {
+  def sourceKey: Boolean = srcCol.isDefined
+}
 
 class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
@@ -1771,6 +1920,69 @@ case class GraftScan(
         maxSlices = statsCap("spark.graft.stats.maxSlicesRows"))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Persisted per-column statistics (ANALYZE's `stats.col.*` table
+    * properties, [[PartitionedTable.analyzeTable]]) for the REQUIRED
+    * columns, as the V2 column-stats map `DataSourceV2Relation
+    * .transformV2Stats` converts into catalyst `ColumnStat` —
+    * NDV/null-count/min/max feed CBO's join estimation and join
+    * REORDER (`spark.sql.cbo.enabled`). Min/max parse back to
+    * CATALYST-internal values under UTC (date → epoch days, timestamp
+    * → micros, numerics boxed); a value that fails to parse serves as
+    * absent. One driver-side props read per scan, estimates only —
+    * resolution failure = empty map, never an error. Disable with
+    * `spark.graft.stats.colStats=false` (the CBO A/B every
+    * reorder claim is tested against). */
+  private lazy val v2ColumnStats: java.util.Map[
+    org.apache.spark.sql.connector.expressions.NamedReference,
+    org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    try {
+      val spark = SparkSession.active
+      if (spark.conf.getOption("spark.graft.stats.colStats")
+        .forall(_.toBoolean)) {
+        val props = PartitionedTable.propertiesOf(spark, spec.dir)
+        def internal(s: String, dt: org.apache.spark.sql.types.DataType)
+            : Option[Object] =
+          try Option(org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(s, org.apache.spark.sql.types.StringType),
+            dt, Option("UTC")).eval(null).asInstanceOf[Object])
+          catch { case scala.util.control.NonFatal(_) => None }
+        required.fields.foreach { f =>
+          val pre = s"stats.col.${f.name}."
+          val ndv = props.get(pre + "ndv").flatMap(_.toLongOption)
+          val nulls = props.get(pre + "nulls").flatMap(_.toLongOption)
+          val mn = props.get(pre + "min").flatMap(internal(_, f.dataType))
+          val mx = props.get(pre + "max").flatMap(internal(_, f.dataType))
+          val avgL = props.get(pre + "avglen").flatMap(_.toLongOption)
+          val maxL = props.get(pre + "maxlen").flatMap(_.toLongOption)
+          if (ndv.isDefined || nulls.isDefined || mn.isDefined ||
+            mx.isDefined || avgL.isDefined || maxL.isDefined) {
+            def ol(o: Option[Long]) = o.map(util.OptionalLong.of)
+              .getOrElse(util.OptionalLong.empty())
+            def oo(o: Option[Object]) = o.map(java.util.Optional.of[Object])
+              .getOrElse(java.util.Optional.empty[Object]())
+            m.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): util.OptionalLong = ol(ndv)
+                override def nullCount(): util.OptionalLong = ol(nulls)
+                override def min(): java.util.Optional[Object] = oo(mn)
+                override def max(): java.util.Optional[Object] = oo(mx)
+                override def avgLen(): util.OptionalLong = ol(avgL)
+                override def maxLen(): util.OptionalLong = ol(maxL)
+              }): Unit
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    m
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
       estimatedBytes
@@ -1790,6 +2002,10 @@ case class GraftScan(
     override def numRows(): util.OptionalLong =
       estimatedRows.map(util.OptionalLong.of)
         .getOrElse(util.OptionalLong.empty())
+    override def columnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      v2ColumnStats
   }
 
   override def description(): String =
@@ -1890,8 +2106,12 @@ case class GraftScan(
     val runtimeVals: Option[Seq[String]] = runtimePrune match {
       case Some(rp) if rp.sourceKey =>
         resolvedRuntimeValues.flatMap { vals =>
-          try Some(PartitionedTable.partitionsForSourceValues(
-            spark, dir, vals, Some(version)))
+          try Some(
+            if (genLevels.nonEmpty)
+              PartitionedTable.partitionsForSourceValuesLevels(
+                spark, dir, rp.srcCol.get, vals, Some(version))
+            else PartitionedTable.partitionsForSourceValues(
+              spark, dir, vals, Some(version)))
           catch { case scala.util.control.NonFatal(_) => None }
         }
       case Some(_) if genRouted.isEmpty => resolvedRuntimeValues

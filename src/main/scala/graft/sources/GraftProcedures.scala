@@ -33,7 +33,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("vacuum", "vacuum_retain", "optimize", "restore", "clone",
-      "create_like")
+      "create_like", "analyze")
 
   def load(name: String): UnboundProcedure = name match {
     case "vacuum" => Vacuum
@@ -42,6 +42,7 @@ object GraftProcedures {
     case "restore" => Restore
     case "clone" => Clone
     case "create_like" => CreateLike
+    case "analyze" => Analyze
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure $other — have ${names.mkString(", ")}")
   }
@@ -238,11 +239,25 @@ object GraftProcedures {
       val props = new java.util.HashMap[String, String]()
       props.put("location", location)
       spec.keyCol.foreach(k => props.put("keycol", k))
+      // strip the SOURCE'S OWN derived names before handing the read
+      // schema to createTable: planTable only strips the canonical
+      // names IT regenerates (part_<gen>, part_levels), so a source
+      // registered via the library with custom derived names (e.g.
+      // GenLevel(..., "pm")) would otherwise land 'pm' as an ordinary
+      // string DATA column next to the target's fresh part_month —
+      // silently diverging the layout contract
+      val srcDerived: Set[String] =
+        PartitionedTable.generatedLevelsOf(spark, spec.dir)
+          .map(ls => ls.map(_.name).toSet + PartitionedTable.LevelsPartName)
+          .getOrElse(
+            PartitionedTable.generatedBy(spark, spec.dir).map(_._3).toSet)
+      val srcSchema = org.apache.spark.sql.types.StructType(
+        src.schema().fields.filterNot(f => srcDerived.contains(f.name)))
       // the catalog's own CREATE path: binds transforms, strips derived
       // columns, declares the empty table, registers the identifier
       new GraftCatalog().createTable(
         Identifier.of(Array(tparts(0)), tparts(1)),
-        src.schema(), src.partitioning(), props): Unit
+        srcSchema, src.partitioning(), props): Unit
       val constraints = PartitionedTable.constraintsOf(spark, spec.dir)
       constraints.foreach { case (n, sql) =>
         PartitionedTable.addConstraint(spark, location, n, sql)
@@ -250,8 +265,41 @@ object GraftProcedures {
       result(
         ("target", StringType, s"graft.$target"),
         ("location", StringType, location),
-        ("n_columns", IntegerType, src.schema().length),
+        ("n_columns", IntegerType, srcSchema.length),
         ("n_constraints", IntegerType, constraints.size))
+    }
+  }
+
+  /** `CALL graft.system.analyze(table => 'db.t' [, columns => 'a,b'])`
+    * — the ANALYZE TABLE ... COMPUTE STATISTICS front door: one
+    * aggregation job computes row count + per-column NDV/null-count/
+    * min/max ([[PartitionedTable.analyzeTable]]) and persists them as
+    * `stats.*` table properties, which [[GraftScan]] serves to the
+    * planner (`columnStats()` → CBO join estimation/reorder under
+    * `spark.sql.cbo.enabled`) and `DESCRIBE EXTENDED` shows operators.
+    * Explicit and re-runnable: re-ANALYZE after a large load replaces
+    * the whole stats key space. */
+  private object Analyze extends GraftProcedure("analyze",
+    Seq(param("table", StringType),
+      ProcedureParameter.in("columns", StringType)
+        .defaultValue("''").build())) {
+    override def description(): String =
+      "compute row count + per-column NDV/nulls/min/max in one job and " +
+        "persist them as stats.* table properties (planner CBO + " +
+        "DESCRIBE EXTENDED). columns => 'a,b' restricts the column set"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val cols = Option(input.getUTF8String(1)).map(_.toString)
+        .filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val stats = PartitionedTable.analyzeTable(spark, spec.dir, cols)
+      result(
+        ("analyzed_version", LongType, stats("stats.version").toLong),
+        ("n_rows", LongType, stats("stats.rows").toLong),
+        ("n_columns", IntegerType,
+          stats.keys.count(_.endsWith(".ndv"))))
     }
   }
 

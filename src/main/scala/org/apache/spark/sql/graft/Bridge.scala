@@ -39,6 +39,26 @@ object Bridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 
+  /** Persist `plan` through the session cache manager and return its
+    * [[org.apache.spark.sql.execution.columnar.InMemoryRelation]]
+    * (output re-aliased to the plan's own exprIds) — the reuse seam
+    * the runtime-prune rule needs so the dim executes ONCE: the
+    * key-resolution collect materializes the cache and the join reads
+    * it, instead of scanning the stored dim twice. Lazy (nothing
+    * computes until the first action); `CacheManager` is
+    * `private[sql]`. None = caching unavailable (unsupported plan) —
+    * callers keep the original plan. */
+  def cachedPlanOf(
+      spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val df = classic.Dataset.ofRows(cs, plan)
+    val cm = cs.sharedState.cacheManager
+    if (cm.lookupCachedData(df).isEmpty)
+      cm.cacheQuery(df, None,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cm.lookupCachedData(df).map(_.cachedRepresentation.withOutput(plan.output))
+  }
+
   /** Re-tag a batch frame as a STREAMING frame — what a V1 streaming
     * `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`), built exactly the way Spark's own

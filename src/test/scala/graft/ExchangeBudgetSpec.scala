@@ -208,6 +208,20 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                              // data shuffle) into one grouped agg;
                              // both merges' work lives in the
                              // batch-sized delta jobs
+    "q116_sql_join_pruned" -> 1, // runtime-pruned 5-of-25-partition
+                                 // scan + broadcast dim join into one
+                                 // grouped agg; the dim's key
+                                 // resolution is a driver-side collect
+                                 // of the CACHED dim, not a shuffle
+    "q119_sql_levels_join_pruned" -> 1, // level-epoch runtime-pruned
+                                        // combination scan + broadcast
+                                        // VALUES dim into one grouped
+                                        // agg
+    "q120_sql_merge_schema_evolution" -> 1, // one footer-merged
+                                            // evolved-version scan into
+                                            // one grouped agg; the
+                                            // evolving MERGE's rewrite
+                                            // lives in the commit job
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

@@ -83,6 +83,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q101_mor_upserts", // chained delta folds + tombstones, any layout
     "q116_sql_join_pruned", // runtime dim-key manifest pruning, any fan-out
     "q118_sql_tag_travel", // tag-resolved versions, any fan-out
+    "q119_sql_levels_join_pruned", // level-epoch dim-key pruning, any fan-out
+    "q120_sql_merge_schema_evolution", // SQL-evolving merge, any fan-out
     "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 
   test("results are identical under shuffle partition counts 3, 7, 16") {

@@ -222,6 +222,172 @@ class GraftRuntimePruneSpec extends SparkSpec {
     GraftCatalog.unregister("rtp", "cal")
   }
 
+  test("row-selecting operators above the fact block pruning: LIMIT/window shapes keep the unpruned scan") {
+    import spark.implicits._
+    val dir = freshStore("graftrtpl")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "lim", dir, partCol = Some("part"))
+    Seq(("p1", "keep"), ("p3", "keep")).toDF("pk", "grp")
+      .createOrReplaceTempView("rtpl_dim")
+
+    // LIMIT above the fact: pruning under it would change WHICH rows
+    // the limit keeps — the scan must stay unpruned (the Spark DPP
+    // PhysicalOperation posture)
+    val limited = spark.sql(
+      """SELECT count(*) FROM
+        |  (SELECT * FROM graft.rtp.lim ORDER BY k LIMIT 100) f
+        |JOIN rtpl_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
+    assert(scanOf(limited).runtimePrune.isEmpty,
+      "a Limit between the join and the scan must block pruning")
+    // the unpruned semantics: the first 100 rows by k hold parts
+    // p0..p9 evenly → 20 match p1/p3
+    assert(limited.head.getLong(0) === 20L)
+
+    // window function above the fact: row_number computed over the
+    // FULL table must not see a pruned input
+    val windowed = spark.sql(
+      """SELECT count(*) FROM
+        |  (SELECT part, row_number() OVER (ORDER BY k) AS rn
+        |   FROM graft.rtp.lim) f
+        |JOIN rtpl_dim d ON f.part = d.pk
+        |WHERE d.grp = 'keep' AND f.rn <= 100""".stripMargin)
+    assert(scanOf(windowed).runtimePrune.isEmpty,
+      "a Window between the join and the scan must block pruning")
+    assert(windowed.head.getLong(0) === 20L)
+
+    // ...while a grouping AGGREGATE on the partition key is safe
+    // (pruning drops whole groups the join discards anyway) and prunes
+    val agged = spark.sql(
+      """SELECT count(*) FROM
+        |  (SELECT part, sum(v) AS sv FROM graft.rtp.lim GROUP BY part) f
+        |JOIN rtpl_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
+    assert(scanOf(agged).runtimePrune.isDefined,
+      "an aggregate grouped BY the join key keeps pruning")
+    assert(agged.head.getLong(0) === 2L)
+  }
+
+  test("multi-level fact joined on a level's SOURCE column prunes combinations across epochs") {
+    import spark.implicits._
+    val dir = freshStore("graftrtpml")
+    // epoch 1: status(prefix1) × MONTH over 1996-01..1996-04
+    val rows = spark.range(400).select(
+      col("id").as("k"),
+      concat(lit("S"), (col("id") % 2).cast("string")).as("st"),
+      to_date(concat(lit("1996-0"), ((col("id") % 4) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, rows, Seq(
+      PartitionedTable.GenLevel("st", PartitionedTable.PartGen.Prefix(2), "ps"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "pm")))
+    // evolve the date level to DAY; epoch 2 lands day-grained combos
+    PartitionedTable.evolveGenLevel(spark, dir, "pm",
+      PartitionedTable.PartGen.Day)
+    PartitionedTable.mergeLevels(spark, dir,
+      Seq((9001L, "S0", java.sql.Date.valueOf("1996-08-02"), 1L, "upsert"),
+        (9002L, "S1", java.sql.Date.valueOf("1996-08-03"), 2L, "upsert"))
+        .toDF("k", "st", "d", "v", "op"), "k")
+    GraftCatalog.register(spark, "rtp", "ml", dir,
+      partCol = Some(PartitionedTable.LevelsPartName))
+    Seq((java.sql.Date.valueOf("1996-02-15"), "keep"),
+      (java.sql.Date.valueOf("1996-08-02"), "keep"),
+      (java.sql.Date.valueOf("1996-03-15"), "skip"))
+      .toDF("cal_d", "kind").createOrReplaceTempView("rtpml_dim")
+
+    val sql =
+      """SELECT f.st, f.d, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.ml f
+        |JOIN rtpml_dim c ON f.d = c.cal_d
+        |WHERE c.kind = 'keep'
+        |GROUP BY f.st, f.d""".stripMargin
+    val df = spark.sql(sql)
+    val rowsOut = df.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // st = id%2 and month = id%4+1 correlate: even ids (S0) land in
+    // months 01/03, odd (S1) in 02/04 — so 1996-02 is all-S1
+    assert(rowsOut === Seq(("S0", "1996-08-02", 1L),
+      ("S1", "1996-02-15", 100L)))
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.exists(_.srcCol.contains("d")),
+      "a level-source join key must attach a SOURCE-keyed obligation")
+    // only the matching combinations are opened: both statuses of the
+    // month-epoch 1996-02, and the day-epoch S0/1996-08-02 — never the
+    // other months, and the 'skip' date never reaches the values
+    // inputFiles renders the dir's escaped '/' ("%2F") URI-escaped
+    // again → "%252F" (the GraftCatalogSpec levels assertions' form)
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("=S1%252F1996-02") || f.contains("=S0%252F1996-08-02")),
+      s"level-epoch pruning opened a non-matching combination: ${files.mkString("\n")}")
+
+    // A/B: rule disabled → identical rows
+    spark.conf.set("spark.graft.runtimePruning.enabled", "false")
+    try {
+      val ab = spark.sql(sql)
+      assert(ab.collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq === rowsOut)
+      assert(scanOf(ab).buildDf(spark).inputFiles.length > files.length,
+        "the unpruned scan reads every live combination")
+    } finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+    GraftCatalog.unregister("rtp", "ml")
+  }
+
+  test("a stored dim executes ONCE: the pruning collect and the join share one InMemoryRelation") {
+    import spark.implicits._
+    val dir = freshStore("graftrtpr")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "reuse", dir, partCol = Some("part"))
+    val dimPq = Files.createTempDirectory("graftrtprd").toString + "/d"
+    Seq(("p2", "keep"), ("p5", "keep"), ("p7", "drop")).toDF("pk", "grp")
+      .write.parquet(dimPq)
+    spark.read.parquet(dimPq).createOrReplaceTempView("rtpr_dim")
+    val sql =
+      """SELECT f.part, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.reuse f
+        |JOIN rtpr_dim d ON f.part = d.pk
+        |WHERE d.grp = 'keep'
+        |GROUP BY f.part""".stripMargin
+
+    val df = spark.sql(sql)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(("p2", 100L), ("p5", 100L)))
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.isDefined)
+    assert(scan.resolvedRuntimeValues === Some(Seq("p2", "p5")))
+    // BOTH consumers read the one cache: the obligation's dim plan IS
+    // an InMemoryRelation (the collect materializes it)...
+    assert(scan.runtimePrune.get.dimPlan.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryRelation],
+      s"obligation must hold the cached dim: ${scan.runtimePrune.get.dimPlan}")
+    // ...and the join's dim side scans the cache, not the parquet
+    def hasImts(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          true
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasImts(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasImts(q.plan)
+      }.contains(true)
+    assert(hasImts(df.queryExecution.executedPlan),
+      s"join must read the cached dim: ${df.queryExecution.executedPlan}")
+
+    // A/B: reuse off → same rows, same pruning, dim scanned per leg
+    spark.conf.set("spark.graft.runtimePruning.reuseDim", "false")
+    try {
+      val ab = spark.sql(sql)
+      assert(ab.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq === rows)
+      val abScan = scanOf(ab)
+      assert(abScan.resolvedRuntimeValues === Some(Seq("p2", "p5")))
+      assert(!abScan.runtimePrune.get.dimPlan.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    } finally spark.conf.unset("spark.graft.runtimePruning.reuseDim")
+    GraftCatalog.unregister("rtp", "reuse")
+  }
+
   test("semi joins prune too, and the fact may sit on the JOIN's right for inner") {
     import spark.implicits._
     val dir = freshStore("graftrtps")

@@ -194,6 +194,136 @@ class GraftScanStatsSpec extends SparkSpec {
     assert(spark.sql(joinSql).count() === 40L)
   }
 
+  test("ANALYZE persists column statistics; the scan serves them to the planner as catalyst ColumnStat") {
+    GraftScanStats.ensureInstalled(spark)
+    val dir = freshStore("graftcolstats")
+    PartitionedTable.commit(spark, dir, table(1000), "part")
+    GraftCatalog.register(spark, "cstats", "t", dir, partCol = Some("part"))
+    val stats = PartitionedTable.analyzeTable(spark, dir)
+    assert(stats("stats.rows") === "1000")
+    assert(stats.contains("stats.col.k.ndv") &&
+      stats("stats.col.k.min") === "0" && stats("stats.col.k.max") === "999")
+    assert(stats.contains("stats.col.part.avglen"),
+      "string columns carry length stats instead of min/max")
+    // DESCRIBE EXTENDED surfaces them (the properties merge)
+    val described = spark.sql("DESCRIBE TABLE EXTENDED graft.cstats.t")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(described.contains("stats.col.k.ndv"), described)
+
+    // the scan serves them as V2 column stats...
+    val scan = scanOf(spark.sql("SELECT k, v FROM graft.cstats.t"))
+    val cs = scan.estimateStatistics().columnStats()
+    assert(!cs.isEmpty, "required columns with stats must serve ColumnStatistics")
+    val kStat = cs.entrySet().iterator().next()
+    assert(cs.size() === 2, s"k and v both analyzed: $cs")
+    val _ = kStat
+    // ...and CBO turns them into catalyst attributeStats on the relation
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = spark.sql("SELECT k, v FROM graft.cstats.t")
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        }.getOrElse(fail("no V2 scan relation"))
+      val attrStats = rel.stats.attributeStats
+      assert(attrStats.nonEmpty, "transformV2Stats must map columnStats")
+      val k = attrStats.toSeq.find(_._1.name == "k").map(_._2)
+        .getOrElse(fail(s"no ColumnStat for k: $attrStats"))
+      assert(k.distinctCount.exists(_.toLong > 900L),
+        s"HLL NDV of 1000 distinct keys: ${k.distinctCount}")
+      assert(k.min.contains(0L) && k.max.contains(999L),
+        s"min/max as catalyst values: ${k.min}/${k.max}")
+      // the A/B gate: colStats off → the same scan serves nothing
+      spark.conf.set("spark.graft.stats.colStats", "false")
+      val off = scanOf(spark.sql("SELECT k, v FROM graft.cstats.t"))
+      assert(off.estimateStatistics().columnStats().isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.graft.stats.colStats")
+    }
+    GraftCatalog.unregister("cstats", "t")
+  }
+
+  test("negative control: CBO join REORDER changes the join tree with column stats on vs off; rows identical") {
+    GraftScanStats.ensureInstalled(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+    // fact(20k): kb spans 2000 values, kc spans 1000; dim b(2000) on kb,
+    // dim c(10) on kc → F⋈C is ~200 rows, F⋈B ~20k. Written F⋈B⋈C, a
+    // cost-based reorder must join the selective C first — and that
+    // decision needs the keys' NDVs, i.e. the ANALYZE column stats.
+    val fDir = freshStore("graftcbof")
+    val bDir = freshStore("graftcbob")
+    val cDir = freshStore("graftcboc")
+    PartitionedTable.commit(spark, fDir, spark.range(20000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      (col("id") % 2000).as("kb"), (col("id") % 1000).as("kc")), "part")
+    PartitionedTable.commit(spark, bDir, spark.range(2000).select(
+      col("id").as("kb"), lit("all").as("part"),
+      concat(lit("b"), col("id")).as("bn")), "part")
+    PartitionedTable.commit(spark, cDir, spark.range(10).select(
+      col("id").as("kc"), lit("all").as("part"),
+      concat(lit("c"), col("id")).as("cn")), "part")
+    Seq(("f", fDir), ("b", bDir), ("c", cDir)).foreach { case (n, d) =>
+      GraftCatalog.register(spark, "cbo", n, d, partCol = Some("part"))
+      PartitionedTable.analyzeTable(spark, d)
+    }
+    val sql =
+      """SELECT f.k, b.bn, c.cn
+        |FROM graft.cbo.f f
+        |JOIN graft.cbo.b b ON f.kb = b.kb
+        |JOIN graft.cbo.c c ON f.kc = c.kc""".stripMargin
+    def bottomJoinDirs(q: String): Set[String] = {
+      val plan = spark.sql(q).queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.size === 2, s"expected a 2-join chain: $plan")
+      joins.last.collect {
+        case r: DataSourceV2ScanRelation => r.scan match {
+          case w: V1ScanWrapper =>
+            w.v1Scan.asInstanceOf[GraftScan].spec.dir
+        }
+      }.toSet
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val withStats = bottomJoinDirs(sql)
+      assert(withStats === Set(fDir, cDir),
+        s"with stats the reorder joins the selective dim first: $withStats")
+      // the ANALYZE NDVs drive the cardinality: the reordered chain's
+      // estimated row count is ~|F|·|C|/ndv(kc) = 200 (HLL tolerance)
+      val est = spark.sql(sql).queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r.toLong > 120L && r.toLong < 320L),
+        s"NDV-driven join cardinality must be ~200: $est")
+      // NEGATIVE CONTROL: statistics off (row/byte estimation capped
+      // out, column stats disabled) → reorder has nothing to cost,
+      // the syntactic order stands
+      spark.conf.set("spark.graft.stats.colStats", "false")
+      spark.conf.set("spark.graft.stats.maxSlicesRows", "0")
+      spark.conf.set("spark.graft.stats.maxSlicesBytes", "0")
+      val withoutStats = bottomJoinDirs(sql)
+      assert(withoutStats === Set(fDir, bDir),
+        s"without statistics the syntactic order stands: $withoutStats")
+      // statistics may never change results
+      spark.conf.unset("spark.graft.stats.colStats")
+      spark.conf.unset("spark.graft.stats.maxSlicesRows")
+      spark.conf.unset("spark.graft.stats.maxSlicesBytes")
+      val on = spark.sql(sql).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val off = spark.sql(sql).collect().map(_.toString).sorted
+      assert(on.toSeq === off.toSeq && on.length === 200,
+        s"reorder must be plan-only: ${on.length} vs ${off.length}")
+    } finally {
+      spark.conf.unset("spark.graft.stats.colStats")
+      spark.conf.unset("spark.graft.stats.maxSlicesRows")
+      spark.conf.unset("spark.graft.stats.maxSlicesBytes")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    Seq("f", "b", "c").foreach(GraftCatalog.unregister("cbo", _))
+  }
+
   test("rule is idempotent and leaves non-graft scans alone") {
     GraftScanStats.ensureInstalled(spark)
     GraftScanStats.ensureInstalled(spark)

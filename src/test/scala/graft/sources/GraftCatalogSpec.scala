@@ -101,6 +101,13 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM graft.t.tagged VERSION AS OF 'pre_migration'").collect())
     assert(e.getMessage.contains("no retained commit"), s"got: ${e.getMessage}")
+    // a PURELY-NUMERIC tag is refused at COMMIT time: `VERSION AS OF
+    // '5'` resolves quoted numerics as manifest versions first, so a
+    // commit tagged '5' would quietly never be readable by name
+    val en = intercept[IllegalArgumentException](PartitionedTable.merge(
+      spark, dir, Seq((502L, "p0", 3L, "upsert")).toDF("k", "part", "v", "op"),
+      "k", "part", at = "5"))
+    assert(en.getMessage.contains("purely numeric"), s"got: ${en.getMessage}")
     GraftCatalog.unregister("t", "tagged")
   }
 

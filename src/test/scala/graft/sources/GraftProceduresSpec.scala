@@ -29,6 +29,36 @@ class GraftProceduresSpec extends SparkSpec {
         Seq((i.toLong, "p0", i * 10L)).toDF("k", "part", "v"), "part")
     }
 
+  test("CALL analyze computes and persists statistics; DESCRIBE EXTENDED shows them; re-analyze replaces the key space") {
+    val (dir, t) = fresh()
+    PartitionedTable.commit(spark, dir,
+      spark.range(100).select(col("id").as("k"),
+        concat(lit("p"), (col("id") % 2).cast("string")).as("part"),
+        (col("id") % 10).as("v")), "part")
+    val row = spark.sql(
+      s"CALL graft.system.analyze(table => '$t')").collect().head
+    assert(row.getLong(0) === 0L, "analyzed_version")
+    assert(row.getLong(1) === 100L, "n_rows")
+    assert(row.getInt(2) === 3, "k, part, v all analyzed")
+    val props = PartitionedTable.propertiesOf(spark, dir)
+    assert(props("stats.rows") === "100")
+    assert(props("stats.col.v.min") === "0" && props("stats.col.v.max") === "9")
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED graft.$t").collect()
+      .map(_.mkString("|")).mkString("\n").contains("stats.col.k.ndv"))
+    // re-analyze restricted to one column REPLACES the stats key space
+    // (stale per-column keys must not linger)
+    spark.sql(s"CALL graft.system.analyze(table => '$t', columns => 'k')")
+      .collect()
+    val props2 = PartitionedTable.propertiesOf(spark, dir)
+    assert(props2.contains("stats.col.k.ndv") &&
+      !props2.keys.exists(_.startsWith("stats.col.v.")),
+      s"stale stats keys lingered: ${props2.keys.filter(_.startsWith("stats."))}")
+    // unknown columns fail loud
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.analyze(table => '$t', columns => 'nope')").collect())
+    assert(e.getMessage.contains("nope"), s"got: ${e.getMessage}")
+  }
+
   test("CALL vacuum drops all but the newest <keep> versions and reports the GC") {
     val (dir, t) = fresh()
     commitN(dir, 4) // v0..v3

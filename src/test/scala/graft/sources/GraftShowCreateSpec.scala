@@ -142,4 +142,43 @@ class GraftShowCreateSpec extends SparkSpec {
         "(-1, 'X', TIMESTAMP '1997-02-01 00:00:00', 1)").collect())
     Seq("src", "dst").foreach(n => GraftCatalog.unregister("sct", n))
   }
+
+  test("create_like strips the source's CUSTOM derived level names — they never land as data columns in the target") {
+    ensureCatalog()
+    val base = Files.createTempDirectory("graftsctl2").toString
+    val src = s"$base/src"
+    // library-registered source with NON-canonical derived names:
+    // planTable only strips the canonical names it regenerates, so
+    // without the procedure-side strip 'ps'/'pm' would become ordinary
+    // string data columns in the target
+    PartitionedTable.commitLevels(spark, src,
+      spark.range(4).select(col("id").as("k"),
+        concat(lit("S"), (col("id") % 2).cast("string")).as("st"),
+        to_date(lit("1996-01-15")).as("d")),
+      Seq(
+        PartitionedTable.GenLevel("st",
+          PartitionedTable.PartGen.Prefix(2), "ps"),
+        PartitionedTable.GenLevel("d",
+          PartitionedTable.PartGen.Month, "pm")))
+    GraftCatalog.register(spark, "sct", "csrc", src,
+      partCol = Some(PartitionedTable.LevelsPartName))
+    val summary = spark.sql(
+      s"""CALL graft.system.create_like(table => 'sct.csrc',
+         |target => 'sct.cdst', location => '$base/dst')""".stripMargin)
+      .collect().head
+    assert(summary.getInt(2) === 3,
+      s"n_columns must count DATA columns only, got ${summary.getInt(2)}")
+    val cols = spark.table("graft.sct.cdst").schema.fieldNames.toSet
+    assert(!cols.contains("ps") && !cols.contains("pm") &&
+      !cols.contains(PartitionedTable.LevelsPartName),
+      s"derived names leaked into the target as data columns: $cols")
+    assert(Set("k", "st", "d").subsetOf(cols), s"got $cols")
+    // the layout contract is live: an INSERT ships only source columns
+    // and the engine derives both levels
+    spark.sql("INSERT INTO graft.sct.cdst VALUES " +
+      "(9, 'S1X', DATE '1997-02-01')")
+    assert(PartitionedTable.partitionValues(spark, s"$base/dst")
+      === Seq("S1/1997-02"))
+    Seq("csrc", "cdst").foreach(n => GraftCatalog.unregister("sct", n))
+  }
 }

@@ -94,6 +94,42 @@ class GraftWritesSpec extends SparkSpec {
       msgs(ex).mkString(" | "))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens through alterTable; without the clause the strict contract refuses the unknown column") {
+    val dir = freshStore()
+    PartitionedTable.commit(spark, dir, table(10), "part")
+    val t = reg(dir)
+    spark.range(2).select((col("id") * 4).as("k"), lit("p0").as("part"),
+      lit(7L).as("v"), lit("x").as("tag"))
+      .createOrReplaceTempView("mse_src")
+    // STRICT: an explicit assignment to a column the target lacks must
+    // fail analysis (the clause is the ONLY schema-evolution switch)
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $t tgt USING mse_src src
+         |ON tgt.k = src.k AND tgt.part = src.part
+         |WHEN MATCHED THEN UPDATE SET v = src.v, tag = src.tag""".stripMargin))
+    assert(e.getMessage.contains("tag") ||
+      e.getMessage.toLowerCase.contains("resolve"), s"got: ${e.getMessage}")
+    assert(!PartitionedTable.read(spark, dir).columns.contains("tag"),
+      "a refused merge must not leave a half-evolved schema")
+    // EVOLVING: the clause routes the missing column through the
+    // catalog's alterTable (the _addcols sidecar — one metadata write,
+    // zero data movement on untouched partitions) and the merge lands
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t tgt USING mse_src src
+         |ON tgt.k = src.k AND tgt.part = src.part
+         |WHEN MATCHED THEN UPDATE SET v = src.v, tag = src.tag""".stripMargin)
+    assert(PartitionedTable.addedColumnsOf(spark, dir).exists(_._1 == "tag"),
+      "the evolution must ride the add-column catalog, not a rewrite")
+    val rows = spark.sql(s"SELECT k, v, tag FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.filter(_._3.isDefined).map(_._1).toSeq === Seq(0L, 4L),
+      s"exactly the matched keys carry the new column: ${rows.mkString(",")}")
+    assert(rows.collect { case (k, v, Some(_)) => (k, v) }.toSeq
+      === Seq((0L, 7L), (4L, 7L)))
+    assert(rows.collect { case (k, v, None) => k -> v }.forall {
+      case (k, v) => v === k * 10 })
+  }
+
   test("MERGE INTO through spark.sql equals the library MergeInto commit-for-commit") {
     import spark.implicits._
     val sqlDir = freshStore(); val libDir = freshStore()
@@ -391,6 +427,41 @@ class GraftWritesSpec extends SparkSpec {
     assert(et.getMessage.toLowerCase.contains("default"),
       s"got: ${et.getMessage}")
     GraftCatalog.unregister("w", "defs")
+  }
+
+  test("ADD COLUMN DEFAULT persists the FOLDED literal: time-dependent expressions pin their add-time value; column references are refused") {
+    val base = Files.createTempDirectory("graftdeffold").toString
+    val dir = s"$base/t"
+    PartitionedTable.commit(spark, dir,
+      spark.range(3).select(col("id").as("k"), lit("p0").as("part")), "part")
+    // current_date() is foldable AND deterministic in catalyst terms
+    // (a per-query constant) — but the sidecar SQL re-evaluates on
+    // EVERY read, so the raw expression would fill pre-add rows with a
+    // different value each day. The persisted default must be the
+    // folded DATE literal of the ADD day.
+    PartitionedTable.addColumn(spark, dir, "since",
+      org.apache.spark.sql.types.DateType, Some("current_date()"))
+    val persisted = PartitionedTable.addedColumnsWithDefaultsOf(spark, dir)
+      .collectFirst { case ("since", _, d) => d }.flatten
+    assert(persisted.exists(_.startsWith("DATE '")),
+      s"must persist a folded DATE literal, got: $persisted")
+    assert(!persisted.exists(_.toLowerCase.contains("current")),
+      s"raw time-dependent SQL must never persist: $persisted")
+    val today = java.time.LocalDate.now().toString
+    assert(PartitionedTable.read(spark, dir).select("since").distinct()
+      .collect().map(_.getDate(0).toString).toSeq === Seq(today))
+    // a default referencing a column must fail analysis (the probe is
+    // a zero-column relation — spark.range's `id` is not visible)
+    val er = intercept[Exception](PartitionedTable.addColumn(spark, dir,
+      "r", org.apache.spark.sql.types.LongType, Some("id")))
+    assert(er.getMessage.contains("id") ||
+      er.getMessage.toLowerCase.contains("resolve"),
+      s"got: ${er.getMessage}")
+    // a plain literal folds to itself (byte-identical to the old path)
+    PartitionedTable.addColumn(spark, dir, "badge",
+      org.apache.spark.sql.types.StringType, Some("'legacy'"))
+    assert(PartitionedTable.addedColumnsWithDefaultsOf(spark, dir)
+      .collectFirst { case ("badge", _, d) => d }.flatten === Some("'legacy'"))
   }
 
   test("DataFrameWriterV2 surface: writeTo append / create / createOrReplace bind the same legs") {
