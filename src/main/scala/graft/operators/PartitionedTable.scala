@@ -3018,40 +3018,48 @@ object PartitionedTable {
       throw new IllegalArgumentException(
         s"PartitionedTable: no level spec declared under $dir — " +
           "use merge() with an explicit partition column"))
-    // spec-evolution guard (the mergeGenerated contract, level-wise):
-    // the merge derives every level with its CURRENT rule, so a change
-    // row whose key still lives in a combination rendered under ANY
-    // pre-evolution epoch mix would land as a duplicate next to the
-    // stale row. Candidate composites = the cross product of per-level
-    // epoch renderings minus the all-current one — a handful of
-    // batch-sized distinct jobs (epoch chains are short by
-    // construction). Migrate clashing combinations first, or merge
-    // with an explicit partition column.
-    val chains = levelEpochsOf(spark, dir).get
-    if (chains.exists(_.size > 1)) {
-      val liveVals = partitionValues(spark, dir).toSet
-      val combos = chains.indices.foldLeft(Seq(Seq.empty[PartGen])) {
-        (acc, i) => acc.flatMap(pre => chains(i).map(pre :+ _))
-      }.filterNot(_ == chains.map(_.last)) // all-current derives fresh
-      combos.foreach { combo =>
-        val comp = concat_ws("/", levels.indices.map(i =>
-          combo(i).expr(col(levels(i).srcCol))): _*)
-        val clash = changes.select(comp.as("p")).distinct()
-          .collect().map(_.getString(0))
-          .filter(p => p != null && liveVals.contains(p))
-        require(clash.isEmpty,
-          s"PartitionedTable: keyed merge into evolved level table $dir " +
-            s"would shadow pre-evolution combination(s) " +
-            s"${clash.sorted.mkString(", ")} (epochs " +
-            s"${combo.map(_.name).mkString("/")}) — migrate them to the " +
-            "current spec before keyed merges, or merge with an explicit " +
-            "partition column")
-      }
-    }
+    guardLevelShadow(spark, dir, changes)
     merge(spark, dir, withLevelCols(changes, levels), keyCol, LevelsPartName,
       opCol, statsCols, allowSchemaEvolution, at,
       bloomCols = bloomCols, bloomBits = bloomBits,
       sinceVersion = sinceVersion)
+  }
+
+  /** Spec-evolution guard for KEYED writes into a level table (the
+    * mergeGenerated contract, level-wise) — shared by [[mergeLevels]]
+    * and the streaming sink's upsert leg: the write derives every
+    * level with its CURRENT rule, so a change row whose key still
+    * lives in a combination rendered under ANY pre-evolution epoch mix
+    * would land as a duplicate next to the stale row. Candidate
+    * composites = the cross product of per-level epoch renderings
+    * minus the all-current one — a handful of batch-sized distinct
+    * jobs (epoch chains are short by construction); a NO-OP on
+    * never-evolved tables and non-level tables. Migrate clashing
+    * combinations first, or merge with an explicit partition column.
+    * `changes` must carry the levels' SOURCE columns. */
+  private[graft] def guardLevelShadow(
+      spark: SparkSession, dir: String, changes: DataFrame): Unit = {
+    val levels = generatedLevelsOf(spark, dir).getOrElse(return)
+    val chains = levelEpochsOf(spark, dir).get
+    if (!chains.exists(_.size > 1)) return
+    val liveVals = partitionValues(spark, dir).toSet
+    val combos = chains.indices.foldLeft(Seq(Seq.empty[PartGen])) {
+      (acc, i) => acc.flatMap(pre => chains(i).map(pre :+ _))
+    }.filterNot(_ == chains.map(_.last)) // all-current derives fresh
+    combos.foreach { combo =>
+      val comp = concat_ws("/", levels.indices.map(i =>
+        combo(i).expr(col(levels(i).srcCol))): _*)
+      val clash = changes.select(comp.as("p")).distinct()
+        .collect().map(_.getString(0))
+        .filter(p => p != null && liveVals.contains(p))
+      require(clash.isEmpty,
+        s"PartitionedTable: keyed merge into evolved level table $dir " +
+          s"would shadow pre-evolution combination(s) " +
+          s"${clash.sorted.mkString(", ")} (epochs " +
+          s"${combo.map(_.name).mkString("/")}) — migrate them to the " +
+          "current spec before keyed merges, or merge with an explicit " +
+          "partition column")
+    }
   }
 
   /** Source-column range probes over a level-partitioned table. Each

@@ -105,9 +105,16 @@ class GraftStreamingWrite(
         if (PartitionedTable.latest(spark, spec.dir).isEmpty)
           PartitionedTable.commitStream(spark, spec.dir, prepared, pc,
             queryId, epochId): Unit
-        else PartitionedTable.mergeStream(spark, spec.dir,
-          prepared.withColumn("op", lit("upsert")), key, pc,
-          queryId, epochId): Unit
+        else {
+          // keyed upserts into a LEVEL table inherit the batch
+          // mergeLevels contract: a mid-stream spec evolution must not
+          // let a batch shadow a pre-evolution combination — fail the
+          // epoch loud (no-op on never-evolved tables)
+          PartitionedTable.guardLevelShadow(spark, spec.dir, prepared)
+          PartitionedTable.mergeStream(spark, spec.dir,
+            prepared.withColumn("op", lit("upsert")), key, pc,
+            queryId, epochId): Unit
+        }
       } else
         PartitionedTable.appendStream(spark, spec.dir, prepared, pc,
           queryId, epochId): Unit
