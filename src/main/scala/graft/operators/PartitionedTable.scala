@@ -3070,6 +3070,42 @@ object PartitionedTable {
     * within them and the full residual conjunction keeps the result
     * exact at any pruning coarseness. ISO-rendered literals, as
     * [[readWhereSrc]]. */
+  /** The manifest-level half of [[readWhereSrcLevels]]: live composite
+    * partition values of table version `asOf` (default newest)
+    * surviving source-column RANGE probes — each combination's segment
+    * range-maps under ITS OWN epoch's rule (the readWhereSrc
+    * attribution, applied level-wise: a month segment tested against a
+    * day-rule bound would prune boundary months that still hold
+    * in-range days); never-evolved levels take the one-rule path, and
+    * levels whose source column is not probed are unconstrained.
+    * Exposed so a runtime (join-driven) prune can INTERSECT its
+    * dim-key combinations with the query's own range predicates — the
+    * status-filtered calendar star prunes on BOTH axes at the
+    * manifest. Driver-side metadata only. */
+  def partitionsForSourceRangesLevels(
+      spark: SparkSession, dir: String, preds: Seq[(String, String, String)],
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"PartitionedTable: no committed manifests under $dir")
+    val levels = generatedLevelsOf(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: no level spec declared under $dir — " +
+          "source-range partition mapping needs one"))
+    val chains = levelEpochsOf(spark, dir).get
+    manifest(spark, dir, asOf.getOrElse(vs.max)).keysIterator
+      .map(n => ExternalCatalogUtils.unescapePathName(
+        n.stripPrefix(s"$PartDir=")))
+      .filter { comp =>
+        val parts = comp.split("/", -1)
+        parts.length == levels.length && levels.indices.forall { i =>
+          preds.filter(_._1 == levels(i).srcCol).forall { case (_, lo, hi) =>
+            val g = epochRuleOf(chains(i), parts(i))
+            utf8Le(g.ofLiteral(lo), parts(i)) && utf8Le(parts(i), g.ofLiteral(hi))
+          }
+        }
+      }.toSeq.sorted
+  }
+
   def readWhereSrcLevels(
       spark: SparkSession, dir: String, preds: Seq[(String, String, String)],
       asOf: Option[Long] = None): DataFrame = {
@@ -3085,23 +3121,7 @@ object PartitionedTable {
     val v = asOf.getOrElse(vs.max)
     val m = manifest(spark, dir, v)
     require(m.nonEmpty, s"PartitionedTable: table version $v is empty under $dir")
-    // spec evolution composes per level: each combination's SEGMENT
-    // range-maps under ITS OWN epoch's rule (the readWhereSrc
-    // attribution, applied level-wise — a month segment tested against
-    // a day-rule bound would prune boundary months that still hold
-    // in-range days); never-evolved levels take the one-rule path
-    val chains = levelEpochsOf(spark, dir).get
-    val live = m.keysIterator.map(n =>
-      ExternalCatalogUtils.unescapePathName(n.stripPrefix(s"$PartDir=")))
-      .filter { comp =>
-        val parts = comp.split("/", -1)
-        parts.length == levels.length && levels.indices.forall { i =>
-          preds.filter(_._1 == levels(i).srcCol).forall { case (_, lo, hi) =>
-            val g = epochRuleOf(chains(i), parts(i))
-            utf8Le(g.ofLiteral(lo), parts(i)) && utf8Le(parts(i), g.ofLiteral(hi))
-          }
-        }
-      }.toSeq.sorted
+    val live = partitionsForSourceRangesLevels(spark, dir, preds, Some(v))
     // pred-column stored types from donor footers, tried LAZILY across
     // live slices (the readEq protocol — an alphabetically-first donor
     // may predate a schema evolution that added a probed stats column).

@@ -2075,14 +2075,15 @@ case class GraftScan(
     val genSingle =
       if (genLevels.nonEmpty) None
       else PartitionedTable.generatedBy(spark, dir)
+    val levelSrc = genLevels.map(_.srcCol).toSet
+    val renderedLevels: Seq[(String, String, String)] =
+      if (genLevels.isEmpty) Nil
+      else closed.map { case (c, lo, hi, _) => (c, render(lo), render(hi)) }
     val genRouted: Option[DataFrame] =
       if (genLevels.nonEmpty) {
-        val levelSrc = genLevels.map(_.srcCol).toSet
-        val rendered = closed.map { case (c, lo, hi, _) =>
-          (c, render(lo), render(hi)) }
-        if (rendered.exists(p => levelSrc.contains(p._1)) &&
-            rendered.forall(p => p._2 <= p._3))
-          Some(PartitionedTable.readWhereSrcLevels(spark, dir, rendered,
+        if (renderedLevels.exists(p => levelSrc.contains(p._1)) &&
+            renderedLevels.forall(p => p._2 <= p._3))
+          Some(PartitionedTable.readWhereSrcLevels(spark, dir, renderedLevels,
             Some(version)))
         else None
       } else genSingle.flatMap { case (srcCol, _, _) =>
@@ -2107,9 +2108,22 @@ case class GraftScan(
       case Some(rp) if rp.sourceKey =>
         resolvedRuntimeValues.flatMap { vals =>
           try Some(
-            if (genLevels.nonEmpty)
-              PartitionedTable.partitionsForSourceValuesLevels(
+            if (genLevels.nonEmpty) {
+              val joined = PartitionedTable.partitionsForSourceValuesLevels(
                 spark, dir, rp.srcCol.get, vals, Some(version))
+              // compose with the query's own source-RANGE predicates
+              // at the manifest: a status-filtered calendar star
+              // prunes combinations on BOTH axes (the genRouted range
+              // mapping, intersected). Preds whose rendering breaks
+              // lexicographic order drop out — sound, the residual
+              // keeps them exact.
+              val rangePreds = renderedLevels.filter(p =>
+                levelSrc.contains(p._1) && p._2 <= p._3)
+              if (rangePreds.isEmpty) joined
+              else joined.intersect(
+                PartitionedTable.partitionsForSourceRangesLevels(
+                  spark, dir, rangePreds, Some(version)))
+            }
             else PartitionedTable.partitionsForSourceValues(
               spark, dir, vals, Some(version)))
           catch { case scala.util.control.NonFatal(_) => None }

@@ -330,6 +330,24 @@ class GraftRuntimePruneSpec extends SparkSpec {
       assert(scanOf(ab).buildDf(spark).inputFiles.length > files.length,
         "the unpruned scan reads every live combination")
     } finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+
+    // COMPOSITION: a source-range predicate on ANOTHER level prunes
+    // with the dim keys — st = 'S1' drops the S0/1996-08-02 combo the
+    // dim alone kept, so only S1/1996-02 is ever opened
+    val composed = spark.sql(
+      """SELECT f.st, f.d, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.ml f
+        |JOIN rtpml_dim c ON f.d = c.cal_d
+        |WHERE c.kind = 'keep' AND f.st = 'S1'
+        |GROUP BY f.st, f.d""".stripMargin)
+    assert(composed.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSeq === Seq(("S1", "1996-02-15", 100L)))
+    val cScan = scanOf(composed)
+    assert(cScan.runtimePrune.exists(_.srcCol.contains("d")))
+    val cFiles = cScan.buildDf(spark).inputFiles
+    assert(cFiles.nonEmpty && cFiles.forall(_.contains("=S1%252F1996-02")),
+      s"join×range composition must prune on BOTH axes: ${cFiles.mkString("\n")}")
     GraftCatalog.unregister("rtp", "ml")
   }
 
