@@ -941,9 +941,30 @@ object PartitionedTable {
     * schema-evolving merge, untouched partitions' files lack the new
     * columns — the superset schema null-fills them, and inference must
     * never depend on which file gets sampled first. Footer merging is
-    * a metadata cost on the selected dirs only. */
-  private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    * a metadata cost on the selected dirs only — paid ONCE per
+    * distinct path set per JVM: slice version dirs are immutable after
+    * commit (the manifest pattern; in-place compaction swaps layout,
+    * never schema), so the merged schema caches forever and
+    * re-PLANNING a 10^5-slice table costs a map lookup instead of 10^5
+    * footer reads per SQL statement. Reading with the explicit merged
+    * schema goes through the exact per-file reconciliation
+    * mergeSchema-inferred reads use (missing columns null-fill), so
+    * results are bit-identical; the cache clears wholesale past a size
+    * bound (long test JVMs mint thousands of tiny tables). */
+  private val mergedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], StructType]()
+
+  private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val key = paths.sorted
+    val cached = mergedSchemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(paths: _*)
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      if (mergedSchemaCache.size > 8192) mergedSchemaCache.clear()
+      mergedSchemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   /** Deletion-vector delta versions: a delete-only merge lands a tiny
     * version dir holding ONLY `_dv/` — (part, file, row_index) rows to
