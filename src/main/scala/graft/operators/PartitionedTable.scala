@@ -3803,16 +3803,29 @@ object PartitionedTable {
     *   - `stats.col.<c>.nulls` — null count
     *   - `stats.col.<c>.min` / `.max` — orderable scalars only
     *     (numeric/date/timestamp; strings carry `.avglen`/`.maxlen`
-    *     instead — CBO sizes rows with them)
+    *     instead — CBO sizes rows with them). Timestamps render under
+    *     a FIXED UTC formatter — the read side parses them back with
+    *     `Cast(..., Some("UTC"))`, so a session-zone render would
+    *     shift every non-UTC session's CBO bounds by the zone offset.
+    *   - `stats.col.<c>.histogram` (opt-in via `histCols`, numeric
+    *     columns) — an EQUI-HEIGHT histogram: `histBuckets` bins from
+    *     one `percentile_approx` pass + per-bin NDVs from one
+    *     `ApproxCountDistinctForIntervals` pass (the exact two-job
+    *     shape of Spark's own `ANALYZE ... FOR COLUMNS` with
+    *     `spark.sql.statistics.histogram.enabled`), served through
+    *     `ColumnStatistics.histogram()` so CBO's selectivity on
+    *     SKEWED predicates stops assuming uniformity.
     *
     * Statistics are ESTIMATES pinned to the analyzed version: reads of
-    * other versions still see them (the Spark/Delta staleness trade),
+    * other versions still see them (the Spark/Delta staleness trade,
+    * bounded by `spark.graft.stats.maxStaleCommits` on the read side),
     * and correctness never depends on them. One props write; re-ANALYZE
     * replaces the whole `stats.` key space atomically. Returns the
     * persisted key→value map. */
   def analyzeTable(
       spark: SparkSession, dir: String, cols: Seq[String] = Nil,
-      asOf: Option[Long] = None): Map[String, String] = {
+      asOf: Option[Long] = None, histCols: Seq[String] = Nil,
+      histBuckets: Int = 32): Map[String, String] = {
     val v = asOf.orElse(latest(spark, dir)).getOrElse(
       throw new IllegalArgumentException(
         s"PartitionedTable: nothing to analyze under $dir"))
@@ -3829,26 +3842,94 @@ object PartitionedTable {
       case _: NumericType | DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
+    val histTargets = histCols.distinct.filter(targets.contains)
+    require(histTargets.size == histCols.distinct.size,
+      s"PartitionedTable: histogram columns " +
+        s"${histCols.distinct.diff(histTargets).mkString(", ")} are not " +
+        s"in the analyzed column set")
+    histTargets.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"PartitionedTable: histogram column $c must be numeric " +
+          s"(got ${df.schema(c).dataType.simpleString})")
+    }
+    require(histBuckets >= 2 && histBuckets <= 254,
+      s"PartitionedTable: histBuckets must be in [2, 254], got $histBuckets")
+    val pcts = array(
+      (0 to histBuckets).map(i => lit(i.toDouble / histBuckets)): _*)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ targets.flatMap { c =>
       val dt = df.schema(c).dataType
       Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
         count(col(c)).as(s"__cnt_$c")) ++
-        (if (orderable(dt))
+        (if (dt == TimestampType || dt == TimestampNTZType)
+          // raw values out, rendered under a FIXED UTC formatter below
+          // (a cast-to-string here renders under the SESSION zone, and
+          // GraftScan parses back under UTC — non-UTC sessions would
+          // shift every CBO bound by the zone offset)
+          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        else if (orderable(dt))
           Seq(min(col(c)).cast("string").as(s"__min_$c"),
             max(col(c)).cast("string").as(s"__max_$c"))
         else if (dt == StringType)
           Seq(avg(length(col(c))).as(s"__avglen_$c"),
             max(length(col(c))).as(s"__maxlen_$c"))
         else Nil)
+    } ++ histTargets.map { c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000))
+        .as(s"__hist_$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val utcFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def render(value: Any): String = value match {
+      case t: java.sql.Timestamp =>
+        utcFmt.withZone(java.time.ZoneOffset.UTC).format(t.toInstant)
+      case i: java.time.Instant =>
+        utcFmt.withZone(java.time.ZoneOffset.UTC).format(i)
+      case l: java.time.LocalDateTime => l.format(utcFmt)
+      case other => other.toString
+    }
     def str(name: String): Option[String] = {
       val i = row.fieldIndex(name)
-      if (row.isNullAt(i)) None else Some(row.get(i).toString)
+      if (row.isNullAt(i)) None else Some(render(row.get(i)))
     }
     val rows = row.getLong(row.fieldIndex("__rows"))
+    // per-bin NDVs for the histogram columns: ONE more aggregation pass
+    // over the snapshot (ApproxCountDistinctForIntervals — the same
+    // internal Spark's ANALYZE uses), skipped entirely when no
+    // histogram was requested or the endpoints came back empty
+    val histograms: Map[String, String] = {
+      val endpoints: Seq[(String, Seq[Double])] = histTargets.flatMap { c =>
+        val i = row.fieldIndex(s"__hist_$c")
+        if (row.isNullAt(i)) None
+        else Some(c -> row.getSeq[Double](i).toSeq)
+      }.filter(_._2.size == histBuckets + 1)
+      if (endpoints.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        val ndvAggs = endpoints.map { case (c, eps) =>
+          org.apache.spark.sql.graft.Bridge.column(
+            new ApproxCountDistinctForIntervals(
+              org.apache.spark.sql.graft.Bridge
+                .expression(col(c).cast("double")),
+              CreateArray(eps.map(Literal(_))),
+              Literal(0.05d)).toAggregateExpression()).as(s"__bins_$c")
+        }
+        val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+        endpoints.map { case (c, eps) =>
+          val binNdvs = ndvRow.getSeq[Long](ndvRow.fieldIndex(s"__bins_$c"))
+          val nonNull = row.getLong(row.fieldIndex(s"__cnt_$c"))
+          val height = nonNull.toDouble / histBuckets
+          val bins = eps.sliding(2).zip(binNdvs.iterator).map {
+            case (Seq(lo, hi), ndv) => s"$lo,$hi,$ndv"
+          }.mkString(";")
+          s"stats.col.$c.histogram" -> s"$height|$bins"
+        }.toMap
+      }
+    }
     val computed: Map[String, String] =
       Map("stats.version" -> v.toString, "stats.rows" -> rows.toString) ++
+        histograms ++
         targets.flatMap { c =>
           Seq(s"stats.col.$c.ndv" -> str(s"__ndv_$c"),
             s"stats.col.$c.nulls" ->

@@ -1552,6 +1552,83 @@ object GraftCatalog {
            |       CAST(count(o_flag) AS BIGINT) AS n_flagged,
            |       round(sum(o_totalprice), 2) AS rev
            |FROM graft.lake.$tbl GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // TWO-DIM runtime pruning on the multi-level table, hash-gated —
+    // the reference's bronze status×date layout (ingestToBronze
+    // .py:79-84) queried as a star on BOTH axes: a status dim joins
+    // the status level's SOURCE column AND a calendar dim joins the
+    // date level's, and the rule attaches one obligation per dim to
+    // the ONE fact scan, whose surviving-combination sets INTERSECT at
+    // the manifest (each alone keeps a full row/column of the
+    // status×date grid; together only the crossing cells are ever
+    // listed — dirs-opened strictly-below-either-axis, the one-dim-
+    // two-keys variant, and the rule-disabled A/B are asserted in
+    // GraftRuntimePruneSpec's two-dim test). Same two-epoch fixture
+    // shape as q119 (month → day mid-history), so the intersection
+    // must also attribute each combination under ITS epoch rule. The
+    // oracle recomputes closed-form from raw orders, so pruning that
+    // drops a surviving (status, date) cell — or keeps a row either
+    // dim excluded — breaks the hash.
+    QueryDef.sql("q121_sql_two_dim_pruned",
+      """SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderdate IN (TIMESTAMP '1996-03-15 00:00:00',
+        |                      TIMESTAMP '1997-02-10 00:00:00',
+        |                      TIMESTAMP '1999-05-05 00:00:00')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND o_orderstatus IN ('F', 'P')
+        |GROUP BY o_orderstatus, CAST(o_orderdate AS DATE)""".stripMargin) { (s, dir) =>
+      val tbl = "q121_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fixture (two-epoch levels table + registration) cached per
+      // (JVM, dir): the entry times the two-axis runtime-pruned star
+      graft.FixtureCache.once("q121", dir) {
+        val store = workDir.resolve(tbl).toString
+        graft.streaming.VersionedStore.fs(s, store)
+          .delete(new org.apache.hadoop.fs.Path(store), true)
+        val orders = Tables.orders(s, dir).select(
+          "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        // epoch 1: 1996 under status/MONTH
+        PartitionedTable.commitLevels(s, store,
+          orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          Seq(
+            PartitionedTable.GenLevel("o_orderstatus",
+              PartitionedTable.PartGen.Prefix(1), "ps"),
+            PartitionedTable.GenLevel("o_orderdate",
+              PartitionedTable.PartGen.Month, "pm")))
+        // evolve the date level to DAY; epoch 2: 1997-Q1 lands as days
+        PartitionedTable.evolveGenLevel(s, store, "pm",
+          PartitionedTable.PartGen.Day)
+        PartitionedTable.mergeLevels(s, store,
+          orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+            .withColumn("op", lit("upsert")),
+          "o_orderkey")
+        register(s, "lake", tbl, store,
+          partCol = Some(PartitionedTable.LevelsPartName))
+      }
+      s.sql(
+        s"""SELECT f.o_orderstatus, CAST(f.o_orderdate AS DATE) AS od,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       round(sum(f.o_totalprice), 2) AS rev
+           |FROM graft.lake.$tbl f
+           |JOIN (SELECT st FROM VALUES
+           |        ('F', 'keep'), ('P', 'keep'), ('O', 'skip')
+           |        AS t(st, flag)
+           |      WHERE flag = 'keep') sd
+           |  ON f.o_orderstatus = sd.st
+           |JOIN (SELECT dt FROM VALUES
+           |        (TIMESTAMP '1996-03-15 00:00:00', 'keep'),
+           |        (TIMESTAMP '1997-02-10 00:00:00', 'keep'),
+           |        (TIMESTAMP '1999-05-05 00:00:00', 'keep'),
+           |        (TIMESTAMP '1996-05-01 00:00:00', 'skip') AS t(dt, flag)
+           |      WHERE flag = 'keep') cd
+           |  ON f.o_orderdate = cd.dt
+           |GROUP BY f.o_orderstatus, CAST(f.o_orderdate AS DATE)""".stripMargin)
     }
   )
 }
@@ -1788,8 +1865,15 @@ class GraftTable(ident: String, spec: GraftTableSpec, version: Long)
     val contract = spec.partCol.map("partcol" -> _).toMap ++
       spec.keyCol.map("keycol" -> _).toMap +
       ("location" -> spec.dir)
-    (PartitionedTable.propertiesOf(SparkSession.active, spec.dir) ++
-      contract).asJava
+    val persisted = PartitionedTable.propertiesOf(SparkSession.active, spec.dir)
+    // derived, never persisted: how many commits this table has
+    // absorbed since its last ANALYZE — DESCRIBE EXTENDED surfaces the
+    // staleness the scan-side maxStaleCommits gate acts on
+    val staleness = persisted.get("stats.version").flatMap(_.toLongOption)
+      .filter(_ => version >= 0)
+      .map(av => "stats.stale_commits" -> math.max(0L, version - av).toString)
+      .toMap
+    (persisted ++ staleness ++ contract).asJava
   }
 }
 
@@ -1840,19 +1924,23 @@ class GraftScanBuilder(spec: GraftTableSpec, version: Long, full: StructType)
 case class GraftScan(
     spec: GraftTableSpec, version: Long, required: StructType,
     filters: Seq[Filter],
-    runtimePrune: Option[GraftRuntimePruneSpec] = None)
+    runtimePrune: Seq[GraftRuntimePruneSpec] = Nil)
     extends V1Scan with SupportsReportStatistics {
 
-  /** Dim-side join-key values, resolved ONCE at execution planning
-    * (the first `buildScan`) and pinned for the scan's lifetime: the
-    * distinct `keyExpr` values of the optimizer-captured dim plan,
-    * rendered to partition-value strings. None = no pruning (no
-    * obligation attached, over-cap cardinality, or any resolution
+  /** Dim-side join-key values PER obligation, resolved ONCE at
+    * execution planning (the first `buildScan`) and pinned for the
+    * scan's lifetime: the distinct `keyExpr` values of each
+    * optimizer-captured dim plan, rendered to partition-value
+    * strings, positionally aligned with [[runtimePrune]]. None = that
+    * obligation doesn't prune (over-cap cardinality, or any resolution
     * failure) — pruning is best-effort by construction; the join above
     * re-evaluates the exact condition either way, and the dim values
-    * only ever REMOVE partitions that cannot match an equi-join. */
-  lazy val resolvedRuntimeValues: Option[Seq[String]] = runtimePrune.flatMap {
-    rp =>
+    * only ever REMOVE partitions that cannot match an equi-join.
+    * Multiple obligations (a two-dim star: status dim on one level,
+    * calendar dim on the other) INTERSECT at the manifest — each is
+    * individually sound, so their conjunction is. */
+  lazy val resolvedRuntimeValuesAll: Seq[Option[Seq[String]]] =
+    runtimePrune.map { rp =>
       try {
         val spark = SparkSession.active
         val cap = spark.conf
@@ -1869,7 +1957,12 @@ case class GraftScan(
         if (vals.length > cap) None // too many keys to enumerate: skip
         else Some(vals.toSeq.sorted)
       } catch { case scala.util.control.NonFatal(_) => None }
-  }
+    }
+
+  /** Head obligation's resolved values — the single-obligation
+    * convenience the specs assert on. */
+  def resolvedRuntimeValues: Option[Seq[String]] =
+    resolvedRuntimeValuesAll.headOption.flatten
 
   /** Manifest-level partition pruning, decided at PLAN time: the
     * intersection of every pushed equality/IN constraint on the
@@ -1924,14 +2017,22 @@ case class GraftScan(
     * properties, [[PartitionedTable.analyzeTable]]) for the REQUIRED
     * columns, as the V2 column-stats map `DataSourceV2Relation
     * .transformV2Stats` converts into catalyst `ColumnStat` —
-    * NDV/null-count/min/max feed CBO's join estimation and join
-    * REORDER (`spark.sql.cbo.enabled`). Min/max parse back to
-    * CATALYST-internal values under UTC (date → epoch days, timestamp
-    * → micros, numerics boxed); a value that fails to parse serves as
-    * absent. One driver-side props read per scan, estimates only —
-    * resolution failure = empty map, never an error. Disable with
-    * `spark.graft.stats.colStats=false` (the CBO A/B every
-    * reorder claim is tested against). */
+    * NDV/null-count/min/max (+ opt-in equi-height HISTOGRAMS, so
+    * selectivity on skewed predicates stops assuming uniformity) feed
+    * CBO's join estimation and join REORDER (`spark.sql.cbo.enabled`).
+    * Min/max parse back to CATALYST-internal values under UTC (date →
+    * epoch days, timestamp → micros, numerics boxed); a value that
+    * fails to parse serves as absent. One driver-side props read per
+    * scan, estimates only — resolution failure = empty map, never an
+    * error. Disable with `spark.graft.stats.colStats=false` (the CBO
+    * A/B every reorder claim is tested against).
+    *
+    * STALENESS: stats pin to their analyzed version. When this scan's
+    * version is ≥ `spark.graft.stats.maxStaleCommits` (default 64)
+    * commits PAST it, the column stats are DROPPED (logged once per
+    * table dir) — CBO must not reorder on NDVs from a table that has
+    * since absorbed many merges; exact footer row/byte counts are
+    * unaffected (always computed from this scan's own version). */
   private lazy val v2ColumnStats: java.util.Map[
     org.apache.spark.sql.connector.expressions.NamedReference,
     org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -1943,6 +2044,14 @@ case class GraftScan(
       if (spark.conf.getOption("spark.graft.stats.colStats")
         .forall(_.toBoolean)) {
         val props = PartitionedTable.propertiesOf(spark, spec.dir)
+        val maxStale = spark.conf
+          .getOption("spark.graft.stats.maxStaleCommits")
+          .map(_.toLong).getOrElse(64L)
+        val staleBy = props.get("stats.version").flatMap(_.toLongOption)
+          .map(av => version - av).getOrElse(0L)
+        if (staleBy >= maxStale)
+          GraftScan.warnStaleOnce(spec.dir, staleBy, maxStale)
+        else {
         def internal(s: String, dt: org.apache.spark.sql.types.DataType)
             : Option[Object] =
           try Option(org.apache.spark.sql.catalyst.expressions.Cast(
@@ -1958,8 +2067,11 @@ case class GraftScan(
           val mx = props.get(pre + "max").flatMap(internal(_, f.dataType))
           val avgL = props.get(pre + "avglen").flatMap(_.toLongOption)
           val maxL = props.get(pre + "maxlen").flatMap(_.toLongOption)
+          val hist = props.get(pre + "histogram")
+            .flatMap(GraftScan.parseHistogram)
           if (ndv.isDefined || nulls.isDefined || mn.isDefined ||
-            mx.isDefined || avgL.isDefined || maxL.isDefined) {
+            mx.isDefined || avgL.isDefined || maxL.isDefined ||
+            hist.isDefined) {
             def ol(o: Option[Long]) = o.map(util.OptionalLong.of)
               .getOrElse(util.OptionalLong.empty())
             def oo(o: Option[Object]) = o.map(java.util.Optional.of[Object])
@@ -1975,8 +2087,14 @@ case class GraftScan(
                 override def max(): java.util.Optional[Object] = oo(mx)
                 override def avgLen(): util.OptionalLong = ol(avgL)
                 override def maxLen(): util.OptionalLong = ol(maxL)
+                override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  hist.map(java.util.Optional.of[
+                    org.apache.spark.sql.connector.read.colstats.Histogram])
+                    .getOrElse(java.util.Optional.empty())
               }): Unit
           }
+        }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -2011,7 +2129,8 @@ case class GraftScan(
   override def description(): String =
     s"GraftScan ${spec.dir} v=$version partitions=" +
       prunedPartitions.map(_.mkString("[", ",", "]")).getOrElse("*") +
-      (if (runtimePrune.isDefined) " runtimePruned=dim-join-keys" else "") +
+      (if (runtimePrune.nonEmpty)
+        s" runtimePruned=dim-join-keys(x${runtimePrune.size})" else "") +
       s" filters=${filters.mkString(", ")}"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -2094,43 +2213,51 @@ case class GraftScan(
         }
       }
     // partition constraint: STATIC pushed equalities ∩ RUNTIME dim join
-    // keys (when a pruning obligation resolved) ∩ what actually exists
-    // — SQL asking for an absent partition is an empty result, never an
-    // error. A SOURCE-keyed obligation (generated table joined on the
-    // rule's source column — the calendar-dim shape) maps the dim
-    // values through each live partition's epoch rule first; it takes
-    // precedence over the range-routed generated read (the residual
-    // keeps both exact, and the dim's point set prunes tighter than
-    // any range). A PARTITION-keyed obligation is ignored when the
-    // generated routing fired (partCol there is the derived column —
-    // nobody joins on it AND ranges the source in the same query).
-    val runtimeVals: Option[Seq[String]] = runtimePrune match {
-      case Some(rp) if rp.sourceKey =>
-        resolvedRuntimeValues.flatMap { vals =>
-          try Some(
-            if (genLevels.nonEmpty) {
-              val joined = PartitionedTable.partitionsForSourceValuesLevels(
-                spark, dir, rp.srcCol.get, vals, Some(version))
-              // compose with the query's own source-RANGE predicates
-              // at the manifest: a status-filtered calendar star
-              // prunes combinations on BOTH axes (the genRouted range
-              // mapping, intersected). Preds whose rendering breaks
-              // lexicographic order drop out — sound, the residual
-              // keeps them exact.
-              val rangePreds = renderedLevels.filter(p =>
-                levelSrc.contains(p._1) && p._2 <= p._3)
-              if (rangePreds.isEmpty) joined
-              else joined.intersect(
-                PartitionedTable.partitionsForSourceRangesLevels(
-                  spark, dir, rangePreds, Some(version)))
-            }
-            else PartitionedTable.partitionsForSourceValues(
-              spark, dir, vals, Some(version)))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
-      case Some(_) if genRouted.isEmpty => resolvedRuntimeValues
-      case _ => None
-    }
+    // keys (one set per resolved pruning obligation, INTERSECTED — the
+    // two-dim star prunes on every axis a dim qualified on) ∩ what
+    // actually exists — SQL asking for an absent partition is an empty
+    // result, never an error. A SOURCE-keyed obligation (generated
+    // table joined on a rule's source column — the calendar-dim shape)
+    // maps its dim values through each live partition's epoch rule at
+    // that column's level(s) first; it takes precedence over the
+    // range-routed generated read (the residual keeps both exact, and
+    // the dim's point set prunes tighter than any range). A
+    // PARTITION-keyed obligation is ignored when the generated routing
+    // fired (partCol there is the derived column — nobody joins on it
+    // AND ranges the source in the same query).
+    val obligationSets: Seq[Option[Seq[String]]] =
+      runtimePrune.zip(resolvedRuntimeValuesAll).map {
+        case (rp, resolved) if rp.sourceKey =>
+          resolved.flatMap { vals =>
+            try Some(
+              if (genLevels.nonEmpty)
+                PartitionedTable.partitionsForSourceValuesLevels(
+                  spark, dir, rp.srcCol.get, vals, Some(version))
+              else PartitionedTable.partitionsForSourceValues(
+                spark, dir, vals, Some(version)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        case (_, resolved) if genRouted.isEmpty => resolved
+        case _ => None
+      }
+    // compose with the query's own source-RANGE predicates at the
+    // manifest: a status-filtered calendar star prunes combinations on
+    // BOTH axes (the genRouted range mapping, intersected). Preds whose
+    // rendering breaks lexicographic order drop out — sound, the
+    // residual keeps them exact.
+    val rangeSet: Option[Seq[String]] =
+      if (genLevels.nonEmpty && obligationSets.zip(runtimePrune).exists {
+        case (s, rp) => rp.sourceKey && s.isDefined
+      }) {
+        val rangePreds = renderedLevels.filter(p =>
+          levelSrc.contains(p._1) && p._2 <= p._3)
+        if (rangePreds.isEmpty) None
+        else try Some(PartitionedTable.partitionsForSourceRangesLevels(
+          spark, dir, rangePreds, Some(version)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      } else None
+    val runtimeVals: Option[Seq[String]] =
+      (obligationSets.flatten ++ rangeSet).reduceOption(_ intersect _)
     val constrained: Option[Seq[String]] =
       (prunedPartitions, runtimeVals) match {
         case (Some(a), Some(b)) => Some(a.intersect(b))
@@ -2174,6 +2301,46 @@ case class GraftScan(
 }
 
 object GraftScan {
+  /** Parse a persisted equi-height histogram
+    * (`"height|lo,hi,ndv;lo,hi,ndv;..."`, [[graft.operators
+    * .PartitionedTable.analyzeTable]]) into the V2 colstats shape
+    * `transformV2Stats` maps into catalyst's `Histogram`. Any malformed
+    * value serves as absent — estimates only, never an error. */
+  def parseHistogram(s: String): Option[
+    org.apache.spark.sql.connector.read.colstats.Histogram] =
+    try {
+      val Array(h, binsStr) = s.split("\\|", 2)
+      val heightV = h.toDouble
+      val binArr = binsStr.split(";").map { b =>
+        val Array(loS, hiS, ndvS) = b.split(",", 3)
+        val (loV, hiV, ndvV) = (loS.toDouble, hiS.toDouble, ndvS.toLong)
+        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+          override def lo(): Double = loV
+          override def hi(): Double = hiV
+          override def ndv(): Long = ndvV
+        }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+      }
+      if (binArr.isEmpty) None
+      else Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+        override def height(): Double = heightV
+        override def bins(): Array[
+          org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val staleWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Log ONCE per table dir that its column stats were dropped for
+    * staleness — every scan would otherwise repeat it. */
+  def warnStaleOnce(dir: String, staleBy: Long, maxStale: Long): Unit =
+    if (staleWarned.add(dir))
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftScan]).warn(
+        s"graft: column stats under $dir are $staleBy commits older than " +
+          s"the read version (>= spark.graft.stats.maxStaleCommits=" +
+          s"$maxStale) — dropping them from CBO; re-run " +
+          s"CALL graft.system.analyze (exact row counts are unaffected)")
+
   /** The tighter of two pushed bound literals: the larger when merging
     * lower bounds (`keepMax`), the smaller for upper bounds. Literals
     * of different runtime classes (or non-Comparable ones) keep `a` —

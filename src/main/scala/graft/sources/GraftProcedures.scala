@@ -282,24 +282,37 @@ object GraftProcedures {
   private object Analyze extends GraftProcedure("analyze",
     Seq(param("table", StringType),
       ProcedureParameter.in("columns", StringType)
-        .defaultValue("''").build())) {
+        .defaultValue("''").build(),
+      ProcedureParameter.in("histogram_columns", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .defaultValue("32").build())) {
     override def description(): String =
       "compute row count + per-column NDV/nulls/min/max in one job and " +
         "persist them as stats.* table properties (planner CBO + " +
-        "DESCRIBE EXTENDED). columns => 'a,b' restricts the column set"
+        "DESCRIBE EXTENDED). columns => 'a,b' restricts the column set; " +
+        "histogram_columns => 'a,b' additionally builds equi-height " +
+        "histograms (numeric columns, one extra pass) with `buckets` " +
+        "bins each, so CBO selectivity on skewed predicates stops " +
+        "assuming uniformity"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val spec = specOf(input.getUTF8String(0).toString)
-      val cols = Option(input.getUTF8String(1)).map(_.toString)
-        .filter(_.nonEmpty)
+      def csv(i: Int): Seq[String] = Option(input.getUTF8String(i))
+        .map(_.toString).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-      val stats = PartitionedTable.analyzeTable(spark, spec.dir, cols)
+      val cols = csv(1)
+      val histCols = csv(2)
+      val stats = PartitionedTable.analyzeTable(spark, spec.dir, cols,
+        histCols = histCols, histBuckets = input.getInt(3))
       result(
         ("analyzed_version", LongType, stats("stats.version").toLong),
         ("n_rows", LongType, stats("stats.rows").toLong),
         ("n_columns", IntegerType,
-          stats.keys.count(_.endsWith(".ndv"))))
+          stats.keys.count(_.endsWith(".ndv"))),
+        ("n_histograms", IntegerType,
+          stats.keys.count(_.endsWith(".histogram"))))
     }
   }
 

@@ -39,6 +39,24 @@ object Bridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 
+  /** Rule-created prune-dim cache entries, LRU by canonicalized plan.
+    * LIFECYCLE: [[cachedPlanOf]] is called by an optimizer RULE, so
+    * nothing ever explicitly releases its entries — without a bound, a
+    * long-lived session running many distinct star queries accretes up
+    * to maxDimBytes per distinct dim filter literal in the session
+    * CacheManager forever. The LRU evicts OUR eldest entry (never a
+    * user's — only plans this map registered are ever uncached) once
+    * the bound is crossed. Values hold the classic Dataset the entry
+    * was cached through, which pins its owning session for the
+    * uncache. */
+  private val pruneDimLru =
+    new java.util.LinkedHashMap[LogicalPlan, classic.Dataset[_]](
+      16, 0.75f, /*accessOrder=*/ true)
+
+  /** Number of rule-created prune-dim entries currently live (spec
+    * hook for the bounded-lifecycle test). */
+  def pruneDimCacheSize: Int = Bridge.synchronized(pruneDimLru.size)
+
   /** Persist `plan` through the session cache manager and return its
     * [[org.apache.spark.sql.execution.columnar.InMemoryRelation]]
     * (output re-aliased to the plan's own exprIds) — the reuse seam
@@ -47,15 +65,30 @@ object Bridge {
     * it, instead of scanning the stored dim twice. Lazy (nothing
     * computes until the first action); `CacheManager` is
     * `private[sql]`. None = caching unavailable (unsupported plan) —
-    * callers keep the original plan. */
+    * callers keep the original plan. Rule-created entries are LRU-
+    * bounded to `maxEntries` per JVM (eviction uncaches through the
+    * entry's own session, non-cascading — dependents recompute, never
+    * break). */
   def cachedPlanOf(
-      spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] = {
+      spark: SparkSession, plan: LogicalPlan,
+      maxEntries: Int = 8): Option[LogicalPlan] = Bridge.synchronized {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val df = classic.Dataset.ofRows(cs, plan)
     val cm = cs.sharedState.cacheManager
-    if (cm.lookupCachedData(df).isEmpty)
+    val key = plan.canonicalized
+    if (cm.lookupCachedData(df).isEmpty) {
       cm.cacheQuery(df, None,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pruneDimLru.put(key, df)
+      while (pruneDimLru.size > math.max(1, maxEntries)) {
+        val eldest = pruneDimLru.entrySet().iterator().next()
+        try cm.uncacheQuery(
+          eldest.getValue.asInstanceOf[classic.Dataset[_]],
+          /*cascade=*/ false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        pruneDimLru.remove(eldest.getKey): Unit
+      }
+    } else pruneDimLru.get(key): Unit // touch: refresh LRU order if ours
     cm.lookupCachedData(df).map(_.cachedRepresentation.withOutput(plan.output))
   }
 

@@ -222,6 +222,12 @@ class ExchangeBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                             // one grouped agg; the
                                             // evolving MERGE's rewrite
                                             // lives in the commit job
+    "q121_sql_two_dim_pruned" -> 1, // TWO-axis runtime-pruned
+                                    // combination scan + two broadcast
+                                    // VALUES dims into one grouped agg;
+                                    // both dims' key resolutions are
+                                    // driver-side collects of local
+                                    // relations, not shuffles
     "s36_feed_ivf_maintain" -> 1) // the final per-cluster index agg;
                                   // every feed drain / index merge
                                   // lives in the maintain jobs

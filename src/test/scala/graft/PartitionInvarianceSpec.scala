@@ -84,6 +84,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q116_sql_join_pruned", // runtime dim-key manifest pruning, any fan-out
     "q118_sql_tag_travel", // tag-resolved versions, any fan-out
     "q119_sql_levels_join_pruned", // level-epoch dim-key pruning, any fan-out
+    "q121_sql_two_dim_pruned", // two-axis intersected pruning, any fan-out
     "q120_sql_merge_schema_evolution", // SQL-evolving merge, any fan-out
     "s36_feed_ivf_maintain") // 7-commit CDC pipeline + frozen quantizer
 

@@ -75,7 +75,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
 
     // the obligation landed on the scan and resolved the dim's keys
     val scan = scanOf(df)
-    assert(scan.runtimePrune.isDefined, "rule must attach the obligation")
+    assert(scan.runtimePrune.nonEmpty, "rule must attach the obligation")
     assert(scan.resolvedRuntimeValues === Some(Seq("p1", "p3", "px")),
       "resolved keys = the dim's filtered DISTINCT join keys")
 
@@ -122,7 +122,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
     val filtered = spark.sql(
       """SELECT count(*) FROM graft.rtp.guard f
         |JOIN rtpg_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
-    assert(scanOf(filtered).runtimePrune.isDefined,
+    assert(scanOf(filtered).runtimePrune.nonEmpty,
       "a selectively-filtered stored dim must prune")
 
     // join key is NOT the partition column → no obligation
@@ -150,7 +150,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
           |JOIN rtpg_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
       assert(capped.head.getLong(0) === 200L)
       val s = scanOf(capped)
-      assert(s.runtimePrune.isDefined && s.resolvedRuntimeValues.isEmpty,
+      assert(s.runtimePrune.nonEmpty && s.resolvedRuntimeValues.isEmpty,
         "an over-cap dim must fall back to the unpruned scan")
     } finally spark.conf.unset("spark.graft.runtimePruning.maxKeys")
   }
@@ -261,7 +261,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
       """SELECT count(*) FROM
         |  (SELECT part, sum(v) AS sv FROM graft.rtp.lim GROUP BY part) f
         |JOIN rtpl_dim d ON f.part = d.pk WHERE d.grp = 'keep'""".stripMargin)
-    assert(scanOf(agged).runtimePrune.isDefined,
+    assert(scanOf(agged).runtimePrune.nonEmpty,
       "an aggregate grouped BY the join key keeps pruning")
     assert(agged.head.getLong(0) === 2L)
   }
@@ -372,13 +372,13 @@ class GraftRuntimePruneSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(rows === Seq(("p2", 100L), ("p5", 100L)))
     val scan = scanOf(df)
-    assert(scan.runtimePrune.isDefined)
+    assert(scan.runtimePrune.nonEmpty)
     assert(scan.resolvedRuntimeValues === Some(Seq("p2", "p5")))
     // BOTH consumers read the one cache: the obligation's dim plan IS
     // an InMemoryRelation (the collect materializes it)...
-    assert(scan.runtimePrune.get.dimPlan.isInstanceOf[
+    assert(scan.runtimePrune.head.dimPlan.isInstanceOf[
       org.apache.spark.sql.execution.columnar.InMemoryRelation],
-      s"obligation must hold the cached dim: ${scan.runtimePrune.get.dimPlan}")
+      s"obligation must hold the cached dim: ${scan.runtimePrune.head.dimPlan}")
     // ...and the join's dim side scans the cache, not the parquet
     def hasImts(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collect {
@@ -400,10 +400,250 @@ class GraftRuntimePruneSpec extends SparkSpec {
         .sortBy(_._1).toSeq === rows)
       val abScan = scanOf(ab)
       assert(abScan.resolvedRuntimeValues === Some(Seq("p2", "p5")))
-      assert(!abScan.runtimePrune.get.dimPlan.isInstanceOf[
+      assert(!abScan.runtimePrune.head.dimPlan.isInstanceOf[
         org.apache.spark.sql.execution.columnar.InMemoryRelation])
     } finally spark.conf.unset("spark.graft.runtimePruning.reuseDim")
     GraftCatalog.unregister("rtp", "reuse")
+  }
+
+  test("two-dim star: obligations COMPOSE — both axes prune one scan, strictly tighter than either alone") {
+    import spark.implicits._
+    val dir = freshStore("graftrtp2d")
+    // status(prefix2) × MONTH, decorrelated: 2 statuses × 4 months = 8
+    // live combinations, 100 rows each
+    val rows = spark.range(800).select(
+      col("id").as("k"),
+      concat(lit("S"), (col("id") % 2).cast("string")).as("st"),
+      to_date(concat(lit("1996-0"),
+        ((floor(col("id") / 2) % 4) + 1).cast("string"), lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, rows, Seq(
+      PartitionedTable.GenLevel("st", PartitionedTable.PartGen.Prefix(2), "ps"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "pm")))
+    GraftCatalog.register(spark, "rtp", "twodim", dir,
+      partCol = Some(PartitionedTable.LevelsPartName))
+    Seq(("S1", "keep"), ("S0", "skip")).toDF("sk", "skind")
+      .createOrReplaceTempView("rtp2d_status")
+    Seq((java.sql.Date.valueOf("1996-02-15"), "keep"),
+      (java.sql.Date.valueOf("1996-03-15"), "keep"),
+      (java.sql.Date.valueOf("1996-04-15"), "skip"))
+      .toDF("cal_d", "ckind").createOrReplaceTempView("rtp2d_cal")
+
+    val sql =
+      """SELECT f.st, f.d, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.twodim f
+        |JOIN rtp2d_status s ON f.st = s.sk
+        |JOIN rtp2d_cal c ON f.d = c.cal_d
+        |WHERE s.skind = 'keep' AND c.ckind = 'keep'
+        |GROUP BY f.st, f.d""".stripMargin
+    val df = spark.sql(sql)
+    val out = df.collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(("S1", "1996-02-15", 100L), ("S1", "1996-03-15", 100L)))
+
+    // BOTH dims attached — one obligation per axis, on the ONE scan
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.size === 2,
+      s"both dims must attach: ${scan.runtimePrune}")
+    assert(scan.runtimePrune.flatMap(_.srcCol).toSet === Set("st", "d"),
+      "one SOURCE-keyed obligation per level")
+
+    // the intersection opens ONLY the 2 surviving combinations...
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("=S1%252F1996-02") || f.contains("=S1%252F1996-03")),
+      s"two-axis pruning opened a non-matching combination: ${files.mkString("\n")}")
+    // ...STRICTLY fewer than either single-axis prune (each dim alone
+    // keeps 4 of 8 combinations)
+    def filesOf(q: String): Int = {
+      val d1 = spark.sql(q); d1.collect(): Unit
+      scanOf(d1).buildDf(spark).inputFiles.length
+    }
+    val statusOnly = filesOf(
+      """SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.twodim f
+        |JOIN rtp2d_status s ON f.st = s.sk WHERE s.skind = 'keep'""".stripMargin)
+    val dateOnly = filesOf(
+      """SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.twodim f
+        |JOIN rtp2d_cal c ON f.d = c.cal_d WHERE c.ckind = 'keep'""".stripMargin)
+    assert(files.length < statusOnly && files.length < dateOnly,
+      s"composition must prune strictly tighter: two-dim=${files.length} " +
+        s"status-only=$statusOnly date-only=$dateOnly")
+
+    // A/B: rule disabled → identical rows, wider scan
+    spark.conf.set("spark.graft.runtimePruning.enabled", "false")
+    try {
+      val ab = spark.sql(sql)
+      assert(ab.collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq === out)
+      assert(scanOf(ab).runtimePrune.isEmpty)
+    } finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+
+    // the SAME two axes through ONE dim (both keys in one join
+    // condition) also compose — two obligations from a single pair list
+    Seq(("S1", java.sql.Date.valueOf("1996-02-15"), "keep"))
+      .toDF("sk", "cal_d", "kind").createOrReplaceTempView("rtp2d_both")
+    val oneDim = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM graft.rtp.twodim f
+        |JOIN rtp2d_both b ON f.st = b.sk AND f.d = b.cal_d
+        |WHERE b.kind = 'keep'""".stripMargin)
+    assert(oneDim.head.getLong(0) === 100L)
+    val odScan = scanOf(oneDim)
+    assert(odScan.runtimePrune.flatMap(_.srcCol).toSet === Set("st", "d"),
+      s"a single dim carrying both keys must attach both: ${odScan.runtimePrune}")
+    val odFiles = odScan.buildDf(spark).inputFiles
+    assert(odFiles.nonEmpty && odFiles.forall(_.contains("=S1%252F1996-02")),
+      s"one-dim two-key pruning opened a non-matching combination: " +
+        odFiles.mkString("\n"))
+    GraftCatalog.unregister("rtp", "twodim")
+  }
+
+  test("the registered q121 star attaches BOTH obligations and opens only crossing cells") {
+    val df = graft.SparkEntry
+      .queries("q121_sql_two_dim_pruned")(spark, "/root/testdata/sf0.001")
+    df.collect(): Unit
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.size === 2,
+      s"both dims must attach on the registered star: ${scan.runtimePrune}")
+    assert(scan.runtimePrune.flatMap(_.srcCol).toSet ===
+      Set("o_orderstatus", "o_orderdate"))
+    // statuses F/P crossed with the surviving dates: 1996-03-15
+    // attributes under the month epoch (1996-03), 1997-02-10 under the
+    // day epoch; 1999-05-05 isn't live. 'O' rows and other months are
+    // never opened.
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall { f =>
+      (f.contains("=F%252F") || f.contains("=P%252F")) &&
+        (f.contains("1996-03") || f.contains("1997-02-10"))
+    }, s"q121 opened a non-crossing cell: ${files.mkString("\n")}")
+  }
+
+  test("invertible-cast keys prune; non-injective or DST-zone casts refuse; the round-trip guard nulls out-of-range dim keys") {
+    import spark.implicits._
+    // DATE source column joined against TIMESTAMP dim keys: the
+    // analyzer wraps the fact side as cast(d AS TIMESTAMP) — injective
+    // (distinct dates never collapse), so the dim keys resolve through
+    // the guarded inverse cast. The 12:30 key exercises the ROUND-TRIP
+    // guard: its inverse truncates to 1996-03-15, which cast forward
+    // is midnight ≠ 12:30 — the guard nulls it out (it can match no
+    // date) instead of letting the truncated inverse prune to a WRONG
+    // (well, matching-nothing-but-listed) partition.
+    val dir = freshStore("graftrtpcast")
+    val rows = spark.range(600).select(
+      col("id").as("k"),
+      to_date(concat(lit("1996-0"), ((col("id") % 6) + 1).cast("string"),
+        lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitGenerated(spark, dir, rows, "d",
+      PartitionedTable.PartGen.Month, "pm")
+    GraftCatalog.register(spark, "rtp", "casted", dir, partCol = Some("pm"))
+    Seq((java.sql.Timestamp.valueOf("1996-02-15 00:00:00"), "keep"),
+      (java.sql.Timestamp.valueOf("1996-03-15 12:30:00"), "keep"),
+      (java.sql.Timestamp.valueOf("1996-04-15 00:00:00"), "drop"))
+      .toDF("dt", "grp").createOrReplaceTempView("rtpcast_dim")
+    val sql =
+      """SELECT f.d, CAST(count(*) AS BIGINT) AS n
+        |FROM graft.rtp.casted f
+        |JOIN rtpcast_dim c ON f.d = c.dt
+        |WHERE c.grp = 'keep'
+        |GROUP BY f.d""".stripMargin
+    val df = spark.sql(sql)
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq(("1996-02-15", 100L)))
+    val scan = scanOf(df)
+    assert(scan.runtimePrune.nonEmpty,
+      "an invertible implicit cast must still attach the obligation")
+    assert(scan.resolvedRuntimeValues === Some(Seq("1996-02-15")),
+      "the guard must drop the sub-day key, keep the exact-midnight one")
+    val files = scan.buildDf(spark).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__part=1996-02")),
+      s"cast-keyed pruning opened a non-matching partition: ${files.mkString("\n")}")
+
+    // NON-INJECTIVE promotion (STRING partition key vs BIGINT dim key
+    // coerces the fact side to cast(part AS BIGINT), and "07" and "7"
+    // both land on 7): never prune
+    val sDir = freshStore("graftrtplossy")
+    PartitionedTable.commit(spark, sDir, spark.range(1000).select(
+      col("id").as("k"),
+      (col("id") % 10).cast("string").as("part"),
+      (col("id") * 10).as("v")), "part")
+    GraftCatalog.register(spark, "rtp", "lossy", sDir, partCol = Some("part"))
+    Seq((3L, "keep"), (7L, "keep")).toDF("bk", "grp")
+      .createOrReplaceTempView("rtpcast_big")
+    val lossy = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.lossy f
+        |JOIN rtpcast_big d ON f.part = d.bk WHERE d.grp = 'keep'""".stripMargin)
+    assert(lossy.head.getLong(0) === 200L)
+    assert(scanOf(lossy).runtimePrune.isEmpty,
+      "a non-injective coercion must not attach an obligation")
+
+    // NTZ↔LTZ is only injective under a FIXED-OFFSET zone: under a DST
+    // zone the same q121-shaped join must stay unpruned (and exact)
+    val ntzDir = freshStore("graftrtpdst")
+    PartitionedTable.commitGenerated(spark, ntzDir, spark.range(100).select(
+      col("id").as("k"),
+      to_timestamp_ntz(concat(lit("1996-0"), ((col("id") % 4) + 1)
+        .cast("string"), lit("-15 00:00:00"))).as("ts"),
+      col("id").as("v")), "ts", PartitionedTable.PartGen.Month, "pm")
+    GraftCatalog.register(spark, "rtp", "dst", ntzDir, partCol = Some("pm"))
+    Seq((java.sql.Timestamp.valueOf("1996-02-15 00:00:00"), "keep"))
+      .toDF("dt", "grp").createOrReplaceTempView("rtpdst_dim")
+    val dstSql =
+      """SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.dst f
+        |JOIN rtpdst_dim d ON f.ts = d.dt WHERE d.grp = 'keep'""".stripMargin
+    val utc = spark.sql(dstSql)
+    assert(utc.head.getLong(0) === 25L)
+    assert(scanOf(utc).runtimePrune.nonEmpty,
+      "UTC session: NTZ fact joined to LTZ keys prunes through the inverse cast")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val dst = spark.sql(dstSql)
+      // under LA the NTZ wall times label DIFFERENT instants than the
+      // UTC-built dim keys — Spark's own join semantics, the exact
+      // answer here is 0. What matters: the pruned and unpruned plans
+      // agree, and no obligation attached under a DST zone.
+      val got = dst.head.getLong(0)
+      assert(scanOf(dst).runtimePrune.isEmpty,
+        "a DST session zone must refuse the NTZ↔LTZ inverse (gap times collapse)")
+      spark.conf.set("spark.graft.runtimePruning.enabled", "false")
+      try assert(spark.sql(dstSql).head.getLong(0) === got,
+        "A/B: DST-zone results match the rule-disabled plan")
+      finally spark.conf.unset("spark.graft.runtimePruning.enabled")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    GraftCatalog.unregister("rtp", "casted")
+    GraftCatalog.unregister("rtp", "lossy")
+    GraftCatalog.unregister("rtp", "dst")
+  }
+
+  test("rule-created dim cache entries are LRU-bounded: N distinct star queries never accrete past the cap") {
+    import spark.implicits._
+    val dir = freshStore("graftrtplru")
+    PartitionedTable.commit(spark, dir, fact(1000), "part")
+    GraftCatalog.register(spark, "rtp", "lru", dir, partCol = Some("part"))
+    // a STORED dim (local dims never reach the cache) with 10 distinct
+    // filterable groups — each query below caches a DISTINCT dim plan
+    val dimPq = Files.createTempDirectory("graftrtplrud").toString + "/d"
+    (0 until 10).map(i => (s"p$i", s"g$i")).toDF("pk", "grp")
+      .write.parquet(dimPq)
+    spark.read.parquet(dimPq).createOrReplaceTempView("rtplru_dim")
+    spark.conf.set("spark.graft.runtimePruning.maxCachedDims", "3")
+    try {
+      (0 until 8).foreach { i =>
+        val df = spark.sql(
+          s"""SELECT CAST(count(*) AS BIGINT) FROM graft.rtp.lru f
+             |JOIN rtplru_dim d ON f.part = d.pk
+             |WHERE d.grp = 'g$i'""".stripMargin)
+        assert(df.head.getLong(0) === 100L, s"query g$i must stay exact")
+        assert(scanOf(df).runtimePrune.nonEmpty, s"query g$i must prune")
+      }
+      assert(org.apache.spark.sql.graft.Bridge.pruneDimCacheSize <= 3,
+        "rule-created cache entries must stay LRU-bounded")
+    } finally {
+      spark.conf.unset("spark.graft.runtimePruning.maxCachedDims")
+      GraftCatalog.unregister("rtp", "lru")
+    }
   }
 
   test("semi joins prune too, and the fact may sit on the JOIN's right for inner") {
@@ -419,7 +659,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
         |WHERE f.part IN (SELECT pk FROM rtps_dim WHERE grp = 'keep')""".stripMargin)
     assert(semi.head.getLong(0) === 100L)
     val semiScan = scanOf(semi)
-    assert(semiScan.runtimePrune.isDefined, "IN-subquery plans as LeftSemi")
+    assert(semiScan.runtimePrune.nonEmpty, "IN-subquery plans as LeftSemi")
     assert(semiScan.resolvedRuntimeValues === Some(Seq("p2")))
 
     val flipped = spark.sql(
@@ -427,7 +667,7 @@ class GraftRuntimePruneSpec extends SparkSpec {
         |FROM (SELECT pk FROM rtps_dim WHERE grp = 'keep') d
         |JOIN graft.rtp.semi f ON f.part = d.pk""".stripMargin)
     assert(flipped.head.getLong(0) === 100L)
-    assert(scanOf(flipped).runtimePrune.isDefined,
+    assert(scanOf(flipped).runtimePrune.nonEmpty,
       "inner joins prune the fact on either side")
   }
 }

@@ -324,6 +324,128 @@ class GraftScanStatsSpec extends SparkSpec {
     Seq("f", "b", "c").foreach(GraftCatalog.unregister("cbo", _))
   }
 
+  test("equi-height histograms: CBO selectivity on a skewed predicate flips with histogram on vs off; rows identical") {
+    GraftScanStats.ensureInstalled(spark)
+    val dir = freshStore("grafthist")
+    // HEAVILY skewed: 900 of 1000 rows carry s=0, the rest spread over
+    // 1..100 — uniform NDV-based selectivity estimates `s = 0` at
+    // ~rows/ndv ≈ 10, the histogram sees ~90% of bins pinned at 0
+    PartitionedTable.commit(spark, dir, spark.range(1000).select(
+      col("id").as("k"), lit("all").as("part"),
+      when(col("id") < 900, 0L).otherwise((col("id") % 100) + 1).as("s")),
+      "part")
+    GraftCatalog.register(spark, "hstats", "t", dir, partCol = Some("part"))
+    val stats = PartitionedTable.analyzeTable(spark, dir,
+      histCols = Seq("s"), histBuckets = 32)
+    val hist = stats("stats.col.s.histogram")
+    assert(hist.startsWith("31.25|"), s"height = 1000/32: $hist")
+    assert(hist.split("\\|")(1).split(";").length === 32, hist)
+    // the scan serves it through the V2 colstats surface
+    val scan = scanOf(spark.sql("SELECT s FROM graft.hstats.t"))
+    val served = scan.estimateStatistics().columnStats().values()
+      .iterator().next()
+    assert(served.histogram().isPresent, "scan must serve the histogram")
+    assert(served.histogram().get().bins().length === 32)
+
+    val sql = "SELECT * FROM graft.hstats.t WHERE s = 0"
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def estimated: BigInt =
+        spark.sql(sql).queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail("CBO must estimate the filter"))
+      val withHist = estimated
+      assert(withHist > BigInt(500),
+        s"the histogram must see the skew (~900 rows): $withHist")
+      // NEGATIVE CONTROL: re-ANALYZE without the histogram (the stats
+      // key space replaces atomically) → uniformity assumption returns
+      PartitionedTable.analyzeTable(spark, dir)
+      val without = estimated
+      assert(without < BigInt(100),
+        s"without the histogram the uniform NDV estimate (~10) stands: $without")
+      assert(spark.sql(sql).count() === 900L, "estimates never change rows")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    GraftCatalog.unregister("hstats", "t")
+  }
+
+  test("stats staleness: column stats drop past maxStaleCommits (logged, conf-gated); exact row counts survive; DESCRIBE surfaces the distance") {
+    import spark.implicits._
+    GraftScanStats.ensureInstalled(spark)
+    val dir = freshStore("graftstale")
+    PartitionedTable.commit(spark, dir, table(1000), "part") // v0
+    GraftCatalog.register(spark, "sstats", "t", dir, partCol = Some("part"))
+    PartitionedTable.analyzeTable(spark, dir) // pinned to v0
+    def colStatsOf() = scanOf(
+      spark.sql("SELECT k, v FROM graft.sstats.t")).estimateStatistics()
+    assert(!colStatsOf().columnStats().isEmpty, "fresh stats serve")
+    // 3 commits past the analyze
+    (1 to 3).foreach { i =>
+      PartitionedTable.merge(spark, dir,
+        Seq((i.toLong, s"p${i % 4}", 0L, "upsert")).toDF("k", "part", "v", "op"),
+        "k", "part")
+    }
+    spark.conf.set("spark.graft.stats.maxStaleCommits", "3")
+    try {
+      val st = colStatsOf()
+      assert(st.columnStats().isEmpty,
+        "3 commits past the analyze at maxStaleCommits=3 → stats dropped")
+      assert(st.numRows().isPresent && st.numRows().getAsLong === 1000L,
+        "exact footer row counts are independent of ANALYZE staleness")
+      // DESCRIBE EXTENDED surfaces the distance (derived, not persisted)
+      val described = spark.sql("DESCRIBE TABLE EXTENDED graft.sstats.t")
+        .collect().map(_.mkString("|")).mkString("\n")
+      assert(described.contains("stats.stale_commits"), described)
+      assert(described.contains("stats.stale_commits|3") ||
+        described.contains("stats.stale_commits=3"), described)
+    } finally spark.conf.unset("spark.graft.stats.maxStaleCommits")
+    // default threshold (64) keeps serving at distance 3
+    assert(!colStatsOf().columnStats().isEmpty,
+      "below the threshold the pinned stats still serve")
+    // re-ANALYZE resets the distance
+    PartitionedTable.analyzeTable(spark, dir)
+    spark.conf.set("spark.graft.stats.maxStaleCommits", "3")
+    try assert(!colStatsOf().columnStats().isEmpty,
+      "a fresh ANALYZE serves under the same threshold")
+    finally spark.conf.unset("spark.graft.stats.maxStaleCommits")
+    GraftCatalog.unregister("sstats", "t")
+  }
+
+  test("timestamp min/max render under FIXED UTC: a non-UTC session round-trips exact CBO bounds") {
+    GraftScanStats.ensureInstalled(spark)
+    val dir = freshStore("grafttz")
+    PartitionedTable.commit(spark, dir, spark.range(10).select(
+      col("id").as("k"), lit("all").as("part"),
+      to_timestamp(concat(lit("1996-03-"), (col("id") + 10).cast("string"),
+        lit(" 12:00:00"))).as("ts")), "part")
+    GraftCatalog.register(spark, "tzstats", "t", dir, partCol = Some("part"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val stats = PartitionedTable.analyzeTable(spark, dir, Seq("ts"))
+      // rendered under UTC regardless of the LA session
+      assert(stats("stats.col.ts.min") === "1996-03-10 12:00:00.000000",
+        stats("stats.col.ts.min"))
+      assert(stats("stats.col.ts.max") === "1996-03-19 12:00:00.000000")
+      // ...and the scan's UTC parse round-trips to the exact micros
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rel = spark.sql("SELECT ts FROM graft.tzstats.t")
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        }.getOrElse(fail("no V2 scan relation"))
+      val tsStat = rel.stats.attributeStats.toSeq
+        .find(_._1.name == "ts").map(_._2)
+        .getOrElse(fail("no ColumnStat for ts"))
+      val expectedMin = java.time.Instant.parse("1996-03-10T12:00:00Z")
+        .getEpochSecond * 1000000L
+      assert(tsStat.min.contains(expectedMin),
+        s"UTC round-trip must not shift by the session offset: ${tsStat.min}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
+    GraftCatalog.unregister("tzstats", "t")
+  }
+
   test("rule is idempotent and leaves non-graft scans alone") {
     GraftScanStats.ensureInstalled(spark)
     GraftScanStats.ensureInstalled(spark)

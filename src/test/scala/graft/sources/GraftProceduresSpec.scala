@@ -57,6 +57,21 @@ class GraftProceduresSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"CALL graft.system.analyze(table => '$t', columns => 'nope')").collect())
     assert(e.getMessage.contains("nope"), s"got: ${e.getMessage}")
+    // histogram_columns builds an equi-height histogram per named
+    // numeric column with `buckets` bins, reported and persisted
+    val hRow = spark.sql(
+      s"""CALL graft.system.analyze(table => '$t',
+         |histogram_columns => 'v', buckets => 16)""".stripMargin)
+      .collect().head
+    assert(hRow.getInt(3) === 1, "n_histograms")
+    val hProps = PartitionedTable.propertiesOf(spark, dir)
+    assert(hProps("stats.col.v.histogram").split("\\|")(1)
+      .split(";").length === 16, hProps("stats.col.v.histogram"))
+    // non-numeric histogram columns fail loud
+    val he = intercept[Exception](spark.sql(
+      s"""CALL graft.system.analyze(table => '$t',
+         |histogram_columns => 'part')""".stripMargin).collect())
+    assert(he.getMessage.contains("numeric"), s"got: ${he.getMessage}")
   }
 
   test("CALL vacuum drops all but the newest <keep> versions and reports the GC") {
