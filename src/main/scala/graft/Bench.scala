@@ -104,8 +104,16 @@ object Bench {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           hasShuffle(q.plan)
       }.contains(true)
-    @volatile var lastExecuted
-        : Option[org.apache.spark.sql.execution.SparkPlan] = None
+    // Round 17 (ADVICE r16): a stale event could outlive its query's 5 s
+    // wait and be consumed by the NEXT query's wait, classifying it by
+    // the wrong plan. Each event now carries its QueryExecution's
+    // planning-tracker end stamp — OUR save's QE is created inside the
+    // save call, so every phase of it ends at-or-after the wall clock
+    // read just before the save; a straggler from the previous query
+    // planned strictly earlier and is ignored by the stamp filter.
+    final case class ExecEvt(
+        planStampMs: Long, plan: org.apache.spark.sql.execution.SparkPlan)
+    @volatile var lastExecuted: Option[ExecEvt] = None
     val classListener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -118,8 +126,13 @@ object Bench {
         // "save"/"parquet"), eager SQL commands — never match, so they
         // can't be misattributed as the query's plan.
         if (funcName == "overwrite" &&
-          qe.executedPlan.nodeName.contains("OverwriteByExpression"))
-          lastExecuted = Some(qe.executedPlan)
+          qe.executedPlan.nodeName.contains("OverwriteByExpression")) {
+          val stamp =
+            try qe.tracker.phases.values.map(_.endTimeMs).maxOption
+              .getOrElse(Long.MaxValue)
+            catch { case NonFatal(_) => Long.MaxValue }
+          lastExecuted = Some(ExecEvt(stamp, qe.executedPlan))
+        }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -128,16 +141,18 @@ object Bench {
     try selected.sortBy(_._1).foreach { case (name, fn) =>
       try {
         lastExecuted = None
+        val t0Ms = System.currentTimeMillis()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        // listener events post asynchronously; bounded wait for the
-        // save's own event (events are in-order, and the previous
-        // query's save event was consumed by ITS wait)
+        // listener events post asynchronously; bounded wait for an
+        // event whose planning ended at-or-after THIS save started —
+        // a stale straggler from the previous query never qualifies
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (lastExecuted.isEmpty && System.nanoTime() < deadline)
+        while (!lastExecuted.exists(_.planStampMs >= t0Ms) &&
+          System.nanoTime() < deadline)
           Thread.sleep(10)
-        lastExecuted.foreach { p =>
+        lastExecuted.filter(_.planStampMs >= t0Ms).foreach { e =>
           classified += name
-          if (hasShuffle(p)) exchangeBound += name: Unit
+          if (hasShuffle(e.plan)) exchangeBound += name: Unit
         }
       } catch { case NonFatal(_) => () }
     } finally spark.listenerManager.unregister(classListener)
@@ -179,17 +194,37 @@ object Bench {
     // t11_quality_gate this way). Interleaving spreads each query's samples
     // ~a full board-length apart, so a contiguous stall can own at most one
     // of the three and the median stays clean.
+    //
+    // Round 17: each pass visits the board in its OWN deterministically
+    // shuffled order (seeded by the pass index — boards stay exactly
+    // reproducible) instead of the same alphabetical order every pass.
+    // With a fixed visit order, a PERIODIC external stall whose period
+    // aliases with the pass length hits the same alphabetical
+    // neighborhood on every pass and defeats the median (the r15/r16
+    // driver-window s24–s35 artifact); rotated orders make consecutive
+    // hits land on unrelated queries. Each sample is also stamped with
+    // its wall-clock offset from the board start, persisted in the full
+    // board file — a contiguous stall is now provable from the artifact
+    // itself (a cluster of inflated samples at adjacent offsets across
+    // UNRELATED queries) rather than adjudicated by re-running.
     val board = selected.sortBy(_._1)
+    def passOrder[T](xs: Seq[T], pass: Int): Seq[T] =
+      new scala.util.Random(0x9E3779B97F4A7C15L * (pass + 1)).shuffle(xs)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val offsets = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     val failed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to TimedPasses; (name, fn) <- board if !failed(name)) {
+    val boardStart = System.nanoTime()
+    for (pass <- 1 to TimedPasses;
+         (name, fn) <- passOrder(board, pass) if !failed(name)) {
       // noop sink, not count(): count() lets Catalyst prune every unused
       // column, so projection-only queries would be timed at ~zero cost.
       // The noop DSv2 writer consumes every row in full.
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        offsets(name) = ((t0 - boardStart) / 1e9) :: offsets(name)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name // a failed pass aborts the query's remaining passes
@@ -228,8 +263,9 @@ object Bench {
       val small = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
       val smallFailed = scala.collection.mutable.Set.empty[String]
-      for (_ <- 1 to TimedPasses;
-           (name, fn) <- board if !failed(name) && !smallFailed(name)) {
+      for (pass <- 1 to TimedPasses;
+           (name, fn) <- passOrder(board, pass + TimedPasses)
+           if !failed(name) && !smallFailed(name)) {
         val t0 = System.nanoTime()
         try { fn(spark, smallDir).write.format("noop").mode("overwrite").save()
           small(name) = ((System.nanoTime() - t0) / 1e9) :: small(name)
@@ -279,7 +315,15 @@ object Bench {
       case (n, v) if !v.startsWith("\"") && exchangeBound(n) => "\"" + n + "\""
     }.mkString("[", ",", "]")
     val unclJson = unclNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val boardLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"ref_shuffle_canary":$RefShuffleCanary,"normalized_total":${normalizedTotal(total, canary)},"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary) + uncl},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":$ebNames,"unclassified":$unclJson$scaling}"""
+    // per-sample provenance: [wall-clock offset from board start, raw
+    // duration] per timed pass, chronological — locale-independent 3dp
+    def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
+    val samplesJson = board.map { case (name, _) =>
+      val pairs = offsets(name).reverse.zip(samples(name).reverse)
+        .map { case (off, dur) => s"[${r3(off)},${r3(dur)}]" }
+      "\"" + name + "\":" + pairs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val boardLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size},"passes":$TimedPasses,"stat":"median","canary":$canary,"shuffle_canary":$shuffleCanary,"ref_canary":$RefCanary,"ref_shuffle_canary":$RefShuffleCanary,"normalized_total":${normalizedTotal(total, canary)},"normalized_total_2f":${normalizedTotal2f(cb, eb, canary, shuffleCanary) + uncl},"cpu_bound_seconds":$cb,"exchange_bound_seconds":$eb,"exchange_bound":$ebNames,"unclassified":$unclJson,"sample_walltime":$samplesJson$scaling}"""
     println(boardLine)
     // The driver's capture tail-truncates long stdout: fifteen rounds
     // of BENCH_r*.json carried `parsed: null` because the ~6 KB board
