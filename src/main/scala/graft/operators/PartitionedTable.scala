@@ -320,8 +320,13 @@ object PartitionedTable {
     try out.write((meta.toSeq ++ lines).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (hfs.rename(tmp, target)) true
-    else {
+    if (hfs.rename(tmp, target)) {
+      // every manifest mutation invalidates this JVM's cached merged
+      // schemas for the dir — a later write may re-mint a previously
+      // vacuumed batch=N path with a DIFFERENT schema
+      bumpSchemaEpoch(dir)
+      true
+    } else {
       hfs.delete(tmp, true)
       if (versions(spark, dir).contains(v)) false
       else throw new java.io.IOException(
@@ -951,18 +956,87 @@ object PartitionedTable {
     * mergeSchema-inferred reads use (missing columns null-fill), so
     * results are bit-identical; the cache clears wholesale past a size
     * bound (long test JVMs mint thousands of tiny tables). */
+  /** Merged-footer-schema cache: `spark.read.schema(merged)` equals
+    * `mergeSchema=true` bit-for-bit (same per-file reconciliation) but
+    * skips the footer-merge JOB — huge for many-slice re-planning.
+    *
+    * KEYING (round 17): a 16-byte digest of the sorted path list PLUS
+    * each involved table dir's INVALIDATION EPOCH — version-dir paths
+    * (`batch=N`) are reusable (restore→vacuum drops max ids and a later
+    * write re-mints the same `batch=N`; tests delete+recreate dirs in
+    * one JVM), and a re-minted dir with a different schema must never
+    * serve the stale cached one. Every manifest commit and every vacuum
+    * bumps its dir's epoch ([[bumpSchemaEpoch]]), so this JVM's
+    * write/restore/vacuum paths structurally can't hit a pre-mutation
+    * entry. BOUNDING: LRU by approximate BYTES (keys are fixed-size
+    * digests, values one schema each) instead of the old
+    * 8192-entries-then-`clear()` — a wholesale clear dumped every
+    * table's schema at once, and full path-list keys were MBs at 10^5
+    * slices. */
   private val mergedSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], StructType]()
+    new java.util.LinkedHashMap[String, (StructType, Long)](
+      256, 0.75f, /*accessOrder=*/ true)
+  private var mergedSchemaCacheBytes = 0L
+  private[operators] var mergedSchemaCacheMaxBytes: Long = 32L << 20
+  private[operators] var mergedSchemaCacheMisses = 0L
+  private[operators] def mergedSchemaCacheEntries: Int =
+    mergedSchemaCache.synchronized(mergedSchemaCache.size)
+
+  /** Per-table-dir invalidation epoch for the merged-schema cache. */
+  private val schemaCacheEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[operators] def bumpSchemaEpoch(dir: String): Unit =
+    schemaCacheEpochs.merge(
+      dir, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)): Unit
+  private def schemaEpochOf(dir: String): Long =
+    Option(schemaCacheEpochs.get(dir)).map(_.longValue).getOrElse(0L)
+
+  /** The table dir a slice path belongs to, for epoch lookup: the
+    * prefix before the partition (`/__part=`) or version (`/batch=`)
+    * marker, else the parent dir. A coarser-than-exact attribution
+    * only ever invalidates MORE, never less. */
+  private def tableDirOf(p: String): String = {
+    val part = p.indexOf("/__part=")
+    if (part >= 0) p.substring(0, part)
+    else {
+      val batch = p.indexOf("/batch=")
+      if (batch >= 0) p.substring(0, batch)
+      else {
+        val slash = p.lastIndexOf('/')
+        if (slash > 0) p.substring(0, slash) else p
+      }
+    }
+  }
 
   private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val key = paths.sorted
-    val cached = mergedSchemaCache.get(key)
-    if (cached != null) spark.read.schema(cached).parquet(paths: _*)
-    else {
-      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      if (mergedSchemaCache.size > 8192) mergedSchemaCache.clear()
-      mergedSchemaCache.put(key, df.schema)
-      df
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { p => md.update(p.getBytes(utf8)); md.update(0: Byte) }
+    paths.map(tableDirOf).distinct.sorted.foreach { d =>
+      md.update(s"|$d=${schemaEpochOf(d)}".getBytes(utf8))
+    }
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest())
+    val cached = mergedSchemaCache.synchronized(
+      Option(mergedSchemaCache.get(key)))
+    cached match {
+      case Some((schema, _)) => spark.read.schema(schema).parquet(paths: _*)
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        val schema = df.schema
+        val bytes = 64L + key.length * 2L + schema.catalogString.length * 2L
+        mergedSchemaCache.synchronized {
+          mergedSchemaCacheMisses += 1
+          if (mergedSchemaCache.put(key, (schema, bytes)) == null)
+            mergedSchemaCacheBytes += bytes
+          val it = mergedSchemaCache.entrySet().iterator()
+          while (mergedSchemaCacheBytes > mergedSchemaCacheMaxBytes &&
+            it.hasNext) {
+            mergedSchemaCacheBytes -= it.next().getValue._2
+            it.remove()
+          }
+        }
+        df
     }
   }
 
@@ -2339,6 +2413,9 @@ object PartitionedTable {
       }
       if (hfs.listStatus(p.getPath).isEmpty) hfs.delete(p.getPath, true): Unit
     }
+    // vacuum deletes version dirs whose batch=N paths a later write can
+    // re-mint — drop this JVM's cached merged schemas for the dir
+    bumpSchemaEpoch(dir)
     (dropped, prunedStores)
   }
 
