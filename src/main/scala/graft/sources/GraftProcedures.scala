@@ -33,7 +33,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("vacuum", "vacuum_retain", "optimize", "restore", "clone",
-      "create_like", "analyze")
+      "create_like", "analyze", "ann_search")
 
   def load(name: String): UnboundProcedure = name match {
     case "vacuum" => Vacuum
@@ -43,6 +43,7 @@ object GraftProcedures {
     case "clone" => Clone
     case "create_like" => CreateLike
     case "analyze" => Analyze
+    case "ann_search" => AnnSearch
     case other => throw new UnsupportedOperationException(
       s"graft catalog: no procedure $other — have ${names.mkString(", ")}")
   }
@@ -313,6 +314,68 @@ object GraftProcedures {
           stats.keys.count(_.endsWith(".ndv"))),
         ("n_histograms", IntegerType,
           stats.keys.count(_.endsWith(".histogram"))))
+    }
+  }
+
+  /** K-row driver-side result (top-k searches; k-bounded by contract). */
+  private final case class RowsScan(
+      schema: StructType, rs: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = schema
+    override def description(): String = "GraftProcedureRows"
+  }
+
+  /** `CALL graft.system.ann_search(table => 'db.idx', query_vec =>
+    * '0.1,-0.2,...' [, k => 10][, nprobe => 1])` — the SQL front door
+    * onto the feed-maintained IVF index ([[graft.streaming.IndexFeed
+    * .searchIvf]]): rebuild the FROZEN quantizer from the index's
+    * persisted `ann.*` properties (maintainIvf writes them at every
+    * drain), resolve the `nprobe` nearest inverted lists DRIVER-side,
+    * read ONLY those partitions' pinned dirs, score with the fused
+    * d2 kernels, and return the top `k` as (key, d2) rows — k-bounded,
+    * zero corpus shuffle, no Scala in sight. A table without the
+    * `ann.*` contract fails loud (it isn't an ANN index). */
+  private object AnnSearch extends GraftProcedure("ann_search",
+    Seq(param("table", StringType), param("query_vec", StringType),
+      ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
+      ProcedureParameter.in("nprobe", IntegerType)
+        .defaultValue("1").build())) {
+    override def description(): String =
+      "top-k nearest neighbors from a feed-maintained IVF index: " +
+        "query_vec => 'v0,v1,...' (the index's embedding dimension), " +
+        "nprobe nearest inverted lists probed, rows (key, d2) ascending"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val spec = specOf(input.getUTF8String(0).toString)
+      val props = PartitionedTable.propertiesOf(spark, spec.dir)
+      val centStr = props.getOrElse("ann.centroids",
+        throw new IllegalArgumentException(
+          s"graft procedures: ${spec.dir} is not an ANN index — " +
+            "IndexFeed.maintainIvf persists the ann.* quantizer contract"))
+      val model = graft.functions.KMeans.Model(
+        centStr.split(";").map(_.split(",").map(_.toDouble)))
+      val query = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      require(query.length == model.centroids.head.length,
+        s"graft procedures: query_vec has ${query.length} dims, the " +
+          s"index expects ${model.centroids.head.length}")
+      val k = input.getInt(2)
+      val nprobe = input.getInt(3)
+      val keyCol = props.getOrElse("ann.keycol", "vec_id")
+      val df = graft.streaming.IndexFeed.searchIvf(
+        spark, spec.dir, model, query, nprobe = nprobe, k = k,
+        keyCol = keyCol, embCol = props.getOrElse("ann.embcol", "embedding"),
+        d2Decimals = props.get("ann.dist_decimals").map(_.toInt)
+          .getOrElse(-1))
+        .select(org.apache.spark.sql.functions.col(keyCol),
+          org.apache.spark.sql.functions.col("d2"))
+      // k-bounded collect of InternalRows; the probe job itself reads
+      // only the pinned inverted-list dirs (plan-asserted in
+      // IndexFeedSpec)
+      val rows = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.executeCollect().map(_.copy())
+      java.util.List.of[Scan](
+        RowsScan(df.schema, rows.toArray[InternalRow])).iterator()
     }
   }
 

@@ -71,13 +71,29 @@ object IndexFeed {
       partCol: String,
       embCol: String = "embedding",
       distDecimals: Int = -1,
-      startVersion: Long = -1L): Seq[Long] =
-    ChangeFeed.maintain(spark, tableDir, checkpointDir, keyCol, partCol,
+      startVersion: Long = -1L): Seq[Long] = {
+    val drained = ChangeFeed.maintain(spark, tableDir, checkpointDir, keyCol,
+      partCol,
       (feed, v) => {
         PartitionedTable.mergeAt(spark, indexDir,
           indexChanges(feed, model, keyCol, embCol, distDecimals),
           keyCol, "cluster", "op", id = v): Unit
       }, preImages = true, startVersion = startVersion)
+    // persist the FROZEN quantizer + search contract as index table
+    // properties (k × dim doubles — manifest bytes), so the SQL front
+    // door (`CALL graft.system.ann_search`) can rebuild the model and
+    // probe this index with no Scala in sight. Idempotent overwrite;
+    // only after a drain that actually touched the index (a no-op
+    // drain of an empty feed may precede the index's first commit).
+    if (drained.nonEmpty || PartitionedTable.latest(spark, indexDir).isDefined)
+      PartitionedTable.alterProperties(spark, indexDir, Map(
+        "ann.centroids" ->
+          Some(model.centroids.map(_.mkString(",")).mkString(";")),
+        "ann.keycol" -> Some(keyCol),
+        "ann.embcol" -> Some(embCol),
+        "ann.dist_decimals" -> Some(distDecimals.toString)))
+    drained
+  }
 
   /** Query the maintained index: resolve the `nprobe` nearest inverted
     * lists DRIVER-side (centroids are k-sized), read exactly those
@@ -283,6 +299,64 @@ object IndexFeed {
       searchIvf(s, fix.idxDir, fix.model, probeQuery, nprobe = 3, k = 10,
         d2Decimals = 6)
         .select(col("vec_id"), col("d2"))
+    },
+
+    // The SAME probe through the SQL front door, hash-gated against
+    // s37's exact oracle: register the fixture's drained index in the
+    // catalog and run ONE `CALL graft.system.ann_search(...)` — the
+    // procedure rebuilds the frozen quantizer from the index's
+    // persisted ann.* properties (maintainIvf wrote them at drain
+    // time), resolves the 3 nearest inverted lists driver-side, reads
+    // only those pinned dirs, and returns the rounded-d2 top-10.
+    // Reference users live in SQL (transformToSilver.py:105-112); this
+    // entry proves the whole search stack needs no Scala. A divergence
+    // anywhere — stale quantizer properties, wrong list resolution,
+    // ranking drift through the string round-trip — breaks the hash
+    // against the closed-form oracle.
+    QueryDef.sql("s38_sql_ann_search",
+      s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |${Dedup.kmeansCtes(8, 2, 4, 6, src = "idx")},
+         |fin AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 9 = 1
+         |              THEN list_transform(embedding, x -> -x)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 7 <> 0),
+         |fd AS (
+         |  SELECT f.vec_id, c.cid, ${Dedup.sqDistSql("f.embedding", "c.ce", 6)} AS d2
+         |  FROM fin f, cent2 c),
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1),
+         |qv AS (SELECT list_transform(range(0, 64),
+         |                i -> ((i * 37) % 19 - 9) / 10.0) AS e),
+         |probed AS (
+         |  SELECT c.cid FROM cent2 c, qv
+         |  ORDER BY list_sum(list_transform(range(1, len(c.ce)+1),
+         |             i -> (c.ce[i] - qv.e[i]) * (c.ce[i] - qv.e[i]))), c.cid
+         |  LIMIT 3),
+         |cand AS (
+         |  SELECT f.vec_id, f.embedding FROM fin f
+         |  JOIN asn a ON a.vec_id = f.vec_id
+         |  JOIN probed p ON a.cluster = p.cid)
+         |SELECT c.vec_id,
+         |  round(list_sum(list_transform(range(1, len(c.embedding)+1),
+         |          i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, len(c.embedding)+1),
+         |            i -> c.embedding[i]::DOUBLE * qv.e[i]))
+         |    + list_sum(list_transform(range(1, len(qv.e)+1),
+         |        i -> qv.e[i] * qv.e[i])), 6) AS d2
+         |FROM cand c, qv
+         |ORDER BY d2, c.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val fix = fixtureFor(s, dir)
+      val tbl = "s38_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.GraftCatalog.register(s, "lake", tbl, fix.idxDir,
+        partCol = Some("cluster"))
+      s.sql(
+        s"""CALL graft.system.ann_search(table => 'lake.$tbl',
+           |query_vec => '${probeQuery.mkString(",")}',
+           |k => 10, nprobe => 3)""".stripMargin)
     }
   )
 }

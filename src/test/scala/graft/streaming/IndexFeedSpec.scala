@@ -144,6 +144,50 @@ class IndexFeedSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("feed op")))
   }
 
+  test("the SQL front door: ann_search rebuilds the persisted quantizer and matches searchIvf; non-indexes fail loud") {
+    val src = fresh("annsrc"); val ckpt = fresh("annckpt")
+    val idx = fresh("annidx")
+    val model = buildSource(src)
+    applyCdc(src)
+    IndexFeed.maintainIvf(spark, src, ckpt, idx, model, "vec_id", "part",
+      distDecimals = 6)
+    // the drain persisted the ann.* contract
+    val props = PartitionedTable.propertiesOf(spark, idx)
+    assert(props.contains("ann.centroids") &&
+      props("ann.keycol") === "vec_id" &&
+      props("ann.dist_decimals") === "6", props.keys.toSeq.sorted.toString)
+    graft.sources.GraftCatalog.register(spark, "annt", "idx", idx,
+      partCol = Some("cluster"))
+    val q = Seq.tabulate(4)(i => (i * 3 % 7).toDouble)
+    val viaScala = IndexFeed.searchIvf(spark, idx, model, q,
+      nprobe = 2, k = 5, d2Decimals = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("d2"))))
+      .toSeq
+    val viaSql = spark.sql(
+      s"""CALL graft.system.ann_search(table => 'annt.idx',
+         |query_vec => '${q.mkString(",")}', k => 5, nprobe => 2)"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === viaScala,
+      s"SQL and Scala probes must agree: $viaSql vs $viaScala")
+    // a table without the ann.* contract fails loud
+    val plain = fresh("annplain")
+    PartitionedTable.commit(spark, plain, vecs, "part")
+    graft.sources.GraftCatalog.register(spark, "annt", "plain", plain,
+      partCol = Some("part"))
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.ann_search(table => 'annt.plain', " +
+        "query_vec => '1,2,3,4')").collect())
+    assert(e.getMessage.contains("not an ANN index"), e.getMessage)
+    // a wrong-dimension query fails loud, not wrong-answers
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.ann_search(table => 'annt.idx', " +
+        "query_vec => '1,2,3')").collect())
+    assert(e2.getMessage.contains("dims"), e2.getMessage)
+    graft.sources.GraftCatalog.unregister("annt", "idx")
+    graft.sources.GraftCatalog.unregister("annt", "plain")
+  }
+
   test("probing only clusters with no inverted list returns an empty top-k, never a read failure") {
     val src = fresh("src"); val idx = fresh("idx"); val ckpt = fresh("ckpt")
     val model = buildSource(src)
