@@ -2413,6 +2413,19 @@ object PartitionedTable {
       }
       if (hfs.listStatus(p.getPath).isEmpty) hfs.delete(p.getPath, true): Unit
     }
+    // GC analyze-sketch sidecars of pruned (partition, store version)
+    // pairs — content-addressed like the slices, collected like them
+    val sideRoot = new Path(dir, AnalyzeDir)
+    if (hfs.exists(sideRoot)) hfs.listStatus(sideRoot).foreach { s =>
+      val n = s.getPath.getName
+      val at = n.lastIndexOf('@')
+      if (n.endsWith(".properties") && at > 0) {
+        val name = n.substring(0, at)
+        val sv = n.substring(at + 1).stripSuffix(".properties").toLongOption
+        if (sv.exists(x => !referenced.contains((name, x))))
+          hfs.delete(s.getPath, false): Unit
+      }
+    }
     // vacuum deletes version dirs whose batch=N paths a later write can
     // re-mint — drop this JVM's cached merged schemas for the dir
     bumpSchemaEpoch(dir)
@@ -4028,6 +4041,208 @@ object PartitionedTable {
     alterProperties(spark, dir,
       stale ++ computed.map { case (k, vv) => k -> Some(vv) })
     computed
+  }
+
+  /** Per-(partition, store version) analyze-sketch sidecar dir
+    * (underscore-prefixed: invisible to data reads). */
+  private val AnalyzeDir = "_analyze"
+
+  private def analyzeSidecarPath(dir: String, name: String, sv: Long): Path =
+    new Path(new Path(dir, AnalyzeDir), s"$name@$sv.properties")
+
+  /** INCREMENTAL ANALYZE — the 100 TB statistics posture: ANALYZE cost
+    * must track the INCREMENT, not the table. Per-column HLL sketches
+    * (datasketches, `hll_sketch_agg` — mergeable by construction, the
+    * q50 sketch-rollup machinery pointed at NDVs) plus
+    * rows/nulls/min/max/lengths are persisted as one tiny SIDECAR per
+    * (partition, pinned store version) — content-addressed and
+    * immutable, exactly like the slices themselves. Re-ANALYZE after an
+    * incremental merge scans ONLY the partitions whose store version
+    * has no sidecar yet (the merged ones) and UNIONS every partition's
+    * sketch driver-side: rows/nulls/lengths sum, min/max compare in the
+    * value domain, NDV comes from the HLL union — identical key space
+    * to [[analyzeTable]] (NDV within HLL tolerance of the one-pass
+    * `approx_count_distinct`), marked `stats.mode=incremental`.
+    *
+    * `partCol` must be a data column (identity partitioning, or a
+    * generated/level table's DERIVED column — the engine writes those
+    * into the data). Returns the persisted stats plus two NON-persisted
+    * cost receipts: `analyze.scanned_partitions` and
+    * `analyze.scanned_files` (the scan's own `inputFiles` count — the
+    * one-partition-cost contract the spec asserts). */
+  def analyzeTableIncremental(
+      spark: SparkSession, dir: String, partCol: String,
+      cols: Seq[String] = Nil): Map[String, String] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampNTZType, TimestampType}
+    val v = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"PartitionedTable: nothing to analyze under $dir"))
+    val mapping = manifest(spark, dir, v).filter(_._2 >= 0)
+    val df = read(spark, dir, Some(v))
+    require(df.columns.contains(partCol),
+      s"PartitionedTable: incremental analyze needs partition column " +
+        s"$partCol in the data (have ${df.columns.mkString(", ")})")
+    val targets = (if (cols.nonEmpty) cols else df.columns.toSeq).distinct
+      .filter(df.columns.contains)
+    require(cols.isEmpty || targets.size == cols.distinct.size,
+      s"PartitionedTable: analyze columns ${cols.diff(targets).mkString(", ")} " +
+        s"do not exist under $dir")
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val utcFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def render(value: Any): String = value match {
+      case t: java.sql.Timestamp =>
+        utcFmt.withZone(java.time.ZoneOffset.UTC).format(t.toInstant)
+      case i: java.time.Instant =>
+        utcFmt.withZone(java.time.ZoneOffset.UTC).format(i)
+      case l: java.time.LocalDateTime => l.format(utcFmt)
+      case other => other.toString
+    }
+    val hfs = VersionedStore.fs(spark, dir)
+    def loadSidecar(name: String, sv: Long): Option[java.util.Properties] = {
+      val p = analyzeSidecarPath(dir, name, sv)
+      if (!hfs.exists(p)) None
+      else {
+        val props = new java.util.Properties()
+        val in = hfs.open(p)
+        try props.load(new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+        Some(props)
+      }
+    }
+    // a sidecar COVERS this analyze iff it has every target's count key
+    // (a narrower earlier analyze recomputes the partition's sidecar)
+    val loaded: Map[String, java.util.Properties] = mapping.flatMap {
+      case (name, sv) => loadSidecar(name, sv)
+        .filter(p => targets.forall(c => p.getProperty(s"$c.cnt") != null))
+        .map(name -> _)
+    }
+    val missing = mapping.view.filterKeys(!loaded.contains(_)).toMap
+    var scannedFiles = 0
+    val fresh: Map[String, java.util.Properties] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val values = missing.keys.toSeq.map(n => ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix(s"$PartDir=")))
+        val part = readPartitions(spark, dir, values, Some(v))
+        scannedFiles = part.inputFiles.length
+        val aggs = Seq(count(lit(1)).as("__rows")) ++ targets.flatMap { c =>
+          val dt = df.schema(c).dataType
+          // sketch over the STRING render: hll_sketch_agg accepts
+          // int/long/string/binary only, and the render is injective
+          // for every type the engine analyzes — same NDV
+          Seq(hll_sketch_agg(col(c).cast("string"), lit(12))
+            .as(s"__sk_$c"),
+            count(col(c)).as(s"__cnt_$c")) ++
+            (if (dt == TimestampType || dt == TimestampNTZType)
+              Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+            else if (orderable(dt))
+              Seq(min(col(c)).cast("string").as(s"__min_$c"),
+                max(col(c)).cast("string").as(s"__max_$c"))
+            else if (dt == StringType)
+              Seq(sum(length(col(c))).as(s"__sumlen_$c"),
+                max(length(col(c))).as(s"__maxlen_$c"))
+            else Nil)
+        }
+        val rows = part
+          .groupBy(col(partCol).cast("string").as("__pv"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        rows.map { row =>
+          val name = escape(row.getString(row.fieldIndex("__pv")))
+          val props = new java.util.Properties()
+          props.setProperty("rows",
+            row.getLong(row.fieldIndex("__rows")).toString)
+          targets.foreach { c =>
+            def put(suffix: String, key: String): Unit = {
+              val i = row.fieldIndex(key)
+              if (!row.isNullAt(i))
+                props.setProperty(s"$c.$suffix", render(row.get(i))): Unit
+            }
+            props.setProperty(s"$c.cnt",
+              row.getLong(row.fieldIndex(s"__cnt_$c")).toString)
+            props.setProperty(s"$c.sk", java.util.Base64.getEncoder
+              .encodeToString(row.getAs[Array[Byte]](s"__sk_$c")))
+            val dt = df.schema(c).dataType
+            if (orderable(dt)) { put("min", s"__min_$c"); put("max", s"__max_$c") }
+            else if (dt == StringType) {
+              put("sumlen", s"__sumlen_$c"); put("maxlen", s"__maxlen_$c")
+            }
+          }
+          val sv = mapping.getOrElse(name, throw new IllegalStateException(
+            s"PartitionedTable: scanned partition $name not in manifest v=$v"))
+          val target = analyzeSidecarPath(dir, name, sv)
+          hfs.mkdirs(target.getParent)
+          val tmp = new Path(target.getParent,
+            s".tmp-${java.util.UUID.randomUUID}")
+          val out = hfs.create(tmp, true)
+          try props.store(new java.io.OutputStreamWriter(out,
+            java.nio.charset.StandardCharsets.UTF_8), null)
+          finally out.close()
+          if (!hfs.rename(tmp, target)) hfs.delete(tmp, true): Unit
+          name -> props
+        }.toMap
+      }
+    val all: Seq[java.util.Properties] =
+      (loaded ++ fresh).values.toSeq
+    // union driver-side: sums, domain-compares, HLL unions — sidecar
+    // bytes only, never a table scan
+    val rowsTotal = all.map(_.getProperty("rows", "0").toLong).sum
+    def betterOf(dt: DataType, a: String, b: String, keepMax: Boolean)
+        : String = {
+      val aWins = dt match {
+        case _: NumericType => (BigDecimal(a) >= BigDecimal(b)) == keepMax
+        case _ => (a >= b) == keepMax // fixed-width UTC/ISO renders
+      }
+      if (aWins) a else b
+    }
+    val computed: Map[String, String] =
+      Map("stats.version" -> v.toString, "stats.rows" -> rowsTotal.toString,
+        "stats.mode" -> "incremental") ++
+        targets.flatMap { c =>
+          val dt = df.schema(c).dataType
+          val cnts = all.map(_.getProperty(s"$c.cnt", "0").toLong)
+          val nonNull = cnts.sum
+          val union = new org.apache.datasketches.hll.Union(12)
+          all.foreach { p =>
+            Option(p.getProperty(s"$c.sk")).foreach { b64 =>
+              union.update(org.apache.datasketches.hll.HllSketch
+                .heapify(java.util.Base64.getDecoder.decode(b64)))
+            }
+          }
+          val ndv = math.round(union.getResult.getEstimate)
+          def combined(suffix: String, keepMax: Boolean): Option[String] =
+            all.flatMap(p => Option(p.getProperty(s"$c.$suffix")))
+              .reduceOption(betterOf(dt, _, _, keepMax))
+          Seq(Some(s"stats.col.$c.ndv" -> ndv.toString),
+            Some(s"stats.col.$c.nulls" -> (rowsTotal - nonNull).toString)) ++
+            (if (orderable(dt))
+              Seq(combined("min", keepMax = false)
+                .map(s"stats.col.$c.min" -> _),
+                combined("max", keepMax = true).map(s"stats.col.$c.max" -> _))
+            else if (dt == StringType)
+              Seq(
+                (if (nonNull > 0) Some(s"stats.col.$c.avglen" ->
+                  math.ceil(all.flatMap(p =>
+                    Option(p.getProperty(s"$c.sumlen")).map(_.toLong)).sum
+                    .toDouble / nonNull).toLong.toString)
+                else None),
+                combined("maxlen", keepMax = true)
+                  .map(s"stats.col.$c.maxlen" -> _))
+            else Nil)
+        }.flatten.toMap
+    val stale = propertiesOf(spark, dir).keys
+      .filter(_.startsWith("stats.")).filterNot(computed.contains)
+      .map(_ -> (None: Option[String])).toMap
+    alterProperties(spark, dir,
+      stale ++ computed.map { case (k, vv) => k -> Some(vv) })
+    computed ++ Map(
+      "analyze.scanned_partitions" -> missing.size.toString,
+      "analyze.scanned_files" -> scannedFiles.toString)
   }
 
   /** Current logical column names — footer-merged data schema when data

@@ -287,7 +287,9 @@ object GraftProcedures {
       ProcedureParameter.in("histogram_columns", StringType)
         .defaultValue("''").build(),
       ProcedureParameter.in("buckets", IntegerType)
-        .defaultValue("32").build())) {
+        .defaultValue("32").build(),
+      ProcedureParameter.in("incremental", BooleanType)
+        .defaultValue("false").build())) {
     override def description(): String =
       "compute row count + per-column NDV/nulls/min/max in one job and " +
         "persist them as stats.* table properties (planner CBO + " +
@@ -305,15 +307,28 @@ object GraftProcedures {
         .getOrElse(Nil)
       val cols = csv(1)
       val histCols = csv(2)
-      val stats = PartitionedTable.analyzeTable(spark, spec.dir, cols,
-        histCols = histCols, histBuckets = input.getInt(3))
+      val incremental = !input.isNullAt(4) && input.getBoolean(4)
+      val stats =
+        if (incremental) {
+          require(histCols.isEmpty,
+            "graft procedures: histogram_columns is a full-analyze " +
+              "feature — drop incremental => true to build histograms")
+          PartitionedTable.analyzeTableIncremental(spark, spec.dir,
+            spec.partCol.getOrElse(throw new IllegalArgumentException(
+              "graft procedures: incremental analyze needs a registered " +
+                "partition column")), cols)
+        } else PartitionedTable.analyzeTable(spark, spec.dir, cols,
+          histCols = histCols, histBuckets = input.getInt(3))
       result(
         ("analyzed_version", LongType, stats("stats.version").toLong),
         ("n_rows", LongType, stats("stats.rows").toLong),
         ("n_columns", IntegerType,
           stats.keys.count(_.endsWith(".ndv"))),
         ("n_histograms", IntegerType,
-          stats.keys.count(_.endsWith(".histogram"))))
+          stats.keys.count(_.endsWith(".histogram"))),
+        ("scanned_partitions", IntegerType,
+          stats.get("analyze.scanned_partitions").map(_.toInt)
+            .getOrElse(-1)))
     }
   }
 
