@@ -354,11 +354,16 @@ object GraftProcedures {
     Seq(param("table", StringType), param("query_vec", StringType),
       ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
       ProcedureParameter.in("nprobe", IntegerType)
-        .defaultValue("1").build())) {
+        .defaultValue("1").build(),
+      ProcedureParameter.in("filter", StringType)
+        .defaultValue("''").build())) {
     override def description(): String =
       "top-k nearest neighbors from a feed-maintained IVF index: " +
         "query_vec => 'v0,v1,...' (the index's embedding dimension), " +
-        "nprobe nearest inverted lists probed, rows (key, d2) ascending"
+        "nprobe nearest inverted lists probed, rows (key, d2) ascending; " +
+        "filter => 'sql predicate' PRE-filters the probed candidates " +
+        "before the top-k cut (the filtered-ANN semantic — k matching " +
+        "rows, never a post-cut)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val spec = specOf(input.getUTF8String(0).toString)
@@ -377,11 +382,15 @@ object GraftProcedures {
       val k = input.getInt(2)
       val nprobe = input.getInt(3)
       val keyCol = props.getOrElse("ann.keycol", "vec_id")
+      val filter = Option(input.getUTF8String(4)).map(_.toString)
+        .filter(_.nonEmpty)
+        .map(org.apache.spark.sql.functions.expr)
       val df = graft.streaming.IndexFeed.searchIvf(
         spark, spec.dir, model, query, nprobe = nprobe, k = k,
         keyCol = keyCol, embCol = props.getOrElse("ann.embcol", "embedding"),
         d2Decimals = props.get("ann.dist_decimals").map(_.toInt)
-          .getOrElse(-1))
+          .getOrElse(-1),
+        filter = filter)
         .select(org.apache.spark.sql.functions.col(keyCol),
           org.apache.spark.sql.functions.col("d2"))
       // k-bounded collect of InternalRows; the probe job itself reads

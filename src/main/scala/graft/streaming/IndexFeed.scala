@@ -99,7 +99,15 @@ object IndexFeed {
     * lists DRIVER-side (centroids are k-sized), read exactly those
     * partitions' pinned dirs, score with the fused dot/norm kernels,
     * and TakeOrdered the top `k`. Exact within the probed lists; ties
-    * break on the key for determinism. */
+    * break on the key for determinism.
+    *
+    * `filter` (optional) PRE-filters the probed candidates BEFORE the
+    * top-k cut — the s16 semantic: the result is the k best MATCHING
+    * rows of the probed lists, never a post-cut of an already-truncated
+    * top-k (post-filtering returns < k whenever the filter is
+    * selective). The predicate rides the same pinned-dir scan; raise
+    * `nprobe` to recover recall when the filter can empty the best
+    * cell. */
   def searchIvf(
       spark: SparkSession,
       indexDir: String,
@@ -109,7 +117,8 @@ object IndexFeed {
       k: Int,
       keyCol: String = "vec_id",
       embCol: String = "embedding",
-      d2Decimals: Int = -1): DataFrame = {
+      d2Decimals: Int = -1,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"bad search: nprobe=$nprobe k=$k")
     val probed = model.centroids.zipWithIndex.map { case (c, i) =>
       (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
@@ -133,7 +142,8 @@ object IndexFeed {
         PartitionedTable.read(spark, indexDir).withColumn("d2", d2).limit(0)
       else PartitionedTable.readPartitions(spark, indexDir, probedLive)
         .withColumn("d2", d2)
-    scored.orderBy(col("d2"), col(keyCol)).limit(k)
+    val gated = filter.map(scored.filter).getOrElse(scored)
+    gated.orderBy(col("d2"), col(keyCol)).limit(k)
   }
 
   /** Per-JVM scratch root (the [[ChangeFeed]] pattern). */
@@ -357,6 +367,60 @@ object IndexFeed {
         s"""CALL graft.system.ann_search(table => 'lake.$tbl',
            |query_vec => '${probeQuery.mkString(",")}',
            |k => 10, nprobe => 3)""".stripMargin)
+    },
+
+    // FILTERED ANN through the same SQL front door, hash-gated: the
+    // `filter` argument PRE-filters the probed candidates BEFORE the
+    // top-k cut (the s16 semantic — the k best MATCHING rows of the
+    // probed lists, never a post-cut that returns < k under a
+    // selective filter). The oracle applies the identical predicate
+    // inside the candidate set, so a post-cut implementation — or a
+    // filter evaluated outside the probed lists — breaks the hash.
+    QueryDef.sql("s39_sql_filtered_ann_search",
+      s"""WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |${Dedup.kmeansCtes(8, 2, 4, 6, src = "idx")},
+         |fin AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 9 = 1
+         |              THEN list_transform(embedding, x -> -x)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 7 <> 0),
+         |fd AS (
+         |  SELECT f.vec_id, c.cid, ${Dedup.sqDistSql("f.embedding", "c.ce", 6)} AS d2
+         |  FROM fin f, cent2 c),
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |    FROM fd) WHERE rk = 1),
+         |qv AS (SELECT list_transform(range(0, 64),
+         |                i -> ((i * 37) % 19 - 9) / 10.0) AS e),
+         |probed AS (
+         |  SELECT c.cid FROM cent2 c, qv
+         |  ORDER BY list_sum(list_transform(range(1, len(c.ce)+1),
+         |             i -> (c.ce[i] - qv.e[i]) * (c.ce[i] - qv.e[i]))), c.cid
+         |  LIMIT 3),
+         |cand AS (
+         |  SELECT f.vec_id, f.embedding FROM fin f
+         |  JOIN asn a ON a.vec_id = f.vec_id
+         |  JOIN probed p ON a.cluster = p.cid
+         |  WHERE f.vec_id % 2 = 0)
+         |SELECT c.vec_id,
+         |  round(list_sum(list_transform(range(1, len(c.embedding)+1),
+         |          i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         |    - 2 * list_sum(list_transform(range(1, len(c.embedding)+1),
+         |            i -> c.embedding[i]::DOUBLE * qv.e[i]))
+         |    + list_sum(list_transform(range(1, len(qv.e)+1),
+         |        i -> qv.e[i] * qv.e[i])), 6) AS d2
+         |FROM cand c, qv
+         |ORDER BY d2, c.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val fix = fixtureFor(s, dir)
+      val tbl = "s38_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.GraftCatalog.register(s, "lake", tbl, fix.idxDir,
+        partCol = Some("cluster"))
+      s.sql(
+        s"""CALL graft.system.ann_search(table => 'lake.$tbl',
+           |query_vec => '${probeQuery.mkString(",")}',
+           |k => 10, nprobe => 3, filter => 'vec_id % 2 = 0')""".stripMargin)
     }
   )
 }

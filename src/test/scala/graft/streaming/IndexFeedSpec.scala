@@ -179,6 +179,24 @@ class IndexFeedSpec extends SparkSpec {
       "CALL graft.system.ann_search(table => 'annt.plain', " +
         "query_vec => '1,2,3,4')").collect())
     assert(e.getMessage.contains("not an ANN index"), e.getMessage)
+    // filter => pre-filters the probed candidates BEFORE the top-k
+    // cut: k matching rows (the s16 semantic), identical to the Scala
+    // filter leg
+    val viaScalaF = IndexFeed.searchIvf(spark, idx, model, q,
+      nprobe = 2, k = 5, d2Decimals = 6,
+      filter = Some(col("vec_id") % 2 === 0))
+      .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("d2"))))
+      .toSeq
+    val viaSqlF = spark.sql(
+      s"""CALL graft.system.ann_search(table => 'annt.idx',
+         |query_vec => '${q.mkString(",")}', k => 5, nprobe => 2,
+         |filter => 'vec_id % 2 = 0')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSqlF === viaScalaF && viaSqlF.size === 5,
+      s"filtered SQL and Scala probes must agree: $viaSqlF vs $viaScalaF")
+    assert(viaSqlF.forall(_._1 % 2 == 0), "every result matches the filter")
+    assert(viaSqlF.map(_._1).toSet != viaSql.map(_._1).toSet,
+      "sanity: the filter changed the candidate set (pre-filter, not post-cut)")
     // a wrong-dimension query fails loud, not wrong-answers
     val e2 = intercept[Exception](spark.sql(
       "CALL graft.system.ann_search(table => 'annt.idx', " +
