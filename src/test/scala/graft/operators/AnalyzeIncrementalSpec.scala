@@ -108,6 +108,37 @@ class AnalyzeIncrementalSpec extends SparkSpec {
     assert(inc("stats.rows") === "401")
   }
 
+  test("multi-level tables analyze incrementally through the derived composite column") {
+    import spark.implicits._
+    val dir = freshStore("graftaiml")
+    val rows = spark.range(400).select(
+      col("id").as("k"),
+      concat(lit("S"), (col("id") % 2).cast("string")).as("st"),
+      to_date(concat(lit("1996-0"), ((floor(col("id") / 2) % 4) + 1)
+        .cast("string"), lit("-15"))).as("d"),
+      (col("id") * 10).as("v"))
+    PartitionedTable.commitLevels(spark, dir, rows, Seq(
+      PartitionedTable.GenLevel("st", PartitionedTable.PartGen.Prefix(2), "ps"),
+      PartitionedTable.GenLevel("d", PartitionedTable.PartGen.Month, "pm")))
+    // the engine writes the derived composite into the data — the
+    // incremental grouping key for a levels table
+    val first = PartitionedTable.analyzeTableIncremental(
+      spark, dir, PartitionedTable.LevelsPartName)
+    assert(first("stats.rows") === "400")
+    assert(first("analyze.scanned_partitions").toInt === 8,
+      s"2 statuses x 4 months: $first")
+    // merge one (status, month) combination; only IT rescans
+    PartitionedTable.mergeLevels(spark, dir,
+      Seq((9001L, "S1", java.sql.Date.valueOf("1996-02-15"), 5L, "upsert"))
+        .toDF("k", "st", "d", "v", "op"), "k")
+    val inc = PartitionedTable.analyzeTableIncremental(
+      spark, dir, PartitionedTable.LevelsPartName)
+    assert(inc("analyze.scanned_partitions") === "1",
+      s"one touched combination rescans: $inc")
+    assert(inc("stats.rows") === "401")
+    assert(inc("stats.col.k.max") === "9001")
+  }
+
   test("the SQL front door: CALL analyze(incremental => true) reports scanned partitions") {
     val dir = freshStore("graftaisql")
     PartitionedTable.commit(spark, dir, table(200), "part")
