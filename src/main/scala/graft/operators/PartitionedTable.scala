@@ -3897,8 +3897,9 @@ object PartitionedTable {
     *     a FIXED UTC formatter — the read side parses them back with
     *     `Cast(..., Some("UTC"))`, so a session-zone render would
     *     shift every non-UTC session's CBO bounds by the zone offset.
-    *   - `stats.col.<c>.histogram` (opt-in via `histCols`, numeric
-    *     columns) — an EQUI-HEIGHT histogram: `histBuckets` bins from
+    *   - `stats.col.<c>.histogram` (opt-in via `histCols`; numeric,
+    *     date, and timestamp columns — bins persist in catalyst-
+    *     internal units: days / micros) — an EQUI-HEIGHT histogram: `histBuckets` bins from
     *     one `percentile_approx` pass + per-bin NDVs from one
     *     `ApproxCountDistinctForIntervals` pass (the exact two-job
     *     shape of Spark's own `ANALYZE ... FOR COLUMNS` with
@@ -3937,11 +3938,26 @@ object PartitionedTable {
       s"PartitionedTable: histogram columns " +
         s"${histCols.distinct.diff(histTargets).mkString(", ")} are not " +
         s"in the analyzed column set")
-    histTargets.foreach { c =>
-      require(df.schema(c).dataType.isInstanceOf[NumericType],
-        s"PartitionedTable: histogram column $c must be numeric " +
-          s"(got ${df.schema(c).dataType.simpleString})")
+    // histogram bins persist as CATALYST-INTERNAL-unit doubles (date →
+    // epoch days, timestamp/ntz → micros) — exactly what
+    // FilterEstimation's EstimationUtils.toDouble compares predicate
+    // literals against, so selectivity math needs no unit mapping
+    def histDouble(c: String): Column = df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        // NTZ's internal micros = its wall time read as UTC; an
+        // explicit UTC-zone cast is session-zone-independent
+        unix_micros(org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graft.Bridge.expression(col(c)),
+            TimestampType, Option("UTC")))).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"PartitionedTable: histogram column $c must be numeric, date, " +
+          s"or timestamp (got ${other.simpleString})")
     }
+    histTargets.foreach(histDouble) // validate types loud, up front
     require(histBuckets >= 2 && histBuckets <= 254,
       s"PartitionedTable: histBuckets must be in [2, 254], got $histBuckets")
     val pcts = array(
@@ -3964,7 +3980,7 @@ object PartitionedTable {
             max(length(col(c))).as(s"__maxlen_$c"))
         else Nil)
     } ++ histTargets.map { c =>
-      percentile_approx(col(c).cast("double"), pcts, lit(10000))
+      percentile_approx(histDouble(c), pcts, lit(10000))
         .as(s"__hist_$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -4001,7 +4017,7 @@ object PartitionedTable {
           org.apache.spark.sql.graft.Bridge.column(
             new ApproxCountDistinctForIntervals(
               org.apache.spark.sql.graft.Bridge
-                .expression(col(c).cast("double")),
+                .expression(histDouble(c)),
               CreateArray(eps.map(Literal(_))),
               Literal(0.05d)).toAggregateExpression()).as(s"__bins_$c")
         }

@@ -295,7 +295,8 @@ object GraftProcedures {
         "persist them as stats.* table properties (planner CBO + " +
         "DESCRIBE EXTENDED). columns => 'a,b' restricts the column set; " +
         "histogram_columns => 'a,b' additionally builds equi-height " +
-        "histograms (numeric columns, one extra pass) with `buckets` " +
+        "histograms (numeric/date/timestamp columns, one extra pass) " +
+        "with `buckets` " +
         "bins each, so CBO selectivity on skewed predicates stops " +
         "assuming uniformity"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {

@@ -367,6 +367,41 @@ class GraftScanStatsSpec extends SparkSpec {
     GraftCatalog.unregister("hstats", "t")
   }
 
+  test("DATE histograms persist in internal day units and flip CBO's estimate on calendar skew") {
+    GraftScanStats.ensureInstalled(spark)
+    val dir = freshStore("grafthistd")
+    // 90% of rows land on one day, the rest spread over 50 days
+    PartitionedTable.commit(spark, dir, spark.range(1000).select(
+      col("id").as("k"), lit("all").as("part"),
+      when(col("id") < 900, to_date(lit("1996-03-15")))
+        .otherwise(date_add(to_date(lit("1996-04-01")),
+          (col("id") % 50).cast("int"))).as("d")), "part")
+    GraftCatalog.register(spark, "dhist", "t", dir, partCol = Some("part"))
+    val stats = PartitionedTable.analyzeTable(spark, dir,
+      histCols = Seq("d"), histBuckets = 16)
+    // bins are epoch DAYS (catalyst-internal units): 1996-03-15 = 9570
+    val firstLo = stats("stats.col.d.histogram")
+      .split("\\|")(1).split(";")(0).split(",")(0).toDouble
+    assert(firstLo === 9570.0, s"bins must be internal day units: $firstLo")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def estimated: BigInt = spark.sql(
+        "SELECT * FROM graft.dhist.t WHERE d = DATE '1996-03-15'")
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO must estimate the filter"))
+      val withHist = estimated
+      assert(withHist > BigInt(500),
+        s"the date histogram must see the skew (~900 rows): $withHist")
+      PartitionedTable.analyzeTable(spark, dir) // no histogram
+      assert(estimated < BigInt(100),
+        s"without it the uniform NDV estimate stands: $estimated")
+      assert(spark.sql(
+        "SELECT * FROM graft.dhist.t WHERE d = DATE '1996-03-15'")
+        .count() === 900L)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    GraftCatalog.unregister("dhist", "t")
+  }
+
   test("stats staleness: column stats drop past maxStaleCommits (logged, conf-gated); exact row counts survive; DESCRIBE surfaces the distance") {
     import spark.implicits._
     GraftScanStats.ensureInstalled(spark)
