@@ -319,10 +319,10 @@ object Similarity {
       .select(col("vec_id"),
         VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
         lit(false).as("exp"))
-      .localCheckpoint(true)
+    // no checkpoints: efSearch materializes its (constant-sized) beam
+    // driver-side, so beam0/descended are each executed exactly once
     val descended = efSearch(beam0, coarse, q, HierCoarseRounds)
       .select(col("vec_id"), col("cos"), lit(false).as("exp"))
-      .localCheckpoint(true)
     efSearch(descended, fine, q, HierFineRounds)
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("cos"))
@@ -349,72 +349,154 @@ object Similarity {
       .dropDuplicates("vec_id", "nbr")
       .localCheckpoint(true)
 
+  /** Spark's double comparator (`SQLOrderingUtil.compareDoubles`): equal
+    * compares first so `-0.0 == 0.0` ties exactly like a SQL ORDER BY,
+    * then `java.lang.Double.compare` (NaN greatest) — the driver-side
+    * beam cuts below MUST pick the same frontier a distributed
+    * `orderBy(cos.desc, vec_id)` would, or the walk diverges from the
+    * unrolled oracle on the first tie. */
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** One ef-search beam entry; `(cos DESC, id ASC)` is the beam order. */
+  private final case class BeamRow(id: Long, cos: Double, exp: Boolean)
+
+  private def beamTop(rows: Seq[BeamRow], n: Int): Seq[BeamRow] =
+    rows.sortWith { (a, b) =>
+      val c = cmpDouble(a.cos, b.cos)
+      if (c != 0) c > 0 else a.id < b.id
+    }.take(n)
+
   /** The batched form of [[efSearch]] (s23's contract): all queries in
     * `qb` walk `g` simultaneously through one (query_id, vec_id) state
-    * table; every per-round cut is a rank window partitioned by
-    * query_id (map-side WindowGroupLimit at production query volumes)
-    * and each round batches every query's frontier into ONE broadcast
-    * edge join. Beam schema (query_id, vec_id, cos, exp). Shared by s23
-    * and both of s31's layers. */
+    * table; each round batches every query's frontier into ONE edge
+    * join. Beam schema (query_id, vec_id, cos, exp). Shared by s23
+    * and both of s31's layers.
+    *
+    * The beam state is held DRIVER-side (guide §1.2/§2.4: remove
+    * per-round fixed costs before tuning inside them): it is bounded at
+    * |query batch| × `GraphBeamWidth` rows — constants, independent of
+    * corpus size — so materializing it locally replaces the previous
+    * per-round localCheckpoint job, two broadcast-exchange builds and
+    * the frontier-mark join with ONE distributed job per round (the
+    * edge scan + merge + per-query cut that actually touches data).
+    * The distributed leg is unchanged: the frontier joins `g`, scores
+    * neighbors off the edge payload, and the beam cut runs the same
+    * `(cos DESC, vec_id)` rank — results are bit-identical (gated by
+    * the unrolled s23/s31 oracles). At 100 TB the walk's per-round cost
+    * stays the `g` probe; only constant-sized coordination moved. */
   private def batchEfSearch(
       beam0: DataFrame, g: DataFrame, qb: DataFrame, rounds: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = beam0.sparkSession
+    val schema = beam0.schema
     val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    var beam = beam0
+    // (query batch)-sized: one row per query — the side the previous
+    // form broadcast every round anyway
+    val qbLocal = spark.createDataFrame(qb.collectAsList(), qb.schema)
+    final case class QB(qid: Long, row: BeamRow)
+    var beam: Seq[QB] = beam0.collect().toSeq.map(r =>
+      QB(r.getLong(0), BeamRow(r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+    def beamDf(rows: Seq[QB]): DataFrame = spark.createDataFrame(
+      rows.map(b => org.apache.spark.sql.Row(
+        b.qid, b.row.id, b.row.cos, b.row.exp)).asJava, schema)
     for (_ <- 1 to rounds) {
-      val frontier = beam.filter(!col("exp"))
-        .withColumn("rk", row_number().over(wq))
-        .filter(col("rk") <= GraphExpandPerRound)
-        .select("query_id", "vec_id")
-        .localCheckpoint(true) // consumed by both the mark and the expand
-      val marked = beam.join(
-        broadcast(frontier.withColumn("hit", lit(true))),
-        Seq("query_id", "vec_id"), "left")
-        .select(col("query_id"), col("vec_id"), col("cos"),
-          (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
-      val nbrs = g.join(broadcast(frontier), "vec_id")
-        .join(broadcast(qb), Seq("query_id"))
-        .select(col("query_id"), col("nbr").as("vec_id"),
-          VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
-          lit(false).as("exp"))
-      beam = marked.unionByName(nbrs)
-        .groupBy("query_id", "vec_id")
-        .agg(max("cos").as("cos"), max("exp").as("exp"))
-        .withColumn("rk", row_number().over(wq))
-        .filter(col("rk") <= GraphBeamWidth)
-        .drop("rk")
-        .localCheckpoint(true)
+      // .iterator before flatMap: flatMapping a Map with tuple results
+      // would rebuild a Map keyed on qid and keep ONE pair per query
+      val frontier: Set[(Long, Long)] = beam.groupBy(_.qid).iterator.flatMap {
+        case (qid, rows) =>
+          beamTop(rows.filter(!_.row.exp).map(_.row), GraphExpandPerRound)
+            .map(r => (qid, r.id))
+      }.toSet
+      val marked = beam.map(b =>
+        if (frontier((b.qid, b.row.id))) QB(b.qid, b.row.copy(exp = true))
+        else b)
+      if (frontier.isEmpty) beam = marked
+      else {
+        val fDf = spark.createDataFrame(
+          frontier.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val nbrs = g.join(broadcast(fDf), "vec_id")
+          .join(broadcast(qbLocal), Seq("query_id"))
+          .select(col("query_id"), col("nbr").as("vec_id"),
+            VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
+            lit(false).as("exp"))
+        // one query_id exchange serves BOTH the merge aggregate and the
+        // rank window (hash(query_id) clusters (query_id, vec_id) too —
+        // the knnGraphEdges subset-reuse trick), instead of a
+        // (query_id, vec_id) exchange followed by a query_id one
+        beam = beamDf(marked).unionByName(nbrs)
+          .repartition(col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(max("cos").as("cos"), max("exp").as("exp"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= GraphBeamWidth)
+          .drop("rk")
+          .collect().toSeq.map(r => QB(r.getLong(0),
+            BeamRow(r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      }
     }
-    beam
+    beamDf(beam)
   }
 
   /** `rounds` of the s22 ef-search contract over symmetrized graph `g`:
     * expand the top-`GraphExpandPerRound` unexpanded beam entries, score
-    * their out-neighbors against broadcast query `q` off the edge
-    * payload, keep the best `GraphBeamWidth` with expansion flags
-    * OR-merged; lineage truncated per round. Beam schema
-    * (vec_id, cos, exp). Shared by s22 and both of s30's layers. */
+    * their out-neighbors against query `q` off the edge payload, keep
+    * the best `GraphBeamWidth` with expansion flags OR-merged. Beam
+    * schema (vec_id, cos, exp). Shared by s22 and both of s30's layers.
+    *
+    * Beam state is held DRIVER-side — `GraphBeamWidth` rows, a
+    * constant at any corpus scale (see [[batchEfSearch]] for the full
+    * rationale): each round runs ONE distributed job (frontier-edge
+    * probe of `g` + max-merge + top-W cut) instead of the previous
+    * localCheckpoint + two broadcast builds + mark join. The query
+    * vector is collected once (1 × dim) and rides the neighbor scoring
+    * as a literal of the SAME array<float> type, so the cosine kernel
+    * computes bit-identical values (gated by the unrolled s22/s30/s32
+    * oracles). */
   private def efSearch(beam0: DataFrame, g: DataFrame, q: DataFrame, rounds: Int): DataFrame = {
-    var beam = beam0
+    import scala.jdk.CollectionConverters._
+    val spark = beam0.sparkSession
+    val schema = beam0.schema
+    val qe: Seq[Float] = q.select(col("qe")).head().getSeq[Float](0).toSeq
+    var beam: Seq[BeamRow] = beam0.collect().toSeq.map(r =>
+      BeamRow(r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    def beamDf(rows: Seq[BeamRow]): DataFrame = spark.createDataFrame(
+      rows.map(b => org.apache.spark.sql.Row(b.id, b.cos, b.exp)).asJava,
+      schema)
     for (_ <- 1 to rounds) {
-      val frontier = beam.filter(!col("exp"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(GraphExpandPerRound)
-        .select(col("vec_id"))
-      val marked = beam.join(
-        broadcast(frontier.withColumn("hit", lit(true))), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cos"),
-          (col("exp") || coalesce(col("hit"), lit(false))).as("exp"))
-      val nbrs = g.join(broadcast(frontier), "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("nbr").as("vec_id"),
-          VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
-          lit(false).as("exp"))
-      beam = marked.unionByName(nbrs)
-        .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
-        .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
-        .localCheckpoint(true)
+      val frontier = beamTop(beam.filter(!_.exp), GraphExpandPerRound)
+        .map(_.id).toSet
+      val marked = beam.map(b =>
+        if (frontier(b.id)) b.copy(exp = true) else b)
+      if (frontier.isEmpty) beam = marked
+      else {
+        // frontier rides a broadcast-joined LocalRelation, not
+        // `isin(literals)`: per-round literals would generate different
+        // codegen source every round (one Janino compile per round,
+        // ~0.1 s measured); the join's generated code is round-stable,
+        // so round 2+ hit the codegen cache
+        val fDf = spark.createDataFrame(
+          frontier.toSeq.sorted.map(org.apache.spark.sql.Row(_)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val nbrs = g.join(broadcast(fDf), "vec_id")
+          .select(col("nbr").as("vec_id"),
+            VectorOps.cosineR(col("ne"), typedLit(qe)).as("cos"),
+            lit(false).as("exp"))
+        beam = beamDf(marked).unionByName(nbrs)
+          .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
+          .collect().toSeq.map(r =>
+            BeamRow(r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      }
     }
-    beam
+    beamDf(beam)
   }
 
   /** The s22 oracle: unrolls the ef-search rounds as chained CTEs over
@@ -1701,12 +1783,13 @@ object Similarity {
         val g = symmetrized(knnGraphEdges(s, dir))
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
+        // no checkpoint: efSearch materializes its (constant-sized)
+        // beam driver-side, so beam0 executes exactly once
         val beam0 = emb.join(broadcast(entry), "vec_id")
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
             lit(false).as("exp"))
-          .localCheckpoint(true)
         efSearch(beam0, g, q, GraphSearchRounds)
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cos"))
@@ -1760,7 +1843,9 @@ object Similarity {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        val res = hierSearchTop10(s, dir).select("vec_id").localCheckpoint(true)
+        // no checkpoint: the walk's result is already a local 10-row
+        // relation (driver-side beam), free to read twice
+        val res = hierSearchTop10(s, dir).select("vec_id")
         val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
           .select(col("vec_id"), VectorOps.cosineR(col("embedding"), col("qe")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
@@ -1790,15 +1875,15 @@ object Similarity {
         val g = symmetrized(knnGraphEdges(s, dir))
         val qb = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-          .localCheckpoint(true)
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
         val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        // no checkpoints: batchEfSearch holds its (constant-sized) beam
+        // and query batch driver-side — each subplan executes once
         val beam0 = emb.join(broadcast(entry), "vec_id")
           .crossJoin(broadcast(qb))
           .select(col("query_id"), col("vec_id"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
             lit(false).as("exp"))
-          .localCheckpoint(true)
         batchEfSearch(beam0, g, qb, GraphSearchRounds)
           .filter(col("vec_id") >= 5)
           .withColumn("rk", row_number().over(wq).cast("long"))
@@ -1828,18 +1913,17 @@ object Similarity {
           guard = "coarse_knn_graph_bucket_guard"))
         val qb = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-          .localCheckpoint(true)
         val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
         val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        // no checkpoints: batchEfSearch holds its (constant-sized) beam
+        // and query batch driver-side — each subplan executes once
         val beam0 = emb.join(broadcast(entry), "vec_id")
           .crossJoin(broadcast(qb))
           .select(col("query_id"), col("vec_id"),
             VectorOps.cosineR(col("embedding"), col("qe")).as("cos"),
             lit(false).as("exp"))
-          .localCheckpoint(true)
         val descended = batchEfSearch(beam0, coarse, qb, HierCoarseRounds)
           .select(col("query_id"), col("vec_id"), col("cos"), lit(false).as("exp"))
-          .localCheckpoint(true)
         batchEfSearch(descended, fine, qb, HierFineRounds)
           .filter(col("vec_id") >= 5)
           .withColumn("rk", row_number().over(wq).cast("long"))
