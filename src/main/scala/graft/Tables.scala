@@ -47,4 +47,26 @@ object Tables {
     }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Fan a scan-bound frame out to the session's full parallelism when
+    * the FILE LAYOUT under-parallelizes it (optimization guide §2.5,
+    * "input skew: one huge unsplittable file ... repartition
+    * immediately after the read"): the test fixtures are single-
+    * row-group parquet files, so a scan yields ONE task no matter how
+    * many cores the session has, and any expensive projection or
+    * expansion above it (tokenizers, shingling, Expand'd multi-DISTINCT
+    * aggregates, vector kernels) runs single-threaded. The check reads
+    * the PLANNED scan's partition count, so it adapts to the actual
+    * layout instead of hard-coding either posture: a production layout
+    * (row groups ~ split-sized) already yields >= 2x-cores partitions
+    * and this is a no-op with zero added exchanges. Round-robin
+    * repartition — deterministic under retries (sortBeforeRepartition
+    * stays on) and key-free, so it cannot introduce skew. Callers must
+    * be row-order-insensitive above it (aggregates, joins, keyed
+    * windows — NOT zipWithIndex-style global ranks). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 }

@@ -108,9 +108,15 @@ object Dedup {
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
   }
 
-  /** doc_id + distinct bigram shingles of the lower-cased text. */
+  /** doc_id + distinct bigram shingles of the lower-cased text.
+    * fanOut: the tokenize+shingle projection is the d-family's hot
+    * loop and runs BEFORE any exchange — over the single-row-group
+    * fixture files the whole pass would execute on one core (guide
+    * §2.5 input skew); a production multi-row-group layout makes the
+    * fan-out a no-op. Everything downstream aggregates or joins, so
+    * row order is free. */
   private[operators] def shingled(docs: DataFrame): DataFrame =
-    docs.select(
+    Tables.fanOut(docs).select(
       col("doc_id"),
       Exprs.wordShingles(Exprs.tokens(col("text")), 2).as("sh"))
 
@@ -195,7 +201,8 @@ object Dedup {
   /** (doc_id, simhash): the d04 signature — 16-bit per-document token
     * majority vote, one md5 projection + partial-aggregated bit sums. */
   private[operators] def simhashed(docs: DataFrame): DataFrame = {
-    val ex = docs
+    // fanOut: same single-row-group rationale as [[shingled]]
+    val ex = Tables.fanOut(docs)
       .select(col("doc_id"), explode(Exprs.distinctTokens(col("text"))).as("t"))
       .select(col("doc_id"), md5(col("t")).as("h"))
     val sums = (0 until 16).map(i =>

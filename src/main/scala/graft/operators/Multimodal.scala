@@ -723,7 +723,11 @@ object Multimodal {
     }) {
       (s, dir) => {
         implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
-        val docs = Tables.documents(s, dir)
+        // fanOut: BOTH towers run expensive per-row encoders straight
+        // above the scan (guide §2.5 — the single-row-group fixture
+        // file serializes them onto one core; a production layout makes
+        // this a no-op). Downstream is a keyed join, order-free.
+        val docs = Tables.fanOut(Tables.documents(s, dir))
         val media = docs
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MediaRow]

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType}
 
 /** Partition-scoped versioned tables: N per-partition
   * [[graft.streaming.VersionedStore]]s behind ONE table-level manifest
@@ -1009,6 +1009,38 @@ object PartitionedTable {
     }
   }
 
+  /** FIXED sidecar schemas (the [[landMorDeltas]] / [[landPartitions]] /
+    * [[writeVersionBloom]] write shapes). Passing an explicit schema to
+    * `spark.read` skips per-read parquet schema INFERENCE — measured
+    * ~77 ms of driver wall per resolution (a footer pass plus a
+    * serialized-conf mini job) vs ~10 ms with the schema given, and the
+    * MoR/skipping paths resolve sidecars many times per statement.
+    * Parquet column resolution under a user schema is BY NAME, so the
+    * two historical writer column orders read identically. */
+  private val DvSidecarSchema = StructType(Seq(
+    StructField("part", StringType), StructField("file", StringType),
+    StructField("row_index", LongType)))
+  private val BloomSidecarSchema = StructType(Seq(
+    StructField("part", StringType), StructField("file", StringType),
+    StructField("col", StringType), StructField("word", LongType),
+    StructField("mask", LongType), StructField("bits", LongType)))
+
+  /** Everything-nullable copy of a schema (nested included): the
+    * explicit read-back schema for files THIS process just wrote.
+    * Parquet reads never widen a declared-nullable field incorrectly
+    * (an optional or required column both satisfy it), so declaring
+    * nullable everywhere is always sound for reads whose consumers
+    * re-derive nullability downstream. */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = allNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = allNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1172,7 +1204,7 @@ object PartitionedTable {
       case Some(b) =>
         val dvPath = new Path(vdir, DvDir)
         val baseDir = VersionedStore.path(storeDir, b).toString
-        val dv = spark.read.parquet(dvPath.toString)
+        val dv = spark.read.schema(DvSidecarSchema).parquet(dvPath.toString)
           .select(col("file").as("__file"), col("row_index").as("__ri"))
         // broadcast only while the DV's estimated in-memory size fits
         // the session's broadcast threshold (footer row count — a
@@ -1669,7 +1701,8 @@ object PartitionedTable {
     }
     val allDv =
       if (oldDvDirs.isEmpty) newDv
-      else newDv.unionByName(spark.read.parquet(oldDvDirs: _*)
+      else newDv.unionByName(spark.read.schema(DvSidecarSchema)
+        .parquet(oldDvDirs: _*)
         .select("part", "file", "row_index")).distinct()
     val dvTmp = new Path(dir, s".tmp-dv-${java.util.UUID.randomUUID}")
     allDv.withColumn(PartDir, col("part"))
@@ -1803,8 +1836,7 @@ object PartitionedTable {
       val statsPath = new Path(baseDir, StatsDir)
       val basePaths =
         if (!hfs.exists(statsPath)) None
-        else keepFilter(
-          spark.read.option("mergeSchema", "true").parquet(statsPath.toString))
+        else keepFilter(readParquet(spark, Seq(statsPath.toString)))
           .map(_.select("file").collect() // file-count-sized
             .map(r => new Path(baseDir, r.getString(0)).toString).toSeq)
       // Some(Nil) = every base file pruned; the partition still reads —
@@ -1820,9 +1852,8 @@ object PartitionedTable {
     val keptStatFiles: Seq[String] =
       if (withStats.isEmpty) Nil
       else {
-        val stats = spark.read.option("mergeSchema", "true")
-          .parquet(withStats.map(kv =>
-            new Path(versionDir(kv), StatsDir).toString): _*)
+        val stats = readParquet(spark, withStats.map(kv =>
+          new Path(versionDir(kv), StatsDir).toString))
         keepFilter(stats) match {
           case None => // stats on other columns only
             withStats.map(kv => versionDir(kv).toString)
@@ -1964,8 +1995,10 @@ object PartitionedTable {
     // a sidecar indexed the column under its AT-WRITE name — any chain
     // member matches (each file's sidecar holds exactly one of them, so
     // the per-file probe below never mixes two members)
-    val bloom = spark.read.parquet(withB.map { case (_, vd) =>
-      new Path(vd, BloomDir).toString }: _*).filter(col("col").isin(members: _*))
+    val bloom = spark.read.schema(BloomSidecarSchema)
+      .parquet(withB.map { case (_, vd) =>
+        new Path(vd, BloomDir).toString }: _*)
+      .filter(col("col").isin(members: _*))
     // partitions whose sidecar covers c prune; the rest keep all files
     val covered: Set[String] = bloom.select("part").distinct()
       .collect().map(r => escape(r.getString(0))).toSet // partition-count-sized
@@ -2154,7 +2187,7 @@ object PartitionedTable {
         val cols =
           if (statsCols.nonEmpty) statsCols
           else if (hfs.exists(existing))
-            spark.read.parquet(existing.toString).columns.toSeq
+            readParquet(spark, Seq(existing.toString)).columns.toSeq
               .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
           else Nil
         val partValue = ExternalCatalogUtils.unescapePathName(
@@ -2165,7 +2198,8 @@ object PartitionedTable {
         val (bCols, bBits) =
           if (!hfs.exists(existingBloom)) (Nil, DefaultBloomBits)
           else {
-            val b = spark.read.parquet(existingBloom.toString)
+            val b = spark.read.schema(BloomSidecarSchema)
+              .parquet(existingBloom.toString)
             val cs = b.select("col").distinct()
               .collect().map(_.getString(0)).toSeq.sorted // tracked-column-count-sized
             if (cs.isEmpty) (Nil, DefaultBloomBits)
@@ -2242,7 +2276,7 @@ object PartitionedTable {
     val effStats = currentNames(
       if (statsCols.nonEmpty) statsCols
       else if (statDirs.isEmpty) Nil
-      else spark.read.option("mergeSchema", "true").parquet(statDirs: _*)
+      else readParquet(spark, statDirs)
         .columns.toSeq
         .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
         .sorted)
@@ -2251,7 +2285,7 @@ object PartitionedTable {
       if (bloomCols.nonEmpty) (currentNames(bloomCols), bloomBits)
       else if (bloomDirs.isEmpty) (Seq.empty[String], DefaultBloomBits)
       else {
-        val b = spark.read.parquet(bloomDirs: _*)
+        val b = spark.read.schema(BloomSidecarSchema).parquet(bloomDirs: _*)
         (currentNames(b.select("col").distinct()
           .collect().map(_.getString(0)).toSeq.sorted), // tracked-column-count-sized
           b.agg(max("bits")).head.getLong(0))
@@ -3270,7 +3304,9 @@ object PartitionedTable {
       val storeDir = storeDirOf(spark, dir, cloneSrc, name, sv)
       val vd = VersionedStore.path(storeDir,
         dvBaseOf(spark, storeDir, sv).getOrElse(sv))
-      val schema = spark.read.parquet(vd.toString).schema // footer only
+      // cached footer schema (readParquet): repeat donor probes skip
+      // both the inference job and the ~77 ms per-read resolution
+      val schema = readParquet(spark, Seq(vd.toString)).schema
       cols.filterNot(found.contains).foreach { c =>
         schema.find(_.name == c).foreach(f => found(c) = f.dataType)
       }

@@ -1278,7 +1278,12 @@ object Relational {
           countDistinct(col(c)).as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__mn"),
           max(col(c)).cast("string").as(s"${c}__mx"))) :+ count(lit(1)).as("__n")
-        val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+        // fanOut: the 4 exact count(DISTINCT)s expand every row 5x and
+        // partial-aggregate BEFORE any exchange — over a single-row-
+        // group fixture file that whole stage runs on one core (4.6 s
+        // of the query's 5.1 s measured); fanned out it parallelizes
+        val wide = Tables.fanOut(Tables.lineitem(s, dir))
+          .agg(aggs.head, aggs.tail: _*)
         wide.select(explode(array(cols.map(c => struct(
             lit(c).as("col_name"),
             col("__n").as("n_rows"),

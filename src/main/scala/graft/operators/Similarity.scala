@@ -1389,8 +1389,11 @@ object Similarity {
          |ORDER BY cos DESC, emb.doc_id, emb.chunk_id LIMIT 5""".stripMargin
     }) {
       (s, dir) => {
+        // fanOut: the md5-per-token embedding below is the query's hot
+        // loop and runs straight above the single-row-group scan (guide
+        // §2.5); downstream is a broadcast crossJoin + TakeOrdered
         val chunks = TextAnalysis.chunked(
-          Tables.documents(s, dir)
+          Tables.fanOut(Tables.documents(s, dir))
             .select(col("doc_id"), graft.functions.Exprs.tokens(col("text")).as("t")))
           .select(col("doc_id"), col("chunk_id"), split(col("chunk_text"), " ").as("ct"))
         // one md5 per token (not per dim) — bit-equal to the per-dim
