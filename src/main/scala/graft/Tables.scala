@@ -66,7 +66,43 @@ object Tables {
     * windows — NOT zipWithIndex-style global ranks). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    if (plannedScanPartitions(df) >= math.max(2, target / 2)) df
     else df.repartition(target)
+  }
+
+  /** The scan split count the planner WOULD produce for `df`'s file
+    * sources, estimated from file-index metadata (total bytes + file
+    * count against the session's split sizing — the
+    * `FilePartition.maxSplitBytes` formula). This replaces the old
+    * `df.rdd.getNumPartitions` probe, which forced physical planning of
+    * the whole subtree a second time on every fanned-out query. The
+    * estimate only gates whether a round-robin repartition is added, so
+    * an approximation is semantically free; non-file sources (rare at
+    * the fanOut call sites, which sit directly over scans) fall back to
+    * the planning probe. */
+  private def plannedScanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val rels = df.queryExecution.logical.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case h: HadoopFsRelation => h }
+    if (rels.isEmpty) return df.rdd.getNumPartitions
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val maxPB = conf.filesMaxPartitionBytes
+    val minPart = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    rels.map { r =>
+      val sz = r.location.sizeInBytes
+      // unknown/absurd size (e.g. Long.MaxValue sentinel): treat as big
+      // — a big scan is already parallel, so fanOut must be a no-op
+      if (sz < 0 || sz > (1L << 50)) Int.MaxValue / 4
+      else {
+        val total = sz + openCost * math.max(1, r.location.inputFiles.length)
+        val bytesPerCore = total / math.max(1, minPart)
+        val maxSplit = math.min(maxPB, math.max(openCost, bytesPerCore))
+        math.max(1, math.ceil(total.toDouble / math.max(1L, maxSplit)).toInt)
+      }
+    }.sum
   }
 }

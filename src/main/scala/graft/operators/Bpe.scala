@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *   - the only driver traffic per round is the argmax pair — a single
   *     row (the same scalar-collect budget as k-means' k×dim means);
   *   - the merge is applied as one codegen'd string `replace` per word
-  *     and the lineage is truncated per round (`localCheckpoint`), so
-  *     plan analysis stays O(1) in the round count;
+  *     riding the next round's aggregation scan — the lineage grows by
+  *     one projection per (fixed-count) round, so no per-round
+  *     materialization is needed: each round is exactly one job;
   *   - FIXED round count + total tie-break order (count DESC, then the
   *     pair lexicographically) keep the run deterministic, which is
   *     what lets a DuckDB oracle unroll the identical ten rounds.
@@ -73,6 +74,10 @@ object Bpe {
     require(rounds >= 1, s"bpe training needs >= 1 round, got $rounds")
     val spark = wordFreq.sparkSession
     import spark.implicits._
+    // (r18 note: fanning this checkpoint to full parallelism was tried
+    // and reverted — the rounds are codegen-cheap over a vocab-sized
+    // table, so 10 rounds × 32-task scheduling cost more than the
+    // single-task compute it removed.)
     var cur = wordFreq.select(col("freq"),
       regexp_replace(col("word"), "(.)", S1 + "$1" + S2).as("s"))
       .localCheckpoint(true)
@@ -90,10 +95,15 @@ object Bpe {
         val (pa, pb, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((k, pa, pb, cnt))
+        // no per-round checkpoint: the lineage grows by ONE codegen
+        // `replace` projection per round, so round k's aggregation
+        // re-applies k cheap replaces over the initial checkpointed
+        // word table — one distributed job per round instead of two
+        // (the old form paid a full vocab materialization per round
+        // just to truncate a linear, projection-only plan)
         cur = cur.select(col("freq"),
           replace(col("s"), lit(S1 + pa + S2 + S1 + pb + S2),
             lit(S1 + pa + pb + S2)).as("s"))
-          .localCheckpoint(true)
       }
     }
     merges.result().toDF("round", "pa", "pb", "cnt")

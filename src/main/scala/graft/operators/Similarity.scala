@@ -211,14 +211,12 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rk
        |    FROM p) WHERE rk <= $GraphDegree)""".stripMargin
 
-  /** The s17 kNN graph as a DataFrame (vec_id, nbr, cos, rk, se, ne):
-    * each vector's banded-bucket top-[[GraphDegree]] neighbors under
-    * the mega-bucket cap, with BOTH endpoint embeddings carried as edge
-    * payload (`se` source, `ne` neighbor) — the adjacency-with-vector
-    * layout graph indexes persist so traversal (and its reverse-edge
-    * symmetrization) scores candidates straight off the edge list and
-    * never rejoins the corpus. Shared by s17 (this frame minus the
-    * payloads) and s22 (which traverses it). */
+  /** The s17 kNN graph as a DataFrame (vec_id, nbr, cos, rk): each
+    * vector's banded-bucket top-[[GraphDegree]] neighbors under the
+    * mega-bucket cap. Payload-free by design — [[symmetrized]] attaches
+    * the neighbor embedding AFTER the top-k cut, so the build's
+    * exchanges only ever move decision-sized rows. Shared by s17 and
+    * the s22-family walks (which traverse its symmetrization). */
   /** Two-band sign-LSH signature rows (vec_id, embedding, band, bucket)
     * — 2 rows per vector from ONE fused 8-plane bucket pass split into
     * low/high nibbles (the generator keeps it a single scan where a
@@ -249,7 +247,17 @@ object Similarity {
     * registers the same observation twice). */
   private def knnGraphEdgesOf(
       emb: DataFrame, guard: String = "knn_graph_bucket_guard"): DataFrame = {
-    val banded = bandedSig(emb)
+    // explicit-N repartition (exempt from AQE coalescing): the bucket
+    // self-join below is QUADRATIC in bucket size, so its cost is
+    // invisible to byte-based partition coalescing — without this the
+    // few-KB signature exchange collapses to ONE partition and the
+    // whole pair/cosine stage runs single-threaded (measured scaling
+    // ratio ~1.0 at 8 vs 32 cores). N = defaultParallelism, i.e.
+    // scale-adaptive, not a local-mode constant; the count window and
+    // the self-join both reuse this one exchange.
+    val banded = bandedSig(emb).repartition(
+      emb.sparkSession.sparkContext.defaultParallelism,
+      col("band"), col("bucket"))
     val wb = Window.partitionBy("band", "bucket")
     val sig = banded
       .withColumn("bn", count(lit(1)).over(wb))
@@ -266,11 +274,17 @@ object Similarity {
     // and the rank window share ONE vec_id exchange (hash(vec_id)
     // satisfies the (vec_id, nbr) clustering — subset reuse), so the
     // cross-band union costs no extra shuffle over the 1-band form.
+    // PROJECT BEFORE THE EXCHANGE (guide §2.3/§8): the cosine consumes
+    // both embedding payloads right here, so only the ~24-byte
+    // (vec_id, nbr, cos) decision rows cross the dedup/rank shuffle —
+    // the payload-bearing edge list is re-attached AFTER the top-k cut
+    // by [[symmetrized]], moving each surviving edge's vector once
+    // instead of dragging two vectors per CANDIDATE pair through two
+    // exchanges.
     sig.join(nbrs, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("nbr"))
       .select(col("vec_id"), col("nbr"),
-        VectorOps.cosineR(col("embedding"), col("ne")).as("cos"),
-        col("embedding").as("se"), col("ne"))
+        VectorOps.cosineR(col("embedding"), col("ne")).as("cos"))
       .repartition(col("vec_id"))
       .dropDuplicates("vec_id", "nbr")
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -308,10 +322,10 @@ object Similarity {
   private def hierSearchTop10(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val fine = symmetrized(knnGraphEdges(s, dir))
+    val fine = symmetrized(knnGraphEdges(s, dir), emb)
     val coarse = symmetrized(knnGraphEdgesOf(
       emb.filter(col("vec_id") % HierCoarseMod === 1),
-      guard = "coarse_knn_graph_bucket_guard"))
+      guard = "coarse_knn_graph_bucket_guard"), emb)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
     val beam0 = emb.join(broadcast(entry), "vec_id")
@@ -339,14 +353,22 @@ object Similarity {
       guard = "coarse_knn_graph_bucket_guard")
       .select(col("vec_id"), col("nbr"), col("cos"), col("rk"))
 
-  /** Symmetrize a kNN edge list (forward ∪ reverse, both payloads), the
-    * HNSW bidirectional-link layout — checkpointed: every walk round
-    * rejoins it. Shared by s22/s23/s30. */
-  private def symmetrized(edges: DataFrame): DataFrame =
-    edges.select(col("vec_id"), col("nbr"), col("ne"))
+  /** Symmetrize a kNN edge list (forward ∪ reverse) and attach the
+    * neighbor-side embedding payload, the HNSW bidirectional-link
+    * layout — checkpointed: every walk round rejoins it. Shared by
+    * s22/s23/s30/s31. The payload attaches HERE, after the graph
+    * build's top-k cut (guide §8: decide with small rows, move the
+    * heavy bytes once): one join of the degree-bounded edge list
+    * against the corpus replaces carrying both endpoint vectors
+    * through every candidate-pair exchange of the build. */
+  private def symmetrized(edges: DataFrame, emb: DataFrame): DataFrame =
+    edges.select(col("vec_id"), col("nbr"))
       .unionByName(edges.select(col("nbr").as("vec_id"),
-        col("vec_id").as("nbr"), col("se").as("ne")))
+        col("vec_id").as("nbr")))
       .dropDuplicates("vec_id", "nbr")
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")),
+        Seq("nbr"))
+      .select(col("vec_id"), col("nbr"), col("ne"))
       .localCheckpoint(true)
 
   /** Spark's double comparator (`SQLOrderingUtil.compareDoubles`): equal
@@ -366,6 +388,31 @@ object Similarity {
       val c = cmpDouble(a.cos, b.cos)
       if (c != 0) c > 0 else a.id < b.id
     }.take(n)
+
+  /** The per-round beam merge + top-W cut, DRIVER-side: exactly
+    * `groupBy(vec_id).agg(max(cos), max(exp))` over (marked beam ∪
+    * scored neighbors) followed by the `(cos DESC, vec_id)` top-W —
+    * the distributed form the oracle unrolls — computed locally over
+    * the constant-bounded candidate set. `max(cos)` resolves through
+    * [[cmpDouble]] (SQL double order: NaN greatest, ±0.0 equal);
+    * neighbor rows carry exp = false, so the flag merge is the beam
+    * entry's own flag. A vec_id reached both ways scores the SAME cos
+    * bits (one codegen kernel, same inputs), so the max is a formality
+    * the tie order never observes. */
+  private def mergeCut(
+      marked: Seq[BeamRow], nbrs: Iterator[(Long, Double)], w: Int): Seq[BeamRow] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, BeamRow]
+    marked.foreach(b => m(b.id) = b)
+    nbrs.foreach { case (id, cos) =>
+      m.get(id) match {
+        case None => m(id) = BeamRow(id, cos, exp = false)
+        case Some(o) =>
+          val best = if (cmpDouble(o.cos, cos) >= 0) o.cos else cos
+          m(id) = BeamRow(id, best, o.exp)
+      }
+    }
+    beamTop(m.values.toSeq, w)
+  }
 
   /** The batched form of [[efSearch]] (s23's contract): all queries in
     * `qb` walk `g` simultaneously through one (query_id, vec_id) state
@@ -390,7 +437,6 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val spark = beam0.sparkSession
     val schema = beam0.schema
-    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     // (query batch)-sized: one row per query — the side the previous
     // form broadcast every round anyway
     val qbLocal = spark.createDataFrame(qb.collectAsList(), qb.schema)
@@ -420,24 +466,31 @@ object Similarity {
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("vec_id",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val nbrs = g.join(broadcast(fDf), "vec_id")
+        // the round's ONE distributed job is the frontier-edge probe +
+        // neighbor scoring — a single codegen stage, NO exchange: the
+        // candidate set it returns is constant-bounded (|frontier| ×
+        // the LSH-capped symmetrized out-degree), so the merge
+        // aggregate and the per-query rank cut the previous form
+        // shuffled for run in [[mergeCut]] on the driver instead
+        // (guide §2.4: the exchange carried constants, not data)
+        val nbrRows = g.join(broadcast(fDf), "vec_id")
           .join(broadcast(qbLocal), Seq("query_id"))
-          .select(col("query_id"), col("nbr").as("vec_id"),
-            VectorOps.cosineR(col("ne"), col("qe")).as("cos"),
-            lit(false).as("exp"))
-        // one query_id exchange serves BOTH the merge aggregate and the
-        // rank window (hash(query_id) clusters (query_id, vec_id) too —
-        // the knnGraphEdges subset-reuse trick), instead of a
-        // (query_id, vec_id) exchange followed by a query_id one
-        beam = beamDf(marked).unionByName(nbrs)
-          .repartition(col("query_id"))
-          .groupBy("query_id", "vec_id")
-          .agg(max("cos").as("cos"), max("exp").as("exp"))
-          .withColumn("rk", row_number().over(wq))
-          .filter(col("rk") <= GraphBeamWidth)
-          .drop("rk")
-          .collect().toSeq.map(r => QB(r.getLong(0),
-            BeamRow(r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+          .select(col("query_id"), col("nbr"),
+            VectorOps.cosineR(col("ne"), col("qe")).as("cos"))
+          .collect()
+        val byQid = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+        nbrRows.foreach { r =>
+          byQid.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((r.getLong(1), r.getDouble(2)))
+        }
+        beam = marked.groupBy(_.qid).toSeq.sortBy(_._1).flatMap {
+          case (qid, rows) =>
+            val nb = byQid.getOrElse(qid, Nil)
+            mergeCut(rows.map(_.row), nb.iterator, GraphBeamWidth)
+              .map(QB(qid, _))
+        }
       }
     }
     beamDf(beam)
@@ -485,15 +538,17 @@ object Similarity {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("vec_id",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val nbrs = g.join(broadcast(fDf), "vec_id")
-          .select(col("nbr").as("vec_id"),
-            VectorOps.cosineR(col("ne"), typedLit(qe)).as("cos"),
-            lit(false).as("exp"))
-        beam = beamDf(marked).unionByName(nbrs)
-          .groupBy("vec_id").agg(max("cos").as("cos"), max("exp").as("exp"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(GraphBeamWidth)
-          .collect().toSeq.map(r =>
-            BeamRow(r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        // ONE single-stage distributed job per round (frontier-edge
+        // probe + neighbor scoring, no exchange): the scored candidate
+        // set is constant-bounded, so the merge aggregate and top-W cut
+        // the previous form shuffled for run in [[mergeCut]] driver-side
+        val nbrRows = g.join(broadcast(fDf), "vec_id")
+          .select(col("nbr"),
+            VectorOps.cosineR(col("ne"), typedLit(qe)).as("cos"))
+          .collect()
+        beam = mergeCut(marked,
+          nbrRows.iterator.map(r => (r.getLong(0), r.getDouble(1))),
+          GraphBeamWidth)
       }
     }
     beamDf(beam)
@@ -1783,7 +1838,7 @@ object Similarity {
       graphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val g = symmetrized(knnGraphEdges(s, dir))
+        val g = symmetrized(knnGraphEdges(s, dir), emb)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
         // no checkpoint: efSearch materializes its (constant-sized)
@@ -1875,7 +1930,7 @@ object Similarity {
       batchGraphSearchSql(GraphSearchRounds, GraphExpandPerRound, GraphBeamWidth)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val g = symmetrized(knnGraphEdges(s, dir))
+        val g = symmetrized(knnGraphEdges(s, dir), emb)
         val qb = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val entry = g.agg(min(col("vec_id")).as("vec_id"))
@@ -1910,10 +1965,10 @@ object Similarity {
         GraphExpandPerRound, GraphBeamWidth)) {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val fine = symmetrized(knnGraphEdges(s, dir))
+        val fine = symmetrized(knnGraphEdges(s, dir), emb)
         val coarse = symmetrized(knnGraphEdgesOf(
           emb.filter(col("vec_id") % HierCoarseMod === 1),
-          guard = "coarse_knn_graph_bucket_guard"))
+          guard = "coarse_knn_graph_bucket_guard"), emb)
         val qb = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         val entry = coarse.agg(min(col("vec_id")).as("vec_id"))
