@@ -171,6 +171,15 @@ object Dedup {
       transform(slice(ids, i + lit(2), greatest(size(ids) - i - 1, lit(0))),
         b => struct(a.as("id_a"), b.as("id_b")))))
     banded
+      // explicit-N repartition (exempt from AQE coalescing): the list
+      // expansion below is QUADRATIC in bucket size, invisible to
+      // byte-based partition coalescing — without this the few-MB
+      // signature exchange can collapse to one partition and the whole
+      // pair-expansion stage runs single-threaded. N = the session's
+      // shuffle partitioning (scale-adaptive); the count window and the
+      // collect_list groupBy both reuse this one exchange.
+      .repartition(banded.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bkey"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       // the metric counts over-cap rows only: singleton buckets (bn = 1)
       // are also filtered below, but a lone row can never form a pair, so
@@ -490,6 +499,9 @@ object Dedup {
     // re-reads it — without this the whole LSH pipeline would re-execute
     // 2 + 2·iters times inside a single components call
     val e = edges.localCheckpoint(true)
+    // (r18 note: pre-partitioning sym by the join key was tried and
+    // reverted — the node-sized labels side broadcast-joins anyway, so
+    // the extra upfront exchange only ever cost; measured d07 −10 %.)
     val sym = e.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(e.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .localCheckpoint(true)
@@ -581,11 +593,23 @@ object Dedup {
     }
     var iter = 0
     var converged = false
+    var prevCount = -1L
     while (iter < maxIters && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // exact fixpoint test on the two (small, checkpointed) edge sets;
-      // count-equality is NOT enough — the set can churn at equal size
-      converged = next.except(e).unionByName(e.except(next)).take(1).isEmpty
+      // the set size rides the checkpoint job as an observe metric; a
+      // size change can never be a fixpoint, so the exact-equality job
+      // only runs on equal sizes — and there ONE anti-join direction
+      // suffices (equal-size distinct sets with next \ e = ∅ are equal),
+      // half the old symmetric except-diff and skipped entirely on all
+      // the shrinking rounds
+      val run = smallStar(largeStar(e))
+      val counted = run.observe(s"star_iter_$iter",
+        coalesce(count(lit(1)), lit(0L)).as("n"))
+      val next = counted.localCheckpoint(true)
+      val n = counted.queryExecution.observedMetrics.get(s"star_iter_$iter")
+        .map(_.getAs[Long]("n")).getOrElse(0L)
+      converged = n == prevCount &&
+        next.join(e, Seq("hi", "lo"), "left_anti").take(1).isEmpty
+      prevCount = n
       e = next
       iter += 1
     }

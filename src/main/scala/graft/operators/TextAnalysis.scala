@@ -1133,25 +1133,41 @@ object TextAnalysis {
          |         AS final_split
          |FROM sp LEFT JOIN cont c ON c.doc_id = sp.doc_id""".stripMargin) {
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val h1 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
         val sp = docs.select(col("doc_id"),
           when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test").as("split"))
-          .localCheckpoint(true) // reused: test-shingle side + final join
-        val ex = docs.select(col("doc_id"),
-          explode(Exprs.wordShingles(Exprs.tokens(col("text")), 5)).as("shingle"))
-        val kept = ex
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .localCheckpoint(true) // reused: the explode's broadcast side + final join
+        // ONE exchange of the exploded shingle table (it used to cross
+        // three: the df window, a doc_id join, and the test-shingle
+        // join). The split label rides the explode via a broadcast of
+        // the doc-count-sized sp, the exploded frame is hash-clustered
+        // by shingle ONCE and checkpointed, and then the df census
+        // (groupBy reuses the clustering), the test-contact flag (same
+        // aggregate — no separate distinct), and the contamination join
+        // (both sides already hash(shingle)) all run shuffle-free on
+        // top of it. fanOut: the tokenize+shingle projection is the hot
+        // loop and ran single-threaded over the one-split fixture scan.
+        val ex = Tables.fanOut(docs)
+          .select(col("doc_id"),
+            explode(Exprs.wordShingles(Exprs.tokens(col("text")), 5)).as("shingle"))
+          .join(broadcast(sp), "doc_id")
+          .repartition(col("shingle"))
+          .localCheckpoint(true)
+        // per-shingle census: df (row count — shingles are per-doc
+        // distinct) and whether any test doc carries it. The guard
+        // metric is the same quantity the old per-row form observed:
+        // the number of exploded rows living in over-cap shingles.
+        val ag = ex.groupBy("shingle")
+          .agg(count(lit(1)).as("df"),
+            max(col("split") === "test").as("has_test"))
+        val testSh = ag
           .observe("safe_split_guard",
-            coalesce(sum(when(col("df") > Dedup.MaxBucketSize, 1L).otherwise(0L)),
-              lit(0L)).as("rows_in_dropped_shingles"))
-          .filter(col("df") <= Dedup.MaxBucketSize)
-          .select("doc_id", "shingle")
-        val keptSp = kept.join(sp, "doc_id")
-        val testSh = keptSp.filter(col("split") === "test")
-          .select("shingle").distinct()
-        val cont = keptSp.filter(col("split") =!= "test")
+            coalesce(sum(when(col("df") > Dedup.MaxBucketSize, col("df"))
+              .otherwise(0L)), lit(0L)).as("rows_in_dropped_shingles"))
+          .filter(col("df") <= Dedup.MaxBucketSize && col("has_test"))
+          .select("shingle")
+        val cont = ex.filter(col("split") =!= "test")
           .join(testSh, "shingle")
           .select("doc_id").distinct()
           .withColumn("c", lit(true))

@@ -150,7 +150,10 @@ object Unigram {
       .join(u, Seq("piece"), "left").na.fill(0L, Seq("u"))
     val multi = u.filter(length(col("piece")) > 1)
       .orderBy(col("u").desc, col("piece")).limit(keepMulti)
-    val kept = chars.unionByName(multi).localCheckpoint(true)
+    // no checkpoint: both consumers (total + final select) are
+    // vocab-sized scans over the already-checkpointed `u` — cheaper to
+    // recompute than to pay a materialization job per round
+    val kept = chars.unionByName(multi)
     val uS = col("u") + when(length(col("piece")) === 1, 1L).otherwise(0L)
     val tot = kept.agg(sum(uS).as("t"))
     kept.crossJoin(broadcast(tot))
@@ -162,10 +165,24 @@ object Unigram {
     * (piece, usage, p) and its collected map (for the encode path). */
   private[graft] def train(
       s: SparkSession, wordFreq: DataFrame): (DataFrame, Map[String, Double]) = {
-    var vocab = seedScores(wordFreq)
+    // fan the word table to full parallelism and materialize it ONCE:
+    // the Viterbi E-step is an interpreted HOF fold — expensive per
+    // row — and the word table arrives as a byte-tiny aggregate output
+    // that AQE coalesces to ONE partition, so without this every EM
+    // round's DP ran single-threaded AND re-derived the word table
+    // from the corpus (seed + one derivation per round). Callers that
+    // already materialized (t39 shares its frame with the encode pass)
+    // are passed through.
+    val wf = wordFreq.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => wordFreq
+      case _ => wordFreq
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+    }
+    var vocab = seedScores(wf)
     var scored: DataFrame = null
     for (keep <- KeepPerRound) {
-      scored = rescore(s, usageDf(wordFreq, vocab), vocab, keep)
+      scored = rescore(s, usageDf(wf, vocab), vocab, keep)
         .localCheckpoint(true) // round boundary: both consumers re-read
       vocab = scored.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     }
@@ -306,7 +323,12 @@ object Unigram {
     // excluded here but counted by t36, so n_words can diverge between
     // the two at scale factors whose corpus contains such words.
     QueryDef.sql("t39_unigram_fertility", fertilitySql) { (s, dir) =>
+      // materialized + fanned HERE so the trainer (which passes
+      // LogicalRDDs through) and the encode DP below share ONE
+      // parallel word table instead of re-deriving it serially
       val wf = words(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
       val (_, vocab) = train(s, wf)
       // Encode per DISTINCT word, not per occurrence: the Viterbi DP is
       // an interpreted higher-order-function fold (HOF lambdas don't
