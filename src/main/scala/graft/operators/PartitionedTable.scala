@@ -389,14 +389,49 @@ object PartitionedTable {
     * their version. Returns dirName -> committed store version. Crash
     * anywhere here = orphan store versions only; no manifest
     * references them. */
+  /** True when the caller deliberately shaped `plan`'s layout (an
+    * explicit repartition/rebalance/sort anywhere in it) — such a batch
+    * must land VERBATIM, not be re-clustered by [[landPartitions]]. */
+  private def hasUserShaping(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
+      case _ => false
+    }
+
   private def landPartitions(
       spark: SparkSession, dir: String, df: DataFrame, partCol: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Long = DefaultBloomBits): Map[String, Long] = {
+      bloomBits: Long = DefaultBloomBits, preShaped: Boolean = false): Map[String, Long] = {
     val hfs = VersionedStore.fs(spark, dir)
     val tmp = new Path(dir, s".tmp-land-${java.util.UUID.randomUUID}")
-    df.withColumn(PartDir, col(partCol))
+    // cluster by partition value before the dynamic-partition write
+    // (guide §6, Iceberg write.distribution-mode=hash): without it the
+    // writer runs at the INPUT's parallelism — a single task over a
+    // one-split scan (q104's 1.6 s write job was scan+encode+write on
+    // one core) — and at scale every input task opens a file in every
+    // partition it sees (T×P small files). Explicit N because AQE's
+    // byte-based coalescing would fold the exchange back to one task
+    // exactly when parquet ENCODE cpu, not bytes, dominates. Callers
+    // that DELIBERATELY shaped their batch (optimize/compact's
+    // range+sort clustering, the pre-ranged fixtures, a merge batch
+    // repartitioned before the checkpoint truncated its plan —
+    // `preShaped`) are detected and land verbatim: a blanket reshuffle
+    // here would destroy the layout they just paid for.
+    val shaped = preShaped || hasUserShaping(df.queryExecution.analyzed)
+    val toLand = df.withColumn(PartDir, col(partCol))
+    (if (shaped) toLand
+     else toLand.repartition(
+       spark.sparkContext.defaultParallelism, col(PartDir)))
       .write.partitionBy(PartDir).parquet(tmp.toString)
+    // the landed files' schema is KNOWN (df's columns + the PartDir
+    // partition dir): pass it to the sidecar re-reads below so neither
+    // pays a footer-inference pass (~77 ms driver wall per resolution)
+    val landedSchema = StructType(
+      allNullable(df.schema).asInstanceOf[StructType].fields.toSeq :+
+        StructField(PartDir, StringType))
     if (statsCols.nonEmpty) {
       // one job over the landed files: per-(partition, file) min/max,
       // written partitionBy so each partition's slice renames into its
@@ -409,7 +444,8 @@ object PartitionedTable {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       val statsTmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
-      spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
+      spark.read.schema(landedSchema).option("basePath", tmp.toString)
+        .parquet(tmp.toString)
         .groupBy(col(partCol).as("part"),
           regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -433,7 +469,8 @@ object PartitionedTable {
       // staging as the stats sidecar, so each version's bloom commits
       // atomically with its files
       val bloomTmp = new Path(dir, s".tmp-bloom-${java.util.UUID.randomUUID}")
-      spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
+      spark.read.schema(landedSchema).option("basePath", tmp.toString)
+        .parquet(tmp.toString)
         .select(col(partCol).as("part"),
           regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
           explode(bloomProbes(bloomCols, bloomBits)).as("pr"))
@@ -1031,7 +1068,7 @@ object PartitionedTable {
     * (an optional or required column both satisfy it), so declaring
     * nullable everywhere is always sound for reads whose consumers
     * re-derive nullability downstream. */
-  private def allNullable(dt: DataType): DataType = dt match {
+  private[operators] def allNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = allNullable(f.dataType), nullable = true)))
     case a: ArrayType =>
@@ -1555,7 +1592,28 @@ object PartitionedTable {
       bloomBits: Long = DefaultBloomBits,
       dvMinBase: Long = DvMinBaseRows): (Map[String, Long], Seq[String]) = {
     refuseRetiredNames(spark, dir, changes.drop(opCol))
-    val batch = changes.filter(col(partCol).isNotNull).localCheckpoint(true)
+    // materialize the batch ONCE (census + DV + append + rewrite all
+    // re-read it) — unless it is ALREADY driver-materialized (a
+    // LogicalRDD/LocalRelation, possibly under projections/filters:
+    // the ChangeFeed.maintain slices arrive pre-checkpointed), where a
+    // second checkpoint job per commit buys nothing
+    def isMaterialized(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          isMaterialized(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          isMaterialized(f.child)
+        case _ => false
+      }
+    // caller shaping must be read off the RAW plan: the checkpoint
+    // below truncates it to a LogicalRDD, hiding any repartition
+    val batchShaped = hasUserShaping(changes.queryExecution.analyzed)
+    val pre = changes.filter(col(partCol).isNotNull)
+    val batch =
+      if (isMaterialized(changes.queryExecution.analyzed)) pre
+      else pre.localCheckpoint(true)
     // declared CHECK constraints gate the batch's UPSERT payloads
     // before anything lands (a delete's payload never materializes)
     enforceConstraints(spark, dir, batch.filter(col(opCol) <=> "upsert"))
@@ -1640,7 +1698,7 @@ object PartitionedTable {
     }
     val committed = landPartitions(spark, dir,
       merged.select(tableCols.map(col): _*), partCol, statsCols, bloomCols,
-      bloomBits)
+      bloomBits, preShaped = batchShaped)
     // touched partitions that landed update their pointer; touched
     // partitions with no surviving rows drop out of the mapping the
     // caller builds; the rest carry over

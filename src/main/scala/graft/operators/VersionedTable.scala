@@ -94,7 +94,11 @@ object VersionedTable {
       else Some { tmp =>
         val aggs = statsCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        spark.read.parquet(tmp.toString)
+        // the just-written files carry df's schema — pass it explicitly
+        // so the stats pass skips the per-commit footer inference
+        spark.read.schema(PartitionedTable.allNullable(df.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(tmp.toString)
           .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
           .agg(aggs.head, aggs.tail: _*)
           .coalesce(1)
