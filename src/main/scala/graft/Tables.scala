@@ -64,6 +64,19 @@ object Tables {
     * stays on) and key-free, so it cannot introduce skew. Callers must
     * be row-order-insensitive above it (aggregates, joins, keyed
     * windows — NOT zipWithIndex-style global ranks). */
+  /** True when the caller deliberately shaped `plan`'s layout (an
+    * explicit repartition/rebalance/sort anywhere in it) — shaped
+    * frames must be written VERBATIM, never re-fanned/re-clustered by
+    * a write path. */
+  private[graft] def hasUserShaping(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
+      case _ => false
+    }
+
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (plannedScanPartitions(df) >= math.max(2, target / 2)) df

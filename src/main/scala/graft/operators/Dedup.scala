@@ -509,41 +509,56 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
-      // One shuffle per iteration. The convergence signal rides the SAME
-      // aggregation instead of a separate join+count job: the old label is
-      // carried through the union as the `keep`-tagged row (each id has
-      // exactly one), re-extracted by min(when(keep, label)), and the
-      // changed-row count comes out as an `observe` metric of the
-      // checkpoint action itself — iterations cost one job, not two.
+    // One propagation step: every id adopts the min label over
+    // {itself} ∪ neighbors. The convergence signal rides the SAME
+    // aggregation instead of a separate join+count job: the old label is
+    // carried through the union as the `keep`-tagged row (each id has
+    // exactly one), re-extracted by min(when(keep, label)), and the
+    // changed-row count comes out as an `observe` metric of the
+    // materializing action itself.
+    def step(l: DataFrame, tag: String): DataFrame = {
       val nbrLabels = sym
-        .join(labels.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
+        .join(l.select(col("id").as("nbr"), col("label").as("nbr_label")), "nbr")
         .select(col("id"), col("nbr_label").as("label"))
-      val next = labels.withColumn("keep", lit(true))
+      l.withColumn("keep", lit(true))
         .unionByName(nbrLabels.withColumn("keep", lit(false)))
         .groupBy("id")
         .agg(min("label").as("label"),
           min(when(col("keep"), col("label"))).as("old"))
-        .observe(s"cc_iter_$iter",
+        .observe(tag,
           coalesce(sum(when(col("label") =!= col("old"), lit(1L)).otherwise(lit(0L))), lit(0L))
             .as("changed"))
+        .select("id", "label")
+    }
+    // (r18 notes: pointer jumping — label(label(id)) via a node-sized
+    // self-join — was tried and reverted: fixture diameters are already
+    // small, so it added a join per round without cutting rounds.)
+    //
+    // TWO steps compose into each materialized job: the shuffles are
+    // identical to running them separately, but the job count (and with
+    // it the per-job driver/AQE-stage latency every iterative operator
+    // pays) halves. Convergence reads the SECOND step's changed count:
+    // zero means that step was an identity, i.e. its input was already
+    // the fixpoint — the same labels the one-step loop would return
+    // (applying a step to a fixpoint is the identity).
+    while (iter < maxIters && !converged) {
+      val two = step(step(labels, s"cc_iter_${iter}_a"), s"cc_iter_${iter}_b")
       // truncate lineage each round: without this the logical plan doubles
       // per iteration (analysis time blows up long before data size does).
       // At cluster scale use checkpoint() to reliable storage instead.
       // The metric is read off the PRE-checkpoint dataset: localCheckpoint
       // returns a fresh LogicalRDD plan that no longer carries the
-      // CollectMetrics node, but it executes `run`'s physical plan, whose
+      // CollectMetrics node, but it executes `two`'s physical plan, whose
       // accumulator holds the merged value once the eager job finishes.
-      val run = next.select("id", "label")
-      val mat = run.localCheckpoint(true)
+      val mat = two.localCheckpoint(true)
       // .get, not apply: if the CollectMetrics node is ever pruned from the
       // executed plan (empty edge list folded to an empty relation, or a
       // future AQE change), an absent metric means zero rows changed —
       // converged — not a NoSuchElementException mid-loop.
-      converged = run.queryExecution.observedMetrics.get(s"cc_iter_$iter")
+      converged = two.queryExecution.observedMetrics.get(s"cc_iter_${iter}_b")
         .map(_.getAs[Long]("changed")).getOrElse(0L) == 0L
       labels = mat
-      iter += 1
+      iter += 2
     }
     // Silent non-convergence would report one component as several —
     // wrong answers, not slow ones. The check is already computed.

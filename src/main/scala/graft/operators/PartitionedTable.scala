@@ -389,17 +389,11 @@ object PartitionedTable {
     * their version. Returns dirName -> committed store version. Crash
     * anywhere here = orphan store versions only; no manifest
     * references them. */
-  /** True when the caller deliberately shaped `plan`'s layout (an
-    * explicit repartition/rebalance/sort anywhere in it) — such a batch
-    * must land VERBATIM, not be re-clustered by [[landPartitions]]. */
+  /** See [[graft.Tables.hasUserShaping]] — shaped batches land
+    * verbatim, never re-clustered by [[landPartitions]]. */
   private def hasUserShaping(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-    plan.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
-      case _ => false
-    }
+    graft.Tables.hasUserShaping(plan)
 
   private def landPartitions(
       spark: SparkSession, dir: String, df: DataFrame, partCol: String,
